@@ -1,0 +1,78 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** A message entry — the engine's single logical table.
+  *
+  * Mirrors the reference `Entry` (entry.go:42-50) re-expressed as a flat
+  * Spark row: the 16-byte packed ID becomes plain `(ts, seq)` ordering
+  * columns (the ID is reconstructible via [[MessageId]]), topic part hashes
+  * become the `topic_parts` string array, and tenant isolation is the
+  * `contract` column (reference default MasterContract, message/id.go:28).
+  */
+final case class Message(
+    seq: Long,
+    contract: Long,
+    topic: String,
+    topic_parts: Seq[String],
+    is_wildcard: Boolean,
+    depth: Int,
+    ts: Timestamp,
+    expires_at: Option[Timestamp],
+    del_flag: Boolean,
+    payload: Array[Byte])
+
+object Message {
+  /** Reference MasterContract (message/id.go:28). */
+  val MasterContract: Long = 3376684800L
+}
+
+/** 16-byte lexicographically sortable message ID, kept for API fidelity
+  * with the reference (message/id.go:45-52, uid/uid.go:44-47): newer IDs
+  * sort first. Layout: 4B inverted epoch-seconds, 4B contract-low-bits,
+  * 8B seq.
+  */
+object MessageId {
+  def encode(epochSec: Long, contract: Long, seq: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.putInt((~epochSec).toInt)       // inverted → descending time order
+    b.putInt(contract.toInt)
+    b.putLong(seq)
+    b.array()
+  }
+
+  /** (epochSec, contract-low-32, seq) */
+  def decode(id: Array[Byte]): (Long, Long, Long) = {
+    require(id.length == 16, s"message id must be 16 bytes, got ${id.length}")
+    val b = java.nio.ByteBuffer.wrap(id)
+    val epoch = (~b.getInt).toLong & 0xFFFFFFFFL
+    val contract = b.getInt.toLong & 0xFFFFFFFFL
+    val seq = b.getLong
+    (epoch, contract, seq)
+  }
+}
+
+/** Write-side entry (reference entry.go:42-50). `ttlMillis` here wins over a
+  * `?ttl=` topic option, matching `WithTTL`. */
+final case class Entry(
+    topic: String,
+    payload: Array[Byte],
+    contract: Long = Message.MasterContract,
+    ttlMillis: Option[Long] = None,
+    tsMillis: Option[Long] = None)
+
+/** Read query (reference query.go:41-47): topic pattern with optional
+  * `?last=` (duration or count), tenant, and result limit with the
+  * reference's default/max clamps (options.go:169-174). */
+final case class Query(
+    topic: String,
+    contract: Long = Message.MasterContract,
+    limit: Int = 0) {
+  def effectiveLimit: Int =
+    if (limit <= 0) Query.DefaultLimit else math.min(limit, Query.MaxLimit)
+}
+
+object Query {
+  val DefaultLimit = 1000
+  val MaxLimit = 100000
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.UnitDb
+import graft.model.{Entry, Message, Query}
+
+/** Engine scenarios mirroring the reference test suite (SURVEY §5):
+  * TestSimple, TestBatch, TestExpiry, TestLeasing, TestWildcardTopics. */
+class UnitDbSpec extends SparkSpec {
+
+  private def freshDb(): (UnitDb, () => Unit, Long => Unit) = {
+    val dir = Files.createTempDirectory("graftdb").toString + "/store"
+    var now = 1700000000000L // fixed epoch for determinism
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    (db, () => (), ms => now += ms)
+  }
+
+  test("simple: put N, query ?last=1h returns all newest-first, survives reopen") {
+    val dir = Files.createTempDirectory("graftdb").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    val n = 100
+    for (i <- 1 to n) {
+      db.putEntry(Entry("unit1.test", s"msg.$i".getBytes, ttlMillis = Some(3600000L)))
+      now += 1000 // one second apart
+    }
+    // read-your-writes before sync (memdb analogue)
+    val before = db.get(Query("unit1.test?last=1h"))
+    assert(before.length == n)
+    db.sync()
+    val got = db.get(Query("unit1.test?last=1h")).map(new String(_))
+    assert(got.length == n)
+    assert(got.head == s"msg.$n" && got.last == "msg.1", "newest first")
+    // limit clamp
+    assert(db.get(Query("unit1.test?last=1h", limit = 10)).length == 10)
+    // ?last as count
+    assert(db.get(Query("unit1.test?last=5")).length == 5)
+    // reopen → recovery from store
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    val again = db2.get(Query("unit1.test?last=1h")).map(new String(_))
+    assert(again.toSeq == got.toSeq)
+    // seq counter recovered: new put gets a fresh seq ordering after reopen
+    db2.put("unit1.test", "after-reopen".getBytes)
+    val latest = db2.get(Query("unit1.test?last=1"))
+    assert(new String(latest.head) == "after-reopen")
+  }
+
+  test("batch: atomic multi-put with contract + ttl, ordered read-back") {
+    val (db, _, tick) = freshDb()
+    val contract = 123456789L
+    db.batch { b =>
+      b.withContract(contract).withTtl(3600000L)
+      for (i <- 1 to 50) { b.put("unit2.test", s"b.$i".getBytes); tick(10) }
+    }
+    val got = db.get(Query("unit2.test", contract = contract)).map(new String(_))
+    assert(got.length == 50 && got.head == "b.50" && got.last == "b.1")
+    // isolation: master contract sees nothing
+    assert(db.get(Query("unit2.test")).isEmpty)
+    // abort: failing batch writes nothing
+    intercept[RuntimeException] {
+      db.batch { b => b.put("unit2.test", "x".getBytes); throw new RuntimeException("boom") }
+    }
+    assert(db.get(Query("unit2.test", contract = contract)).length == 50)
+  }
+
+  test("expiry: pre-expired entries are invisible; vacuum drops them") {
+    val (db, _, tick) = freshDb()
+    for (i <- 1 to 20)
+      db.putEntry(Entry("unit3.test", s"e.$i".getBytes, ttlMillis = Some(1000L)))
+    db.sync()
+    assert(db.get(Query("unit3.test")).length == 20)
+    tick(10000) // everything expires
+    assert(db.get(Query("unit3.test")).isEmpty)
+    assert(db.count() == 0)
+    db.vacuum()
+    assert(db.snapshot().count() == 0, "vacuum physically removed expired rows")
+    // store still writable after compaction
+    db.put("unit3.test", "fresh".getBytes)
+    assert(db.get(Query("unit3.test")).length == 1)
+  }
+
+  test("delete: tombstoned entries invisible, space reclaimed by vacuum") {
+    val (db, _, tick) = freshDb()
+    for (i <- 1 to 10) { db.put("unit4.test", s"d.$i".getBytes); tick(1000) }
+    db.sync()
+    val frame = db.getFrame(Query("unit4.test")).collect()
+    val target = frame.head // newest
+    db.delete(target.getAs[Long]("seq"), "unit4.test")
+    val after = db.get(Query("unit4.test")).map(new String(_))
+    assert(after.length == 9 && !after.contains("d.10"))
+    db.vacuum()
+    assert(db.snapshot().count() == 9)
+    assert(db.get(Query("unit4.test")).length == 9)
+  }
+
+  test("wildcard vectors: bidirectional matching through the engine") {
+    val (db, _, tick) = freshDb()
+    val pairs = Seq(
+      "..." -> "unit.b.b1",
+      "unit.b..." -> "unit.b.b1.b11.b111.b1111.b11111.b111111",
+      "unit.*.b1.b11.*.*.b11111.*" -> "unit.b.b1.b11.b111.b1111.b11111.b111111",
+      "unit.b.b1" -> "unit.b.b1")
+    for (((stored, _), i) <- pairs.zipWithIndex) {
+      db.put(stored, s"w.$i".getBytes); tick(1000)
+    }
+    db.sync()
+    for ((stored, query) <- pairs) {
+      assert(db.get(Query(query)).nonEmpty, s"stored $stored should answer $query")
+      assert(db.get(Query(stored)).nonEmpty, s"query $stored should find itself")
+    }
+    // static query that matches nothing but the multi-level catch-alls
+    val catchAll = db.get(Query("zzz.yyy"))
+    assert(catchAll.length == 1 && new String(catchAll.head) == "w.0")
+  }
+
+  test("contract isolation") {
+    val (db, _, _) = freshDb()
+    db.putEntry(Entry("iso.test", "a".getBytes, contract = 111L))
+    db.putEntry(Entry("iso.test", "b".getBytes, contract = 222L))
+    db.sync()
+    assert(db.get(Query("iso.test", contract = 111L)).map(new String(_)).toSeq == Seq("a"))
+    assert(db.get(Query("iso.test", contract = 222L)).map(new String(_)).toSeq == Seq("b"))
+    assert(db.get(Query("iso.test")).isEmpty)
+  }
+}
