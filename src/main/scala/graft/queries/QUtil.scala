@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-parity helpers.
+  *
+  * The driver hash-compares Spark parquet output against DuckDB running the
+  * same logical SQL, so floating-point aggregation must be *bit-identical*,
+  * not approximately equal. The trick used throughout: cast each double term
+  * to an exact DECIMAL before SUM (both engines then aggregate exactly, in
+  * any order), and cast the final decimal back to DOUBLE for output (the
+  * same exact decimal converts to the same double in both engines). Raw
+  * stored doubles pass through untouched and compare exactly.
+  *
+  * Timestamps: `events.ts` is nanosecond-precision in DuckDB but truncated
+  * to micros on the Spark side (see [[graft.Tables]]), so every derived
+  * time value goes through second-granularity `tsec` first.
+  */
+object QUtil {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Exact money: DECIMAL(18,2) term for SUM. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact product term (price * (1-discount)): DECIMAL(18,4). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Final output form of an exact decimal aggregate. */
+  def asDouble(c: Column): Column = c.cast("double")
+
+  /** Epoch seconds at second granularity (matches DuckDB
+    * `epoch_us(date_trunc('second', ts)) // 1000000`). */
+  def tsec(c: Column): Column = unix_timestamp(c)
+
+  /** DuckDB-side tsec expression for an ns-precision timestamp column. */
+  def duckTsec(col: String): String =
+    s"epoch_us(date_trunc('second', $col)) // 1000000"
+}
