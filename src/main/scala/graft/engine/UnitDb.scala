@@ -139,8 +139,12 @@ final class UnitDb private (
     pred = pred && topicPred
 
     cutoffMs.foreach { c =>
+      // partition pruning on the day column: the cutoff day must be computed
+      // in the SAME zone that derived the stored `day` strings (the session
+      // timezone, via date_format in withDay) or rows near midnight would be
+      // wrongly pruned in non-UTC sessions (ADVICE r1).
       pred = pred && col("ts") >= lit(new Timestamp(c)) &&
-        col("day") >= lit(dayOf(c)) // partition pruning on the day column
+        col("day") >= lit(dayOf(c, sessionZone))
     }
 
     val tombstones = all.filter(col("del_flag")).select("seq").distinct()
@@ -195,12 +199,14 @@ final class UnitDb private (
       .filter(!col("del_flag") &&
         (col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock()))))
       .join(broadcast(tombstones), Seq("seq"), "left_anti")
-      .cache()
-    live.count() // materialize before we touch the source files
+    // The tmp-dir write below fully materializes `live` from the old files
+    // before any move touches them — no cache needed (caching the whole
+    // table was an OOM hazard at scale, ADVICE r1).
+    // NOTE: the two-move swap assumes a local POSIX fs and a single writer;
+    // on an object store this would need a manifest-swap commit instead.
     val tmp = path + ".compact.tmp"
     val old = path + ".compact.old"
     writeStoreTo(live, tmp)
-    live.unpersist()
     val p = Paths.get(path); val pt = Paths.get(tmp); val po = Paths.get(old)
     Files.move(p, po, StandardCopyOption.ATOMIC_MOVE)
     Files.move(pt, p, StandardCopyOption.ATOMIC_MOVE)
@@ -234,20 +240,32 @@ final class UnitDb private (
   private def withDay(df: DataFrame): DataFrame =
     df.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
 
+  /** Lazily resolved session timezone — the zone `withDay`'s date_format
+    * uses, so cutoff-day pruning agrees with the stored partition values. */
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
   private def writeStore(df: DataFrame, mode: SaveMode): Unit =
-    withDay(df)
-      .sortWithinPartitions("topic", "ts")
-      .write.mode(mode)
-      .partitionBy("contract", "day")
-      .option("compression", "snappy")
-      .parquet(path)
+    configureWriter(withDay(df).sortWithinPartitions("topic", "ts")
+      .write.mode(mode)).parquet(path)
 
   private def writeStoreTo(df: DataFrame, target: String): Unit =
-    df.sortWithinPartitions("topic", "ts")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("contract", "day")
+    configureWriter(df.sortWithinPartitions("topic", "ts")
+      .write.mode(SaveMode.Overwrite)).parquet(target)
+
+  /** Shared writer config: snappy at rest (reference db_internal.go:292) and
+    * Parquet bloom filters on `seq` + `topic` — the Spark-native form of the
+    * reference's per-seq bloom consulted before delete/expiry reads
+    * (filter.go:33-45, SURVEY §1.3). Row-group min/max stats on the sorted
+    * `topic` column do the positive-lookup pruning; the blooms kill negative
+    * point lookups without touching pages. */
+  private def configureWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+    w.partitionBy("contract", "day")
       .option("compression", "snappy")
-      .parquet(target)
+      .option("parquet.bloom.filter.enabled#seq", "true")
+      .option("parquet.bloom.filter.expected.ndv#seq", "1000000")
+      .option("parquet.bloom.filter.enabled#topic", "true")
+      .option("parquet.bloom.filter.expected.ndv#topic", "100000")
 
   private def readStoreRaw(): DataFrame =
     spark.read.schema(storeSchema).parquet(path)
@@ -279,9 +297,8 @@ object UnitDb {
     StructField("payload", BinaryType, nullable = true),
     StructField("day", StringType, nullable = false)))
 
-  private def dayOf(ms: Long): String =
-    java.time.Instant.ofEpochMilli(ms)
-      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+  private def dayOf(ms: Long, zone: java.time.ZoneId): String =
+    java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDate.toString
 
   /** Open (or create) a store directory (reference db.go:50-210). */
   def open(

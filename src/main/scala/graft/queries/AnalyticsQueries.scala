@@ -37,8 +37,8 @@ object AnalyticsQueries {
     // parquet scan (PushedFilters / ReadSchema).
     "q2_pushdown" -> { (s, dir) =>
       Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_quantity") < 24)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")
@@ -67,10 +67,12 @@ object AnalyticsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     },
 
-    // Anti join: customers with no orders.
+    // Anti join: customers with no pending ('P') orders. (Every customer in
+    // the generated data has at least one order, so the unfiltered variant
+    // returned 0 rows and proved nothing — ADVICE r1.)
     "q5_anti" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -161,7 +163,7 @@ object AnalyticsQueries {
     "q2_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_quantity < 24
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -180,7 +182,8 @@ object AnalyticsQueries {
 
     "q5_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
 
     "q5_semi" ->
@@ -232,8 +235,8 @@ object AnalyticsQueries {
         |  FROM lagged
         |)
         |SELECT user_id, event_id,
-        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM flags ORDER BY user_id, event_id""".stripMargin
   )
 }
