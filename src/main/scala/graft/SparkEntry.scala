@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, QUtil.QFn], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracles),
-    (AnalyticsQueries.queries, AnalyticsQueries.oracles)
+    (AnalyticsQueries.queries, AnalyticsQueries.oracles),
+    (graft.llm.LlmQueries.queries, graft.llm.LlmQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

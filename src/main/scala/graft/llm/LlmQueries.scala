@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QUtil._
+
+/** Driver-contract entries for the LLM-data-pipeline module (dedup,
+  * similarity search, text analysis, multimodal metadata) over the
+  * `documents` and `embeddings` testdata tables.
+  *
+  * Every oracle reproduces the Spark result bit-for-bit: outputs are
+  * integer counts/ids plus single IEEE divisions, and the LSH bucket
+  * constants are embedded verbatim in the SQL (see [[Similarity]]).
+  * The oracles verify *semantics* with straightforward (sometimes
+  * all-pairs) SQL at sf0.01; the Spark side is the scale path — banded
+  * LSH shuffles, broadcast probes, never an N×N product.
+  */
+object LlmQueries {
+
+  val queries: Map[String, QFn] = Map(
+    "l1_exact_dedup" -> { (s, dir) =>
+      TextDedup.exactDedup(Tables.documents(s, dir)) },
+
+    "l2_neardup_minhash" -> { (s, dir) =>
+      TextDedup.minhashNearDup(Tables.documents(s, dir)) },
+
+    "l3_ann_brute" -> { (s, dir) =>
+      Similarity.annBrute(Tables.embeddings(s, dir)) },
+
+    "l4_ann_lsh" -> { (s, dir) =>
+      Similarity.annLsh(Tables.embeddings(s, dir)) },
+
+    "l5_textstats" -> { (s, dir) =>
+      TextStats.textStats(Tables.documents(s, dir)) },
+
+    "l6_langid" -> { (s, dir) =>
+      TextStats.langId(Tables.documents(s, dir)) },
+
+    "l7_simhash_neardup" -> { (s, dir) =>
+      TextDedup.simhashNearDup(Tables.documents(s, dir)) },
+
+    // Binary-column (multimodal) metadata extraction: payload as opaque
+    // bytes; size, magic prefix, content hash — all without decoding.
+    "l8_multimodal_meta" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        expr("octet_length(encode(text, 'UTF-8'))").as("n_bytes"),
+        hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("magic"),
+        md5(encode(col("text"), "UTF-8")).as("content_md5"))
+        .orderBy("doc_id") },
+
+    "l9_embdup_lsh" -> { (s, dir) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir)) }
+  )
+
+  /** Shared oracle fragment: doc_id → distinct word-trigram shingles. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+      |sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+      |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |                  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  /** Shared oracle fragment: embeddings as double vectors + norm + the
+    * 4-hyperplane LSH bucket (constants from [[Similarity.hyperplanes]]). */
+  private def embCte: String = {
+    val dots = (0 until Similarity.NumPlanes).map { p =>
+      s"""list_reduce(list_transform(list_zip(v, ${Similarity.hyperplaneSql(p)}),
+         |      z -> z[1] * z[2]), (a, b) -> a + b)""".stripMargin
+    }
+    val bucket = dots.zipWithIndex
+      .map { case (d, p) => s"(CASE WHEN $d >= 0 THEN ${1 << p} ELSE 0 END)" }
+      .mkString(" + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv,
+       |        $bucket AS bucket
+       |      FROM e)""".stripMargin
+  }
+
+  private val duckCosine =
+    "list_reduce(list_transform(list_zip(%s, %s), z -> z[1] * z[2]), (a, b) -> a + b) / (%s * %s)"
+
+  val oracles: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "l2_neardup_minhash" ->
+      s"""WITH $shingleCte,
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id AS doc_a, b_id AS doc_b,
+        |       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "l3_ann_brute" ->
+      s"""WITH $embCte,
+        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM n WHERE vec_id < 20),
+        |s AS (SELECT p.query_id, n.vec_id,
+        |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
+        |      FROM n, p WHERE n.vec_id <> p.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "l4_ann_lsh" ->
+      s"""WITH $embCte,
+        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq, bucket FROM n WHERE vec_id < 20),
+        |s AS (SELECT p.query_id, n.vec_id,
+        |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
+        |      FROM n JOIN p ON n.bucket = p.bucket AND n.vec_id <> p.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "l5_textstats" ->
+      """SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_unique,
+        |  len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+        |  (length(text) - (len(w) - 1)) * 1.0 / len(w) AS avg_token_len,
+        |  len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) * 1.0 / len(w) AS stop_ratio,
+        |  CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "l6_langid" ->
+      """SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |       WHEN fr_hits >= es_hits THEN 'fr'
+        |       ELSE 'es' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of')) AS en_hits,
+        |    len(list_filter(w, t -> t = 'der' OR t = 'die' OR t = 'das' OR t = 'und')) AS de_hits,
+        |    len(list_filter(w, t -> t = 'le' OR t = 'la' OR t = 'les' OR t = 'et')) AS fr_hits,
+        |    len(list_filter(w, t -> t = 'el' OR t = 'los' OR t = 'las' OR t = 'y')) AS es_hits
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "l7_simhash_neardup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM th, range(0, ${TextDedup.SimhashBits}) r(i) GROUP BY doc_id, i
+        |), fp AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS f
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.f, b.f)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= ${TextDedup.SimhashMaxHamming}
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "l8_multimodal_meta" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS magic,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l9_embdup_lsh" ->
+      s"""WITH $embCte
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

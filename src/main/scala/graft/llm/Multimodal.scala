@@ -1,0 +1,103 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+  *
+  * The Spark-side plumbing is real and tested — schema, partition-local
+  * batch iteration, deterministic output — while the actual codec call is
+  * a clearly-marked stub ([[decodeStub]]): the container has no image/audio
+  * libraries, and in production that one function body is replaced by e.g.
+  * a JNI decode (or, in PySpark, an Arrow-batched `mapInPandas` worker).
+  *
+  * Scale notes: feature extraction is `mapPartitions` over the asset table —
+  * embarrassingly parallel, no shuffle; assets should be stored in their own
+  * parquet files (binary column dominates size) with metadata columns first
+  * so metadata-only queries never deserialize payload pages (columnar
+  * projection does this for free).
+  */
+object Multimodal {
+
+  /** An ingested asset: payload plus the typed metadata a catalog query
+    * needs without touching bytes. */
+  final case class MediaAsset(
+      asset_id: Long,
+      modality: String, // image | audio | video
+      media_bytes: Array[Byte],
+      declared_width: Int,
+      declared_height: Int)
+
+  /** Extraction result: per-asset metadata + fixed-dim feature vector. */
+  final case class MediaFeatures(
+      asset_id: Long,
+      modality: String,
+      n_bytes: Int,
+      content_sha: String,
+      feature: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB — stands in for the real image/audio decoder. Deterministic fake:
+    * derives a feature vector from the SHA-256 of the payload, so tests can
+    * assert exact values and reruns are reproducible. A real deployment
+    * replaces ONLY this function with a codec call (libjpeg/ffmpeg/...). */
+  def decodeStub(bytes: Array[Byte], dim: Int = FeatureDim): Array[Float] = {
+    val sha = MessageDigest.getInstance("SHA-256").digest(bytes)
+    Array.tabulate(dim)(i => ((sha(i % sha.length) & 0xFF) - 128) / 128.0f)
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  /** Partition-local feature extraction: the decoder runs once per asset on
+    * the executor holding the bytes; output is a typed Dataset. */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    assets.mapPartitions { it =>
+      // one digest instance per partition, not per row
+      val digest = MessageDigest.getInstance("SHA-256")
+      it.map { a =>
+        digest.reset()
+        MediaFeatures(
+          asset_id = a.asset_id,
+          modality = a.modality,
+          n_bytes = a.media_bytes.length,
+          content_sha = hex(digest.digest(a.media_bytes)),
+          feature = decodeStub(a.media_bytes))
+      }
+    }
+  }
+
+  /** Deterministic frame sampling for video-like assets: pick `n` evenly
+    * spaced byte windows (stand-in for frame decode) — pure slicing, keeps
+    * the batch shape a real frame sampler would have. */
+  def frameSample(assets: Dataset[MediaAsset], n: Int, window: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      val len = a.media_bytes.length
+      (0 until n).iterator.map { i =>
+        val off = if (n == 1) 0 else math.min((len.toLong * i / n).toInt, math.max(len - window, 0))
+        val slice = a.media_bytes.slice(off, math.min(off + window, len))
+        (a.asset_id, i, off, slice)
+      }
+    }.toDF("asset_id", "frame_idx", "byte_offset", "frame_bytes")
+  }
+
+  /** Synthesize assets from the documents table (utf-8 payload bytes) — the
+    * testdata has no real media, but the plumbing is payload-agnostic. */
+  def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    implicit val enc = Encoders.product[MediaAsset]
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("media_bytes"),
+      (col("n_chars") % 640).cast("int").as("declared_width"),
+      (col("n_chars") % 480).cast("int").as("declared_height"))
+      .as[MediaAsset]
+  }
+}

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths, sharing one exact-cosine kernel built from codegen'd builtins
+  * (zip_with + aggregate — no UDF, stays inside whole-stage codegen):
+  *
+  *  - [[annBrute]] — exact top-k for a *small* probe set: the probes are
+  *    broadcast and the big table streams past them once (BroadcastNestedLoop
+  *    over Q probes = O(N·Q) work, no shuffle of the big side). This is the
+  *    correct baseline shape at 100 TB when Q is small; it is never an
+  *    N × N cross join.
+  *  - [[annLsh]] / [[embeddingNearDup]] — random-hyperplane LSH: each vector
+  *    gets a [[NumPlanes]]-bit signature (sign of the dot product against
+  *    fixed hyperplanes); candidate generation is an equi-join on the bucket
+  *    id, then exact cosine re-ranks within the bucket. The bucket join
+  *    shuffles each row once on a 1-int key; no pair outside a shared
+  *    bucket is ever formed.
+  *
+  * The hyperplanes are deterministic 3-decimal constants so the DuckDB
+  * oracle can embed them verbatim and reproduce the exact same buckets
+  * (sign margins on the testdata are >= 4.6e-5, far above any cross-engine
+  * float-summation noise of ~1e-13).
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 4
+
+  /** hyperplane(p)(j) = ((1103515245 * (p*Dim + j + 1) + 12345) mod 2001 - 1000) / 1000
+    * — an LCG-derived grid of exact 3-decimal values in [-1, 1]. */
+  val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim)((p, j) =>
+      ((1103515245L * (p * Dim + j + 1) + 12345L) % 2001L - 1000L) / 1000.0)
+
+  /** The same constants as SQL array literals for the DuckDB oracle. */
+  def hyperplaneSql(p: Int): String =
+    hyperplanes(p).mkString("[", ", ", "]")
+
+  /** Sequential-fold dot product of two double arrays — mirrors the oracle's
+    * list_reduce(list_transform(list_zip(a, b), z -> z[1]*z[2]), (x,y) -> x+y)
+    * element order exactly, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def lit64(xs: Array[Double]): Column = array(xs.map(lit): _*)
+
+  /** vectors as double arrays + precomputed L2 norm + LSH bucket id. */
+  def prepared(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val bucket = (0 until NumPlanes)
+      .map(p => when(dot(col("v"), lit64(hyperplanes(p))) >= 0, 1 << p).otherwise(0))
+      .reduce[Column](_ + _)
+    embeddings
+      .withColumn("v", v)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", bucket)
+      .select("vec_id", "v", "nv", "bucket")
+  }
+
+  private def cosine(v: Column, nv: Column, q: Column, nq: Column): Column =
+    dot(v, q) / (nv * nq)
+
+  /** Exact top-k neighbors (cosine, excluding self) for probes `vec_id <
+    * probeMax`, broadcast-nested-loop over the full table. Output:
+    * (query_id, rank, neighbor_id). */
+  def annBrute(embeddings: DataFrame, probeMax: Int = 20, k: Int = 5): DataFrame = {
+    val e = prepared(embeddings)
+    val probes = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("nv"), col("q"), col("nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed top-k: exact cosine re-rank *within the probe's bucket*
+    * (may return fewer than k when the bucket is small — that is the
+    * documented LSH contract, reproduced exactly by the oracle). Output:
+    * (query_id, rank, neighbor_id). */
+  def annLsh(embeddings: DataFrame, probeMax: Int = 20, k: Int = 3): DataFrame = {
+    val e = prepared(embeddings)
+    val probes = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"),
+        col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("nv"), col("q"), col("nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked: only same-bucket
+    * pairs are tested, cosine >= `threshold`. Output: (vec_a, vec_b). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = prepared(embeddings)
+    val left = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val right = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+}

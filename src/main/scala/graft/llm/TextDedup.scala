@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Three tiers, all designed to never materialize the all-pairs product:
+  *
+  *  - [[exactDedup]]     — hash-groupBy on a normalized fingerprint; one
+  *                         shuffle on the fingerprint, linear in N.
+  *  - [[minhashNearDup]] — shingle → MinHash signature → banded LSH: docs
+  *                         shuffle on (band, band_hash), only same-bucket
+  *                         pairs are generated and then verified with exact
+  *                         Jaccard. Miss probability for a pair at Jaccard
+  *                         s is (1 - s^R)^B — with R=4, B=32 a 0.9-similar
+  *                         pair is missed with p ≈ 1.5e-15.
+  *  - [[simhashNearDup]] — 32-bit SimHash fingerprint + pigeonhole banding:
+  *                         pairs within Hamming distance d must share one of
+  *                         (d+1) exact bands, so candidates come from an
+  *                         equi-join on band value, never a cross join.
+  *
+  * At 100 TB the heaviest stage is the band-bucket shuffle, which is
+  * O(N · bands) rows of (id, hash) — small fixed-width records — and the
+  * verify joins are equi-joins keyed by doc id. Skewed buckets (a viral
+  * boilerplate string) are handled by AQE skew-join splitting.
+  */
+object TextDedup {
+
+  /** Word-trigram shingle set, matching the oracle's self-join construction:
+    * shingle_i = w(i) + " " + w(i+1) + " " + w(i+2), 1-based, distinct.
+    * Documents with fewer than 3 tokens have no shingles (and so can never
+    * pair — same as the oracle). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("shingles",
+        when(size(col("w")) >= 3, expr(
+          """array_distinct(transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))""".stripMargin))
+          .otherwise(expr("array()")))
+      .drop("w")
+
+  /** Exact dedup after bag-of-words normalization: fingerprint = md5 of the
+    * sorted distinct token set. Returns one row per duplicate group with the
+    * kept (minimum) doc_id and the copy count. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("fingerprint", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // MinHash: K signature slots, banded R rows × B bands (K = R * B).
+  val MinhashK = 128
+  val MinhashR = 4
+  val MinhashB = 32
+
+  /** Near-duplicate pairs by banded-MinHash LSH, verified with exact
+    * word-trigram Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard),
+    * doc_a < doc_b, sorted. */
+  def minhashNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs).select("doc_id", "shingles")
+
+    // signature: explode shingles once, hash each shingle under K distinct
+    // seeds (xxhash64 with the slot index mixed in — the signatures are
+    // internal only; the oracle never sees them, only the exact-Jaccard-
+    // verified pairs), take per-doc minima — one map-side-combinable agg.
+    val exploded = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sigCols = Array.tabulate(MinhashK)(j =>
+      min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    val sig = exploded.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sig", array(Array.tabulate(MinhashK)(j => col(s"m$j")): _*))
+      .select("doc_id", "sig")
+
+    // banding: B buckets keyed by (band index, hash of the R-slot slice)
+    val bands = sig
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${MinhashB - 1}), b -> named_struct(" +
+          s"'idx', b, 'h', hash(${Array.tabulate(MinhashR)(r => s"sig[b * $MinhashR + $r]").mkString(", ")}, b)))")))
+      .select(col("doc_id"), col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
+
+    val right = bands
+      .withColumnRenamed("doc_id", "doc_b")
+    val candidates = bands
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(right, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // exact verification on the candidate set only
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    candidates
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // SimHash: 32-bit fingerprint; pairs within Hamming distance <= 1 must
+  // share one of 2 exact 16-bit halves (pigeonhole).
+  val SimhashBits = 32
+  val SimhashMaxHamming = 1
+
+  /** Token hash shared bit-for-bit with the DuckDB oracle: the first 8 hex
+    * chars of md5(token) as an unsigned 32-bit value. */
+  private def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Per-document 32-bit SimHash over whitespace tokens (with multiplicity):
+    * bit i of the fingerprint is set iff the count of tokens with bit i set
+    * exceeds the count without. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = Array.tabulate(SimhashBits)(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    val fpExpr = Array.tabulate(SimhashBits)(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("fp", fpExpr)
+      .select("doc_id", "fp")
+  }
+
+  /** Near-duplicate pairs with SimHash Hamming distance <= 1, candidates
+    * from 16-bit band equality. Output: (doc_a, doc_b, hamming), sorted. */
+  def simhashNearDup(docs: DataFrame): DataFrame = {
+    val fp = simhash(docs)
+    val bands = fp.withColumn("band",
+      explode(array(
+        struct(lit(0).as("idx"), col("fp").bitwiseAND(lit(0xFFFFL)).as("v")),
+        struct(lit(1).as("idx"), shiftright(col("fp"), 16).as("v")))))
+      .select(col("doc_id"), col("band.idx").as("band_idx"), col("band.v").as("band_val"), col("fp"))
+
+    val left = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"), col("fp").as("fa"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"), col("fp").as("fb"))
+    left.join(right, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+
+/** LLM-data-pipeline operators (graft.llm) on the sf0.001 testdata. */
+class LlmSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+  private def embs = Tables.embeddings(spark, sf())
+
+  test("minhash LSH finds exactly the pairs exact Jaccard finds (recall 1)") {
+    // ground truth: all-pairs exact trigram Jaccard >= 0.8 (small sf only)
+    val sh = TextDedup.shingled(docs).select(col("doc_id"), col("shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    val exact = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", col("inter") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = TextDedup.minhashNearDup(docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("exact dedup groups are real duplicate token-set groups") {
+    val groups = TextDedup.exactDedup(docs).collect()
+    assert(groups.nonEmpty)
+    assert(groups.forall(_.getAs[Long]("n_copies") >= 2))
+  }
+
+  test("simhash is deterministic and near-dup pairs respect the hamming bound") {
+    val fp1 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
+    val fp2 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fp1.sameElements(fp2))
+    val pairs = TextDedup.simhashNearDup(docs).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= TextDedup.SimhashMaxHamming))
+  }
+
+  test("brute-force ANN returns k ranked neighbors per probe, no self-match") {
+    val out = Similarity.annBrute(embs, probeMax = 5, k = 4).collect()
+    assert(out.length === 5 * 4)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+    val ranks = out.groupBy(_.getLong(0)).values.map(_.map(_.getInt(1)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3, 4)))
+  }
+
+  test("LSH ANN neighbors are a subset of brute-force ordering within bucket") {
+    val lsh = Similarity.annLsh(embs, probeMax = 10, k = 3).collect()
+    assert(lsh.nonEmpty)
+    // every (query, neighbor) must share the probe's bucket
+    val buckets = Similarity.prepared(embs).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lsh.forall(r => buckets(r.getLong(0)) == buckets(r.getLong(2))))
+  }
+
+  test("embedding near-dup is symmetric-free and above threshold") {
+    val pairs = Similarity.embeddingNearDup(embs, threshold = 0.3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("text stats are exact and complete") {
+    val stats = TextStats.textStats(docs).collect()
+    assert(stats.length === docs.count())
+    assert(stats.forall { r =>
+      val n = r.getAs[Int]("n_tokens"); val u = r.getAs[Int]("n_unique")
+      n >= u && u >= 1 && math.abs(r.getAs[Double]("ttr") - u.toDouble / n) < 1e-15
+    })
+  }
+
+  test("langid predicts a language for every doc with fixed tiebreak") {
+    import spark.implicits._
+    val golden = Seq(
+      (1L, "x", "the cat and the dog"),     // en markers
+      (2L, "x", "der hund und die katze"),  // de markers
+      (3L, "x", "le chat et la souris"),    // fr markers
+      (4L, "x", "el gato y los perros"),    // es markers
+      (5L, "x", "nothing matches here"))    // tie -> en priority
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.langId(golden).orderBy("doc_id")
+      .select("predicted").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "de", "fr", "es", "en"))
+  }
+
+  test("multimodal pipeline: stubbed decode is deterministic, plumbing is real") {
+    val assets = Multimodal.assetsFromDocuments(spark, docs.limit(20))
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(_.feature.length === Multimodal.FeatureDim))
+    // deterministic: same payload -> same sha + feature
+    val again = Multimodal.extractFeatures(assets).collect()
+    assert(feats.sortBy(_.asset_id).zip(again.sortBy(_.asset_id))
+      .forall { case (x, y) => x.content_sha == y.content_sha && x.feature.sameElements(y.feature) })
+    // sha really is the payload hash
+    val one = assets.filter(col("asset_id") === feats.head.asset_id).head()
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(one.media_bytes).map(b => f"$b%02x").mkString
+    assert(feats.find(_.asset_id == one.asset_id).get.content_sha === sha)
+  }
+
+  test("frame sampling yields n evenly spaced windows per asset") {
+    val assets = Multimodal.assetsFromDocuments(spark, docs.limit(5))
+    val frames = Multimodal.frameSample(assets, n = 4)
+    assert(frames.count() === 20)
+    assert(frames.groupBy("asset_id").count().collect().forall(_.getLong(1) == 4))
+  }
+}
