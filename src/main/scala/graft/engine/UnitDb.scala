@@ -6,75 +6,115 @@ import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopicMatches
-import graft.model.{Entry, Message, Query, Topic}
+import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, Varz}
 
 /** Embedded message-store facade — the Spark-native re-expression of the
   * reference `DB` API (db.go:50-482).
   *
   * Storage model (SURVEY §1.4): one immutable Parquet table partitioned by
-  * `(contract, day)`, snappy-compressed, plus a small driver-side pending
-  * buffer that makes unsynced writes immediately queryable (the moral
-  * equivalent of the reference memdb read-through, db_internal.go:196-212).
+  * `(contract, wc, day)`, snappy-compressed, plus a small driver-side
+  * pending buffer that makes unsynced writes immediately queryable (the
+  * moral equivalent of the reference memdb read-through,
+  * db_internal.go:196-212).
   *
   *  - `put`/`putEntry` (db.go:339-387)  → buffer, then one atomic Parquet
   *    append per `sync()` (the reference tiny-log → WAL → block-sync
   *    pipeline collapses into Spark's file-commit protocol, SURVEY §3.2).
   *  - `get`       (db.go:222-319)  → declarative filter + top-K; Catalyst
   *    turns it into partition-pruned scan + TakeOrderedAndProject.
-  *  - `delete`    (db.go:392-425)  → tombstone append + anti-join on read.
+  *  - `delete`    (db.go:392-425)  → tombstone in a `_tombstones` sidecar
+  *    + anti-join on read (the sidecar, not the main table, is scanned for
+  *    deletions — delete-heavy stores stay broadcast-able).
   *  - TTL/expiry  (db_sync.go:306-328) → `expires_at` visibility predicate
   *    on read + `vacuum()` compaction.
   *  - `batch`     (db.go:434-447)  → buffered entries committed as a single
   *    atomic append, aborted on exception.
+  *  - encryption  (crypto/mac.go:84-110) → per-entry `encrypted` flag; the
+  *    payload column is AES-GCM ciphertext at rest (the reference uses
+  *    ChaCha20-Poly1305 — documented algorithm difference; both are AEAD),
+  *    encrypted/decrypted distributively via `aes_encrypt`/`aes_decrypt`.
   *
-  * At cluster scale the `(contract, day)` partitioning gives tenant + time
-  * pruning for every `?last=` query; within files rows are sorted by
-  * `(topic, ts)` so Parquet row-group stats prune static-topic reads.
+  * Scale design: `(contract, wc, day)` partitioning gives tenant + time
+  * pruning for every `?last=` query, and the tiny `wc=1` bucket isolates
+  * wildcard-published rows so a static-topic read is a *pushable* topic
+  * equality over `wc=0` (row-group stats + bloom prune) unioned with a scan
+  * of the wildcard bucket — no OR with a non-pushable side (VERDICT r1 #3).
   */
 final class UnitDb private (
     val spark: SparkSession,
     val path: String,
     clock: () => Long,
-    autoFlushRows: Int) {
+    autoFlushRows: Int,
+    encryptionKey: Option[Array[Byte]]) {
 
   import UnitDb._
 
   private val pending = ArrayBuffer[Message]()
+  private val pendingTombs = ArrayBuffer[Tombstone]()
   private val seqCounter = new AtomicLong(0L)
   @volatile private var storeExists = hasStore
+  @volatile private var tombsExist = hasTombs
 
-  // recover last assigned seq from the store (reference recovery.go:45-178
-  // rebuilds from WAL; we just ask the table)
-  if (storeExists) {
-    val row = readStoreRaw().agg(max("seq")).head()
-    if (!row.isNullAt(0)) seqCounter.set(row.getLong(0))
+  // metrics counters (reference meter.go:86-115)
+  private val nPuts, nGets, nDeletes, nSyncs, nEntriesRead, nBytesWritten,
+    nBytesRead = new AtomicLong(0L)
+
+  // recover last assigned seq from the store + sidecar (reference
+  // recovery.go:45-178 rebuilds from WAL; we just ask the table — the
+  // sidecar matters when the max-seq row was deleted and vacuumed)
+  locally {
+    var m = 0L
+    if (storeExists) {
+      val row = readStoreRaw().agg(max("seq")).head()
+      if (!row.isNullAt(0)) m = math.max(m, row.getLong(0))
+    }
+    if (tombsExist) {
+      val row = readTombs().agg(max("seq")).head()
+      if (!row.isNullAt(0)) m = math.max(m, row.getLong(0))
+    }
+    seqCounter.set(m)
   }
 
   // ---------------------------------------------------------------- write
 
-  /** Append under the master contract (reference db.go:339-341). */
-  def put(topic: String, payload: Array[Byte]): Unit =
+  /** Append under the master contract (reference db.go:339-341).
+    * @return the entry's 16-byte sortable ID (reference NewID, uid/uid.go). */
+  def put(topic: String, payload: Array[Byte]): Array[Byte] =
     putEntry(Entry(topic, payload))
 
-  /** Append with contract/TTL (reference db.go:346-387). Topic may carry a
-    * `?ttl=` option; an explicit `Entry.ttlMillis` wins. */
-  def putEntry(e: Entry): Unit = synchronized {
-    pending += toMessage(e)
+  /** Append with contract/TTL/encryption (reference db.go:346-387). Topic
+    * may carry a `?ttl=` option; an explicit `Entry.ttlMillis` wins.
+    * @return the entry's 16-byte ID, usable with [[delete(id*]]. */
+  def putEntry(e: Entry): Array[Byte] = synchronized {
+    val m = toMessage(e)
+    pending += m
+    nPuts.incrementAndGet()
+    nBytesWritten.addAndGet(if (m.payload == null) 0 else m.payload.length.toLong)
     if (pending.size >= autoFlushRows) sync()
+    MessageId.encode(m.ts.getTime / 1000, m.contract, m.seq)
   }
 
-  /** Delete one message by seq + topic — appends a tombstone; readers
-    * anti-join it out (reference db.go:392-425 frees the block instead). */
+  /** Delete one message by seq + topic — appends a sidecar tombstone;
+    * readers anti-join it out (reference db.go:392-425 frees the block). */
   def delete(seq: Long, topic: String, contract: Long = Message.MasterContract): Unit =
     synchronized {
       val t = Topic.parse(topic)
-      pending += Message(seq, contract, t.key, t.parts, t.isWildcard, t.depth,
-        new Timestamp(clock()), None, del_flag = true, Array.emptyByteArray)
+      pendingTombs += Tombstone(seq, contract, t.key, new Timestamp(clock()))
+      nDeletes.incrementAndGet(): Unit
     }
+
+  /** Delete by 16-byte message ID (reference Delete(id, topic),
+    * db.go:392-425): the seq and contract are unpacked from the ID. Note
+    * the ID carries only the low 32 contract bits (reference contracts are
+    * uint32, message/id.go:28). */
+  def delete(id: Array[Byte], topic: String): Unit = {
+    val (_, contract, seq) = MessageId.decode(id)
+    delete(seq, topic, contract)
+  }
 
   /** Atomic multi-put (reference db.go:434-447, batch.go:195-257): entries
     * buffered locally, committed as one append; exception ⇒ abort. */
@@ -83,19 +123,35 @@ final class UnitDb private (
     fn(b) // throws ⇒ nothing written
     synchronized {
       pending ++= b.entries
+      nPuts.addAndGet(b.entries.size.toLong)
+      nBytesWritten.addAndGet(
+        b.entries.iterator.map(m => if (m.payload == null) 0L else m.payload.length.toLong).sum)
       sync()
     }
   }
 
-  /** Flush the pending buffer as one atomic Parquet append (reference
-    * DB.Sync, db.go:452-472). */
+  /** Flush the pending buffers as atomic Parquet appends (reference
+    * DB.Sync, db.go:452-472): entries to the main table, delete markers to
+    * the `_tombstones` sidecar. */
   def sync(): Unit = synchronized {
+    var flushed = false
     if (pending.nonEmpty) {
       val ds = spark.createDataset(pending.toSeq)(Encoders.product[Message])
-      writeStore(ds.toDF(), SaveMode.Append)
+      writeStore(ds.toDF())
       pending.clear()
       storeExists = true
+      flushed = true
     }
+    if (pendingTombs.nonEmpty) {
+      val ds = spark.createDataset(pendingTombs.toSeq)(Encoders.product[Tombstone])
+      ds.toDF().repartition(1).write.mode(SaveMode.Append)
+        .partitionBy("contract").option("compression", "snappy")
+        .parquet(tombsPath)
+      pendingTombs.clear()
+      tombsExist = true
+      flushed = true
+    }
+    if (flushed) nSyncs.incrementAndGet(): Unit
   }
 
   // ----------------------------------------------------------------- read
@@ -103,12 +159,17 @@ final class UnitDb private (
   /** Core query (reference db.go:222-319): topics matching the pattern
     * under the contract, newer than the `?last=` cutoff, live (not deleted,
     * not expired), newest-first, limited. Returns payloads newest-first. */
-  def get(q: Query): Array[Array[Byte]] =
-    getFrame(q).select("payload").collect().map(_.getAs[Array[Byte]](0))
+  def get(q: Query): Array[Array[Byte]] = {
+    val rows = getFrame(q).select("payload").collect().map(_.getAs[Array[Byte]](0))
+    nEntriesRead.addAndGet(rows.length.toLong)
+    nBytesRead.addAndGet(rows.iterator.map(p => if (p == null) 0L else p.length.toLong).sum)
+    rows
+  }
 
   /** Same as [[get]] but as a DataFrame of (seq, topic, ts, payload) —
     * composable with further Spark ops. */
   def getFrame(q: Query): DataFrame = {
+    nGets.incrementAndGet()
     val t = Topic.parse(q.topic)
     val nowMs = clock()
 
@@ -123,33 +184,33 @@ final class UnitDb private (
       .map(c => math.min(c, Query.MaxLimit))
       .getOrElse(q.effectiveLimit)
 
-    val all = snapshot()
     var pred: Column =
       col("contract") === q.contract &&
-      !col("del_flag") &&
       (col("expires_at").isNull || col("expires_at") > lit(new Timestamp(nowMs)))
-
-    // static patterns get an equality fast-path that Parquet can prune on;
-    // stored wildcard topics are still matched bidirectionally (SURVEY §7.4)
-    val topicPred =
-      if (!t.isWildcard)
-        col("topic") === t.key ||
-        (col("is_wildcard") && TopicMatches(col("topic"), lit(t.key)))
-      else TopicMatches(col("topic"), lit(t.key))
-    pred = pred && topicPred
-
     cutoffMs.foreach { c =>
       // partition pruning on the day column: the cutoff day must be computed
       // in the SAME zone that derived the stored `day` strings (the session
-      // timezone, via date_format in withDay) or rows near midnight would be
-      // wrongly pruned in non-UTC sessions (ADVICE r1).
+      // timezone, via date_format in withDerived) or rows near midnight
+      // would be wrongly pruned in non-UTC sessions (ADVICE r1).
       pred = pred && col("ts") >= lit(new Timestamp(c)) &&
         col("day") >= lit(dayOf(c, sessionZone))
     }
 
-    val tombstones = all.filter(col("del_flag")).select("seq").distinct()
-    all.filter(pred)
-      .join(broadcast(tombstones), Seq("seq"), "left_anti")
+    val snap = snapshot()
+    // Static patterns: pushable equality over the static bucket, unioned
+    // with a bidirectional match over the (tiny) wildcard bucket — stored
+    // wildcard publishes still answer static queries (SURVEY §2.3 rule 1).
+    val matched =
+      if (!t.isWildcard)
+        snap.filter(col("wc") === 0 && col("topic") === t.key && pred)
+          .unionByName(
+            snap.filter(col("wc") === 1 &&
+              TopicMatches(col("topic"), lit(t.key)) && pred))
+      else
+        snap.filter(TopicMatches(col("topic"), lit(t.key)) && pred)
+
+    matched
+      .join(broadcast(tombstonesFor(q.contract)), Seq("seq"), "left_anti")
       .orderBy(col("ts").desc, col("seq").desc)
       .limit(limit)
       .select("seq", "topic", "ts", "payload")
@@ -157,23 +218,39 @@ final class UnitDb private (
 
   /** Live-entry count (reference db.go:475-478). */
   def count(): Long = {
-    val all = snapshot()
-    val tombstones = all.filter(col("del_flag")).select("seq").distinct()
-    all.filter(!col("del_flag") &&
-        (col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock()))))
-      .join(broadcast(tombstones), Seq("seq"), "left_anti")
+    snapshot()
+      .filter(col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock())))
+      .join(broadcast(tombstonesFor()), Seq("seq"), "left_anti")
       .count()
   }
 
-  /** Full snapshot (store + unsynced pending), with the `day` partition
-    * column retained for pruning. */
+  /** Metrics snapshot (reference Varz/FileSize, db.go:475-482). */
+  def varz(): Varz = Varz(
+    puts = nPuts.get, gets = nGets.get, deletes = nDeletes.get,
+    syncs = nSyncs.get, entriesRead = nEntriesRead.get,
+    bytesWritten = nBytesWritten.get, bytesRead = nBytesRead.get,
+    fileSize = fileSize())
+
+  /** Physical bytes on disk (reference DB.FileSize, db.go:480-482). */
+  def fileSize(): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) { val k = f.listFiles; if (k == null) 0L else k.map(sz).sum }
+      else f.length
+    val f = new java.io.File(path)
+    if (f.exists) sz(f) else 0L
+  }
+
+  /** Full snapshot (store + unsynced pending) with payloads decrypted when
+    * a key is present, and the `day`/`wc` partition columns retained for
+    * pruning. Tombstoned rows are NOT removed here — callers anti-join
+    * [[tombstonesFor]] (get/count do). */
   def snapshot(): DataFrame = {
     val pendingDf = synchronized {
       if (pending.isEmpty) None
-      else Some(withDay(
+      else Some(withDerived(
         spark.createDataset(pending.toSeq)(Encoders.product[Message]).toDF()))
     }
-    val store = if (storeExists) Some(readStoreRaw()) else None
+    val store = if (storeExists) Some(decrypt(readStoreRaw())) else None
     (store, pendingDf) match {
       case (Some(s), Some(p)) => s.unionByName(p)
       case (Some(s), None)    => s
@@ -184,26 +261,47 @@ final class UnitDb private (
     }
   }
 
+  /** Delete markers visible to a reader: sidecar ∪ unsynced, pruned by
+    * contract. The sidecar is orders smaller than the store, so the
+    * anti-join side stays broadcast-able even on delete-heavy stores
+    * (VERDICT r1 #2). */
+  def tombstonesFor(contract: Long = -1L): DataFrame = {
+    val pendingDf = synchronized {
+      if (pendingTombs.isEmpty) None
+      else Some(spark.createDataset(pendingTombs.toSeq)(Encoders.product[Tombstone]).toDF())
+    }
+    val sidecar = if (tombsExist) Some(readTombs()) else None
+    val all = (sidecar, pendingDf) match {
+      case (Some(s), Some(p)) => s.unionByName(p)
+      case (Some(s), None)    => s
+      case (None, Some(p))    => p
+      case (None, None) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+    }
+    val pruned = if (contract >= 0) all.filter(col("contract") === contract) else all
+    pruned.select("seq").distinct()
+  }
+
   // ---------------------------------------------------------- maintenance
 
   /** Compaction: physically drop tombstoned and expired rows, rewriting the
     * table atomically (write-new-then-swap — the moral equivalent of the
     * reference block_writer rollback protocol, block_writer.go:291-322, and
-    * its expirer, db_sync.go:306-328). */
+    * its expirer, db_sync.go:306-328). Consumed tombstones are dropped with
+    * the old directory (the sidecar lives inside `path`).
+    *
+    * Payloads are rewritten in their at-rest form — no decrypt/re-encrypt
+    * round-trip. NOTE: the two-move swap assumes a local POSIX fs and a
+    * single writer; on an object store this would need a manifest-swap
+    * commit instead.
+    */
   def vacuum(): Unit = synchronized {
     sync()
     if (!storeExists) return
-    val all = readStoreRaw()
-    val tombstones = all.filter(col("del_flag")).select("seq").distinct()
-    val live = all
-      .filter(!col("del_flag") &&
-        (col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock()))))
-      .join(broadcast(tombstones), Seq("seq"), "left_anti")
-    // The tmp-dir write below fully materializes `live` from the old files
-    // before any move touches them — no cache needed (caching the whole
-    // table was an OOM hazard at scale, ADVICE r1).
-    // NOTE: the two-move swap assumes a local POSIX fs and a single writer;
-    // on an object store this would need a manifest-swap commit instead.
+    val live = readStoreRaw()
+      .filter(col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock())))
+      .join(broadcast(tombstonesFor()), Seq("seq"), "left_anti")
     val tmp = path + ".compact.tmp"
     val old = path + ".compact.old"
     writeStoreTo(live, tmp)
@@ -211,6 +309,7 @@ final class UnitDb private (
     Files.move(p, po, StandardCopyOption.ATOMIC_MOVE)
     Files.move(pt, p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(po.toFile)
+    tombsExist = false
   }
 
   // ------------------------------------------------------------ internals
@@ -221,6 +320,8 @@ final class UnitDb private (
     require(e.topic.nonEmpty, "empty topic")
     require(e.payload != null && e.payload.length <= MaxValueLength,
       "payload exceeds 1 GiB")
+    require(!e.encrypt || encryptionKey.isDefined,
+      "entry requests encryption but the store was opened without a key")
     val t = Topic.parse(e.topic)
     val tsMs = e.tsMillis.getOrElse(clock())
     val ttl = e.ttlMillis.orElse(t.ttlMillis)
@@ -233,22 +334,44 @@ final class UnitDb private (
       depth = t.depth,
       ts = new Timestamp(tsMs),
       expires_at = ttl.map(ms => new Timestamp(tsMs + ms)),
-      del_flag = false,
+      encrypted = e.encrypt,
       payload = e.payload)
   }
 
-  private def withDay(df: DataFrame): DataFrame =
+  private def withDerived(df: DataFrame): DataFrame =
     df.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("wc", when(col("is_wildcard"), 1).otherwise(0))
 
-  /** Lazily resolved session timezone — the zone `withDay`'s date_format
-    * uses, so cutoff-day pruning agrees with the stored partition values. */
+  /** Lazily resolved session timezone — the zone `withDerived`'s
+    * date_format uses, so cutoff-day pruning agrees with the stored
+    * partition values. */
   private def sessionZone: java.time.ZoneId =
     java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
 
-  private def writeStore(df: DataFrame, mode: SaveMode): Unit =
-    configureWriter(withDay(df).sortWithinPartitions("topic", "ts")
-      .write.mode(mode)).parquet(path)
+  /** Distributed at-rest encryption: AES-GCM over flagged payloads (the
+    * reference MAC envelope is ChaCha20-Poly1305, crypto/mac.go:84-110 —
+    * same AEAD shape, different cipher; GCM prepends a random 12-byte IV
+    * so equal plaintexts produce distinct ciphertexts, as the reference's
+    * nonce does). */
+  private def encrypt(df: DataFrame): DataFrame = encryptionKey match {
+    case Some(k) => df.withColumn("payload",
+      when(col("encrypted"), aes_encrypt(col("payload"), lit(k)))
+        .otherwise(col("payload")))
+    case None => df
+  }
 
+  private def decrypt(df: DataFrame): DataFrame = encryptionKey match {
+    case Some(k) => df.withColumn("payload",
+      when(col("encrypted"), aes_decrypt(col("payload"), lit(k)))
+        .otherwise(col("payload")))
+    case None => df
+  }
+
+  private def writeStore(df: DataFrame): Unit =
+    configureWriter(encrypt(withDerived(df)).sortWithinPartitions("topic", "ts")
+      .write.mode(SaveMode.Append)).parquet(path)
+
+  /** Vacuum rewrite — rows are already in at-rest form (no crypto pass). */
   private def writeStoreTo(df: DataFrame, target: String): Unit =
     configureWriter(df.sortWithinPartitions("topic", "ts")
       .write.mode(SaveMode.Overwrite)).parquet(target)
@@ -260,7 +383,7 @@ final class UnitDb private (
     * `topic` column do the positive-lookup pruning; the blooms kill negative
     * point lookups without touching pages. */
   private def configureWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-    w.partitionBy("contract", "day")
+    w.partitionBy("contract", "wc", "day")
       .option("compression", "snappy")
       .option("parquet.bloom.filter.enabled#seq", "true")
       .option("parquet.bloom.filter.expected.ndv#seq", "1000000")
@@ -270,8 +393,21 @@ final class UnitDb private (
   private def readStoreRaw(): DataFrame =
     spark.read.schema(storeSchema).parquet(path)
 
+  private def tombsPath: String = path + "/_tombstones"
+
+  private def readTombs(): DataFrame =
+    spark.read.schema(tombSchema).parquet(tombsPath)
+
   private def hasStore: Boolean = {
     val f = Paths.get(path)
+    Files.exists(f) && Files.isDirectory(f) &&
+      f.toFile.listFiles != null && f.toFile.listFiles.exists { d =>
+        d.getName.startsWith("contract=") || d.getName.endsWith(".parquet")
+      }
+  }
+
+  private def hasTombs: Boolean = {
+    val f = Paths.get(tombsPath)
     Files.exists(f) && Files.isDirectory(f) &&
       f.toFile.listFiles != null && f.toFile.listFiles.exists { d =>
         d.getName.startsWith("contract=") || d.getName.endsWith(".parquet")
@@ -293,22 +429,34 @@ object UnitDb {
     StructField("depth", IntegerType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
     StructField("expires_at", TimestampType, nullable = true),
-    StructField("del_flag", BooleanType, nullable = false),
+    StructField("encrypted", BooleanType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
-    StructField("day", StringType, nullable = false)))
+    StructField("day", StringType, nullable = false),
+    StructField("wc", IntegerType, nullable = false)))
+
+  val tombSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("contract", LongType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
 
   private def dayOf(ms: Long, zone: java.time.ZoneId): String =
     java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDate.toString
 
-  /** Open (or create) a store directory (reference db.go:50-210). */
+  /** Open (or create) a store directory (reference db.go:50-210).
+    * `encryptionKey` (16/24/32 bytes) enables per-entry at-rest encryption
+    * (reference WithEncryption, options.go). */
   def open(
       spark: SparkSession,
       path: String,
       clock: () => Long = () => System.currentTimeMillis(),
-      autoFlushRows: Int = 100000): UnitDb = {
+      autoFlushRows: Int = 100000,
+      encryptionKey: Option[Array[Byte]] = None): UnitDb = {
+    encryptionKey.foreach(k => require(Set(16, 24, 32)(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
     TopicMatches.register(spark)
     Files.createDirectories(Paths.get(path))
-    new UnitDb(spark, path, clock, autoFlushRows)
+    new UnitDb(spark, path, clock, autoFlushRows, encryptionKey)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -325,9 +473,12 @@ final class BatchWriter private[engine] (db: UnitDb) {
   private[engine] val entries = ArrayBuffer[Message]()
   private var batchContract: Option[Long] = None
   private var batchTtl: Option[Long] = None
+  private var batchEncrypt: Boolean = false
 
   def withContract(c: Long): this.type = { batchContract = Some(c); this }
   def withTtl(ms: Long): this.type = { batchTtl = Some(ms); this }
+  /** Per-batch encryption option (reference batch.SetOptions). */
+  def withEncryption(): this.type = { batchEncrypt = true; this }
 
   def put(topic: String, payload: Array[Byte]): Unit =
     putEntry(Entry(topic, payload,
@@ -337,7 +488,8 @@ final class BatchWriter private[engine] (db: UnitDb) {
   def putEntry(e: Entry): Unit = {
     val withDefaults = e.copy(
       contract = batchContract.getOrElse(e.contract),
-      ttlMillis = e.ttlMillis.orElse(batchTtl))
+      ttlMillis = e.ttlMillis.orElse(batchTtl),
+      encrypt = e.encrypt || batchEncrypt)
     entries += db.synchronized {
       // share the db's seq counter + clock via a package-private hook
       db.mkMessage(withDefaults)

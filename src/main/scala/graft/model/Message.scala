@@ -9,6 +9,8 @@ import java.sql.Timestamp
   * columns (the ID is reconstructible via [[MessageId]]), topic part hashes
   * become the `topic_parts` string array, and tenant isolation is the
   * `contract` column (reference default MasterContract, message/id.go:28).
+  * `encrypted` mirrors the reference per-entry encryption flag
+  * (entry.go:49); ciphertext lives only at rest (see UnitDb.writeStore).
   */
 final case class Message(
     seq: Long,
@@ -19,13 +21,20 @@ final case class Message(
     depth: Int,
     ts: Timestamp,
     expires_at: Option[Timestamp],
-    del_flag: Boolean,
+    encrypted: Boolean,
     payload: Array[Byte])
 
 object Message {
   /** Reference MasterContract (message/id.go:28). */
   val MasterContract: Long = 3376684800L
 }
+
+/** A delete marker, stored in the `_tombstones` sidecar rather than the main
+  * table so readers never scan the full store to find deletions (the
+  * reference instead frees the data block in place, db.go:392-425 — an
+  * immutable-file store marks and compacts).
+  */
+final case class Tombstone(seq: Long, contract: Long, topic: String, ts: Timestamp)
 
 /** 16-byte lexicographically sortable message ID, kept for API fidelity
   * with the reference (message/id.go:45-52, uid/uid.go:44-47): newer IDs
@@ -53,13 +62,15 @@ object MessageId {
 }
 
 /** Write-side entry (reference entry.go:42-50). `ttlMillis` here wins over a
-  * `?ttl=` topic option, matching `WithTTL`. */
+  * `?ttl=` topic option, matching `WithTTL`; `encrypt` requests payload
+  * encryption at rest (requires the store to be opened with a key). */
 final case class Entry(
     topic: String,
     payload: Array[Byte],
     contract: Long = Message.MasterContract,
     ttlMillis: Option[Long] = None,
-    tsMillis: Option[Long] = None)
+    tsMillis: Option[Long] = None,
+    encrypt: Boolean = false)
 
 /** Read query (reference query.go:41-47): topic pattern with optional
   * `?last=` (duration or count), tenant, and result limit with the
@@ -76,3 +87,16 @@ object Query {
   val DefaultLimit = 1000
   val MaxLimit = 100000
 }
+
+/** Runtime metrics snapshot — the Spark-native `Varz()` (reference
+  * db.go:475-482, meter.go:86-115). Counters are logical (pre-encryption
+  * payload bytes); `fileSize` is physical bytes on disk. */
+final case class Varz(
+    puts: Long,
+    gets: Long,
+    deletes: Long,
+    syncs: Long,
+    entriesRead: Long,
+    bytesWritten: Long,
+    bytesRead: Long,
+    fileSize: Long)
