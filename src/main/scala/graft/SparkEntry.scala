@@ -15,6 +15,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, QUtil.QFn], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracles),
     (AnalyticsQueries.queries, AnalyticsQueries.oracles),
+    (TimeSeriesQueries.queries, TimeSeriesQueries.oracles),
+    (EngineQueries.queries, EngineQueries.oracles),
     (graft.llm.LlmQueries.queries, graft.llm.LlmQueries.oracles)
   )
 

@@ -314,6 +314,17 @@ final class UnitDb private (
 
   // ------------------------------------------------------------ internals
 
+  /** Streaming-ingest hook (graft.streaming.StreamIngest): append
+    * pre-formed Message rows distributively — the at-rest transforms
+    * (derive partitions, encrypt, sort, bloom) are applied by writeStore
+    * exactly as for API puts. */
+  private[graft] def appendFrame(df: DataFrame): Unit = {
+    writeStore(df)
+    synchronized { storeExists = true }
+  }
+
+  private[graft] def nowMs(): Long = clock()
+
   private[engine] def mkMessage(e: Entry): Message = toMessage(e)
 
   private def toMessage(e: Entry): Message = {

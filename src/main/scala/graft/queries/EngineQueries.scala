@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.engine.UnitDb
+import graft.model.Query
+import graft.queries.QUtil._
+import graft.streaming.StreamIngest
+
+/** End-to-end engine coverage through the oracle gate (VERDICT r1 #5): the
+  * m1–m6 queries prove the *semantics* on the raw events table; this one
+  * drives the actual store — Structured Streaming ingest (S1) of the
+  * events stream into a fresh UnitDb, then the core read path (O4 get:
+  * wildcard match + pruned scan + tombstone anti-join + top-K) — and is
+  * hash-compared against DuckDB over the same source rows.
+  *
+  * Determinism: payloads carry the event_id, timestamps come from the
+  * source (second-truncated on output), and seqs never reach the output,
+  * so the result is stable across runs/partitionings.
+  */
+object EngineQueries {
+
+  /** events.parquet raw schema — ts is Parquet TIMESTAMP(NANOS), read as
+    * BIGINT nanos under `nanosAsLong` (see graft.Tables doc). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val queries: Map[String, QFn] = Map(
+    "s1_engine_roundtrip" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = Files.createTempDirectory("graft_s1").toString
+      val db = UnitDb.open(s, base + "/store")
+      // file stream source wants a directory; select just events.parquet
+      val src = s.readStream.schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === "click")
+        .select(
+          concat(lit("ev."), col("event_type"), lit(".u"),
+            (col("user_id") % 10).cast("string")).as("topic"),
+          col("event_id").cast("string").cast("binary").as("payload"),
+          expr("timestamp_micros(ts div 1000)").as("ts"))
+      val q = StreamIngest.start(db, src, base + "/ckpt",
+        queryName = "s1", trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      db.getFrame(Query("ev.click...", limit = Query.MaxLimit))
+        .select(col("topic"), tsec(col("ts")).as("t"),
+          col("payload").cast("string").as("eid"))
+        .orderBy(desc("t"), desc("eid"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_engine_roundtrip" ->
+      s"""SELECT 'ev.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
+        |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY t DESC, eid DESC""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.UnitDb
+import graft.model.{Message, Topic}
+
+/** S1 PUBLISH — streaming ingest into a [[UnitDb]] store (reference
+  * server PUBLISH path, server/internal/hdl_conn.go:434-477: persist via
+  * `store.Message.Put`, then fan out — fan-out is [[Subscribe]]).
+  *
+  * Spark-first shape: any streaming DataFrame (socket/file/Kafka/memory
+  * source) with `topic STRING, payload BINARY` columns (optional `ts`,
+  * `contract`, `ttl_ms`, `encrypt`) is appended to the store via
+  * `foreachBatch`, with topic parsing, seq assignment, partition
+  * derivation, encryption and bloom config all running distributively —
+  * no driver-side row loop, so a 1000-executor cluster ingests at scan
+  * speed.
+  *
+  * Exactly-once: Structured Streaming checkpointing replays the last
+  * un-committed batch after a crash/restart; a per-query commit-marker
+  * sidecar (`_ingest_commits/<query>/<batchId>`, invisible to readers via
+  * the `_` prefix) makes the replayed `foreachBatch` a no-op, the same
+  * idempotent-sink contract the reference gets from WAL seq-dedup on
+  * recovery (memdb/recovery.go:81-215). The marker is written after the
+  * Parquet commit; a crash between the two replays the batch — the
+  * at-least-once window every non-transactional file sink has.
+  */
+/** Normalized ingest row (pre-parse). Public because Catalyst's generated
+  * deserializer instantiates it from codegen'd Java. */
+final case class IngestRow(
+    topic: String,
+    payload: Array[Byte],
+    ts: Timestamp,
+    contract: Long,
+    ttl_ms: Option[Long],
+    encrypt: Boolean,
+    _mid: Long)
+
+object StreamIngest {
+
+  /** Start the ingest query. `stream` must be a *streaming* DataFrame with
+    * at least (topic, payload). Checkpoint + commit markers give restart
+    * safety; see class doc. */
+  def start(
+      db: UnitDb,
+      stream: DataFrame,
+      checkpointDir: String,
+      queryName: String = "graft_ingest",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, batchId) => appendBatch(db, batch.toDF(), batchId, queryName)
+    stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** Idempotently append one micro-batch: skipped entirely when its commit
+    * marker exists (checkpoint replay after restart). Public so tests and
+    * custom sinks can drive it directly. */
+  def appendBatch(db: UnitDb, batch: DataFrame, batchId: Long, queryName: String): Unit = {
+    val commitDir = Paths.get(db.path, "_ingest_commits", queryName)
+    val marker = commitDir.resolve(f"$batchId%020d")
+    if (Files.exists(marker)) return // replayed batch — already committed
+    db.appendFrame(toMessages(db, batch, batchId))
+    Files.createDirectories(commitDir)
+    Files.createFile(marker): Unit
+  }
+
+  /** Distributed publish transform: normalize optional columns, then parse
+    * each topic into its Message form on the executors. Seqs are unique and
+    * time-ordered across batches without driver coordination:
+    * `(batchId+1) << 40 | monotonically_increasing_id` — the per-batch high
+    * range never collides with driver-side API puts (small seqs) or other
+    * batches. */
+  private[streaming] def toMessages(db: UnitDb, batch: DataFrame, batchId: Long): DataFrame = {
+    val cols = batch.columns.toSet
+    require(cols("topic") && cols("payload"),
+      s"ingest stream needs (topic, payload); got ${batch.columns.mkString(",")}")
+    var df = batch
+    if (!cols("ts")) df = df.withColumn("ts", lit(new Timestamp(db.nowMs())))
+    if (!cols("contract")) df = df.withColumn("contract", lit(Message.MasterContract))
+    if (!cols("ttl_ms")) df = df.withColumn("ttl_ms", lit(null).cast("long"))
+    if (!cols("encrypt")) df = df.withColumn("encrypt", lit(false))
+    val seqBase = (batchId + 1) << 40
+    df.withColumn("_mid", monotonically_increasing_id())
+      .select(col("topic").cast("string"), col("payload"),
+        col("ts").cast("timestamp"), col("contract").cast("long"),
+        col("ttl_ms").cast("long"), col("encrypt").cast("boolean"), col("_mid"))
+      .as(Encoders.product[IngestRow])
+      .map { r =>
+        val t = Topic.parse(r.topic)
+        val ttl = r.ttl_ms.orElse(t.ttlMillis)
+        Message(
+          seq = seqBase + r._mid,
+          contract = r.contract,
+          topic = t.key,
+          topic_parts = t.parts,
+          is_wildcard = t.isWildcard,
+          depth = t.depth,
+          ts = r.ts,
+          expires_at = ttl.map(ms => new Timestamp(r.ts.getTime + ms)),
+          encrypted = r.encrypt,
+          payload = r.payload)
+      }(Encoders.product[Message])
+      .toDF()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.UnitDb
+import graft.functions.TopicMatches
+import graft.model.{Message, Query}
+
+/** A registered subscription (reference SUBSCRIBE, server/internal/
+  * hdl_conn.go:384-431 + server/proto/unitdb.proto:113-127): a topic
+  * pattern under a contract, with a delivery mode (docs/utp.md
+  * §Delivery-Mode: 0 express / 1 reliable / 2 batch). */
+final case class Subscription(
+    sub_id: Long,
+    pattern: String,
+    contract: Long = Message.MasterContract,
+    delivery_mode: Int = Subscribe.Express)
+
+/** S2 SUBSCRIBE / S3 RELAY — message fan-out and historical replay.
+  *
+  * Fan-out is a stream-static **broadcast** join of the message stream
+  * against the subscriptions table on `topic_matches(topic, pattern)`:
+  * subscriptions are tiny relative to message volume (the reference holds
+  * them in one in-memory trie per node), so every executor matches its
+  * message partitions locally — no shuffle of the stream, which is the
+  * only plan shape that survives 100 TB/day ingest.
+  */
+object Subscribe {
+
+  /** Delivery modes (docs/utp.md §Delivery-Mode). Express delivers
+    * at-least-once straight from the batch; reliable adds a keyed dedupe
+    * within the watermark (idempotent delivery); batch mode groups
+    * deliveries per micro-batch — `foreachBatch` IS that semantics. */
+  val Express = 0
+  val Reliable = 1
+  val BatchMode = 2
+
+  /** Fan-out join (batch or streaming `messages`): one output row per
+    * (message, matching subscription) pair, carrying the subscription's
+    * `sub_id` + `delivery_mode`. Wildcards work on BOTH sides (a stored
+    * wildcard publish reaches a static subscription and vice versa —
+    * SURVEY §2.3 rule 1). */
+  def fanout(messages: DataFrame, subscriptions: DataFrame): DataFrame = {
+    val subs = subscriptions.select(
+      col("sub_id"), col("pattern"),
+      col("contract").as("_sub_contract"), col("delivery_mode"))
+    val msgs =
+      if (messages.columns.contains("contract")) messages
+      else messages.withColumn("contract", lit(Message.MasterContract))
+    msgs.join(
+        broadcast(subs),
+        msgs("contract") === subs("_sub_contract") &&
+          TopicMatches(msgs("topic"), subs("pattern")),
+        "inner")
+      .drop("_sub_contract")
+  }
+
+  /** Reliable-mode wrapper: drop duplicate (sub_id, seq) deliveries inside
+    * the watermark window — replayed batches become idempotent per
+    * subscriber (reference RECEIPT/COMPLETE handshake, docs/utp.md). */
+  def reliable(fanned: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    fanned
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("sub_id", "seq")
+
+  /** Long-lived SUBSCRIBE query: ingest stream × subscriptions → `deliver`
+    * per micro-batch. The sink callback receives fanned-out rows
+    * (sub_id, delivery_mode, topic, ts, payload, ...). */
+  def start(
+      messages: DataFrame,
+      subscriptions: DataFrame,
+      checkpointDir: String,
+      deliver: (DataFrame, Long) => Unit,
+      queryName: String = "graft_subscribe",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, batchId) => deliver(fanout(batch.toDF(), subscriptions), batchId)
+    messages.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** S3 RELAY (reference server/internal/hdl_conn.go:349-381): historical
+    * replay of a subscription pattern — the batch face of the core `get`
+    * query, returned as a DataFrame the caller streams to the requester.
+    * The live continuation is a [[start]] whose stream begins at the
+    * replay instant. */
+  def relay(db: UnitDb, pattern: String, contract: Long = Message.MasterContract,
+      limit: Int = 0): DataFrame =
+    db.getFrame(Query(pattern, contract, limit))
+}

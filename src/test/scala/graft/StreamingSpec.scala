@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.engine.UnitDb
+import graft.model.{Query => Q}
+import graft.streaming.{StreamIngest, Subscribe, Subscription}
+
+/** S1 PUBLISH / S2 SUBSCRIBE through real Structured Streaming queries
+  * (reference server paths hdl_conn.go:434-477 / :384-431; wildcard
+  * vectors from db_test.go:288-318 pushed through the stream). */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  private val T0 = 1700000000000L
+
+  test("S1 ingest: stream publishes land in the store; restart continues without dupes") {
+    val base = tmp("ingest")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val stream = mem.toDF().toDF("topic", "payload", "ts")
+
+    val q = StreamIngest.start(db, stream, base + "/ckpt")
+    mem.addData(
+      ("unit.b.b1", "m1".getBytes, ts(T0 + 1000)),
+      ("unit.b...", "m2".getBytes, ts(T0 + 2000)), // wildcard publish
+      ("unit.*.b1", "m3".getBytes, ts(T0 + 3000))) // single-level wildcard publish
+    q.processAllAvailable()
+
+    // static query matches the static row AND both stored wildcards
+    // (bidirectional semantics, db_test.go:288-318)
+    assert(db.get(Q("unit.b.b1")).map(new String(_)).toSet == Set("m1", "m2", "m3"))
+    // a different static leaf reaches only the multi-level catch-all
+    assert(db.get(Q("unit.b.zzz")).map(new String(_)).toSet == Set("m2"))
+    q.stop()
+
+    // restart from the same checkpoint: committed batches are not re-appended,
+    // new data keeps flowing with fresh seqs
+    val q2 = StreamIngest.start(db, stream, base + "/ckpt")
+    mem.addData(("unit.b.b1", "m4".getBytes, ts(T0 + 4000)))
+    q2.processAllAvailable()
+    assert(db.get(Q("unit.b.b1")).length == 4)
+    assert(db.count() == 4)
+    q2.stop()
+  }
+
+  test("S1 ingest: a replayed micro-batch is idempotent (commit markers)") {
+    val base = tmp("replay")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val batch = spark.createDataset(Seq(
+      ("r.a", "x".getBytes), ("r.b", "y".getBytes)))(
+      Encoders.product[(String, Array[Byte])]).toDF("topic", "payload")
+    StreamIngest.appendBatch(db, batch, 7L, "rq")
+    StreamIngest.appendBatch(db, batch, 7L, "rq") // crash-replay → no-op
+    assert(db.count() == 2)
+    // a different query name is an independent commit log
+    StreamIngest.appendBatch(db, batch, 7L, "rq2")
+    assert(db.count() == 4)
+  }
+
+  test("S1 ingest honors ttl/contract/topic options distributively") {
+    val base = tmp("opts")
+    var now = T0
+    val db = UnitDb.open(spark, base + "/store", clock = () => now)
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val q = StreamIngest.start(db, mem.toDF().toDF("topic", "payload", "ts"),
+      base + "/ckpt")
+    mem.addData(
+      ("opts.live", "keep".getBytes, ts(T0)),
+      ("opts.soon?ttl=1s", "gone".getBytes, ts(T0))) // ?ttl= parsed on executors
+    q.processAllAvailable()
+    q.stop()
+    assert(db.get(Q("opts.soon")).length == 1)
+    now = T0 + 10000 // ttl elapses
+    assert(db.get(Q("opts.soon")).isEmpty)
+    assert(db.get(Q("opts.live")).length == 1)
+  }
+
+  test("S2 subscribe: fan-out routes by bidirectional wildcard match") {
+    val subs = spark.createDataset(Seq(
+      Subscription(1L, "unit.*.b1.b11.*.*.b11111.*"),
+      Subscription(2L, "unit.b..."),
+      Subscription(3L, "..."),
+      Subscription(4L, "unit.b.b1")))(Encoders.product[Subscription]).toDF()
+    val msgs = spark.createDataset(Seq(
+      ("unit.b.b1.b11.b111.b1111.b11111.b111111", "deep", ts(T0)),
+      ("unit.b.b1", "leaf", ts(T0 + 1000)),
+      ("zzz.y", "other", ts(T0 + 2000)),
+      ("unit.b.*", "wildpub", ts(T0 + 3000))))(
+      Encoders.product[(String, String, Timestamp)])
+      .toDF("topic", "payload", "ts")
+
+    val routed = Subscribe.fanout(msgs, subs)
+      .select("sub_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(routed == Set(
+      (1L, "deep"), (2L, "deep"), (3L, "deep"),   // 8-level vector, db_test.go:296-308
+      (2L, "leaf"), (3L, "leaf"), (4L, "leaf"),
+      (3L, "other"),                              // only the catch-all
+      (2L, "wildpub"), (3L, "wildpub"), (4L, "wildpub"))) // wildcard publish → static sub
+  }
+
+  test("S2 subscribe: streaming fan-out delivers per micro-batch") {
+    val base = tmp("sub")
+    val subs = spark.createDataset(Seq(
+      Subscription(10L, "sens.temp.*"),
+      Subscription(20L, "sens...")))(Encoders.product[Subscription]).toDF()
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val delivered = ArrayBuffer[(Long, String)]()
+    val q = Subscribe.start(
+      mem.toDF().toDF("topic", "payload", "ts"), subs, base + "/ckpt",
+      deliver = (df: DataFrame, _: Long) =>
+        delivered.synchronized {
+          delivered ++= df.select("sub_id", "payload").collect()
+            .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1))))
+        })
+    mem.addData(
+      ("sens.temp.室1", "t1".getBytes, ts(T0)),
+      ("sens.hum.r2", "h1".getBytes, ts(T0 + 1000)),
+      ("lights.on", "nope".getBytes, ts(T0 + 2000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(delivered.toSet == Set(
+      (10L, "t1"), (20L, "t1"), (20L, "h1")))
+  }
+
+  test("streaming tumbling window agg (with watermark) matches the batch result") {
+    val mem = MemoryStream[(Timestamp, String, Double)](
+      Encoders.product[(Timestamp, String, Double)], spark)
+    val rows = Seq(
+      (ts(T0), "click", 1.0), (ts(T0 + 60000), "click", 2.0),
+      (ts(T0 + 310000), "click", 4.0), (ts(T0 + 400000), "view", 8.0),
+      (ts(T0 + 700000), "click", 16.0))
+    val agged = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val q = agged.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .select(col("w.start").cast("long").as("ws"), col("event_type"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = spark.createDataset(rows)(
+      Encoders.product[(Timestamp, String, Double)])
+      .toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("w.start").cast("long").as("ws"), col("event_type"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+}
