@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
-  * Two paths, sharing one exact-cosine kernel built from codegen'd builtins
-  * (zip_with + aggregate — no UDF, stays inside whole-stage codegen):
+  * Two paths, sharing one exact-cosine kernel built from builtin
+  * higher-order functions (zip_with + aggregate — no UDF, no Python; HOFs
+  * evaluate via interpreted lambdas, which profiling shows is fine here
+  * because the candidate sets are LSH-bounded):
   *
   *  - [[annBrute]] — exact top-k for a *small* probe set: the probes are
   *    broadcast and the big table streams past them once (BroadcastNestedLoop
@@ -41,11 +43,12 @@ object Similarity {
   def hyperplaneSql(p: Int): String =
     hyperplanes(p).mkString("[", ", ", "]")
 
-  /** Sequential-fold dot product of two double arrays — mirrors the oracle's
-    * list_reduce(list_transform(list_zip(a, b), z -> z[1]*z[2]), (x,y) -> x+y)
-    * element order exactly, so results are bit-identical. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double arrays — a custom codegen'd
+    * Catalyst Expression (see [[graft.functions.DotProduct]] for why it
+    * beats both the higher-order-function and unrolled-getItem forms in
+    * the LSH pair loops). The fold order matches the oracle's list_reduce
+    * chain, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   private def lit64(xs: Array[Double]): Column = array(xs.map(lit): _*)
 
@@ -104,15 +107,13 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: only same-bucket
     * pairs are tested, cosine >= `threshold`. Output: (vec_a, vec_b). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    // aliased self-join: one bucket shuffle, ReusedExchange for the other side
     val e = prepared(embeddings)
-    val left = e.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("nv").as("na"))
-    val right = e.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("nv").as("nb"))
-    left.join(right, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(cosine(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
-      .select("vec_a", "vec_b")
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("a.nv"), col("b.v"), col("b.nv")) >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .orderBy("vec_a", "vec_b")
   }
 }
