@@ -224,6 +224,17 @@ final class UnitDb private (
       .count()
   }
 
+  /** Generate a fresh tenant contract id (reference NewContract,
+    * db.go:322-328: a random uint32), never colliding with the master
+    * contract or zero. */
+  def newContract(): Long = {
+    var c = 0L
+    while (c == 0L || c == Message.MasterContract)
+      c = rng.nextInt().toLong & 0xFFFFFFFFL
+    c
+  }
+  private lazy val rng = new java.util.Random(clock())
+
   /** Metrics snapshot (reference Varz/FileSize, db.go:475-482). */
   def varz(): Varz = Varz(
     puts = nPuts.get, gets = nGets.get, deletes = nDeletes.get,

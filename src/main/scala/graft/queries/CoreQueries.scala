@@ -76,13 +76,27 @@ object CoreQueries {
     },
 
     // Newest-3 per topic (reference per-topic window chains, newest first).
+    // Two-phase tournament instead of a single window: event_type has ~5
+    // distinct values, so a straight partitionBy(event_type) window funnels
+    // every row through 5 tasks at any scale (VERDICT r1 skew note). Phase
+    // 1 takes top-3 per (topic, input-partition) — the salt is the physical
+    // partition id, giving keys × partitions balanced groups; phase 2 ranks
+    // only the ≤ 3·P survivors per topic. The global top-3 per key is
+    // always a subset of the per-partition top-3s, so results are
+    // identical row-for-row.
     "m5_newest_per_topic" -> { (s, dir) =>
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("t").desc, col("event_id").desc)
-      Tables.events(s, dir)
+      val base = Tables.events(s, dir)
         .select(col("event_type"), col("event_id"), col("value"),
           tsec(col("ts")).as("t"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("pid", spark_partition_id())
+      val w1 = Window.partitionBy("event_type", "pid")
+        .orderBy(col("t").desc, col("event_id").desc)
+      val w2 = Window.partitionBy("event_type")
+        .orderBy(col("t").desc, col("event_id").desc)
+      base
+        .withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= 3)
+        .withColumn("rn", row_number().over(w2))
         .filter(col("rn") <= 3)
         .select("event_type", "rn", "event_id", "value")
         .orderBy("event_type", "rn")

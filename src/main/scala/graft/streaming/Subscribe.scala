@@ -57,16 +57,22 @@ object Subscribe {
       .drop("_sub_contract")
   }
 
-  /** Reliable-mode wrapper: drop duplicate (sub_id, seq) deliveries inside
-    * the watermark window — replayed batches become idempotent per
-    * subscriber (reference RECEIPT/COMPLETE handshake, docs/utp.md). */
-  def reliable(fanned: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+  /** Reliable-mode wrapper (streaming): drop duplicate deliveries keyed by
+    * `keys` inside the watermark window — republished/replayed messages
+    * become idempotent per subscriber (reference RECEIPT/COMPLETE
+    * handshake, docs/utp.md). State is bounded by the watermark. */
+  def reliable(
+      fanned: DataFrame,
+      keys: Seq[String] = Seq("sub_id", "seq"),
+      watermarkDelay: String = "1 hour"): DataFrame =
     fanned
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("sub_id", "seq")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Long-lived SUBSCRIBE query: ingest stream × subscriptions → `deliver`
-    * per micro-batch. The sink callback receives fanned-out rows
+  /** Long-lived SUBSCRIBE query: the fan-out join runs inside the
+    * *streaming* plan (stream-static broadcast join — re-resolved per
+    * micro-batch), optionally deduped for reliable mode, then handed to
+    * `deliver` per micro-batch with rows
     * (sub_id, delivery_mode, topic, ts, payload, ...). */
   def start(
       messages: DataFrame,
@@ -74,10 +80,14 @@ object Subscribe {
       checkpointDir: String,
       deliver: (DataFrame, Long) => Unit,
       queryName: String = "graft_subscribe",
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      mode: Int = Express,
+      reliableKeys: Seq[String] = Seq("sub_id", "seq")): StreamingQuery = {
+    val fanned = fanout(messages, subscriptions)
+    val shaped = if (mode == Reliable) reliable(fanned, reliableKeys) else fanned
     val fn: (Dataset[Row], Long) => Unit =
-      (batch, batchId) => deliver(fanout(batch.toDF(), subscriptions), batchId)
-    messages.writeStream
+      (batch, batchId) => deliver(batch.toDF(), batchId)
+    shaped.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

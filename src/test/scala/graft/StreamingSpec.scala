@@ -137,6 +137,35 @@ class StreamingSpec extends SparkSpec {
       (10L, "t1"), (20L, "t1"), (20L, "h1")))
   }
 
+  test("S2 subscribe reliable mode: duplicate publishes deliver once") {
+    val base = tmp("rel")
+    val subs = spark.createDataset(Seq(
+      Subscription(30L, "rel.*", delivery_mode = Subscribe.Reliable)))(
+      Encoders.product[Subscription]).toDF()
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val delivered = ArrayBuffer[(Long, String)]()
+    val q = Subscribe.start(
+      mem.toDF().toDF("topic", "payload", "ts"), subs, base + "/ckpt",
+      deliver = (df: DataFrame, _: Long) =>
+        delivered.synchronized {
+          delivered ++= df.select("sub_id", "payload").collect()
+            .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1))))
+        },
+      mode = Subscribe.Reliable,
+      reliableKeys = Seq("sub_id", "topic", "ts"))
+    mem.addData(
+      ("rel.a", "dup".getBytes, ts(T0)),
+      ("rel.a", "dup".getBytes, ts(T0))) // same key — republish
+    q.processAllAvailable()
+    mem.addData(("rel.a", "dup".getBytes, ts(T0))) // replay in a later batch
+    mem.addData(("rel.a", "next".getBytes, ts(T0 + 1000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(delivered.toSet == Set((30L, "dup"), (30L, "next")))
+    assert(delivered.length == 2, s"reliable mode must dedupe: $delivered")
+  }
+
   test("streaming tumbling window agg (with watermark) matches the batch result") {
     val mem = MemoryStream[(Timestamp, String, Double)](
       Encoders.product[(Timestamp, String, Double)], spark)

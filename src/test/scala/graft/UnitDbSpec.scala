@@ -216,6 +216,17 @@ class UnitDbSpec extends SparkSpec {
     assert(raw.forall(_.getBoolean(0)), "batch rows carry the encrypted flag")
   }
 
+  test("newContract: fresh uint32 tenant ids isolate writes") {
+    val (db, _, _) = freshDb()
+    val c1 = db.newContract(); val c2 = db.newContract()
+    assert(c1 > 0 && c1 <= 0xFFFFFFFFL && c1 != Message.MasterContract)
+    assert(c2 != c1)
+    db.putEntry(Entry("nc.test", "one".getBytes, contract = c1))
+    db.sync()
+    assert(db.get(Query("nc.test", contract = c1)).length == 1)
+    assert(db.get(Query("nc.test", contract = c2)).isEmpty)
+  }
+
   test("varz metrics: puts/gets/deletes/syncs/bytes counters + fileSize") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 10) { db.put("varz.test", ("v" * 10).getBytes); tick(100) }
