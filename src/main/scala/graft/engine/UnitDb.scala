@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopicMatches
+import graft.functions.{TopicMatches, TopicPartsMatches}
 import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, Varz}
 
 /** Embedded message-store facade — the Spark-native re-expression of the
@@ -200,14 +200,18 @@ final class UnitDb private (
     // Static patterns: pushable equality over the static bucket, unioned
     // with a bidirectional match over the (tiny) wildcard bucket — stored
     // wildcard publishes still answer static queries (SURVEY §2.3 rule 1).
+    // Matching runs over the stored topic_parts/is_multi columns (parsed
+    // once at write) — no per-row string parse, no pattern-cache pressure
+    // at any topic cardinality.
     val matched =
       if (!t.isWildcard)
         snap.filter(col("wc") === 0 && col("topic") === t.key && pred)
           .unionByName(
             snap.filter(col("wc") === 1 &&
-              TopicMatches(col("topic"), lit(t.key)) && pred))
+              TopicPartsMatches(col("topic_parts"), col("is_multi"), t.key) && pred))
       else
-        snap.filter(TopicMatches(col("topic"), lit(t.key)) && pred)
+        snap.filter(
+          TopicPartsMatches(col("topic_parts"), col("is_multi"), t.key) && pred)
 
     matched
       .join(broadcast(tombstonesFor(q.contract)), Seq("seq"), "left_anti")
@@ -353,6 +357,7 @@ final class UnitDb private (
       topic = t.key,
       topic_parts = t.parts,
       is_wildcard = t.isWildcard,
+      is_multi = t.multi,
       depth = t.depth,
       ts = new Timestamp(tsMs),
       expires_at = ttl.map(ms => new Timestamp(tsMs + ms)),
@@ -448,6 +453,7 @@ object UnitDb {
     StructField("topic", StringType, nullable = false),
     StructField("topic_parts", ArrayType(StringType, containsNull = false)),
     StructField("is_wildcard", BooleanType, nullable = false),
+    StructField("is_multi", BooleanType, nullable = false),
     StructField("depth", IntegerType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
     StructField("expires_at", TimestampType, nullable = true),

@@ -36,6 +36,11 @@ object TopicMatchUtil {
     v
   }
 
+  private val SingleU = UTF8String.fromString(Topic.Single)
+
+  /** Is this part the single-level wildcard `*`? */
+  def isSingle(s: UTF8String): Boolean = SingleU == s
+
   def matchParts(a: Array[String], aMulti: Boolean,
                  b: Array[String], bMulti: Boolean): Boolean = {
     val n = math.min(a.length, b.length)
@@ -100,4 +105,68 @@ object TopicMatches {
       "topic_matches",
       exprs => TopicMatches(exprs.head, exprs(1)),
       "built-in")
+}
+
+/** Pre-parsed variant for the store read path: matches the *stored*
+  * `topic_parts ARRAY<STRING>` + `is_multi BOOLEAN` columns against a
+  * pattern frozen at plan time. Unlike [[TopicMatches]], no topic string
+  * is parsed per row — with millions of distinct topics the
+  * [[TopicMatchUtil]] cache would thrash, while this walks the array the
+  * writer already materialized (SURVEY §2.3's "parse once at write").
+  */
+case class TopicPartsMatches(parts: Expression, isMulti: Expression,
+    patternKey: String) extends BinaryExpression with Predicate {
+
+  override def left: Expression = parts
+  override def right: Expression = isMulti
+  override def nullable: Boolean = parts.nullable || isMulti.nullable
+  override def prettyName: String = "topic_parts_matches"
+
+  /** Pattern parts as UTF8String, parsed once per plan (invalid pattern ⇒
+    * matches nothing, same degradation contract as [[TopicMatchUtil]]). */
+  @transient lazy val patternParts: Array[UTF8String] = {
+    val (p, _) = TopicMatchUtil.parsed(patternKey)
+    if (p == null) null else p.map(UTF8String.fromString)
+  }
+  @transient lazy val patternMulti: Boolean = TopicMatchUtil.parsed(patternKey)._2
+
+  /** Two-pointer walk shared by interpreted eval and generated code. */
+  def matchStored(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      aMulti: Boolean): Boolean = {
+    val b = patternParts
+    if (b == null) return false
+    val an = a.numElements()
+    val n = math.min(an, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a.getUTF8String(i); val y = b(i)
+      if (!(x == y || TopicMatchUtil.isSingle(x) || TopicMatchUtil.isSingle(y)))
+        return false
+      i += 1
+    }
+    if (an == b.length) true
+    else if (an < b.length) aMulti
+    else patternMulti
+  }
+
+  override protected def nullSafeEval(a: Any, m: Any): Any =
+    matchStored(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      m.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tpm", this,
+      "graft.functions.TopicPartsMatches")
+    defineCodeGen(ctx, ev, (a, m) => s"$ref.matchStored($a, $m)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopicPartsMatches =
+    copy(parts = newLeft, isMulti = newRight)
+}
+
+object TopicPartsMatches {
+  /** Column-API form over stored part arrays. */
+  def apply(parts: Column, isMulti: Column, patternKey: String): Column =
+    GraftBridge.column(TopicPartsMatches(
+      GraftBridge.expression(parts), GraftBridge.expression(isMulti), patternKey))
 }

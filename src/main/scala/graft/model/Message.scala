@@ -18,6 +18,7 @@ final case class Message(
     topic: String,
     topic_parts: Seq[String],
     is_wildcard: Boolean,
+    is_multi: Boolean,
     depth: Int,
     ts: Timestamp,
     expires_at: Option[Timestamp],

@@ -105,6 +105,7 @@ object StreamIngest {
           topic = t.key,
           topic_parts = t.parts,
           is_wildcard = t.isWildcard,
+          is_multi = t.multi,
           depth = t.depth,
           ts = r.ts,
           expires_at = ttl.map(ms => new Timestamp(r.ts.getTime + ms)),

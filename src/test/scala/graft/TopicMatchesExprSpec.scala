@@ -25,6 +25,18 @@ class TopicMatchesExprSpec extends SparkSpec {
     }
   }
 
+  test("topic_parts_matches agrees with the string matcher (no per-row parse)") {
+    val rows = topics.map { t => val p = Topic.parse(t); (t, p.parts, p.multi) }
+    val df = rows.toDF("topic", "parts", "multi")
+    for (pat <- topics) {
+      val got = df.filter(graft.functions.TopicPartsMatches(
+          col("parts"), col("multi"), Topic.parse(pat).key))
+        .select("topic").as[String].collect().toSet
+      val want = topics.filter(t => Topic.matches(t, pat)).toSet
+      assert(got == want, s"pattern $pat")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     val df = topics.toDF("topic")
     val pat = "unit.*.b1..."
