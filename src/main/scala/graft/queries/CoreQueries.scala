@@ -102,6 +102,21 @@ object CoreQueries {
         .orderBy("event_type", "rn")
     },
 
+    // Semi-structured payloads: JSON property extraction + aggregation
+    // (an engine extension — the reference treats payloads as opaque
+    // bytes; a training pipeline reads them). get_json_object is
+    // codegen'd; at scale prefer from_json with an explicit schema once
+    // fields stabilize (single parse, columnar after).
+    "m10_props_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("nd_k"))
+        .orderBy("event_type")
+    },
+
     // Count / metrics surface: per-topic counts, distinct publishers, and
     // exact value stats (reference Count db.go:475-478; Varz meter.go).
     "m6_counts" -> { (s, dir) =>
@@ -150,6 +165,14 @@ object CoreQueries {
         |      ORDER BY ${duckTsec("ts")} DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+
+    "m10_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nd_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m6_counts" ->
       """SELECT event_type, COUNT(*) AS n,
