@@ -394,9 +394,17 @@ final class UnitDb private (
     case None => df
   }
 
+  /** One file per (contract, wc, day) per sync: repartitioning on the
+    * partition columns before the partitioned write prevents the
+    * every-input-task-writes-every-partition small-files explosion (a
+    * 1000-task batch over 30 days would otherwise cut 30k files). Sorting
+    * by (topic, ts) inside each file keeps row-group stats selective. */
   private def writeStore(df: DataFrame): Unit =
-    configureWriter(encrypt(withDerived(df)).sortWithinPartitions("topic", "ts")
-      .write.mode(SaveMode.Append)).parquet(path)
+    configureWriter(
+      encrypt(withDerived(df))
+        .repartition(col("contract"), col("wc"), col("day"))
+        .sortWithinPartitions("topic", "ts")
+        .write.mode(SaveMode.Append)).parquet(path)
 
   /** Vacuum rewrite — rows are already in at-rest form (no crypto pass). */
   private def writeStoreTo(df: DataFrame, target: String): Unit =
