@@ -42,6 +42,22 @@ final case class IngestRow(
     encrypt: Boolean,
     _mid: Long)
 
+/** Parse outcome: exactly one of `msg` / `reject` is set. A malformed
+  * topic in a 100 TB ingest must dead-letter one row, not abort the
+  * query (the reference rejects a bad PUBLISH per-message on the
+  * connection, hdl_conn.go:434-477 — the pipeline analogue is a rejects
+  * sidecar). */
+final case class ParsedRow(msg: Option[Message], reject: Option[RejectRow])
+
+/** A dead-lettered input row: the raw topic, the reason, and enough
+  * context to replay it after fixing. */
+final case class RejectRow(
+    topic: String,
+    reason: String,
+    ts: Timestamp,
+    contract: Long,
+    payload: Array[Byte])
+
 object StreamIngest {
 
   /** Start the ingest query. `stream` must be a *streaming* DataFrame with
@@ -64,24 +80,44 @@ object StreamIngest {
   }
 
   /** Idempotently append one micro-batch: skipped entirely when its commit
-    * marker exists (checkpoint replay after restart). Public so tests and
-    * custom sinks can drive it directly. */
+    * marker exists (checkpoint replay after restart). Rows whose topic
+    * fails to parse are appended to the `_rejects/<query>` dead-letter
+    * sidecar instead of failing the query. Public so tests and custom
+    * sinks can drive it directly. */
   def appendBatch(db: UnitDb, batch: DataFrame, batchId: Long, queryName: String): Unit = {
     val commitDir = Paths.get(db.path, "_ingest_commits", queryName)
     val marker = commitDir.resolve(f"$batchId%020d")
     if (Files.exists(marker)) return // replayed batch — already committed
-    db.appendFrame(toMessages(db, batch, batchId))
+    val parsed = toParsed(db, batch, batchId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      db.appendFrame(parsed.filter(col("msg").isNotNull).select("msg.*"))
+      val rejects = parsed.filter(col("reject").isNotNull).select("reject.*")
+      if (!rejects.isEmpty)
+        rejects.repartition(1).write.mode("append")
+          .option("compression", "snappy")
+          .parquet(Paths.get(db.path, "_rejects", queryName).toString)
+    } finally parsed.unpersist(): Unit
     Files.createDirectories(commitDir)
     Files.createFile(marker): Unit
   }
 
+  /** Dead-lettered rows for a query (empty frame if none). */
+  def rejects(db: UnitDb, queryName: String): DataFrame = {
+    val p = Paths.get(db.path, "_rejects", queryName)
+    val spark = db.spark
+    if (Files.exists(p)) spark.read.parquet(p.toString)
+    else spark.emptyDataFrame
+  }
+
   /** Distributed publish transform: normalize optional columns, then parse
-    * each topic into its Message form on the executors. Seqs are unique and
+    * each topic into its Message form on the executors — a failed parse
+    * becomes a [[RejectRow]], never an exception. Seqs are unique and
     * time-ordered across batches without driver coordination:
     * `(batchId+1) << 40 | monotonically_increasing_id` — the per-batch high
     * range never collides with driver-side API puts (small seqs) or other
     * batches. */
-  private[streaming] def toMessages(db: UnitDb, batch: DataFrame, batchId: Long): DataFrame = {
+  private[streaming] def toParsed(db: UnitDb, batch: DataFrame, batchId: Long): Dataset[ParsedRow] = {
     val cols = batch.columns.toSet
     require(cols("topic") && cols("payload"),
       s"ingest stream needs (topic, payload); got ${batch.columns.mkString(",")}")
@@ -97,21 +133,27 @@ object StreamIngest {
         col("ttl_ms").cast("long"), col("encrypt").cast("boolean"), col("_mid"))
       .as(Encoders.product[IngestRow])
       .map { r =>
-        val t = Topic.parse(r.topic)
-        val ttl = r.ttl_ms.orElse(t.ttlMillis)
-        Message(
-          seq = seqBase + r._mid,
-          contract = r.contract,
-          topic = t.key,
-          topic_parts = t.parts,
-          is_wildcard = t.isWildcard,
-          is_multi = t.multi,
-          depth = t.depth,
-          ts = r.ts,
-          expires_at = ttl.map(ms => new Timestamp(r.ts.getTime + ms)),
-          encrypted = r.encrypt,
-          payload = r.payload)
-      }(Encoders.product[Message])
-      .toDF()
+        try {
+          val t = Topic.parse(r.topic)
+          val ttl = r.ttl_ms.orElse(t.ttlMillis)
+          ParsedRow(Some(Message(
+            seq = seqBase + r._mid,
+            contract = r.contract,
+            topic = t.key,
+            topic_parts = t.parts,
+            is_wildcard = t.isWildcard,
+            is_multi = t.multi,
+            depth = t.depth,
+            ts = r.ts,
+            expires_at = ttl.map(ms => new Timestamp(r.ts.getTime + ms)),
+            encrypted = r.encrypt,
+            payload = r.payload)), None)
+        } catch {
+          case e: IllegalArgumentException =>
+            ParsedRow(None, Some(RejectRow(
+              if (r.topic == null) "" else r.topic,
+              e.getMessage, r.ts, r.contract, r.payload)))
+        }
+      }(Encoders.product[ParsedRow])
   }
 }

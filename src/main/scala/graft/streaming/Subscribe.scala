@@ -104,3 +104,74 @@ object Subscribe {
       limit: Int = 0): DataFrame =
     db.getFrame(Query(pattern, contract, limit))
 }
+
+/** S4 delivery-mode flow control (reference docs/utp.md §Delivery-Mode,
+  * server/utp/flow_control.go): batch-mode subscribers receive deliveries
+  * grouped by count/delay thresholds rather than per message. The
+  * Spark-native form is keyed state per subscriber —
+  * `flatMapGroupsWithState` buffers fanned-out rows and emits a
+  * [[FlowControl.Delivery]] when the count threshold fills, or flushes a
+  * partial batch on processing-time timeout (the reference's delay
+  * trigger). State is per-subscriber, bounded by maxCount rows. */
+object FlowControl {
+
+  /** One delivery batch to one subscriber. */
+  final case class Delivery(
+      sub_id: Long,
+      batch_seq: Long,
+      n: Int,
+      topics: Seq[String],
+      payloads: Seq[Array[Byte]])
+
+  /** Keyed buffer (public for the state encoder). */
+  final case class Buf(
+      batchSeq: Long, n: Int, topics: List[String], payloads: List[Array[Byte]])
+
+  private def emit(subId: Long, st: Buf): Delivery =
+    Delivery(subId, st.batchSeq, st.n, st.topics.reverse, st.payloads.reverse)
+
+  /** Group a *streaming* fanned-out frame (from [[Subscribe.fanout]]) into
+    * per-subscriber delivery batches of up to `maxCount` messages. With the
+    * default ProcessingTimeTimeout, partial batches flush after
+    * `maxDelayMs` without new input (note: timeout mode keeps the
+    * micro-batch engine ticking between arrivals — pick a real trigger
+    * interval on the query; pass `GroupStateTimeout.NoTimeout` for pure
+    * count-triggered batching). Output mode: append. */
+  def batched(
+      fanned: DataFrame,
+      maxCount: Int,
+      maxDelayMs: Long = 60000L,
+      timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout)
+      : org.apache.spark.sql.Dataset[Delivery] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val withDelay = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    val func = (subId: Long, rows: Iterator[(Long, String, Array[Byte])],
+        state: GroupState[Buf]) => {
+      var st = state.getOption.getOrElse(Buf(0L, 0, Nil, Nil))
+      val out = scala.collection.mutable.ArrayBuffer[Delivery]()
+      if (state.hasTimedOut) {
+        if (st.n > 0) out += emit(subId, st)
+        state.remove()
+      } else {
+        rows.foreach { r =>
+          st = Buf(st.batchSeq, st.n + 1, r._2 :: st.topics, r._3 :: st.payloads)
+          if (st.n >= maxCount) {
+            out += emit(subId, st)
+            st = Buf(st.batchSeq + 1, 0, Nil, Nil)
+          }
+        }
+        state.update(st)
+        if (withDelay) state.setTimeoutDuration(maxDelayMs)
+      }
+      out.iterator
+    }
+    fanned
+      .select(col("sub_id").cast("long"), col("topic").cast("string"), col("payload"))
+      .as(org.apache.spark.sql.Encoders.product[(Long, String, Array[Byte])])
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        func)(org.apache.spark.sql.Encoders.product[Buf],
+          org.apache.spark.sql.Encoders.product[Delivery])
+  }
+}

@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSpec {
     assert(db.get(Q("opts.live")).length == 1)
   }
 
+  test("S1 ingest: malformed topics dead-letter to _rejects, query survives") {
+    val base = tmp("dlq")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val q = StreamIngest.start(db, mem.toDF().toDF("topic", "payload", "ts"),
+      base + "/ckpt", queryName = "dlq")
+    mem.addData(
+      ("good.topic", "ok".getBytes, ts(T0)),
+      ("bad..topic", "broken".getBytes, ts(T0)), // empty level — parse error
+      ("good.topic", "ok2".getBytes, ts(T0 + 1000)))
+    q.processAllAvailable()
+    // good rows landed; the bad row did not kill the query
+    assert(db.get(Q("good.topic")).map(new String(_)).toSet == Set("ok", "ok2"))
+    mem.addData(("good.topic", "ok3".getBytes, ts(T0 + 2000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(db.count() == 3)
+    val rej = StreamIngest.rejects(db, "dlq").collect()
+    assert(rej.length == 1)
+    val row = rej.head
+    assert(row.getAs[String]("topic") == "bad..topic")
+    assert(new String(row.getAs[Array[Byte]]("payload")) == "broken")
+    assert(row.getAs[String]("reason").nonEmpty)
+  }
+
   test("S2 subscribe: fan-out routes by bidirectional wildcard match") {
     val subs = spark.createDataset(Seq(
       Subscription(1L, "unit.*.b1.b11.*.*.b11111.*"),
@@ -164,6 +190,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(delivered.toSet == Set((30L, "dup"), (30L, "next")))
     assert(delivered.length == 2, s"reliable mode must dedupe: $delivered")
+  }
+
+  test("S4 flow control: batch-mode subscriber gets count-bounded deliveries") {
+    val base = tmp("flow")
+    val subs = spark.createDataset(Seq(
+      Subscription(40L, "flow...", delivery_mode = Subscribe.BatchMode)))(
+      Encoders.product[Subscription]).toDF()
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val fanned = Subscribe.fanout(mem.toDF().toDF("topic", "payload", "ts"), subs)
+    val q = graft.streaming.FlowControl.batched(fanned, maxCount = 2,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("flow_test")
+      .option("checkpointLocation", base + "/ckpt")
+      .outputMode("append").start()
+    mem.addData(
+      ("flow.a", "p1".getBytes, ts(T0)),
+      ("flow.b", "p2".getBytes, ts(T0 + 1000)),
+      ("flow.c", "p3".getBytes, ts(T0 + 2000)),
+      ("flow.d", "p4".getBytes, ts(T0 + 3000)),
+      ("flow.e", "p5".getBytes, ts(T0 + 4000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("flow_test")
+      .orderBy("batch_seq")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_seq"), r.getAs[Int]("n"),
+        r.getAs[Seq[String]]("topics").toList))
+    // 5 messages, batches of 2 → two full deliveries; the 5th stays
+    // buffered (NoTimeout here — production uses ProcessingTimeTimeout
+    // so the delay trigger flushes it)
+    assert(got.length == 2, s"got ${got.toList}")
+    assert(got(0)._2 == 2 && got(1)._2 == 2)
+    assert(got.flatMap(_._3).length == 4)
   }
 
   test("streaming tumbling window agg (with watermark) matches the batch result") {
