@@ -146,6 +146,21 @@ object AnalyticsQueries {
           .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id")
+    },
+
+    // Window-function breadth: rank/dense_rank/lag/lead/ntile over one
+    // ordered pass per customer (all compute in a single Window exchange).
+    "q11_window_funcs" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .withColumn("prev_price", col("o_totalprice") - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)))
+        .withColumn("next_key", lead("o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select("o_custkey", "o_orderkey", "rk", "drk", "prev_price",
+          "next_key", "quartile")
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 
@@ -237,6 +252,17 @@ object AnalyticsQueries {
         |SELECT user_id, event_id,
         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |FROM flags ORDER BY user_id, event_id""".stripMargin
+        |FROM flags ORDER BY user_id, event_id""".stripMargin,
+
+    "q11_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(RANK() OVER w AS BIGINT) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+        |  o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+        |  LEAD(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
