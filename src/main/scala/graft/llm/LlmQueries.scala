@@ -53,7 +53,35 @@ object LlmQueries {
         .orderBy("doc_id") },
 
     "l9_embdup_lsh" -> { (s, dir) =>
-      Similarity.embeddingNearDup(Tables.embeddings(s, dir)) }
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir)) },
+
+    // Composite curation pipeline — the actual training-data use case,
+    // end to end: quality-score → filter → exact-dedup (keep lowest
+    // doc_id per fingerprint) → per-language corpus stats. One narrow
+    // map, one dedup shuffle on the fingerprint, one small agg: the
+    // whole pipeline is two exchanges at any scale.
+    "c1_curate" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("stop_ratio",
+          size(filter(col("w"),
+            t => TextStats.Stopwords.map(t === _).reduce(_ || _))) * lit(1.0)
+            / col("n_tokens"))
+        .withColumn("fingerprint",
+          md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
+      val passed = scored
+        .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.15)
+      val kept = passed.groupBy("fingerprint").agg(
+        min("doc_id").as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      passed.groupBy("lang").agg(count(lit(1)).as("n_pass"))
+        .join(kept.groupBy("lang").agg(
+          count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("sum_tokens")), Seq("lang"))
+        .orderBy("lang")
+    }
   )
 
   /** Shared oracle fragment: doc_id → distinct word-trigram shingles. */
@@ -185,6 +213,22 @@ object LlmQueries {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "c1_curate" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, len(w) AS n_tokens,
+        |    len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) * 1.0 / len(w) AS stop_ratio,
+        |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+        |p AS (SELECT * FROM sc WHERE n_tokens >= 30 AND stop_ratio <= 0.15),
+        |k AS (SELECT fingerprint, MIN(doc_id) AS doc_id,
+        |        min_by(lang, doc_id) AS lang, min_by(n_tokens, doc_id) AS n_tokens
+        |      FROM p GROUP BY 1),
+        |pa AS (SELECT lang, COUNT(*) AS n_pass FROM p GROUP BY 1),
+        |ka AS (SELECT lang, COUNT(*) AS n_kept,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM k GROUP BY 1)
+        |SELECT pa.lang AS lang, n_pass, n_kept, sum_tokens
+        |FROM pa JOIN ka ON pa.lang = ka.lang ORDER BY pa.lang""".stripMargin
   )
 }
