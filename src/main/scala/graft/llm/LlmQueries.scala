@@ -55,6 +55,9 @@ object LlmQueries {
     "l9_embdup_lsh" -> { (s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir)) },
 
+    "l10_ann_ivf" -> { (s, dir) =>
+      Similarity.annIvf(Tables.embeddings(s, dir)) },
+
     // Composite curation pipeline — the actual training-data use case,
     // end to end: quality-score → filter → exact-dedup (keep lowest
     // doc_id per fingerprint) → per-language corpus stats. One narrow
@@ -214,6 +217,30 @@ object LlmQueries {
         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "l10_ann_ivf" -> {
+      val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +
+        " - 2.0 * list_reduce(list_transform(list_zip(%s, cv), z -> z[1] * z[2]), (a, b) -> a + b)"
+      s"""WITH $embCte,
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < ${Similarity.IvfCells}),
+        |sc AS (SELECT n.vec_id, n.v, n.nv, cent.cid, ${d2.format("n.v")} AS d
+        |       FROM n, cent),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sc),
+        |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1),
+        |pcells AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+        |           WHERE vec_id < 20 AND rn <= ${Similarity.IvfProbes}),
+        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM cell WHERE vec_id < 20),
+        |cand AS (SELECT p.query_id, cell.vec_id,
+        |           ${duckCosine.format("cell.v", "p.q", "cell.nv", "p.nq")} AS cosine
+        |         FROM pcells JOIN p ON p.query_id = pcells.query_id
+        |                     JOIN cell ON cell.cell = pcells.cell
+        |         WHERE cell.vec_id <> p.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM cand)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "c1_curate" ->
       """WITH sc AS (

@@ -62,6 +62,18 @@ class LlmSpec extends SparkSpec {
     assert(lsh.forall(r => buckets(r.getLong(0)) == buckets(r.getLong(2))))
   }
 
+  test("IVF ANN: neighbors come from probed cells; decent recall vs brute") {
+    val ivf = Similarity.annIvf(embs, probeMax = 10, k = 3).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getLong(0) != r.getLong(2)), "no self-match")
+    // recall against brute-force top-3: IVF with nprobe=2 of 8 cells should
+    // recover a majority of true neighbors on this data
+    val brute = Similarity.annBrute(embs, probeMax = 10, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).count(brute)
+    assert(hits * 2 >= brute.size, s"recall too low: $hits / ${brute.size}")
+  }
+
   test("embedding near-dup is symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDup(embs, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
