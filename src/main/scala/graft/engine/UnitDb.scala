@@ -311,11 +311,22 @@ final class UnitDb private (
     * single writer; on an object store this would need a manifest-swap
     * commit instead.
     */
-  def vacuum(): Unit = synchronized {
+  def vacuum(): Unit = vacuum(None)
+
+  /** Compaction with an optional retention horizon (reference maxRetention
+    * = 28 days, db_internal.go:54): rows with `ts` older than
+    * now - retentionMs are dropped with the expired ones. */
+  def vacuum(retentionMs: Option[Long]): Unit = synchronized {
     sync()
     if (!storeExists) return
+    val nowTs = clock()
+    var livePred: Column =
+      col("expires_at").isNull || col("expires_at") > lit(new Timestamp(nowTs))
+    retentionMs.foreach { r =>
+      livePred = livePred && col("ts") >= lit(new Timestamp(nowTs - r))
+    }
     val live = readStoreRaw()
-      .filter(col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock())))
+      .filter(livePred)
       .join(broadcast(tombstonesFor()), Seq("seq"), "left_anti")
     val tmp = path + ".compact.tmp"
     val old = path + ".compact.old"
@@ -453,6 +464,10 @@ final class UnitDb private (
 object UnitDb {
   /** Reference caps payloads at 1 GiB (db_internal.go:56-66). */
   val MaxValueLength: Int = Int.MaxValue
+
+  /** Reference maxRetention: 28 days (db_internal.go:54). Pass to
+    * [[UnitDb.vacuum(retentionMs*]] to drop rows beyond the horizon. */
+  val DefaultRetentionMs: Long = 28L * 24 * 3600 * 1000
 
   import org.apache.spark.sql.types._
   val storeSchema: StructType = StructType(Seq(

@@ -100,6 +100,7 @@ class UnitDbSpec extends SparkSpec {
       "..." -> "unit.b.b1",
       "unit.b..." -> "unit.b.b1.b11.b111.b1111.b11111.b111111",
       "unit.*.b1.b11.*.*.b11111.*" -> "unit.b.b1.b11.b111.b1111.b11111.b111111",
+      "unit.*.b1.*.*.*.b11111.*" -> "unit.b.b1.b11.b111.b1111.b11111.b111111",
       "unit.b.b1" -> "unit.b.b1")
     for (((stored, _), i) <- pairs.zipWithIndex) {
       db.put(stored, s"w.$i".getBytes); tick(1000)
@@ -214,6 +215,37 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("encb.test")).map(new String(_)).toSeq == Seq("batch-secret"))
     val raw = spark.read.parquet(dir).select("encrypted").collect()
     assert(raw.forall(_.getBoolean(0)), "batch rows carry the encrypted flag")
+  }
+
+  test("leasing cycle: mass delete-by-ID, re-put, compact (db_test.go:242-286)") {
+    val (db, _, tick) = freshDb()
+    val ids = (1 to 100).map { i =>
+      val id = db.put("unit7.test", s"a.$i".getBytes); tick(100); id
+    }
+    db.sync()
+    ids.foreach(db.delete(_, "unit7.test"))
+    assert(db.count() == 0)
+    for (i <- 1 to 200) { db.put("unit7.test", s"b.$i".getBytes); tick(100) }
+    db.sync()
+    assert(db.count() == 200)
+    // default limit clamp (1000) returns all 200, newest-first
+    val got = db.get(Query("unit7.test")).map(new String(_))
+    assert(got.length == 200 && got.head == "b.200" && got.last == "b.1")
+    db.vacuum()
+    assert(db.snapshot().count() == 200, "compaction reclaimed the deleted 100")
+  }
+
+  test("retention vacuum drops rows beyond the horizon (maxRetention 28d)") {
+    val (db, _, _) = freshDb()
+    val now = 1700000000000L
+    db.putEntry(Entry("ret.test", "old".getBytes,
+      tsMillis = Some(now - UnitDb.DefaultRetentionMs - 86400000L)))
+    db.putEntry(Entry("ret.test", "new".getBytes, tsMillis = Some(now - 1000)))
+    db.sync()
+    assert(db.count() == 2)
+    db.vacuum(Some(UnitDb.DefaultRetentionMs))
+    assert(db.snapshot().count() == 1)
+    assert(db.get(Query("ret.test")).map(new String(_)).toSeq == Seq("new"))
   }
 
   test("newContract: fresh uint32 tenant ids isolate writes") {
