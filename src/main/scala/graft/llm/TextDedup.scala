@@ -76,17 +76,13 @@ object TextDedup {
         expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // signature: the K family values derive from the fixed-width base hash
-    // — min(xxhash64(h, j)) per slot, all in whole-stage codegen (a
-    // higher-order-function formulation runs interpreted: measured 6×
-    // slower), map-side combinable, shuffling only K longs per doc.
-    val exploded = hs.select(col("doc_id"), explode(col("hset")).as("h"))
-    val sigCols = Array.tabulate(MinhashK)(j =>
-      min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    val sig = exploded.groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sig", array(Array.tabulate(MinhashK)(j => col(s"m$j")): _*))
-      .select("doc_id", "sig")
+    // signature: one custom codegen'd Expression computes all K slots in a
+    // primitive loop per row (see graft.functions.MinHashSig for why it
+    // beats both the explode + K-min-agg shape — a shuffle plus a K-wide
+    // codegen compile — and the interpreted higher-order forms). Zero
+    // shuffle before banding.
+    val sig = hs.select(col("doc_id"),
+      graft.functions.MinHashSig(col("hset"), MinhashK).as("sig"))
 
     // banding: B buckets keyed by (band index, hash of the R-slot slice)
     val bands = sig
