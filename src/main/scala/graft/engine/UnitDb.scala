@@ -228,6 +228,13 @@ final class UnitDb private (
       .count()
   }
 
+  /** SQL face: register the live snapshot as a temp view — with
+    * `topic_matches` already registered at open, users can
+    * `spark.sql("SELECT ... FROM <name> WHERE topic_matches(topic, 'a.*')")`
+    * directly over the store. */
+  def createView(name: String): Unit =
+    snapshot().createOrReplaceTempView(name)
+
   /** Generate a fresh tenant contract id (reference NewContract,
     * db.go:322-328: a random uint32), never colliding with the master
     * contract or zero. */

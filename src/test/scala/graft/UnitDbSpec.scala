@@ -138,6 +138,25 @@ class UnitDbSpec extends SparkSpec {
     // and the wildcard publish still answers the static query
     val got = db.get(Query("push.t1")).map(new String(_))
     assert(got.contains("wild") && got.count(_.startsWith("p.")) == 5)
+    // partition pruning: wc bucket filter + cutoff-day bound reach the scan
+    val planLast = db.getFrame(Query("push.t1?last=1h"))
+      .queryExecution.executedPlan.toString
+    assert(planLast.contains("PartitionFilters") && planLast.contains("(wc"),
+      s"wc partition filter missing:\n$planLast")
+    assert(planLast.contains("(day"), s"day pruning missing:\n$planLast")
+  }
+
+  test("SQL view over the store with topic_matches") {
+    val (db, _, tick) = freshDb()
+    for (i <- 1 to 6) { db.put(s"sqlv.a${i % 2}", s"v.$i".getBytes); tick(1000) }
+    db.sync()
+    db.createView("msgs")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM msgs WHERE topic_matches(topic, 'sqlv.*')")
+      .head().getLong(0)
+    assert(n == 6)
+    assert(spark.sql("SELECT count(*) FROM msgs WHERE topic = 'sqlv.a1'")
+      .head().getLong(0) == 3)
   }
 
   test("delete by 16-byte ID (reference Delete(id, topic) fidelity)") {
