@@ -56,6 +56,34 @@ object EngineQueries {
         .select(col("topic"), tsec(col("ts")).as("t"),
           col("payload").cast("string").as("eid"))
         .orderBy(desc("t"), desc("eid"))
+    },
+
+    // O21 through the oracle gate: the purchase subset is ingested with
+    // encrypt=true (AES-GCM ciphertext at rest — nondeterministic IVs, so
+    // the *store bytes* can't be oracle-compared), then read back through
+    // the decrypting read path; the decrypted payloads must reproduce the
+    // source rows bit-for-bit.
+    "s2_engine_encrypted" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = Files.createTempDirectory("graft_s2").toString
+      val db = UnitDb.open(s, base + "/store",
+        encryptionKey = Some("0123456789abcdef".getBytes))
+      val src = s.readStream.schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          concat(lit("enc.u"), (col("user_id") % 10).cast("string")).as("topic"),
+          col("event_id").cast("string").cast("binary").as("payload"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          lit(true).as("encrypt"))
+      val q = StreamIngest.start(db, src, base + "/ckpt",
+        queryName = "s2", trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      db.getFrame(Query("enc...", limit = Query.MaxLimit))
+        .select(col("topic"), tsec(col("ts")).as("t"),
+          col("payload").cast("string").as("eid"))
+        .orderBy(desc("t"), desc("eid"))
     }
   )
 
@@ -64,6 +92,12 @@ object EngineQueries {
       s"""SELECT 'ev.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
         |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
         |FROM events WHERE event_type = 'click'
+        |ORDER BY t DESC, eid DESC""".stripMargin,
+
+    "s2_engine_encrypted" ->
+      s"""SELECT 'enc.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
+        |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
+        |FROM events WHERE event_type = 'purchase'
         |ORDER BY t DESC, eid DESC""".stripMargin
   )
 }
