@@ -58,6 +58,20 @@ object LlmQueries {
     "l10_ann_ivf" -> { (s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir)) },
 
+    // Multimodal feature extraction through the oracle gate: the
+    // mapPartitions pipeline runs for real; the stub decoder is
+    // SHA-derived, so DuckDB reproduces metadata AND the first feature
+    // element exactly ((k-128)/128 is exact in both float and double).
+    "l11_media_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.assetsFromDocuments(s, Tables.documents(s, dir)))
+        .toDF()
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          col("content_sha"),
+          element_at(col("feature"), 1).cast("double").as("f0"))
+        .orderBy("asset_id")
+    },
+
     // Composite curation pipeline — the actual training-data use case,
     // end to end: quality-score → filter → exact-dedup (keep lowest
     // doc_id per fingerprint) → per-language corpus stats. One narrow
@@ -241,6 +255,14 @@ object LlmQueries {
         |SELECT query_id, rank, vec_id AS neighbor_id FROM r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+
+    "l11_media_features" ->
+      """SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  ((CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER) & 255) - 128) / 128.0 AS f0
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "c1_curate" ->
       """WITH sc AS (
