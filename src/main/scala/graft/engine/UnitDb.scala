@@ -439,9 +439,9 @@ final class UnitDb private (
     w.partitionBy("contract", "wc", "day")
       .option("compression", "snappy")
       .option("parquet.bloom.filter.enabled#seq", "true")
-      .option("parquet.bloom.filter.expected.ndv#seq", "1000000")
+      .option("parquet.bloom.filter.expected.ndv#seq", "100000")
       .option("parquet.bloom.filter.enabled#topic", "true")
-      .option("parquet.bloom.filter.expected.ndv#topic", "100000")
+      .option("parquet.bloom.filter.expected.ndv#topic", "10000")
 
   private def readStoreRaw(): DataFrame =
     spark.read.schema(storeSchema).parquet(path)
