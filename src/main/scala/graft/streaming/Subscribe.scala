@@ -1,12 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.engine.UnitDb
 import graft.functions.TopicMatches
-import graft.model.{Message, Query}
+import graft.model.{Message, Query, Topic}
 
 /** A registered subscription (reference SUBSCRIBE, server/internal/
   * hdl_conn.go:384-431 + server/proto/unitdb.proto:113-127): a topic
@@ -55,6 +55,56 @@ object Subscribe {
           TopicMatches(msgs("topic"), subs("pattern")),
         "inner")
       .drop("_sub_contract")
+  }
+
+  /** Fan-out for LARGE subscription tables (millions of subscribers —
+    * where broadcasting all of [[fanout]]'s table would not fit): patterns
+    * anchored on a concrete first level become an *equi-join* on that
+    * level (shuffle or broadcast as the optimizer sizes it, with
+    * `topic_matches` as the residual), and only the unanchored patterns
+    * (`*...`/`...`-prefixed — rare by construction) are broadcast to every
+    * message. The same split the engine's wc-bucket gives stored topics,
+    * applied to the subscription side. Results are identical to
+    * [[fanout]]. */
+  def fanoutPartitioned(messages: DataFrame, subscriptions: DataFrame): DataFrame = {
+    // first level of a key; '' / null / '*' all mean "unanchored"
+    def lvl0(c: Column): Column = split(c, "\\.").getItem(0)
+    def unanchored(p0: Column): Column =
+      p0.isNull || p0 === "" || p0 === Topic.Single
+
+    val subs = subscriptions.select(
+      col("sub_id"), col("pattern"),
+      col("contract").as("_sub_contract"), col("delivery_mode"),
+      lvl0(col("pattern")).as("_p0"))
+    val anchored = subs.filter(!unanchored(col("_p0")))
+    val floating = subs.filter(unanchored(col("_p0")))
+
+    val msgs0 = (if (messages.columns.contains("contract")) messages
+      else messages.withColumn("contract", lit(Message.MasterContract)))
+      .withColumn("_m0", lvl0(col("topic")))
+    val staticMsgs = msgs0.filter(!unanchored(col("_m0")))
+    val wildMsgs = msgs0.filter(unanchored(col("_m0")))
+
+    // the bulk: static-first messages × anchored patterns — pure equi-join
+    // on (level0, contract), topic_matches as the residual; Catalyst picks
+    // shuffle-hash vs broadcast by size
+    val anchoredHits = staticMsgs.join(anchored,
+      col("_m0") === col("_p0") &&
+        col("contract") === col("_sub_contract") &&
+        TopicMatches(col("topic"), col("pattern")), "inner")
+    // unanchored patterns are rare by construction — broadcast them to all
+    val floatingHits = staticMsgs.join(broadcast(floating),
+      col("contract") === col("_sub_contract") &&
+        TopicMatches(col("topic"), col("pattern")), "inner")
+    // wildcard-first publishes are rare (the engine's wc=1 bucket): they
+    // can match any pattern, so join the small side against ALL
+    // subscriptions on the contract equi-key
+    val wildHits = wildMsgs.join(subs,
+      col("contract") === col("_sub_contract") &&
+        TopicMatches(col("topic"), col("pattern")), "inner")
+
+    anchoredHits.unionByName(floatingHits).unionByName(wildHits)
+      .drop("_sub_contract", "_p0", "_m0")
   }
 
   /** Reliable-mode wrapper (streaming): drop duplicate deliveries keyed by

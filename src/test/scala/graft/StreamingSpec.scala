@@ -138,6 +138,36 @@ class StreamingSpec extends SparkSpec {
       (2L, "wildpub"), (3L, "wildpub"), (4L, "wildpub"))) // wildcard publish → static sub
   }
 
+  test("S2 fanoutPartitioned (large-subs shape) matches broadcast fanout exactly") {
+    val subs = spark.createDataset(Seq(
+      Subscription(1L, "unit.*.b1.b11.*.*.b11111.*"),
+      Subscription(2L, "unit.b..."),
+      Subscription(3L, "..."),
+      Subscription(4L, "unit.b.b1"),
+      Subscription(5L, "*.b.b1"),
+      Subscription(6L, "other.x", contract = 42L)))(
+      Encoders.product[Subscription]).toDF()
+    val msgs = spark.createDataset(Seq(
+      ("unit.b.b1.b11.b111.b1111.b11111.b111111", "deep", ts(T0)),
+      ("unit.b.b1", "leaf", ts(T0 + 1000)),
+      ("zzz.y", "other", ts(T0 + 2000)),
+      ("unit.b.*", "wildpub", ts(T0 + 3000)),
+      ("*.b.b1", "wildfirst", ts(T0 + 4000)),
+      ("...", "multipub", ts(T0 + 5000))))(
+      Encoders.product[(String, String, Timestamp)])
+      .toDF("topic", "payload", "ts")
+
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      df.select("sub_id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val broadcastForm = routed(Subscribe.fanout(msgs, subs))
+    val partitionedForm = routed(Subscribe.fanoutPartitioned(msgs, subs))
+    assert(partitionedForm == broadcastForm, "forms must agree")
+    assert(broadcastForm.contains((5L, "wildfirst")) &&
+      broadcastForm.contains((3L, "multipub")) &&
+      !broadcastForm.exists(_._1 == 6L), "sanity on the vector set")
+  }
+
   test("S2 subscribe: streaming fan-out delivers per micro-batch") {
     val base = tmp("sub")
     val subs = spark.createDataset(Seq(
