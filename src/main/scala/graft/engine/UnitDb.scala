@@ -43,6 +43,14 @@ import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, Varz}
   * wildcard-published rows so a static-topic read is a *pushable* topic
   * equality over `wc=0` (row-group stats + bloom prune) unioned with a scan
   * of the wildcard bucket — no OR with a non-pushable side (VERDICT r1 #3).
+  *
+  * Durability contract: the pending buffer is volatile — rows are durable
+  * from `sync()` (one atomic parquet commit), where the reference's WAL
+  * makes every accepted put replayable (wal/wal.go). An embedded caller
+  * holding data it cannot lose should sync per batch; a durable
+  * low-latency feed should ingest through
+  * [[graft.streaming.StreamIngest]], whose checkpoint + commit markers
+  * replay un-committed micro-batches after a crash.
   */
 final class UnitDb private (
     val spark: SparkSession,

@@ -278,6 +278,35 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("nc.test", contract = c2)).isEmpty)
   }
 
+  test("autoFlush: pending buffer syncs itself at the threshold") {
+    val dir = Files.createTempDirectory("graftdb").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now, autoFlushRows = 10)
+    for (i <- 1 to 25) { db.put("af.test", s"f.$i".getBytes); now += 100 }
+    // 2 automatic syncs at 10 and 20; 5 rows still pending — all visible
+    assert(db.varz().syncs == 2)
+    assert(db.get(Query("af.test")).length == 25)
+    // reopen sees only the synced 20 (pending was volatile by contract)
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    assert(db2.get(Query("af.test")).length == 20)
+  }
+
+  test("concurrent puts from many threads all land with unique seqs") {
+    val (db, _, _) = freshDb()
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        for (i <- 1 to 50) db.put(s"conc.t$t", s"$t.$i".getBytes)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    db.sync()
+    assert(db.count() == 400)
+    val seqs = db.snapshot().select("seq").collect().map(_.getLong(0))
+    assert(seqs.distinct.length == 400, "seqs must be unique under contention")
+    for (t <- 1 to 8)
+      assert(db.get(Query(s"conc.t$t")).length == 50)
+  }
+
   test("varz metrics: puts/gets/deletes/syncs/bytes counters + fileSize") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 10) { db.put("varz.test", ("v" * 10).getBytes); tick(100) }
