@@ -358,10 +358,14 @@ final class UnitDb private (
   /** Streaming-ingest hook (graft.streaming.StreamIngest): append
     * pre-formed Message rows distributively — the at-rest transforms
     * (derive partitions, encrypt, sort, bloom) are applied by writeStore
-    * exactly as for API puts. */
-  private[graft] def appendFrame(df: DataFrame): Unit = {
+    * exactly as for API puts. Synchronized with [[sync]]: two concurrent
+    * appends to one parquet path would race in the shared `_temporary`
+    * staging directory, so all writes to a store serialize on this
+    * object (single-writer discipline, same as the reference's writer
+    * lock, db.go:70). */
+  private[graft] def appendFrame(df: DataFrame): Unit = synchronized {
     writeStore(df)
-    synchronized { storeExists = true }
+    storeExists = true
   }
 
   private[graft] def nowMs(): Long = clock()
