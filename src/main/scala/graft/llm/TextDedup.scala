@@ -118,27 +118,18 @@ object TextDedup {
   val SimhashBits = 32
   val SimhashMaxHamming = 1
 
-  /** Token hash shared bit-for-bit with the DuckDB oracle: the first 8 hex
-    * chars of md5(token) as an unsigned 32-bit value. */
-  private def tokenHash(tok: Column): Column =
-    conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+  // Token hash (inside simhash's transform lambda) is shared bit-for-bit
+  // with the DuckDB oracle: first 8 hex chars of md5(token), unsigned 32.
 
   /** Per-document 32-bit SimHash over whitespace tokens (with multiplicity):
     * bit i of the fingerprint is set iff the count of tokens with bit i set
-    * exceeds the count without. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
-    val bitSums = Array.tabulate(SimhashBits)(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
-    val fpExpr = Array.tabulate(SimhashBits)(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("fp", fpExpr)
-      .select("doc_id", "fp")
-  }
+    * exceeds the count without. Tokenize per row, then the codegen'd
+    * `simhash_fp` Expression hashes and bit-votes in one primitive loop —
+    * no explode, no shuffle, no 32-buffer aggregate, no intermediate hex
+    * strings (the MinHashSig lesson). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFp(split(col("text"), " ")).as("fp"))
 
   /** Near-duplicate pairs with SimHash Hamming distance <= 1, candidates
     * from 16-bit band equality. Output: (doc_a, doc_b, hamming), sorted. */
