@@ -74,26 +74,31 @@ object LlmQueries {
 
     // Composite curation pipeline — the actual training-data use case,
     // end to end: quality-score → filter → exact-dedup (keep lowest
-    // doc_id per fingerprint) → per-language corpus stats. One narrow
-    // map, one dedup shuffle on the fingerprint, one small agg: the
-    // whole pipeline is two exchanges at any scale.
+    // doc_id per fingerprint) → per-language corpus stats. The text is
+    // scanned ONCE: a single partial-aggregated shuffle onto
+    // (fingerprint, lang) collapses the data to near-group cardinality,
+    // and everything after operates on that tiny frame.
     "c1_curate" -> { (s, dir) =>
-      val scored = Tables.documents(s, dir)
+      val passed = Tables.documents(s, dir)
         .withColumn("w", split(col("text"), " "))
         .withColumn("n_tokens", size(col("w")))
         .withColumn("stop_ratio",
           size(filter(col("w"),
             t => TextStats.Stopwords.map(t === _).reduce(_ || _))) * lit(1.0)
             / col("n_tokens"))
+        .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.15)
         .withColumn("fingerprint",
           md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
-      val passed = scored
-        .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.15)
-      val kept = passed.groupBy("fingerprint").agg(
-        min("doc_id").as("doc_id"),
-        min_by(col("lang"), col("doc_id")).as("lang"),
-        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
-      passed.groupBy("lang").agg(count(lit(1)).as("n_pass"))
+      // one shuffle: per (fingerprint, lang) — count + that lang's min doc
+      val perFpLang = passed.groupBy("fingerprint", "lang").agg(
+        count(lit(1)).as("c"),
+        min("doc_id").as("min_doc"),
+        min_by(col("n_tokens"), col("doc_id")).as("min_tok"))
+      // the kept doc per fingerprint = global min doc across its langs
+      val kept = perFpLang.groupBy("fingerprint").agg(
+        min_by(col("lang"), col("min_doc")).as("lang"),
+        min_by(col("min_tok"), col("min_doc")).as("n_tokens"))
+      perFpLang.groupBy("lang").agg(sum("c").as("n_pass"))
         .join(kept.groupBy("lang").agg(
           count(lit(1)).as("n_kept"),
           sum("n_tokens").as("sum_tokens")), Seq("lang"))
