@@ -113,51 +113,30 @@ object Similarity {
   val IvfCells = 8
   val IvfProbes = 2
 
-  /** Cell assignment: argmin squared-L2 distance to the centroids, ties
-    * broken by centroid id. dist² = |v|² - 2·v·c + |c|²; since |v|² is
-    * constant per row, argmin(|c|² - 2·v·c) suffices — one [[dot]] per
-    * centroid, no per-pair array allocation. */
-  private def cellOf(v: Column, nv: Column, centroids: Seq[(Int, Array[Double])]): Column = {
-    val scored = centroids.map { case (cid, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dot(v, lit64(c))).as("d"), lit(cid).as("cid"))
-    }
-    least(scored: _*).getField("cid")
-  }
-
   /** IVF-Flat ANN: inverted lists keyed by nearest-centroid cell; each
     * probe searches its `IvfProbes` nearest cells and exact-cosine
     * re-ranks only those lists. The big table is shuffled once on the
-    * (1-int) cell key; probes broadcast. At 100 TB the inverted lists
-    * would be written bucketed-by-cell so the probe join is
-    * shuffle-free. Output: (query_id, rank, neighbor_id). */
+    * (1-int) cell key; probes broadcast. Cell ranking runs in the
+    * [[graft.functions.NearestCells]] expression (centroid matrix as a
+    * codegen reference object — as literal trees, planning dominated the
+    * query). At 100 TB the inverted lists would be written
+    * bucketed-by-cell so the probe join is shuffle-free.
+    * Output: (query_id, rank, neighbor_id). */
   def annIvf(embeddings: DataFrame, probeMax: Int = 20, k: Int = 3): DataFrame = {
     val e = prepared(embeddings)
-    val centroids: Seq[(Int, Array[Double])] =
+    val centroids: Array[Array[Double]] =
       embeddings.filter(col("vec_id") < IvfCells)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
 
-    val listed = e.withColumn("cell", cellOf(col("v"), col("nv"), centroids))
-
-    // per probe: its IvfProbes nearest cells (tiny driver-free expression —
-    // rank cells by the same score used for assignment)
-    val probeCells = (0 until IvfProbes).map { r =>
-      val scored = centroids.map { case (cid, c) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(col("q"), lit64(c))).as("d"), lit(cid).as("cid"))
-      }
-      // r-th smallest via iterated least excluding previous picks is
-      // clearer as a sort over a tiny literal array:
-      sort_array(array(scored: _*)).getItem(r).getField("cid").as(s"cell$r")
-    }
+    val listed = e.withColumn("cell",
+      graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))
     val probes = listed.filter(col("vec_id") < probeMax)
-      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"))
-      .select(col("query_id") +: col("q") +: col("nq") +: probeCells: _*)
-      .select(col("query_id"), col("q"), col("nq"),
-        explode(array((0 until IvfProbes).map(r => col(s"cell$r")): _*)).as("cell"))
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"),
+        explode(graft.functions.NearestCells(col("v"), centroids, IvfProbes))
+          .as("cell"))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     listed.join(broadcast(probes), Seq("cell"))
