@@ -278,6 +278,42 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("nc.test", contract = c2)).isEmpty)
   }
 
+  test("parquet footers carry bloom filters on seq and topic (O20)") {
+    val (db, _, tick) = freshDb()
+    for (i <- 1 to 500) { db.put(s"bloom.t${i % 7}", s"x.$i".getBytes); tick(100) }
+    db.sync()
+    val files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(db.path))
+    }
+    assert(files.nonEmpty)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      // seq is high-cardinality → a real bloom must be present
+      assert(byName("seq").getBloomFilterOffset >= 0, "seq bloom missing")
+      // topic: parquet-mr drops the bloom when the chunk stays fully
+      // dictionary-encoded (the dictionary IS an exact filter); either
+      // state gives negative-lookup skipping
+      val topic = byName("topic")
+      assert(topic.getBloomFilterOffset >= 0 ||
+        (topic.getEncodingStats != null &&
+          !topic.getEncodingStats.hasNonDictionaryEncodedPages),
+        "topic has neither bloom nor full dictionary encoding")
+      // payload intentionally has no bloom
+      assert(byName("payload").getBloomFilterOffset < 0)
+    } finally reader.close()
+  }
+
   test("autoFlush: pending buffer syncs itself at the threshold") {
     val dir = Files.createTempDirectory("graftdb").toString + "/store"
     var now = 1700000000000L
