@@ -428,7 +428,11 @@ final class UnitDb private (
     * partition columns before the partitioned write prevents the
     * every-input-task-writes-every-partition small-files explosion (a
     * 1000-task batch over 30 days would otherwise cut 30k files). Sorting
-    * by (topic, ts) inside each file keeps row-group stats selective. */
+    * by (topic, ts) inside each file keeps row-group stats selective.
+    * NOTE at extreme skew (one day = most of the batch) this serializes
+    * that day into one writer task — add a salt column to the repartition
+    * (and accept multiple files for the hot day) when a single sync's hot
+    * partition exceeds what one task should write. */
   private def writeStore(df: DataFrame): Unit =
     configureWriter(
       encrypt(withDerived(df))
