@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+
+/** Pins the physical-plan shapes the 100 TB story depends on — a conf or
+  * refactor that regresses one of these (a broadcast silently becoming a
+  * sort-merge join, a filter no longer reaching the scan, partial
+  * aggregation disappearing) fails here rather than in production. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q3: dimension joins broadcast; no sort-merge join in the plan") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "fact table must not pre-shuffle")
+  }
+
+  test("q1: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p.take(500))
+  }
+
+  test("q2: every filter reaches the parquet scan") {
+    val p = plan("q2_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity"), p.take(800))
+  }
+
+  test("q2: scan reads only the projected columns") {
+    val p = plan("q2_pushdown")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"column pruning lost: $read")
+  }
+
+  test("l4: probe filter is pushed and probes broadcast") {
+    val p = plan("l4_ann_lsh")
+    assert(p.contains("LessThan(vec_id,20)") && p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("m5: two-phase top-N keeps the salted window before the global one") {
+    val p = plan("m5_newest_per_topic")
+    // phase-1 window partitions on (event_type, pid) — the salt column
+    assert(p.contains("pid"), p.take(800))
+  }
+
+  test("q4 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q4_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+}
