@@ -66,6 +66,10 @@ final class UnitDb private (
   private val seqCounter = new AtomicLong(0L)
   @volatile private var storeExists = hasStore
   @volatile private var tombsExist = hasTombs
+  @volatile private var closed = false
+
+  private def ensureOpen(): Unit =
+    if (closed) throw new IllegalStateException(s"store $path is closed")
 
   // metrics counters (reference meter.go:86-115)
   private val nPuts, nGets, nDeletes, nSyncs, nEntriesRead, nBytesWritten,
@@ -98,6 +102,7 @@ final class UnitDb private (
     * may carry a `?ttl=` option; an explicit `Entry.ttlMillis` wins.
     * @return the entry's 16-byte ID, usable with [[delete(id*]]. */
   def putEntry(e: Entry): Array[Byte] = synchronized {
+    ensureOpen()
     val m = toMessage(e)
     pending += m
     nPuts.incrementAndGet()
@@ -110,6 +115,7 @@ final class UnitDb private (
     * readers anti-join it out (reference db.go:392-425 frees the block). */
   def delete(seq: Long, topic: String, contract: Long = Message.MasterContract): Unit =
     synchronized {
+      ensureOpen()
       val t = Topic.parse(topic)
       pendingTombs += Tombstone(seq, contract, t.key, new Timestamp(clock()))
       nDeletes.incrementAndGet(): Unit
@@ -177,6 +183,7 @@ final class UnitDb private (
   /** Same as [[get]] but as a DataFrame of (seq, topic, ts, payload) —
     * composable with further Spark ops. */
   def getFrame(q: Query): DataFrame = {
+    ensureOpen()
     nGets.incrementAndGet()
     val t = Topic.parse(q.topic)
     val nowMs = clock()
@@ -234,6 +241,15 @@ final class UnitDb private (
       .filter(col("expires_at").isNull || col("expires_at") > lit(new Timestamp(clock())))
       .join(broadcast(tombstonesFor()), Seq("seq"), "left_anti")
       .count()
+  }
+
+  /** Flush and close (reference DB.Close, db.go:213-219): pending writes
+    * are synced, then every further operation throws. Idempotent. */
+  def close(): Unit = synchronized {
+    if (!closed) {
+      sync()
+      closed = true
+    }
   }
 
   /** SQL face: register the live snapshot as a temp view — with
@@ -332,6 +348,7 @@ final class UnitDb private (
     * = 28 days, db_internal.go:54): rows with `ts` older than
     * now - retentionMs are dropped with the expired ones. */
   def vacuum(retentionMs: Option[Long]): Unit = synchronized {
+    ensureOpen()
     sync()
     if (!storeExists) return
     val nowTs = clock()

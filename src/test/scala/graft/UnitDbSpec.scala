@@ -278,6 +278,19 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("nc.test", contract = c2)).isEmpty)
   }
 
+  test("close flushes pending writes and fences further operations (O1)") {
+    val dir = Files.createTempDirectory("graftdb").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    db.put("close.test", "pending".getBytes)
+    db.close() // must flush the unsynced row
+    db.close() // idempotent
+    intercept[IllegalStateException] { db.put("close.test", "late".getBytes) }
+    intercept[IllegalStateException] { db.get(Query("close.test")) }
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    assert(db2.get(Query("close.test")).map(new String(_)).toSeq == Seq("pending"))
+  }
+
   test("parquet footers carry bloom filters on seq and topic (O20)") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 500) { db.put(s"bloom.t${i % 7}", s"x.$i".getBytes); tick(100) }
