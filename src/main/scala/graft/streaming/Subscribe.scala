@@ -132,8 +132,9 @@ object Subscribe {
       queryName: String = "graft_subscribe",
       trigger: Trigger = Trigger.ProcessingTime(0L),
       mode: Int = Express,
-      reliableKeys: Seq[String] = Seq("sub_id", "seq")): StreamingQuery = {
-    val fanned = fanout(messages, subscriptions)
+      reliableKeys: Seq[String] = Seq("sub_id", "seq"),
+      fanoutFn: (DataFrame, DataFrame) => DataFrame = fanout): StreamingQuery = {
+    val fanned = fanoutFn(messages, subscriptions)
     val shaped = if (mode == Reliable) reliable(fanned, reliableKeys) else fanned
     val fn: (Dataset[Row], Long) => Unit =
       (batch, batchId) => deliver(batch.toDF(), batchId)

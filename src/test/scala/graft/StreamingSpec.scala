@@ -222,6 +222,32 @@ class StreamingSpec extends SparkSpec {
     assert(delivered.length == 2, s"reliable mode must dedupe: $delivered")
   }
 
+  test("S2 fanoutPartitioned drives a live streaming query too") {
+    val base = tmp("subpart")
+    val subs = spark.createDataset(Seq(
+      Subscription(50L, "part.temp.*"),
+      Subscription(60L, "...")))(Encoders.product[Subscription]).toDF()
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val delivered = ArrayBuffer[(Long, String)]()
+    val q = Subscribe.start(
+      mem.toDF().toDF("topic", "payload", "ts"), subs, base + "/ckpt",
+      deliver = (df: DataFrame, _: Long) =>
+        delivered.synchronized {
+          delivered ++= df.select("sub_id", "payload").collect()
+            .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1))))
+        },
+      fanoutFn = Subscribe.fanoutPartitioned)
+    mem.addData(
+      ("part.temp.r1", "a".getBytes, ts(T0)),
+      ("part.hum.r2", "b".getBytes, ts(T0 + 1000)),
+      ("*.temp.r9", "wildpub".getBytes, ts(T0 + 2000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(delivered.toSet == Set(
+      (50L, "a"), (60L, "a"), (60L, "b"), (50L, "wildpub"), (60L, "wildpub")))
+  }
+
   test("S4 flow control: batch-mode subscriber gets count-bounded deliveries") {
     val base = tmp("flow")
     val subs = spark.createDataset(Seq(
