@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashSig, SimHashFp, TrigramHashes}
+
+/** Edge cases + codegen/interpreted parity for the sketch expressions. */
+class SketchExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def noCodegen[T](f: => T): T = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("trigram_hashes: <3 tokens -> empty; duplicates dedup; order matters") {
+    val df = Seq(
+      (1L, Seq("a", "b")),                       // too short
+      (2L, Seq("a", "b", "c")),                  // one trigram
+      (3L, Seq("a", "b", "c", "a", "b", "c")),   // windows repeat → dedup
+      (4L, Seq("c", "b", "a"))                   // different order ≠ (2)
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), TrigramHashes(col("toks")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).length == 1)
+    // abc,bca,cab,abc → 3 distinct
+    assert(got(3L).length == 3 && got(3L).contains(got(2L).head))
+    assert(got(4L).length == 1 && got(4L) != got(2L))
+  }
+
+  test("minhash_sig: k slots, element order irrelevant, monotone under union") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(30L, 10L, 20L)),   // same set, different order
+      (3L, Seq(10L, 20L, 30L, 40L))
+    ).toDF("id", "hs")
+    val got = df.select(col("id"), MinHashSig(col("hs"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).length == 8)
+    assert(got(1L) == got(2L), "signature is a set function")
+    // adding elements can only lower each min slot
+    assert(got(3L).zip(got(1L)).forall { case (u, v) => u <= v })
+  }
+
+  test("simhash: identical token multisets agree; codegen matches interpreted") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "entirely different words here")
+    ).toDF("id", "text")
+    def run() = df.select(col("id"), SimHashFp(split(col("text"), " ")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = run()
+    val off = noCodegen(run())
+    assert(on == off, "codegen and interpreted must agree")
+    assert(on(1L) == on(2L) && on(1L) != on(3L))
+  }
+
+  test("minhash_sig and trigram_hashes codegen parity") {
+    val df = Seq((1L, Seq("w1", "w2", "w3", "w4"))).toDF("id", "toks")
+    def run() = df.select(
+        MinHashSig(TrigramHashes(col("toks")), 16).as("s"))
+      .head().getSeq[Long](0)
+    val on = run()
+    assert(on == noCodegen(run()) && on.length == 16)
+  }
+}
