@@ -282,6 +282,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.flatMap(_._3).length == 4)
   }
 
+  test("S3 relay: historical replay composes with further Spark ops") {
+    val base = tmp("relay3")
+    var now = T0
+    val db = UnitDb.open(spark, base + "/store", clock = () => now)
+    for (i <- 1 to 30) {
+      db.put(s"rel3.ch${i % 3}", s"r.$i".getBytes); now += 1000
+    }
+    db.sync()
+    val replay = graft.streaming.Subscribe.relay(db, "rel3.*")
+    // the replay frame is a normal DataFrame: aggregate over it
+    val counts = replay.groupBy("topic")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("rel3.ch0" -> 10L, "rel3.ch1" -> 10L, "rel3.ch2" -> 10L))
+  }
+
   test("streaming tumbling window agg (with watermark) matches the batch result") {
     val mem = MemoryStream[(Timestamp, String, Double)](
       Encoders.product[(Timestamp, String, Double)], spark)
