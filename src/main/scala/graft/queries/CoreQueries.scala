@@ -168,7 +168,7 @@ object CoreQueries {
 
     "m10_props_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nd_k
