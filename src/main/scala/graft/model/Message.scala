@@ -28,6 +28,13 @@ final case class Message(
 object Message {
   /** Reference MasterContract (message/id.go:28). */
   val MasterContract: Long = 3376684800L
+
+  /** Field names after `seq`, in declaration order — used by streaming
+    * ingest to re-assemble a Message row around an externally assigned
+    * seq (StreamIngest.appendBatch). */
+  val columnsAfterSeq: Seq[String] = Seq(
+    "contract", "topic", "topic_parts", "is_wildcard", "is_multi",
+    "depth", "ts", "expires_at", "encrypted", "payload")
 }
 
 /** A delete marker, stored in the `_tombstones` sidecar rather than the main

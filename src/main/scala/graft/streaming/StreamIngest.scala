@@ -42,12 +42,14 @@ final case class IngestRow(
     encrypt: Boolean,
     _mid: Long)
 
-/** Parse outcome: exactly one of `msg` / `reject` is set. A malformed
-  * topic in a 100 TB ingest must dead-letter one row, not abort the
-  * query (the reference rejects a bad PUBLISH per-message on the
-  * connection, hdl_conn.go:434-477 — the pipeline analogue is a rejects
-  * sidecar). */
-final case class ParsedRow(msg: Option[Message], reject: Option[RejectRow])
+/** Parse outcome: exactly one of `msg` / `reject` is set; `_mid` is the
+  * row's `monotonically_increasing_id` (partitionId«33 | row-in-partition),
+  * kept so the final seq can be assigned *after* parsing from a reserved
+  * contiguous range. A malformed topic in a 100 TB ingest must dead-letter
+  * one row, not abort the query (the reference rejects a bad PUBLISH
+  * per-message on the connection, hdl_conn.go:434-477 — the pipeline
+  * analogue is a rejects sidecar). */
+final case class ParsedRow(msg: Option[Message], reject: Option[RejectRow], _mid: Long)
 
 /** A dead-lettered input row: the raw topic, the reason, and enough
   * context to replay it after fixing. */
@@ -83,7 +85,22 @@ object StreamIngest {
     * marker exists (checkpoint replay after restart). Rows whose topic
     * fails to parse are appended to the `_rejects/<query>` dead-letter
     * sidecar instead of failing the query. Public so tests and custom
-    * sinks can drive it directly. */
+    * sinks can drive it directly.
+    *
+    * Seq assignment: one small aggregation over the (persisted) parsed
+    * batch yields per-partition row counts; a contiguous range of that
+    * total is reserved from the store's seq counter
+    * ([[UnitDb.reserveSeqRange]]) and each row gets
+    * `base + partitionOffset + rowInPartition` via a broadcast join on a
+    * partitions-sized offset table. Unlike the old bit-packed
+    * `(batchId+1)<<40 | monotonically_increasing_id` scheme — which
+    * collided across batches once a batch had ≥ 128 partitions, because
+    * the partition id lives in bits 33+ of the mid — this is collision
+    * free at ANY partition count, and also never collides with driver-side
+    * API puts (same counter). Rejected rows burn their reserved seqs,
+    * leaving gaps; gaps are harmless — uniqueness, not density, is the
+    * contract. The counts pass re-reads only the persisted hash sets, not
+    * the source. */
   def appendBatch(db: UnitDb, batch: DataFrame, batchId: Long, queryName: String): Unit = {
     val commitDir = Paths.get(db.path, "_ingest_commits", queryName)
     val marker = commitDir.resolve(f"$batchId%020d")
@@ -91,12 +108,37 @@ object StreamIngest {
     val parsed = toParsed(db, batch, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      db.appendFrame(parsed.filter(col("msg").isNotNull).select("msg.*"))
-      val rejects = parsed.filter(col("reject").isNotNull).select("reject.*")
-      if (!rejects.isEmpty)
-        rejects.repartition(1).write.mode("append")
-          .option("compression", "snappy")
-          .parquet(Paths.get(db.path, "_rejects", queryName).toString)
+      // one job: per-partition counts (for contiguous offsets) + accepted
+      // row/byte totals (for truthful varz metrics, r2 VERDICT O17)
+      val stats = parsed.toDF()
+        .groupBy(shiftright(col("_mid"), 33).as("pid"))
+        .agg(count(lit(1)).as("n"), count(col("msg")).as("n_msg"),
+          coalesce(sum(octet_length(col("msg.payload"))), lit(0L)).as("bytes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val total = stats.map(_._2).sum
+      if (total > 0) {
+        val base = db.reserveSeqRange(total)
+        var acc = 0L
+        val offsets = stats.map { case (pid, n, _, _) => val o = acc; acc += n; (pid, o) }
+        val offDf = broadcast(
+          db.spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
+        val withSeq = parsed.toDF()
+          .withColumn("pid", shiftright(col("_mid"), 33))
+          .join(offDf, Seq("pid"))
+          .withColumn("seq",
+            lit(base + 1) + col("off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+        db.appendFrame(
+          withSeq.filter(col("msg").isNotNull)
+            .select(col("seq") +: Message.columnsAfterSeq.map(c => col(s"msg.$c")): _*))
+        db.recordBulkAppend(stats.map(_._3).sum, stats.map(_._4).sum)
+        val rejects = withSeq.filter(col("reject").isNotNull).select("reject.*")
+        if (!rejects.isEmpty)
+          rejects.repartition(1).write.mode("append")
+            .option("compression", "snappy")
+            .parquet(Paths.get(db.path, "_rejects", queryName).toString)
+      }
     } finally parsed.unpersist(): Unit
     Files.createDirectories(commitDir)
     Files.createFile(marker): Unit
@@ -112,11 +154,11 @@ object StreamIngest {
 
   /** Distributed publish transform: normalize optional columns, then parse
     * each topic into its Message form on the executors — a failed parse
-    * becomes a [[RejectRow]], never an exception. Seqs are unique and
-    * time-ordered across batches without driver coordination:
-    * `(batchId+1) << 40 | monotonically_increasing_id` — the per-batch high
-    * range never collides with driver-side API puts (small seqs) or other
-    * batches. */
+    * becomes a [[RejectRow]], never an exception. The Message carries a
+    * placeholder seq of 0; [[appendBatch]] assigns the real seq from a
+    * reserved contiguous range after the batch size is known (see its doc
+    * for why — the old per-batch bit-packed scheme collided at ≥ 128
+    * partitions). `_mid` is retained per row for the offset arithmetic. */
   private[streaming] def toParsed(db: UnitDb, batch: DataFrame, batchId: Long): Dataset[ParsedRow] = {
     val cols = batch.columns.toSet
     require(cols("topic") && cols("payload"),
@@ -126,7 +168,6 @@ object StreamIngest {
     if (!cols("contract")) df = df.withColumn("contract", lit(Message.MasterContract))
     if (!cols("ttl_ms")) df = df.withColumn("ttl_ms", lit(null).cast("long"))
     if (!cols("encrypt")) df = df.withColumn("encrypt", lit(false))
-    val seqBase = (batchId + 1) << 40
     df.withColumn("_mid", monotonically_increasing_id())
       .select(col("topic").cast("string"), col("payload"),
         col("ts").cast("timestamp"), col("contract").cast("long"),
@@ -137,7 +178,7 @@ object StreamIngest {
           val t = Topic.parse(r.topic)
           val ttl = r.ttl_ms.orElse(t.ttlMillis)
           ParsedRow(Some(Message(
-            seq = seqBase + r._mid,
+            seq = 0L, // assigned in appendBatch from the reserved range
             contract = r.contract,
             topic = t.key,
             topic_parts = t.parts,
@@ -147,12 +188,12 @@ object StreamIngest {
             ts = r.ts,
             expires_at = ttl.map(ms => new Timestamp(r.ts.getTime + ms)),
             encrypted = r.encrypt,
-            payload = r.payload)), None)
+            payload = r.payload)), None, r._mid)
         } catch {
           case e: IllegalArgumentException =>
             ParsedRow(None, Some(RejectRow(
               if (r.topic == null) "" else r.topic,
-              e.getMessage, r.ts, r.contract, r.payload)))
+              e.getMessage, r.ts, r.contract, r.payload)), r._mid)
         }
       }(Encoders.product[ParsedRow])
   }

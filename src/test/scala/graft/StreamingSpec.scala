@@ -68,6 +68,68 @@ class StreamingSpec extends SparkSpec {
     assert(db.count() == 4)
   }
 
+  test("S1 ingest: seqs stay unique across batches at 200 partitions (r2 verdict #3)") {
+    // the old bit-packed scheme ((batchId+1)<<40 | monotonically_increasing_id)
+    // collided across batches once a batch had >= 128 partitions, because the
+    // partition id lives in bits 33+ of the mid; the reserved-range scheme
+    // must not
+    val base = tmp("seqs")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    def wideBatch(tag: String) = spark.range(0, 400)
+      .repartition(200)
+      .selectExpr(s"concat('wide.t', id % 7) AS topic",
+        s"encode(concat('$tag', id), 'UTF-8') AS payload")
+    StreamIngest.appendBatch(db, wideBatch("a"), 0L, "wq")
+    StreamIngest.appendBatch(db, wideBatch("b"), 1L, "wq")
+    db.put("wide.api", "interleaved".getBytes) // API put draws the same counter
+    db.sync()
+    val seqs = db.snapshot().select("seq").collect().map(_.getLong(0))
+    assert(seqs.length == 801)
+    assert(seqs.distinct.length == 801,
+      s"duplicate seqs: ${seqs.groupBy(identity).filter(_._2.length > 1).keys.take(5).toList}")
+    // contiguity: 800 streaming rows burn exactly seqs 1..800
+    assert(seqs.sorted.take(800).toList == (1L to 800L).toList)
+  }
+
+  test("S1 ingest: varz counts streaming-ingested rows and bytes (r2 verdict O17)") {
+    val base = tmp("varzstream")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val batch = spark.createDataset(Seq(
+      ("v.a", "12345".getBytes), ("v.b", "678".getBytes),
+      ("bad..t", "dead".getBytes)))( // reject — must NOT count as a put
+      Encoders.product[(String, Array[Byte])]).toDF("topic", "payload")
+    StreamIngest.appendBatch(db, batch, 0L, "vq")
+    val v = db.varz()
+    assert(v.puts == 2, s"puts=${v.puts}")
+    assert(v.bytesWritten == 8, s"bytesWritten=${v.bytesWritten}")
+    assert(v.syncs == 1)
+    // replayed batch is a no-op for metrics too
+    StreamIngest.appendBatch(db, batch, 0L, "vq")
+    assert(db.varz().puts == 2)
+  }
+
+  test("vacuum preserves _ingest_commits and _rejects (r2 verdict #2)") {
+    val base = tmp("vacside")
+    var now = T0
+    val db = UnitDb.open(spark, base + "/store", clock = () => now)
+    val batch = spark.createDataset(Seq(
+      ("vs.keep", "k1".getBytes), ("vs.ttl?ttl=1s", "expiring".getBytes),
+      ("bad..topic", "dead".getBytes)))(
+      Encoders.product[(String, Array[Byte])]).toDF("topic", "payload")
+    StreamIngest.appendBatch(db, batch, 3L, "vsq")
+    assert(db.count() == 2)
+    now = T0 + 60000 // the ttl row expires; vacuum will drop it
+    db.vacuum()
+    assert(db.count() == 1)
+    // the commit marker survived the swap: a crash-replay of batch 3 must
+    // still be a no-op (no duplicate rows)
+    StreamIngest.appendBatch(db, batch, 3L, "vsq")
+    assert(db.count() == 1, "replayed batch after vacuum re-appended rows")
+    // dead letters survived too
+    val rej = StreamIngest.rejects(db, "vsq").collect()
+    assert(rej.length == 1 && rej.head.getAs[String]("topic") == "bad..topic")
+  }
+
   test("S1 ingest honors ttl/contract/topic options distributively") {
     val base = tmp("opts")
     var now = T0

@@ -94,6 +94,21 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("unit4.test")).length == 9)
   }
 
+  test("delete with a non-matching topic is a no-op (reference topic validation)") {
+    // the reference Delete validates the topic before freeing the block
+    // (db.go:392-425); since the anti-join keys on (seq, topic), a wrong
+    // topic must leave the message alive (ADVICE r2)
+    val (db, _, tick) = freshDb()
+    db.put("unit8.real", "survives".getBytes); tick(1000)
+    db.sync()
+    val seq = db.getFrame(Query("unit8.real")).collect().head.getAs[Long]("seq")
+    db.delete(seq, "unit8.other") // same seq, wrong topic
+    db.sync()
+    assert(db.get(Query("unit8.real")).length == 1, "wrong-topic delete removed the row")
+    db.delete(seq, "unit8.real") // correct topic actually deletes
+    assert(db.get(Query("unit8.real")).isEmpty)
+  }
+
   test("wildcard vectors: bidirectional matching through the engine") {
     val (db, _, tick) = freshDb()
     val pairs = Seq(
