@@ -240,10 +240,32 @@ object LlmQueries {
     "l10_ann_ivf" -> {
       val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +
         " - 2.0 * list_reduce(list_transform(list_zip(%s, cv), z -> z[1] * z[2]), (a, b) -> a + b)"
+      // Lloyd's k-means on the vec_id < IvfTrainSample prefix, IvfIters
+      // fixed iterations — the exact CTE mirror of Similarity.lloyd: same
+      // |c|²−2·v·c argmin (ties → lowest cid), means summed in vec_id
+      // order via sequential list_reduce folds, one IEEE division, empty
+      // cells keep the previous centroid. Bit-identical to the Spark side.
+      val iters = (1 to Similarity.IvfIters).map { i =>
+        val prev = s"cent${i - 1}"
+        s"""sc$i AS (SELECT s.vec_id, s.v, c.cid, ${d2.format("s.v")} AS d
+           |       FROM samp s, $prev c),
+           |asg$i AS (SELECT vec_id, v, cid FROM (
+           |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |         FROM sc$i) WHERE rn = 1),
+           |agg$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cnt
+           |        FROM asg$i GROUP BY cid),
+           |cent$i AS (SELECT c.cid, COALESCE(list_transform(
+           |           list_reduce(a.vs, (x, y) -> list_transform(list_zip(x, y), z -> z[1] + z[2])),
+           |           x -> x / a.cnt), c.cv) AS cv
+           |         FROM $prev c LEFT JOIN agg$i a ON a.cid = c.cid)""".stripMargin
+      }.mkString(",\n")
+      val cent = s"cent${Similarity.IvfIters}"
       s"""WITH $embCte,
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < ${Similarity.IvfCells}),
-        |sc AS (SELECT n.vec_id, n.v, n.nv, cent.cid, ${d2.format("n.v")} AS d
-        |       FROM n, cent),
+        |samp AS (SELECT vec_id, v FROM n WHERE vec_id < ${Similarity.IvfTrainSample}),
+        |cent0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < ${Similarity.IvfCells}),
+        |$iters,
+        |sc AS (SELECT n.vec_id, n.v, n.nv, $cent.cid, ${d2.format("n.v")} AS d
+        |       FROM n, $cent),
         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sc),
         |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1),
         |pcells AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
