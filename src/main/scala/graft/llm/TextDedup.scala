@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the heaviest stage is the band-bucket shuffle, which is
   * O(N · bands) rows of (id, hash) — small fixed-width records — and the
-  * verify joins are equi-joins keyed by doc id. Skewed buckets (a viral
-  * boilerplate string) are handled by AQE skew-join splitting.
+  * verify joins are equi-joins keyed by doc id. Skewed buckets are
+  * bounded two ways: AQE skew-join splitting for shuffle balance, and the
+  * [[MinhashBucketCap]] guard for pair-count blow-up (a viral boilerplate
+  * string would otherwise generate n² candidate pairs from one bucket).
   */
 object TextDedup {
 
@@ -59,6 +61,17 @@ object TextDedup {
   val MinhashR = 4
   val MinhashB = 32
 
+  /** Hot-bucket guard: a band bucket holding more than this many docs is
+    * dropped from candidate generation (r2 VERDICT #6 — AQE splits a
+    * skewed bucket's *shuffle* but nothing bounds its *pair count*, which
+    * grows as n², the viral-boilerplate pathology). A dropped bucket's
+    * members are near-identical en masse — exactly what [[exactDedup]]
+    * (or any one of their OTHER band buckets, if genuinely under the cap)
+    * already catches; the cap is far above any organic bucket size, so it
+    * only fires on pathological mass duplication. 256 docs ⇒ ≤ 32 640
+    * pairs per bucket, a hard ceiling per (band, hash). */
+  val MinhashBucketCap = 256
+
   /** Near-duplicate pairs by banded-MinHash LSH, verified with exact
     * word-trigram Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard),
     * doc_a < doc_b, sorted.
@@ -89,11 +102,21 @@ object TextDedup {
       graft.functions.MinHashSig(col("hset"), MinhashK).as("sig"))
 
     // banding: B buckets keyed by (band index, hash of the R-slot slice)
-    val bands = sig
+    val rawBands = sig
       .withColumn("band", explode(expr(
         s"transform(sequence(0, ${MinhashB - 1}), b -> named_struct(" +
           s"'idx', b, 'h', hash(${Array.tabulate(MinhashR)(r => s"sig[b * $MinhashR + $r]").mkString(", ")}, b)))")))
       .select(col("doc_id"), col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
+
+    // hot-bucket guard: count per bucket with a window over the SAME
+    // (band_idx, band_hash) key the self-join shuffles on — the exchange
+    // is shared, so the guard costs no extra shuffle — and drop buckets
+    // over the cap before any pair is formed
+    val bands = rawBands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= MinhashBucketCap)
+      .drop("bucket_n")
 
     val candidates = bands.as("x")
       .join(bands.as("y"),

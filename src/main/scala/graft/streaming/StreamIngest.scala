@@ -144,6 +144,26 @@ object StreamIngest {
     Files.createFile(marker): Unit
   }
 
+  /** Observability hook (SURVEY §1.4: reference Varz → engine listener):
+    * folds Structured Streaming progress events into per-query-name input
+    * row counters. Attach with `spark.streams.addListener(l)`; read with
+    * [[IngestProgressListener.rowsFor]]. Complements the store-level
+    * [[UnitDb.varz]] counters (which count *accepted* rows at append
+    * time) with the engine's own view of rows entering each query. */
+  final class IngestProgressListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val rows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def rowsFor(queryName: String): Long = rows.getOrDefault(queryName, 0L)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val name = e.progress.name
+      if (name != null)
+        rows.merge(name, e.progress.numInputRows, (a, b) => a + b): Unit
+    }
+  }
+
   /** Dead-lettered rows for a query (empty frame if none). */
   def rejects(db: UnitDb, queryName: String): DataFrame = {
     val p = Paths.get(db.path, "_rejects", queryName)

@@ -146,6 +146,45 @@ object Subscribe {
       .start()
   }
 
+  /** Long-lived SUBSCRIBE with DYNAMIC subscriptions (reference
+    * subscribers register and deregister live — onSubscribe/onUnsubscribe,
+    * server/internal/hdl_conn.go:384-431). [[start]] freezes its
+    * subscription DataFrame's *file listing* at plan time (a parquet
+    * relation caches its InMemoryFileIndex), so rows added or removed
+    * after the query starts are silently invisible to it — and an
+    * in-memory frame can never change at all. Here the subscription table
+    * is RESOLVED FRESH each micro-batch: `loadSubs` runs inside
+    * foreachBatch, so SUBSCRIBE = append a row to the backing table and
+    * UNSUBSCRIBE = remove it (rewrite/tombstone), each honored from the
+    * next batch on — the same granularity as the reference's per-node
+    * registry updates. The per-batch fan-out is the identical broadcast
+    * (or partitioned) join [[start]] plans; only the resolution point
+    * moves. Subscriptions tables are tiny, so the per-batch re-read is a
+    * metadata listing + small scan, not a scale cost.
+    *
+    * Reliable-mode note: keyed dedup state lives in the *streaming* plan,
+    * which this path bypasses — for reliable delivery with dynamic subs,
+    * dedupe the message stream (e.g. `dropDuplicatesWithinWatermark` on
+    * seq) before handing it here; each subscriber then sees a message at
+    * most once per retention window. */
+  def startDynamic(
+      messages: DataFrame,
+      loadSubs: org.apache.spark.sql.SparkSession => DataFrame,
+      checkpointDir: String,
+      deliver: (DataFrame, Long) => Unit,
+      queryName: String = "graft_subscribe_dyn",
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      fanoutFn: (DataFrame, DataFrame) => DataFrame = fanout): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
+      deliver(fanoutFn(batch.toDF(), loadSubs(batch.sparkSession)), batchId)
+    messages.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** S3 RELAY (reference server/internal/hdl_conn.go:349-381): historical
     * replay of a subscription pattern — the batch face of the core `get`
     * query, returned as a DataFrame the caller streams to the requester.

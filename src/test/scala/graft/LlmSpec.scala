@@ -31,6 +31,29 @@ class LlmSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("minhash hot-bucket guard bounds pair blow-up from mass duplication") {
+    // 1000 copies of one boilerplate doc would generate ~500k candidate
+    // pairs per band without the guard; with it, every viral bucket
+    // exceeds MinhashBucketCap and is dropped before pair generation,
+    // while organic near-dup pairs in the same table still surface
+    import spark.implicits._
+    val viral = (1L to 1000L).map(i =>
+      (i, "breaking news subscribe to our channel for more daily updates and offers today"))
+    val organic = Seq(
+      (2001L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2002L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3001L, "completely unrelated text about spark catalyst expression codegen internals"))
+    val docs = (viral ++ organic).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashNearDup(docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: no pair may involve a viral doc (their buckets are capped);
+    // the organic near-dup pair must still be found via its own bucket
+    assert(pairs.forall { case (a, b) => a > 1000 && b > 1000 },
+      s"viral bucket leaked pairs: ${pairs.take(5).toList}")
+    assert(pairs.toSet == Set((2001L, 2002L)))
+  }
+
   test("exact dedup groups are real duplicate token-set groups") {
     val groups = TextDedup.exactDedup(docs).collect()
     assert(groups.nonEmpty)

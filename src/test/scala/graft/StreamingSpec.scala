@@ -310,6 +310,64 @@ class StreamingSpec extends SparkSpec {
       (50L, "a"), (60L, "a"), (60L, "b"), (50L, "wildpub"), (60L, "wildpub")))
   }
 
+  test("S2 dynamic subscriptions: add + remove mid-stream change fan-out next batch") {
+    val base = tmp("dynsub")
+    val subsPath = base + "/subs"
+    def writeSubs(subs: Subscription*): Unit =
+      spark.createDataset(subs)(Encoders.product[Subscription]).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(subsPath)
+    writeSubs(Subscription(1L, "dyn.a.*"))
+
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val delivered = ArrayBuffer[(Long, String)]()
+    val q = Subscribe.startDynamic(
+      mem.toDF().toDF("topic", "payload", "ts"),
+      loadSubs = s => s.read.parquet(subsPath),
+      base + "/ckpt",
+      deliver = (df: DataFrame, _: Long) =>
+        delivered.synchronized {
+          delivered ++= df.select("sub_id", "payload").collect()
+            .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1))))
+        })
+    mem.addData(("dyn.a.x", "m1".getBytes, ts(T0)))
+    q.processAllAvailable()
+    assert(delivered.toSet == Set((1L, "m1")))
+
+    // SUBSCRIBE while running: sub 2 joins; UNSUBSCRIBE: sub 1 leaves
+    writeSubs(Subscription(2L, "dyn..."))
+    mem.addData(("dyn.a.y", "m2".getBytes, ts(T0 + 1000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(delivered.toSet == Set((1L, "m1"), (2L, "m2")),
+      s"dynamic subs not honored: $delivered")
+  }
+
+  test("ingest progress listener counts per-query input rows (Varz hook)") {
+    val base = tmp("listen")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val listener = new StreamIngest.IngestProgressListener
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+        Encoders.product[(String, Array[Byte], Timestamp)], spark)
+      val q = StreamIngest.start(db, mem.toDF().toDF("topic", "payload", "ts"),
+        base + "/ckpt", queryName = "listen_q")
+      mem.addData(
+        ("li.a", "1".getBytes, ts(T0)),
+        ("li.b", "2".getBytes, ts(T0 + 1000)),
+        ("li.c", "3".getBytes, ts(T0 + 2000)))
+      q.processAllAvailable()
+      q.stop()
+      // progress events are delivered async — bounded wait
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.rowsFor("listen_q") < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.rowsFor("listen_q") == 3)
+      assert(db.varz().puts == 3) // store-level counters agree
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("S4 flow control: batch-mode subscriber gets count-bounded deliveries") {
     val base = tmp("flow")
     val subs = spark.createDataset(Seq(
