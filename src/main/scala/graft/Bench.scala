@@ -32,7 +32,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => }
+      // a failed query must be VISIBLE — a swallowed failure reads as a
+      // fast query and quietly corrupts the trend line
+      try run(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
