@@ -58,7 +58,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHashFp(exprs(0))),
     ("trigram_hashes",
       "trigram_hashes(tokens) - distinct word-trigram hash set of a token array",
-      (exprs: Seq[Expression]) => TrigramHashes(exprs(0))))
+      (exprs: Seq[Expression]) => TrigramHashes(exprs(0))),
+    ("winnow_fp",
+      "winnow_fp(tokens) - winnowing (rolling-hash) document fingerprint of a token array",
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0))))
 
   /** Register every graft function in one live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -55,6 +55,22 @@ object LlmQueries {
     "l9_embdup_lsh" -> { (s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir)) },
 
+    // n-gram-Jaccard dedup family: character 5-grams, banded-LSH blocked.
+    "l12_ngram_jaccard" -> { (s, dir) =>
+      TextDedup.ngramJaccardNearDup(Tables.documents(s, dir)) },
+
+    // Rolling-hash document fingerprinting (winnowing): one codegen'd
+    // per-row kernel, zero shuffle; output digests the selected-hash set.
+    "l13_winnow_fp" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.WinnowFingerprint(split(col("text"), " ")).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("long").as("n_fp"),
+          md5(encode(concat_ws(",",
+            transform(col("fp"), x => x.cast("string"))), "UTF-8")).as("fp_md5"))
+        .orderBy("doc_id") },
+
     "l10_ann_ivf" -> { (s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir)) },
 
@@ -236,6 +252,46 @@ object LlmQueries {
         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // straightforward all-pairs n-gram Jaccard at oracle scale; the Spark
+    // side is the banded-LSH scale path (recall argument as l2)
+    "l12_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+        |             unnest(list_distinct(list_transform(range(greatest(length(text) - 4, 0)),
+        |               i -> substring(text, CAST(i + 1 AS INTEGER), 5)))) AS s
+        |           FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id AS doc_a, b_id AS doc_b,
+        |       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the exact SQL mirror of functions/WinnowFingerprint: 32-bit md5
+    // token hash (the l7 parity trick), k-gram rolling hash
+    // (t0*4 XOR t1*2 XOR t2 — exact int64), min per 4-window (tail
+    // truncated), distinct ascending, digested
+    "l13_winnow_fp" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks),
+        |th AS (SELECT doc_id, i, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM pos),
+        |kg AS (SELECT a.doc_id, a.i, xor(xor(a.h * 4, b.h * 2), c.h) AS h
+        |       FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |                 JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |win AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM kg),
+        |fp AS (SELECT doc_id, COUNT(DISTINCT sel) AS n_fp,
+        |         md5(array_to_string(list_sort(list_distinct(list(sel))), ',')) AS fp_md5
+        |       FROM win GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_fp, 0) AS n_fp,
+        |       COALESCE(fp.fp_md5, md5('')) AS fp_md5
+        |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "l10_ann_ivf" -> {
       val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +

@@ -83,15 +83,45 @@ object TextDedup {
     * Jaccard absent 64-bit collisions (~|A||B|/2^64 per pair). The band
     * self-join is aliased over one plan so the band-bucket shuffle is
     * written once and ReusedExchange reads it back for the other side. */
-  def minhashNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     // trigram_hashes replaces shingle-string construction + re-hashing
     // (three-way concat per window) with direct hash chaining in one
     // codegen'd kernel; the distinct-hash set preserves shingle equality,
     // which is all Jaccard needs
-    val hs = docs
-      .select(col("doc_id"),
-        graft.functions.TrigramHashes(split(col("text"), " ")).as("hset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshVerifiedPairs(
+      docs.select(col("doc_id"),
+        graft.functions.TrigramHashes(split(col("text"), " ")).as("hset")),
+      threshold)
+
+  /** Character n-gram Jaccard near-duplicates (default 5-grams, Jaccard >=
+    * 0.7) — the n-gram-Jaccard dedup family: catches near-dups that
+    * word-level shingles under-weigh (intra-word edits, punctuation/
+    * whitespace variance), with the SAME banded-LSH scale shape as
+    * [[minhashNearDup]] — never all-pairs. Grams are hashed to 64 bits at
+    * the scan (xxhash64); Jaccard over the hash sets equals string
+    * Jaccard absent collisions (~|A||B|/2^64 per pair, the l2 argument).
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, sorted. */
+  def ngramJaccardNearDup(docs: DataFrame, n: Int = 5, threshold: Double = 0.7): DataFrame =
+    lshVerifiedPairs(
+      docs.select(col("doc_id"),
+        // guard: sequence(1, 0) counts DOWN in Spark, so a doc shorter
+        // than n chars must short-circuit to the empty gram set (as the
+        // oracle's range() naturally does)
+        when(length(col("text")) >= n,
+          array_distinct(transform(
+            sequence(lit(1), length(col("text")) - (n - 1)),
+            i => xxhash64(col("text").substr(i, lit(n))))))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hset")),
+      threshold)
+
+  /** The shared near-dup engine: banded-MinHash candidate generation +
+    * exact-Jaccard verification over a `(doc_id, hset ARRAY<LONG>)` frame.
+    * The hash sets are computed ONCE (persisted MEMORY_AND_DISK — 8 B per
+    * gram, orders smaller than text) and reused by the signature, banding
+    * and verification stages; only same-bucket pairs under the
+    * [[MinhashBucketCap]] are ever formed. */
+  private def lshVerifiedPairs(hashSets: DataFrame, threshold: Double): DataFrame = {
+    val hs = hashSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: one custom codegen'd Expression computes all K slots in a
     // primitive loop per row (see graft.functions.MinHashSig for why it

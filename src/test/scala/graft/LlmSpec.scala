@@ -31,6 +31,53 @@ class LlmSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("char-ngram Jaccard LSH finds exactly the pairs exact gram Jaccard finds") {
+    val n = 5
+    val grams = docs.select(col("doc_id"),
+      when(length(col("text")) >= n,
+        array_distinct(transform(sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n)))))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("g"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val exact = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("j", col("inter") * lit(1.0) / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("j") >= 0.7)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = TextDedup.ngramJaccardNearDup(docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("winnow fingerprint: deterministic, near-dups overlap, short docs empty") {
+    import spark.implicits._
+    val fpOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"),
+        graft.functions.WinnowFingerprint(split(col("text"), " ")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sample = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (3L, "completely different content with no shared trigram windows at all here"),
+      (4L, "too short")) // < 3 tokens → empty fingerprint
+    val fps = fpOf(sample.toDF("doc_id", "text"))
+    val fps2 = fpOf(sample.toDF("doc_id", "text"))
+    assert(fps == fps2, "fingerprints must be deterministic")
+    assert(fps(4L).isEmpty)
+    assert(fps(1L).nonEmpty && fps(1L) == fps(1L).distinct.sorted)
+    def overlap(x: Seq[Long], y: Seq[Long]) =
+      x.toSet.intersect(y.toSet).size * 1.0 / math.max(x.toSet.union(y.toSet).size, 1)
+    assert(overlap(fps(1L), fps(2L)) >= 0.5,
+      s"near-identical docs must share most selected hashes: ${overlap(fps(1L), fps(2L))}")
+    assert(overlap(fps(1L), fps(3L)) == 0.0)
+  }
+
   test("minhash hot-bucket guard bounds pair blow-up from mass duplication") {
     // 1000 copies of one boilerplate doc would generate ~500k candidate
     // pairs per band without the guard; with it, every viral bucket
