@@ -101,26 +101,37 @@ object TextDedup {
     * the scan (xxhash64); Jaccard over the hash sets equals string
     * Jaccard absent collisions (~|A||B|/2^64 per pair, the l2 argument).
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, sorted. */
+  /** Band-vote floor for the char-gram path. Character grams are far less
+    * selective than word shingles — unrelated English documents share
+    * ~18 % of their 5-grams (common letter sequences), giving each of the
+    * 32 bands a ~0.1 % match probability, which at a single-band floor
+    * made 3.5 % of ALL pairs candidates (measured: 443 k candidate pairs
+    * at sf0.1 — the verify stage, not the data, became the cost). With a
+    * ≥ 3-band vote, a random pair qualifies with p ≈ 6e-6 while a pair at
+    * the 0.7 threshold (per-band p = 0.24, mean 7.7 of 32 bands) is
+    * missed with p ≈ 0.9 % — and pairs at the similarity our verify
+    * actually confirms (≥ 0.9) are missed with p ≈ 1e-12. */
+  val NgramMinBandMatches = 3
+
   def ngramJaccardNearDup(docs: DataFrame, n: Int = 5, threshold: Double = 0.7): DataFrame =
     lshVerifiedPairs(
       docs.select(col("doc_id"),
-        // guard: sequence(1, 0) counts DOWN in Spark, so a doc shorter
-        // than n chars must short-circuit to the empty gram set (as the
-        // oracle's range() naturally does)
-        when(length(col("text")) >= n,
-          array_distinct(transform(
-            sequence(lit(1), length(col("text")) - (n - 1)),
-            i => xxhash64(col("text").substr(i, lit(n))))))
-          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hset")),
-      threshold)
+        graft.functions.CharNgramHashes(col("text"), n).as("hset")),
+      threshold, minBandMatches = NgramMinBandMatches)
 
   /** The shared near-dup engine: banded-MinHash candidate generation +
     * exact-Jaccard verification over a `(doc_id, hset ARRAY<LONG>)` frame.
     * The hash sets are computed ONCE (persisted MEMORY_AND_DISK — 8 B per
     * gram, orders smaller than text) and reused by the signature, banding
     * and verification stages; only same-bucket pairs under the
-    * [[MinhashBucketCap]] are ever formed. */
-  private def lshVerifiedPairs(hashSets: DataFrame, threshold: Double): DataFrame = {
+    * [[MinhashBucketCap]] are ever formed. `minBandMatches` > 1 turns
+    * candidate generation into a band VOTE — a pair must collide in that
+    * many bands before the exact verify sees it (needed when the gram
+    * family is weakly selective, see [[NgramMinBandMatches]]); the count
+    * rides on the aggregation that replaces the candidate `distinct`, so
+    * it costs nothing extra. */
+  private def lshVerifiedPairs(
+      hashSets: DataFrame, threshold: Double, minBandMatches: Int = 1): DataFrame = {
     val hs = hashSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: one custom codegen'd Expression computes all K slots in a
@@ -154,7 +165,9 @@ object TextDedup {
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_nb"))
+      .filter(col("_nb") >= minBandMatches)
+      .drop("_nb")
 
     // exact verification on the candidate set only, over the cached hash sets
     val a = hs.select(col("doc_id").as("doc_a"), col("hset").as("sa"))
