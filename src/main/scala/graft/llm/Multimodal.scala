@@ -87,6 +87,45 @@ object Multimodal {
     }.toDF("asset_id", "frame_idx", "byte_offset", "frame_bytes")
   }
 
+  /** Resize to a target box: the Spark shape of a media resize — per-asset
+    * kernel on the executor holding the bytes (mapPartitions, no shuffle),
+    * output carries the new declared dimensions plus the transformed
+    * payload. The pixel resampler is [[resizeStub]] (same contract as
+    * [[decodeStub]]: the one function a real deployment replaces with
+    * libjpeg/ffmpeg scaling); everything around it — schema, dimension
+    * arithmetic, aspect-preserving box fit — is real. */
+  def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
+    implicit val enc = Encoders.product[MediaAsset]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (w, h) = fitBox(a.declared_width, a.declared_height, maxW, maxH)
+        a.copy(
+          media_bytes = resizeStub(a.media_bytes, a.declared_width, a.declared_height, w, h),
+          declared_width = w,
+          declared_height = h)
+      }
+    }
+  }
+
+  /** Aspect-preserving fit of (w, h) into (maxW, maxH), never upscaling;
+    * degenerate declared dims pass through clamped. */
+  private[llm] def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    if (w <= 0 || h <= 0) return (math.max(w, 0) min maxW, math.max(h, 0) min maxH)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
+  }
+
+  /** STUB — stands in for the real pixel resampler. Deterministic fake:
+    * proportional byte decimation to the area ratio, so output size tracks
+    * the real memory effect of a resize and reruns are exact. */
+  def resizeStub(bytes: Array[Byte], w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte] = {
+    val a0 = math.max(1L, w0.toLong * h0)
+    val a1 = math.max(1L, w1.toLong * h1)
+    if (a1 >= a0 || bytes.isEmpty) return bytes
+    val keep = math.max(1, (bytes.length * a1 / a0).toInt)
+    Array.tabulate(keep)(i => bytes((i.toLong * bytes.length / keep).toInt))
+  }
+
   /** Synthesize assets from the documents table (utf-8 payload bytes) — the
     * testdata has no real media, but the plumbing is payload-agnostic. */
   def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {

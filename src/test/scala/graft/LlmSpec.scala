@@ -194,4 +194,31 @@ class LlmSpec extends SparkSpec {
     assert(frames.count() === 20)
     assert(frames.groupBy("asset_id").count().collect().forall(_.getLong(1) == 4))
   }
+
+  test("resize fits the declared box aspect-preserving, deterministic payload") {
+    val assets = Multimodal.assetsFromDocuments(spark, docs.limit(20))
+    val resized = Multimodal.resize(assets, maxW = 64, maxH = 64).collect()
+    val orig = assets.collect().map(a => a.asset_id -> a).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val o = orig(r.asset_id)
+      assert(r.declared_width <= 64 && r.declared_height <= 64)
+      if (o.declared_width >= 8 && o.declared_height >= 8) {
+        // aspect preserved within rounding (degenerate 1-px dims can't
+        // hold aspect after integer rounding, so only check real boxes)
+        val ar0 = o.declared_width.toDouble / o.declared_height
+        val ar1 = r.declared_width.toDouble / r.declared_height
+        assert(math.abs(ar0 - ar1) / ar0 < 0.2, s"aspect drifted: $ar0 vs $ar1")
+        // payload shrinks with the area ratio (stub decimation is real
+        // about the memory effect)
+        if (r.declared_width < o.declared_width)
+          assert(r.media_bytes.length < o.media_bytes.length)
+      }
+      assert(r.media_bytes.length >= 1)
+    }
+    // deterministic
+    val again = Multimodal.resize(assets, maxW = 64, maxH = 64).collect()
+      .map(a => a.asset_id -> a.media_bytes.toSeq).toMap
+    assert(resized.forall(a => again(a.asset_id) == a.media_bytes.toSeq))
+  }
 }
