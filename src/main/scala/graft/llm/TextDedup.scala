@@ -122,17 +122,33 @@ object TextDedup {
   /** The shared near-dup engine: banded-MinHash candidate generation +
     * exact-Jaccard verification over a `(doc_id, hset ARRAY<LONG>)` frame.
     * The hash sets are computed ONCE (persisted MEMORY_AND_DISK — 8 B per
-    * gram, orders smaller than text) and reused by the signature, banding
-    * and verification stages; only same-bucket pairs under the
-    * [[MinhashBucketCap]] are ever formed. `minBandMatches` > 1 turns
-    * candidate generation into a band VOTE — a pair must collide in that
-    * many bands before the exact verify sees it (needed when the gram
-    * family is weakly selective, see [[NgramMinBandMatches]]); the count
-    * rides on the aggregation that replaces the candidate `distinct`, so
-    * it costs nothing extra. */
+    * gram, orders smaller than text); EXACT-duplicate sets are collapsed
+    * to one representative before any LSH work — web-scale corpora are
+    * duplicate-heavy, and without the collapse every group of d copies
+    * multiplies candidate generation AND exact verification by d²
+    * (measured 2–4× of those queries' wall time on the 10×-replicated
+    * scale bench). Signature, banding and verify run once per unique set;
+    * member pairs are expanded back afterward — identical output, since
+    * Jaccard is a function of the sets alone: cross pairs inherit the
+    * verified value, intra-group pairs are exactly 1.0. Intra expansion
+    * of groups larger than [[MinhashBucketCap]] is suppressed (the same
+    * mass-duplication principle as the bucket guard: that pathology is
+    * [[exactDedup]]'s job, not a pair list).
+    *
+    * `minBandMatches` > 1 turns candidate generation into a band VOTE — a
+    * pair must collide in that many bands before the exact verify sees it
+    * (needed when the gram family is weakly selective, see
+    * [[NgramMinBandMatches]]); the count rides on the aggregation that
+    * replaces the candidate `distinct`, so it costs nothing extra. */
   private def lshVerifiedPairs(
       hashSets: DataFrame, threshold: Double, minBandMatches: Int = 1): DataFrame = {
-    val hs = hashSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one linear shuffle, keyed by the gram-set itself — unconditional
+    // set equality, no hash-collision caveat
+    val groups = hashSets
+      .groupBy("hset")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hs = groups.select(col("rep").as("doc_id"), col("hset"))
 
     // signature: one custom codegen'd Expression computes all K slots in a
     // primitive loop per row (see graft.functions.MinHashSig for why it
@@ -169,10 +185,11 @@ object TextDedup {
       .filter(col("_nb") >= minBandMatches)
       .drop("_nb")
 
-    // exact verification on the candidate set only, over the cached hash sets
+    // exact verification on the candidate set only, over the cached hash
+    // sets — once per unique-set pair
     val a = hs.select(col("doc_id").as("doc_a"), col("hset").as("sa"))
     val b = hs.select(col("doc_id").as("doc_b"), col("hset").as("sb"))
-    candidates
+    val vpairs = candidates
       .join(a, "doc_a")
       .join(b, "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -180,7 +197,26 @@ object TextDedup {
         col("inter") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+
+    // expand representative pairs back to member pairs (groups are
+    // disjoint, so least/greatest just restores doc_a < doc_b) ...
+    val ma = groups.select(col("rep").as("doc_a"), explode(col("members")).as("m_a"))
+    val mb = groups.select(col("rep").as("doc_b"), explode(col("members")).as("m_b"))
+    val cross = vpairs
+      .join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
+    // ... plus intra-group pairs: identical nonempty sets are Jaccard
+    // exactly 1.0 (two EMPTY sets share no gram — never a pair, exactly
+    // as the oracle's join computes); capped per the doc above
+    val intra = groups
+      .filter(size(col("members")).between(2, MinhashBucketCap) && size(col("hset")) > 0)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   // SimHash: 32-bit fingerprint; pairs within Hamming distance <= 1 must

@@ -99,7 +99,7 @@ object StreamIngest {
     * free at ANY partition count, and also never collides with driver-side
     * API puts (same counter). Rejected rows burn their reserved seqs,
     * leaving gaps; gaps are harmless — uniqueness, not density, is the
-    * contract. The counts pass re-reads only the persisted hash sets, not
+    * contract. The counts pass reads only the persisted parsed batch, not
     * the source. */
   def appendBatch(db: UnitDb, batch: DataFrame, batchId: Long, queryName: String): Unit = {
     val commitDir = Paths.get(db.path, "_ingest_commits", queryName)

@@ -78,6 +78,39 @@ class LlmSpec extends SparkSpec {
     assert(overlap(fps(1L), fps(3L)) == 0.0)
   }
 
+  test("duplicate-collapse expansion: replicated corpus yields the exact expanded pairs") {
+    // duplicate every doc (id + 10_000): the collapsed LSH must emit, for
+    // each original pair (a,b), all four cross pairs, plus (d, d+10k)
+    // intra pairs for every doc with a nonempty gram set — identical to
+    // what the uncollapsed pipeline would produce, at 1/4 the verify cost
+    import org.apache.spark.sql.functions._
+    val offset = 10000L
+    val doubled = docs.select("doc_id", "text")
+      .unionByName(docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
+    val base = TextDedup.minhashNearDup(docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextDedup.minhashNearDup(doubled)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shingledDocs = TextDedup.shingled(docs)
+      .filter(size(col("shingles")) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedCross = base.flatMap { case (a, b) =>
+      Set((a, b), (a, b + offset), (b, a + offset), (a + offset, b + offset))
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    }
+    // exact-duplicate token sets in the ORIGINAL corpus also pair with
+    // each other's twins; restrict the strong assertion to intra + cross
+    assert(base.nonEmpty)
+    assert(got.filter(p => p._1 < offset && p._2 < offset) == base,
+      "restriction to original ids must equal the original output")
+    shingledDocs.foreach { d =>
+      assert(got.contains((d, d + offset)), s"missing twin pair for doc $d")
+    }
+    assert(expectedCross.subsetOf(got), "cross-pair expansion incomplete")
+  }
+
   test("minhash hot-bucket guard bounds pair blow-up from mass duplication") {
     // 1000 copies of one boilerplate doc would generate ~500k candidate
     // pairs per band without the guard; with it, every viral bucket
