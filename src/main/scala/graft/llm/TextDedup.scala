@@ -143,12 +143,17 @@ object TextDedup {
   private def lshVerifiedPairs(
       hashSets: DataFrame, threshold: Double, minBandMatches: Int = 1): DataFrame = {
     // one linear shuffle, keyed by the gram-set itself — unconditional
-    // set equality, no hash-collision caveat
-    val groups = hashSets
-      .groupBy("hset")
-      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+    // set equality, no hash-collision caveat. Windows (not
+    // groupBy+collect_list) keep the member mapping FLAT: a group is
+    // never materialized as one row's array, so even a viral page with
+    // millions of copies can't blow up a single task
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("hset")
+    val withRep = hashSets
+      .withColumn("rep", min("doc_id").over(wg))
+      .withColumn("grp_n", count(lit(1)).over(wg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hs = groups.select(col("rep").as("doc_id"), col("hset"))
+    val hs = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("hset"))
 
     // signature: one custom codegen'd Expression computes all K slots in a
     // primitive loop per row (see graft.functions.MinHashSig for why it
@@ -200,21 +205,25 @@ object TextDedup {
 
     // expand representative pairs back to member pairs (groups are
     // disjoint, so least/greatest just restores doc_a < doc_b) ...
-    val ma = groups.select(col("rep").as("doc_a"), explode(col("members")).as("m_a"))
-    val mb = groups.select(col("rep").as("doc_b"), explode(col("members")).as("m_b"))
+    val ma = withRep.select(col("rep").as("doc_a"), col("doc_id").as("m_a"))
+    val mb = withRep.select(col("rep").as("doc_b"), col("doc_id").as("m_b"))
     val cross = vpairs
       .join(ma, "doc_a").join(mb, "doc_b")
       .select(least(col("m_a"), col("m_b")).as("doc_a"),
         greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
     // ... plus intra-group pairs: identical nonempty sets are Jaccard
     // exactly 1.0 (two EMPTY sets share no gram — never a pair, exactly
-    // as the oracle's join computes); capped per the doc above
-    val intra = groups
-      .filter(size(col("members")).between(2, MinhashBucketCap) && size(col("hset")) > 0)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", lit(1.0))
+    // as the oracle's join computes); capped per the doc above. Aliased
+    // self-join on the same frame → one exchange, ReusedExchange reads it
+    // back for the other side
+    val im = withRep
+      .filter(col("grp_n").between(2, MinhashBucketCap) && size(col("hset")) > 0)
+      .select(col("rep"), col("doc_id"))
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
 
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
