@@ -163,12 +163,13 @@ object TextDedup {
     val sig = hs.select(col("doc_id"),
       graft.functions.MinHashSig(col("hset"), MinhashK).as("sig"))
 
-    // banding: B buckets keyed by (band index, hash of the R-slot slice)
+    // banding: B buckets keyed by (band index, hash of the R-slot slice) —
+    // one codegen'd kernel + posexplode (see BandHashes for why not a
+    // transform/named_struct tree)
     val rawBands = sig
-      .withColumn("band", explode(expr(
-        s"transform(sequence(0, ${MinhashB - 1}), b -> named_struct(" +
-          s"'idx', b, 'h', hash(${Array.tabulate(MinhashR)(r => s"sig[b * $MinhashR + $r]").mkString(", ")}, b)))")))
-      .select(col("doc_id"), col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.BandHashes(col("sig"), MinhashB, MinhashR)))
+      .toDF("doc_id", "band_idx", "band_hash")
 
     // hot-bucket guard: count per bucket with a window over the SAME
     // (band_idx, band_hash) key the self-join shuffles on — the exchange
