@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashSig, SimHashFp, TrigramHashes}
+import graft.functions.{BandHashes, CharNgramHashes, MinHashSig, SimHashFp,
+  TrigramHashes, WinnowFingerprint}
 
 /** Edge cases + codegen/interpreted parity for the sketch expressions. */
 class SketchExprSpec extends SparkSpec {
@@ -68,5 +69,62 @@ class SketchExprSpec extends SparkSpec {
       .head().getSeq[Long](0)
     val on = run()
     assert(on == noCodegen(run()) && on.length == 16)
+  }
+
+  test("char_ngram_hashes: shorter-than-n empty; set semantics; multibyte chars; parity") {
+    val df = Seq(
+      (1L, "abcd"),          // < 5 chars → empty
+      (2L, "abcde"),         // exactly one gram
+      (3L, "abcdeabcde"),    // repeated grams dedup (6 windows, 5 distinct: abcde,bcdea,cdeab,deabc,eabcd + abcde again)
+      (4L, "héllö wörld"),   // multibyte: code points, not bytes
+      (5L, "edcba")          // different gram than (2)
+    ).toDF("id", "text")
+    def run() = df.select(col("id"), CharNgramHashes(col("text"), 5).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = run()
+    assert(got(1L).isEmpty)
+    assert(got(2L).length == 1)
+    assert(got(3L).length == 5 && got(3L).contains(got(2L).head))
+    assert(got(4L).length == "héllö wörld".length - 4)
+    assert(got(5L).length == 1 && got(5L) != got(2L))
+    assert(got == noCodegen(run()), "codegen and interpreted must agree")
+    // sorted-distinct contract (the band/verify stages rely on set semantics)
+    got.values.foreach(h => assert(h == h.distinct.sorted))
+  }
+
+  test("band_hashes: B keys, slice-sensitive, band-index-sensitive; parity") {
+    val sig1 = Seq.tabulate(16)(i => i.toLong)
+    val sig2 = sig1.updated(0, 99L)    // differs only in band 0's slice
+    val df = Seq((1L, sig1), (2L, sig2)).toDF("id", "sig")
+    def run() = df.select(col("id"), BandHashes(col("sig"), 4, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = run()
+    assert(got(1L).length == 4)
+    assert(got(1L).distinct.length == 4, "distinct slices must give distinct keys")
+    assert(got(1L).head != got(2L).head && got(1L).tail == got(2L).tail,
+      "only the touched band's key changes")
+    assert(got == noCodegen(run()))
+    // equal slices in different bands must not collide (band idx is mixed in)
+    val flat = Seq((3L, Seq.fill(16)(7L))).toDF("id", "sig")
+      .select(BandHashes(col("sig"), 4, 4)).head().getSeq[Long](0)
+    assert(flat.distinct.length == 4)
+  }
+
+  test("winnow_fp: window-min selection invariants; parity") {
+    val df = Seq(
+      (1L, Seq("a", "b")),                      // < K tokens → empty
+      (2L, Seq("a", "b", "c")),                 // one k-gram → one selection
+      (3L, Seq("a", "b", "c", "d", "e", "f")),  // selections ⊆ k-gram hashes
+      (4L, Seq("b", "a", "c"))                  // order-sensitive
+    ).toDF("id", "toks")
+    def run() = df.select(col("id"), WinnowFingerprint(col("toks")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = run()
+    assert(got(1L).isEmpty)
+    assert(got(2L).length == 1)
+    assert(got(3L).nonEmpty && got(3L).length <= 4, "selections are window minima of 4 k-grams")
+    assert(got(4L) != got(2L))
+    got.values.foreach(fp => assert(fp == fp.distinct.sorted))
+    assert(got == noCodegen(run()))
   }
 }
