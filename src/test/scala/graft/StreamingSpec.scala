@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     assert(seqs.sorted.take(800).toList == (1L to 800L).toList)
   }
 
+  test("S1 ingest: two concurrent ingest queries into one store never collide") {
+    // two live queries (e.g. two topic feeds) share the store's seq
+    // counter through reserveSeqRange and serialize their parquet appends
+    // on the store's writer lock — seqs stay globally unique
+    val base = tmp("dualingest")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val memA = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val memB = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val qA = StreamIngest.start(db, memA.toDF().toDF("topic", "payload", "ts"),
+      base + "/ckptA", queryName = "feedA")
+    val qB = StreamIngest.start(db, memB.toDF().toDF("topic", "payload", "ts"),
+      base + "/ckptB", queryName = "feedB")
+    for (i <- 1 to 5) {
+      memA.addData(("dual.a", s"a$i".getBytes, ts(T0 + i * 1000)))
+      memB.addData(("dual.b", s"b$i".getBytes, ts(T0 + i * 1000)))
+    }
+    qA.processAllAvailable(); qB.processAllAvailable()
+    qA.stop(); qB.stop()
+    val seqs = db.snapshot().select("seq").collect().map(_.getLong(0))
+    assert(seqs.length == 10)
+    assert(seqs.distinct.length == 10, "seqs collided across concurrent queries")
+    assert(db.get(Q("dual.a")).length == 5 && db.get(Q("dual.b")).length == 5)
+  }
+
   test("S1 ingest: varz counts streaming-ingested rows and bytes (r2 verdict O17)") {
     val base = tmp("varzstream")
     val db = UnitDb.open(spark, base + "/store", clock = () => T0)
