@@ -59,6 +59,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows >= 2, s"expected two window stages, plan:\n${p.take(800)}")
   }
 
+  test("l12: near-dup pipeline reads the gram sets from cache, not re-derived") {
+    val p = plan("l12_ngram_jaccard")
+    // the persisted hash-set frame must serve every stage (sig, bands,
+    // verify, expansion) — losing the cache re-runs gram hashing per stage
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+  }
+
+  test("l13: fingerprinting is a pure projection — no mid-plan exchange") {
+    val p = SparkEntry.queries("l13_winnow_fp")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // only the final orderBy's range partitioning may exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"winnow fingerprint plan grew a shuffle:\n$p")
+    assert(!p.contains("Window"), "per-row kernel must not become a window op")
+  }
+
   test("q4 top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("q4_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
