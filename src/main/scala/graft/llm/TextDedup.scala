@@ -93,14 +93,6 @@ object TextDedup {
         graft.functions.TrigramHashes(split(col("text"), " ")).as("hset")),
       threshold)
 
-  /** Character n-gram Jaccard near-duplicates (default 5-grams, Jaccard >=
-    * 0.7) — the n-gram-Jaccard dedup family: catches near-dups that
-    * word-level shingles under-weigh (intra-word edits, punctuation/
-    * whitespace variance), with the SAME banded-LSH scale shape as
-    * [[minhashNearDup]] — never all-pairs. Grams are hashed to 64 bits at
-    * the scan (xxhash64); Jaccard over the hash sets equals string
-    * Jaccard absent collisions (~|A||B|/2^64 per pair, the l2 argument).
-    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, sorted. */
   /** Band-vote floor for the char-gram path. Character grams are far less
     * selective than word shingles — unrelated English documents share
     * ~18 % of their 5-grams (common letter sequences), giving each of the
@@ -113,6 +105,14 @@ object TextDedup {
     * actually confirms (≥ 0.9) are missed with p ≈ 1e-12. */
   val NgramMinBandMatches = 3
 
+  /** Character n-gram Jaccard near-duplicates (default 5-grams, Jaccard >=
+    * 0.7) — the n-gram-Jaccard dedup family: catches near-dups that
+    * word-level shingles under-weigh (intra-word edits, punctuation/
+    * whitespace variance), with the SAME banded-LSH scale shape as
+    * [[minhashNearDup]] — never all-pairs. Grams are hashed to 64 bits at
+    * the scan (codegen'd rolling hash); Jaccard over the hash sets equals
+    * string Jaccard absent collisions (~|A||B|/2^64 per pair, the l2
+    * argument). Output: (doc_a, doc_b, jaccard), doc_a < doc_b, sorted. */
   def ngramJaccardNearDup(docs: DataFrame, n: Int = 5, threshold: Double = 0.7): DataFrame =
     lshVerifiedPairs(
       docs.select(col("doc_id"),
@@ -248,10 +248,22 @@ object TextDedup {
       graft.functions.SimHashFp(split(col("text"), " ")).as("fp"))
 
   /** Near-duplicate pairs with SimHash Hamming distance <= 1, candidates
-    * from 16-bit band equality. Output: (doc_a, doc_b, hamming), sorted. */
+    * from 16-bit band equality. Output: (doc_a, doc_b, hamming), sorted.
+    *
+    * Same duplicate-collapse as [[lshVerifiedPairs]] (trivial here — the
+    * fingerprint IS the group key): equal-fingerprint docs reduce to one
+    * representative before the band self-join, so a group of d copies
+    * costs d rows instead of d² candidates; intra-group pairs expand back
+    * with hamming 0, cross pairs inherit the representative distance.
+    * Output is unchanged. */
   def simhashNearDup(docs: DataFrame): DataFrame = {
-    val fp = simhash(docs)
-    val bands = fp.withColumn("band",
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val withRep = simhash(docs)
+      .withColumn("rep", min("doc_id").over(wg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("fp"))
+    val bands = uniq.withColumn("band",
       explode(array(
         struct(lit(0).as("idx"), col("fp").bitwiseAND(lit(0xFFFFL)).as("v")),
         struct(lit(1).as("idx"), shiftright(col("fp"), 16).as("v")))))
@@ -259,7 +271,7 @@ object TextDedup {
 
     // aliased self-join: both sides canonicalize to the same plan, so the
     // band shuffle is written once and ReusedExchange serves the other side
-    bands.as("x")
+    val vpairs = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -268,6 +280,20 @@ object TextDedup {
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimhashMaxHamming)
-      .orderBy("doc_a", "doc_b")
+
+    val ma = withRep.select(col("rep").as("doc_a"), col("doc_id").as("m_a"))
+    val mb = withRep.select(col("rep").as("doc_b"), col("doc_id").as("m_b"))
+    val cross = vpairs
+      .join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("hamming"))
+    val im = withRep.select(col("rep"), col("doc_id"))
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 }

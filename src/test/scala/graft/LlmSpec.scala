@@ -109,6 +109,18 @@ class LlmSpec extends SparkSpec {
       assert(got.contains((d, d + offset)), s"missing twin pair for doc $d")
     }
     assert(expectedCross.subsetOf(got), "cross-pair expansion incomplete")
+
+    // simhash path collapses on the fingerprint the same way
+    val simBase = TextDedup.simhashNearDup(docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simGot = TextDedup.simhashNearDup(doubled)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simGot.filter(p => p._1 < offset && p._2 < offset) == simBase)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { d =>
+      assert(simGot.contains((d, d + offset)), s"missing simhash twin pair for doc $d")
+    }
   }
 
   test("minhash hot-bucket guard bounds pair blow-up from mass duplication") {
