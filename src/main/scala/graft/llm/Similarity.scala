@@ -213,15 +213,42 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: only same-bucket
-    * pairs are tested, cosine >= `threshold`. Output: (vec_a, vec_b). */
+    * pairs are tested, cosine >= `threshold`. Output: (vec_a, vec_b).
+    *
+    * Same duplicate-collapse as the text near-dup paths (TextDedup):
+    * identical vectors reduce to one representative before the bucket
+    * self-join — a group of d copies costs d rows instead of d²
+    * candidate cosines. Intra-group pairs are cosine exactly 1.0 and
+    * expand back directly — EXCEPT zero-norm vectors, whose self-cosine
+    * is 0/0 = NaN and must stay excluded, exactly as the pairwise
+    * formula computes. Cross pairs inherit the representative cosine
+    * (a function of the vectors alone). Output unchanged. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val wg = Window.partitionBy("v")
+    val withRep = prepared(embeddings)
+      .withColumn("rep", min("vec_id").over(wg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = withRep.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("v"), col("nv"), col("bucket"))
     // aliased self-join: one bucket shuffle, ReusedExchange for the other side
-    val e = prepared(embeddings)
-    e.as("a")
-      .join(e.as("b"),
+    val vpairs = uniq.as("a")
+      .join(uniq.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(col("a.v"), col("a.nv"), col("b.v"), col("b.nv")) >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .orderBy("vec_a", "vec_b")
+
+    val ma = withRep.select(col("rep").as("vec_a"), col("vec_id").as("m_a"))
+    val mb = withRep.select(col("rep").as("vec_b"), col("vec_id").as("m_b"))
+    val cross = vpairs
+      .join(ma, "vec_a").join(mb, "vec_b")
+      .select(least(col("m_a"), col("m_b")).as("vec_a"),
+        greatest(col("m_a"), col("m_b")).as("vec_b"))
+    val im = withRep.filter(col("nv") > 0).select(col("rep"), col("vec_id"))
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+
+    cross.unionByName(intra).orderBy("vec_a", "vec_b")
   }
 }
