@@ -132,10 +132,12 @@ object StreamIngest {
         db.appendFrame(
           withSeq.filter(col("msg").isNotNull)
             .select(col("seq") +: Message.columnsAfterSeq.map(c => col(s"msg.$c")): _*))
-        db.recordBulkAppend(stats.map(_._3).sum, stats.map(_._4).sum)
-        val rejects = withSeq.filter(col("reject").isNotNull).select("reject.*")
-        if (!rejects.isEmpty)
-          rejects.repartition(1).write.mode("append")
+        val nMsgs = stats.map(_._3).sum
+        db.recordBulkAppend(nMsgs, stats.map(_._4).sum)
+        // the stats agg already knows the reject count — no isEmpty job
+        if (total > nMsgs)
+          withSeq.filter(col("reject").isNotNull).select("reject.*")
+            .repartition(1).write.mode("append")
             .option("compression", "snappy")
             .parquet(Paths.get(db.path, "_rejects", queryName).toString)
       }
