@@ -109,7 +109,7 @@ final class UnitDb private (
     nPuts.incrementAndGet()
     nBytesWritten.addAndGet(if (m.payload == null) 0 else m.payload.length.toLong)
     if (pending.size >= autoFlushRows) sync()
-    MessageId.encode(m.ts.getTime / 1000, m.contract, m.seq)
+    e.id.getOrElse(MessageId.encode(m.ts.getTime / 1000, m.contract, m.seq))
   }
 
   /** Delete one message by seq + topic — appends a sidecar tombstone;
@@ -259,6 +259,14 @@ final class UnitDb private (
     * directly over the store. */
   def createView(name: String): Unit =
     snapshot().createOrReplaceTempView(name)
+
+  /** Mint a fresh 16-byte sortable message ID without writing (reference
+    * NewID, db.go:331-336: draws the next seq). An entry put with this ID
+    * preset ([[graft.model.Entry.id]]) keeps it — the seq is consumed
+    * from the same counter as ordinary puts, so minted IDs never collide. */
+  def newID(): Array[Byte] =
+    MessageId.encode(clock() / 1000, Message.MasterContract,
+      seqCounter.incrementAndGet())
 
   /** Generate a fresh tenant contract id (reference NewContract,
     * db.go:322-328: a random uint32), never colliding with the master
@@ -431,8 +439,15 @@ final class UnitDb private (
     val t = Topic.parse(e.topic)
     val tsMs = e.tsMillis.getOrElse(clock())
     val ttl = e.ttlMillis.orElse(t.ttlMillis)
+    // a preset ID (reference Entry.WithID) carries the seq; IDs minted by
+    // [[newID]] come from the same counter, so they cannot collide with
+    // counter-assigned seqs
+    val seq = e.id match {
+      case Some(id) => MessageId.decode(id)._3
+      case None     => seqCounter.incrementAndGet()
+    }
     Message(
-      seq = seqCounter.incrementAndGet(),
+      seq = seq,
       contract = e.contract,
       topic = t.key,
       topic_parts = t.parts,

@@ -71,14 +71,18 @@ object MessageId {
 
 /** Write-side entry (reference entry.go:42-50). `ttlMillis` here wins over a
   * `?ttl=` topic option, matching `WithTTL`; `encrypt` requests payload
-  * encryption at rest (requires the store to be opened with a key). */
+  * encryption at rest (requires the store to be opened with a key); `id`
+  * presets the entry's 16-byte ID (reference Entry.WithID — the seq is
+  * taken from the ID instead of drawn from the store counter; mint such
+  * IDs with `UnitDb.newID()` so they never collide). */
 final case class Entry(
     topic: String,
     payload: Array[Byte],
     contract: Long = Message.MasterContract,
     ttlMillis: Option[Long] = None,
     tsMillis: Option[Long] = None,
-    encrypt: Boolean = false)
+    encrypt: Boolean = false,
+    id: Option[Array[Byte]] = None)
 
 /** Read query (reference query.go:41-47): topic pattern with optional
   * `?last=` (duration or count), tenant, and result limit with the

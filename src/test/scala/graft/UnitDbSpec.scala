@@ -94,6 +94,27 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("unit4.test")).length == 9)
   }
 
+  test("newID mints usable pre-assigned IDs (reference NewID + Entry.WithID)") {
+    val (db, _, _) = freshDb()
+    val ids = Array.fill(5)(db.newID())
+    assert(ids.map(_.toSeq).distinct.length == 5, "minted IDs must be unique")
+    // put with a preset ID keeps it; the returned ID is the preset one
+    val returned = db.putEntry(
+      graft.model.Entry("unit9.preset", "x".getBytes, id = Some(ids(2))))
+    assert(returned.toSeq == ids(2).toSeq)
+    db.sync()
+    assert(db.get(Query("unit9.preset")).length == 1)
+    // a later counter-assigned put cannot collide with the minted seqs
+    db.put("unit9.other", "y".getBytes)
+    db.sync()
+    val seqs = db.snapshot().select("seq").collect().map(_.getLong(0))
+    assert(seqs.distinct.length == seqs.length)
+    // delete by the preset ID removes exactly that row
+    db.delete(ids(2), "unit9.preset")
+    assert(db.get(Query("unit9.preset")).isEmpty)
+    assert(db.get(Query("unit9.other")).length == 1)
+  }
+
   test("delete with a non-matching topic is a no-op (reference topic validation)") {
     // the reference Delete validates the topic before freeing the block
     // (db.go:392-425); since the anti-join keys on (seq, topic), a wrong
