@@ -131,6 +131,18 @@ final class UnitDb private (
     delete(seq, topic, contract)
   }
 
+  /** Entry-form delete (reference DeleteEntry, db.go:399-425): the entry
+    * must carry its ID; an explicit non-master contract on the entry wins
+    * over the ID's truncated low-32 contract bits. */
+  def deleteEntry(e: Entry): Unit = {
+    val id = e.id.getOrElse(
+      throw new IllegalArgumentException("deleteEntry requires Entry.id"))
+    val (_, idContract, seq) = MessageId.decode(id)
+    val contract =
+      if (e.contract != Message.MasterContract) e.contract else idContract
+    delete(seq, e.topic, contract)
+  }
+
   /** Atomic multi-put (reference db.go:434-447, batch.go:195-257): entries
     * buffered locally, committed as one append; exception ⇒ abort. */
   def batch(fn: BatchWriter => Unit): Unit = {

@@ -109,10 +109,13 @@ class UnitDbSpec extends SparkSpec {
     db.sync()
     val seqs = db.snapshot().select("seq").collect().map(_.getLong(0))
     assert(seqs.distinct.length == seqs.length)
-    // delete by the preset ID removes exactly that row
-    db.delete(ids(2), "unit9.preset")
+    // delete by the preset ID (Entry form) removes exactly that row
+    db.deleteEntry(graft.model.Entry("unit9.preset", null, id = Some(ids(2))))
     assert(db.get(Query("unit9.preset")).isEmpty)
     assert(db.get(Query("unit9.other")).length == 1)
+    intercept[IllegalArgumentException] {
+      db.deleteEntry(graft.model.Entry("unit9.preset", null))
+    }
   }
 
   test("delete with a non-matching topic is a no-op (reference topic validation)") {
