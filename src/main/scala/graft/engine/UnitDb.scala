@@ -282,12 +282,17 @@ final class UnitDb private (
 
   /** Generate a fresh tenant contract id (reference NewContract,
     * db.go:322-328: a random uint32), never colliding with the master
-    * contract or zero. SecureRandom, not a clock-seeded PRNG: two stores
-    * opened in the same millisecond must not mint identical contract
-    * sequences (ADVICE r2). */
-  def newContract(): Long = {
+    * contract, zero, or a contract already present in this store — the
+    * `(contract, ...)` partition layout makes presence an O(1) directory
+    * check, plus a scan of the unsynced buffer. SecureRandom, not a
+    * clock-seeded PRNG: two stores opened in the same millisecond must
+    * not mint identical contract sequences (ADVICE r2). */
+  def newContract(): Long = synchronized {
+    def present(c: Long): Boolean =
+      Files.exists(Paths.get(path, s"contract=$c")) ||
+        pending.exists(_.contract == c)
     var c = 0L
-    while (c == 0L || c == Message.MasterContract)
+    while (c == 0L || c == Message.MasterContract || present(c))
       c = rng.nextInt().toLong & 0xFFFFFFFFL
     c
   }
