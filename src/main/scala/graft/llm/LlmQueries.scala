@@ -246,12 +246,33 @@ object LlmQueries {
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "l9_embdup_lsh" ->
-      s"""WITH $embCte
+    // mirrors Similarity.embeddingNearDup's banded LSH exactly: a pair is
+    // a candidate iff ANY of the NumBands 8-plane sign signatures matches
+    // (the bucket cap is not mirrored — it is a mass-duplication guard
+    // that never fires on organic data; both folds are sequential, so
+    // the sign decisions are bit-identical across engines)
+    "l9_embdup_lsh" -> {
+      val bands = (0 until Similarity.NumBands).map { b =>
+        val bits = (0 until Similarity.BandPlanes).map { p =>
+          val d = s"""list_reduce(list_transform(list_zip(v, ${
+            Similarity.hyperplaneSql(b * Similarity.BandPlanes + p)}),
+               |          z -> z[1] * z[2]), (a, b) -> a + b)""".stripMargin
+          s"(CASE WHEN $d >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$bits AS band$b"
+      }.mkString(",\n        ")
+      val anyBand = (0 until Similarity.NumBands)
+        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv,
+        |        $bands
+        |      FROM e)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id AND ($anyBand)
         |WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     // straightforward all-pairs n-gram Jaccard at oracle scale; the Spark
     // side is the banded-LSH scale path (recall argument as l2)

@@ -33,10 +33,23 @@ object Similarity {
   val Dim = 64
   val NumPlanes = 4
 
+  /** Banded near-dup LSH geometry: [[NumBands]] independent signatures of
+    * [[BandPlanes]] hyperplanes each (band b, plane p = hyperplane
+    * b·BandPlanes + p). A pair is a candidate iff ANY band matches — the
+    * multi-band trick keeps near-identical recall high (a cosine-0.99 pair
+    * matches a single 8-plane band with p ≈ 0.69, misses all four with
+    * p ≈ 0.9 %) while each band partitions the table into 2^8 buckets
+    * instead of the old 2^4 (r3 VERDICT #2: 16 fixed buckets made pair
+    * generation ~N²/16). */
+  val BandPlanes = 8
+  val NumBands = 4
+
   /** hyperplane(p)(j) = ((1103515245 * (p*Dim + j + 1) + 12345) mod 2001 - 1000) / 1000
-    * — an LCG-derived grid of exact 3-decimal values in [-1, 1]. */
+    * — an LCG-derived grid of exact 3-decimal values in [-1, 1]. The first
+    * [[NumPlanes]] planes form the ANN bucket; all [[NumBands]]·[[BandPlanes]]
+    * rows serve the banded near-dup signatures. */
   val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(NumPlanes, Dim)((p, j) =>
+    Array.tabulate(NumBands * BandPlanes, Dim)((p, j) =>
       ((1103515245L * (p * Dim + j + 1) + 12345L) % 2001L - 1000L) / 1000.0)
 
   /** The same constants as SQL array literals for the DuckDB oracle. */
@@ -103,17 +116,30 @@ object Similarity {
   /** LSH-bucketed top-k: exact cosine re-rank *within the probe's bucket*
     * (may return fewer than k when the bucket is small — that is the
     * documented LSH contract, reproduced exactly by the oracle). Output:
-    * (query_id, rank, neighbor_id). */
+    * (query_id, rank, neighbor_id).
+    *
+    * The re-rank is the same two-phase tournament as [[annBrute]]: with few
+    * planes a bucket holds an O(N) share of the table, so a single
+    * `partitionBy(query_id)` window would funnel each probe's whole bucket
+    * through one task (r3 VERDICT #1). Phase 1 top-ks per
+    * (query_id, physical-partition) with no extra shuffle; phase 2 ranks
+    * the ≤ k·P survivors. Identical output — the global top-k is always a
+    * subset of the per-partition top-ks. */
   def annLsh(embeddings: DataFrame, probeMax: Int = 20, k: Int = 3): DataFrame = {
     val e = prepared(embeddings)
     val probes = e.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"),
         col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val w1 = Window.partitionBy("query_id", "pid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v"), col("nv"), col("q"), col("nq")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
@@ -202,40 +228,97 @@ object Similarity {
         explode(graft.functions.NearestCells(col("v"), centroids, IvfProbes))
           .as("cell"))
 
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    // two-phase re-rank, as annLsh/annBrute: an inverted list is an O(N/cells)
+    // share of the table, so the per-probe window must not be single-task
+    val w1 = Window.partitionBy("query_id", "pid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     listed.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v"), col("nv"), col("q"), col("nq")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs, LSH-blocked: only same-bucket
-    * pairs are tested, cosine >= `threshold`. Output: (vec_a, vec_b).
+  /** Hot-bucket guard for the near-dup band buckets, same principle as
+    * [[TextDedup.MinhashBucketCap]]: nothing else bounds a band bucket's
+    * *pair count*, which grows as n² — a viral embedding (the same image
+    * re-encoded across a corpus) would otherwise detonate one bucket.
+    * Members of a dropped bucket are near-identical en masse, which is
+    * exact-dedup's job (or another, genuinely-small band of theirs); the
+    * cap only fires on pathological mass duplication, never on organic
+    * buckets. */
+  val EmbBucketCap = 256
+
+  /** Embedding-cosine near-duplicate pairs, banded-LSH blocked: a pair is
+    * tested iff it shares at least one of [[NumBands]] 8-plane band
+    * signatures, then exact cosine >= `threshold`. Output: (vec_a, vec_b).
+    *
+    * Scale shape (r3 VERDICT #2 redesign): each band splits the table
+    * into 2^[[BandPlanes]] = 256 buckets (vs the old single 16-bucket
+    * signature whose self-join formed ~N²/16 pairs); the band shuffle
+    * carries only (vec_id, band_idx, band_bucket) — never the vectors —
+    * and the exact-cosine verify joins the candidate id pairs back to the
+    * cached vector frame. Buckets over [[EmbBucketCap]] are dropped on
+    * the join's own shuffle key (window count — no extra exchange).
     *
     * Same duplicate-collapse as the text near-dup paths (TextDedup):
-    * identical vectors reduce to one representative before the bucket
-    * self-join — a group of d copies costs d rows instead of d²
-    * candidate cosines. Intra-group pairs are cosine exactly 1.0 and
-    * expand back directly — EXCEPT zero-norm vectors, whose self-cosine
-    * is 0/0 = NaN and must stay excluded, exactly as the pairwise
-    * formula computes. Cross pairs inherit the representative cosine
-    * (a function of the vectors alone). Output unchanged. */
+    * identical vectors reduce to one representative before banding — a
+    * group of d copies costs d rows instead of d² candidate cosines.
+    * Intra-group pairs are cosine exactly 1.0 and expand back directly —
+    * EXCEPT zero-norm vectors, whose self-cosine is 0/0 = NaN and must
+    * stay excluded, exactly as the pairwise formula computes — with
+    * groups beyond the cap suppressed (mass duplication is exact-dedup's
+    * output, not a pair list). Cross pairs inherit the representative
+    * cosine (a function of the vectors alone). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val wg = Window.partitionBy("v")
     val withRep = prepared(embeddings)
       .withColumn("rep", min("vec_id").over(wg))
+      .withColumn("grp_n", count(lit(1)).over(wg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = withRep.filter(col("vec_id") === col("rep"))
-      .select(col("vec_id"), col("v"), col("nv"), col("bucket"))
-    // aliased self-join: one bucket shuffle, ReusedExchange for the other side
-    val vpairs = uniq.as("a")
-      .join(uniq.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine(col("a.v"), col("a.nv"), col("b.v"), col("b.nv")) >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .select(col("vec_id"), col("v"), col("nv"))
+
+    // band signatures: band b = 8-bit sign pattern against hyperplanes
+    // b*BandPlanes .. b*BandPlanes+7; posexplode to (band_idx, band_bucket)
+    val bandCols = (0 until NumBands).map { b =>
+      (0 until BandPlanes)
+        .map(p => when(dot(col("v"), lit64(hyperplanes(b * BandPlanes + p))) >= 0,
+          1 << p).otherwise(0))
+        .reduce[Column](_ + _)
+    }
+    val rawBands = uniq
+      .select(col("vec_id"), posexplode(array(bandCols: _*)))
+      .toDF("vec_id", "band_idx", "band_bucket")
+    val bands = rawBands
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_bucket")))
+      .filter(col("bucket_n") <= EmbBucketCap)
+      .drop("bucket_n")
+
+    // candidate id pairs: aliased self-join (one band shuffle,
+    // ReusedExchange for the other side), deduped across bands
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_bucket") === col("y.band_bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+
+    // exact verify over the cached vectors, once per unique-vector pair
+    val a = uniq.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na"))
+    val b = uniq.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb"))
+    val vpairs = candidates
+      .join(a, "vec_a").join(b, "vec_b")
+      .filter(cosine(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
+      .select("vec_a", "vec_b")
 
     val ma = withRep.select(col("rep").as("vec_a"), col("vec_id").as("m_a"))
     val mb = withRep.select(col("rep").as("vec_b"), col("vec_id").as("m_b"))
@@ -243,7 +326,9 @@ object Similarity {
       .join(ma, "vec_a").join(mb, "vec_b")
       .select(least(col("m_a"), col("m_b")).as("vec_a"),
         greatest(col("m_a"), col("m_b")).as("vec_b"))
-    val im = withRep.filter(col("nv") > 0).select(col("rep"), col("vec_id"))
+    val im = withRep
+      .filter(col("nv") > 0 && col("grp_n") <= EmbBucketCap)
+      .select(col("rep"), col("vec_id"))
     val intra = im.as("x")
       .join(im.as("y"),
         col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))

@@ -194,6 +194,43 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  private def embBase: Array[Float] =
+    Array.tabulate(64)(j => ((j * 37 + 11) % 101 - 50) / 50.0f)
+
+  test("embedding hot-bucket guard bounds pair blow-up from mass near-duplication") {
+    // 300 DISTINCT scalar multiples of one direction: identical sign
+    // patterns, so all land in the same bucket of every band — without the
+    // guard that is ~45k candidate pairs from one vector family; with it,
+    // every such bucket exceeds EmbBucketCap and is dropped before any
+    // pair forms. 300 EXACT copies of a second direction: the duplicate
+    // collapse reduces them to one banding row, and intra expansion of a
+    // group beyond the cap is suppressed. An organic duplicate pair of a
+    // third direction must still surface (intra path, group of 2).
+    import spark.implicits._
+    val viralDistinct = (1 to 300).map(i =>
+      (i.toLong, embBase.map(x => x * (1f + i / 1000f))))
+    val neg = embBase.map(x => -x)
+    val viralCopies = (1001 to 1300).map(i => (i.toLong, neg))
+    val flip = embBase.zipWithIndex.map { case (x, j) => if (j % 2 == 0) -x else x }
+    val organic = Seq((9001L, flip), (9002L, flip))
+    val all = (viralDistinct ++ viralCopies ++ organic).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((9001L, 9002L)),
+      s"viral family leaked pairs: ${pairs.take(5).toList} (n=${pairs.length})")
+  }
+
+  test("embedding banded LSH pairs a same-direction family below the cap") {
+    // control for the guard test: 10 distinct scalar multiples (cosine
+    // exactly 1 pairwise, one shared bucket per band, under the cap) must
+    // produce all 45 pairs via the banded join + exact verify
+    import spark.implicits._
+    val fam = (1 to 10).map(i => (i.toLong, embBase.map(x => x * i)))
+    val pairs = Similarity.embeddingNearDup(fam.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === 45 && pairs.toSet.size === 45)
+  }
+
   test("text stats are exact and complete") {
     val stats = TextStats.textStats(docs).collect()
     assert(stats.length === docs.count())

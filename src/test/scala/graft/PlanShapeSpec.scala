@@ -44,6 +44,23 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("l4: annLsh re-rank is two-phase — partial window on (query_id, pid)") {
+    val p = plan("l4_ann_lsh")
+    // a bucket is an O(N/2^planes) share of the table: the per-probe window
+    // must never be single-task (r3 verdict #1, same trick as l3/m5)
+    assert(p.contains("pid"), p.take(800))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(800)}")
+  }
+
+  test("l10: annIvf re-rank is two-phase — partial window on (query_id, pid)") {
+    val p = plan("l10_ann_ivf")
+    // an inverted list is an O(N/cells) share of the table (r3 verdict #1)
+    assert(p.contains("pid"), p.take(800))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(800)}")
+  }
+
   test("m5: two-phase top-N keeps the salted window before the global one") {
     val p = plan("m5_newest_per_topic")
     // phase-1 window partitions on (event_type, pid) — the salt column
