@@ -423,16 +423,23 @@ final class UnitDb private (
     val live = readStoreRaw()
       .filter(livePred)
       .join(broadcast(tombstonesFor()), Seq("seq", "topic"), "left_anti")
-    val tmp = path + ".compact.tmp"
+    val tmp = commitProtocol.rewriteTarget(path)
     writeStoreTo(live, tmp)
     // every `_` sidecar except the consumed tombstones (and write-staging
-    // artifacts) survives the swap
+    // artifacts, and the protocol's own bookkeeping) survives the commit
     val preserved = Option(Paths.get(path).toFile.listFiles)
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("_") &&
-        f.getName != "_tombstones" && f.getName != "_temporary")
+        f.getName != "_tombstones" && f.getName != "_temporary" &&
+        f.getName != "_gen" && f.getName != "_manifest")
       .map(_.getName).toSeq
     commitProtocol.commitRewrite(path, tmp, preserved)
+    // the tombstones were consumed by the rewrite. A swap protocol dropped
+    // the sidecar with the old directory; a manifest commit never touches
+    // sidecars, so remove it here (a crash before this point just leaves
+    // stale tombstones whose anti-join matches nothing — idempotent)
+    val tp = Paths.get(tombsPath)
+    if (Files.exists(tp)) FsUtil.deleteTree(tp)
     tombsExist = false
   }
 
@@ -549,7 +556,7 @@ final class UnitDb private (
       encrypt(withDerived(df))
         .repartition(col("contract"), col("wc"), col("day"))
         .sortWithinPartitions("topic", "ts")
-        .write.mode(SaveMode.Append)).parquet(path)
+        .write.mode(SaveMode.Append)).parquet(dataPath)
 
   /** Vacuum rewrite — rows are already in at-rest form (no crypto pass). */
   private def writeStoreTo(df: DataFrame, target: String): Unit =
@@ -570,8 +577,15 @@ final class UnitDb private (
       .option("parquet.bloom.filter.enabled#topic", "true")
       .option("parquet.bloom.filter.expected.ndv#topic", "10000")
 
+  /** The live data directory — resolved through the commit protocol (the
+    * store path itself under [[PosixSwapCommit]]; the pointer-named
+    * generation under [[ManifestCommit]]). Resolved fresh per access: the
+    * pointer is one tiny read, and going stale across an external vacuum
+    * is exactly what a manifest store exists to prevent. */
+  private def dataPath: String = commitProtocol.resolveLive(path)
+
   private def readStoreRaw(): DataFrame =
-    spark.read.schema(storeSchema).parquet(path)
+    spark.read.schema(storeSchema).parquet(dataPath)
 
   private def tombsPath: String = path + "/_tombstones"
 
@@ -579,7 +593,7 @@ final class UnitDb private (
     spark.read.schema(tombSchema).parquet(tombsPath)
 
   private def hasStore: Boolean = {
-    val f = Paths.get(path)
+    val f = Paths.get(dataPath)
     Files.exists(f) && Files.isDirectory(f) &&
       f.toFile.listFiles != null && f.toFile.listFiles.exists { d =>
         d.getName.startsWith("contract=") || d.getName.endsWith(".parquet")

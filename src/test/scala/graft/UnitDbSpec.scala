@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.engine.UnitDb
+import graft.engine.{ManifestCommit, UnitDb}
 import graft.model.{Entry, Message, Query}
 
 /** Engine scenarios mirroring the reference test suite (SURVEY §5):
@@ -114,6 +114,53 @@ class UnitDbSpec extends SparkSpec {
     db.vacuum()
     assert(db.snapshot().count() == 9)
     assert(db.get(Query("unit4.test")).length == 9)
+  }
+
+  test("manifest commit: vacuum swaps a generation pointer, sidecars never move") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_manifest").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit)
+    for (i <- 1 to 10) { db.put("m.t", s"v$i".getBytes); now += 1000 }
+    db.sync()
+    // data lands under the initial generation, not the store root
+    assert(Files.isDirectory(Paths.get(dir, "_gen", "g00000000")))
+    // streaming sidecars live beside generations — plant some to prove
+    // the commit never touches them (no copy step exists to race with)
+    Files.createDirectories(Paths.get(dir, "_ingest_commits", "q"))
+    Files.createFile(Paths.get(dir, "_ingest_commits", "q", "00000000000000000001"))
+    Files.createDirectories(Paths.get(dir, "_rejects", "q"))
+    Files.write(Paths.get(dir, "_rejects", "q", "r.parquet"), "x".getBytes)
+
+    db.delete(1L, "m.t")
+    db.vacuum()
+    // pointer advanced; old generation garbage-collected; audit list written
+    assert(ManifestCommit.currentGen(dir) == "g00000001")
+    assert(!Files.exists(Paths.get(dir, "_gen", "g00000000")))
+    assert(Files.isDirectory(Paths.get(dir, "_gen", "g00000001")))
+    val list = new String(
+      Files.readAllBytes(Paths.get(dir, "_manifest", "g00000001.list")))
+    assert(list.linesIterator.exists(_.endsWith(".parquet")), list)
+    // sidecar files survived in place; consumed tombstones are gone
+    assert(Files.exists(Paths.get(dir, "_ingest_commits", "q", "00000000000000000001")))
+    assert(Files.exists(Paths.get(dir, "_rejects", "q", "r.parquet")))
+    assert(!Files.exists(Paths.get(dir, "_tombstones")))
+    assert(db.get(Query("m.t")).map(new String(_)).toSet ==
+      (2 to 10).map(i => s"v$i").toSet)
+
+    // reopen resolves through the pointer; seq counter recovers; a second
+    // vacuum advances to the next generation
+    val db2 = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit)
+    assert(db2.get(Query("m.t")).length == 9)
+    db2.put("m.t", "after-reopen".getBytes)
+    db2.sync()
+    db2.vacuum()
+    assert(ManifestCommit.currentGen(dir) == "g00000002")
+    assert(!Files.exists(Paths.get(dir, "_gen", "g00000001")))
+    assert(db2.get(Query("m.t")).length == 10)
+    assert(new String(db2.get(Query("m.t?last=1")).head) == "after-reopen")
   }
 
   test("newID mints usable pre-assigned IDs (reference NewID + Entry.WithID)") {
