@@ -65,6 +65,9 @@ final class UnitDb private (
   private val pending = ArrayBuffer[Message]()
   private val pendingTombs = ArrayBuffer[Tombstone]()
   private val seqCounter = new AtomicLong(0L)
+  // declared before the recovery block below, which seeds hwmWritten
+  private val hwmLock = new Object
+  @volatile private var hwmWritten = 0L
   @volatile private var storeExists = hasStore
   @volatile private var tombsExist = hasTombs
   @volatile private var closed = false
@@ -76,9 +79,11 @@ final class UnitDb private (
   private val nPuts, nGets, nDeletes, nSyncs, nEntriesRead, nBytesWritten,
     nBytesRead = new AtomicLong(0L)
 
-  // recover last assigned seq from the store + sidecar (reference
+  // recover last assigned seq from the store + sidecars (reference
   // recovery.go:45-178 rebuilds from WAL; we just ask the table — the
-  // sidecar matters when the max-seq row was deleted and vacuumed)
+  // tombstone sidecar matters when the max-seq row was deleted and
+  // vacuumed, the high-water mark when a seq was handed out (newID,
+  // streaming reserve) but never backed by a stored row)
   locally {
     var m = 0L
     if (storeExists) {
@@ -88,6 +93,13 @@ final class UnitDb private (
     if (tombsExist) {
       val row = readTombs().agg(max("seq")).head()
       if (!row.isNullAt(0)) m = math.max(m, row.getLong(0))
+    }
+    val hwmFile = Paths.get(path, "_seq_hwm", "hwm")
+    if (Files.exists(hwmFile)) {
+      val v = new String(Files.readAllBytes(hwmFile),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      hwmWritten = v
+      m = math.max(m, v)
     }
     seqCounter.set(m)
   }
@@ -304,10 +316,16 @@ final class UnitDb private (
   /** Mint a fresh 16-byte sortable message ID without writing (reference
     * NewID, db.go:331-336: draws the next seq). An entry put with this ID
     * preset ([[graft.model.Entry.id]]) keeps it — the seq is consumed
-    * from the same counter as ordinary puts, so minted IDs never collide. */
-  def newID(): Array[Byte] =
-    MessageId.encode(clock() / 1000, Message.MasterContract,
-      seqCounter.incrementAndGet())
+    * from the same counter as ordinary puts, so minted IDs never collide.
+    * The drawn seq is persisted to the high-water-mark sidecar before the
+    * ID is returned, so a minted ID survives a store close/reopen without
+    * colliding with freshly assigned seqs (ADVICE r3: recovery from
+    * max(stored seq) alone would re-issue it). */
+  def newID(): Array[Byte] = {
+    val seq = seqCounter.incrementAndGet()
+    persistSeqHwm(seq)
+    MessageId.encode(clock() / 1000, Message.MasterContract, seq)
+  }
 
   /** Generate a fresh tenant contract id (reference NewContract,
     * db.go:322-328: a random uint32), never colliding with the master
@@ -317,8 +335,10 @@ final class UnitDb private (
     * clock-seeded PRNG: two stores opened in the same millisecond must
     * not mint identical contract sequences (ADVICE r2). */
   def newContract(): Long = synchronized {
+    // NB dataPath, not path: under ManifestCommit the partition dirs live
+    // inside the current generation
     def present(c: Long): Boolean =
-      Files.exists(Paths.get(path, s"contract=$c")) ||
+      Files.exists(Paths.get(dataPath, s"contract=$c")) ||
         pending.exists(_.contract == c)
     var c = 0L
     while (c == 0L || c == Message.MasterContract || present(c))
@@ -460,16 +480,46 @@ final class UnitDb private (
 
   private[graft] def nowMs(): Long = clock()
 
+  /** Serializes external sidecar writes (streaming commit markers, dead
+    * letters) with this store's writer lock — in particular with vacuum's
+    * `commitRewrite`, which runs entirely under it. Without this, a
+    * marker or dead-letter file written between the swap protocol's
+    * sidecar copy and its directory moves lands in the doomed old
+    * directory and is deleted (ADVICE r3): the duplicate-replay window
+    * the markers exist to close re-opens, and dead letters are silently
+    * lost. ([[ManifestCommit]] never moves sidecars, so it is immune —
+    * but the lock costs nothing there and keeps the contract uniform.) */
+  private[graft] def withWriterLock[T](f: => T): T = synchronized(f)
+
   /** Reserve a contiguous block of `n` seqs for a bulk append (streaming
     * ingest): returns the exclusive base — the caller owns
     * `base+1 .. base+n`. Drawing ranges from the SAME counter as API puts
     * makes every seq in the store unique by construction, at any batch
     * partition count (r2 VERDICT: the old bit-packed
     * `(batchId+1)<<40 | monotonically_increasing_id` scheme collided once
-    * a micro-batch had ≥ 128 partitions). */
+    * a micro-batch had ≥ 128 partitions). The range top is persisted to
+    * the high-water-mark sidecar before the caller sees it, so seqs
+    * burned by rejected rows beyond the stored max cannot be re-issued
+    * after a reopen (ADVICE r3). */
   private[graft] def reserveSeqRange(n: Long): Long = {
     require(n >= 0, s"negative seq range $n")
-    seqCounter.getAndAdd(n)
+    val base = seqCounter.getAndAdd(n)
+    persistSeqHwm(base + n)
+    base
+  }
+
+  /** Seq high-water-mark sidecar (`_seq_hwm/hwm`): records counter values
+    * handed out but not (yet) backed by stored rows — minted IDs, reserved
+    * streaming ranges — so recovery never re-issues them. A directory (not
+    * a bare file) so the swap protocol's sidecar preservation carries it
+    * across vacuum. Monotonic under its own lock; one tiny atomic write
+    * per newID/reserve, nothing per put. */
+  private def persistSeqHwm(v: Long): Unit = hwmLock.synchronized {
+    if (v > hwmWritten) {
+      FsUtil.atomicWrite(Paths.get(path, "_seq_hwm", "hwm"),
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hwmWritten = v
+    }
   }
 
   /** Metrics hook for distributed appends (streaming ingest): without it,

@@ -41,7 +41,12 @@ object WinnowFingerprintUtil {
     var i = 0
     while (i < m) {
       md.reset()
-      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      // a null element (reachable via the SQL-registered winnow_fp over
+      // user arrays with containsNull) hashes as the empty string — a
+      // deterministic value, not an NPE (ADVICE r3); split() output, the
+      // normal path, never contains nulls
+      val s = tokens.getUTF8String(i)
+      val d = md.digest(if (s == null) Array.emptyByteArray else s.getBytes)
       th(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       i += 1

@@ -105,7 +105,20 @@ object StreamIngest {
     * API puts (same counter). Rejected rows burn their reserved seqs,
     * leaving gaps; gaps are harmless — uniqueness, not density, is the
     * contract. The counts pass reads only the persisted parsed batch, not
-    * the source. */
+    * the source.
+    *
+    * Determinism assumption (ADVICE r3): the counts job and the append job
+    * both read the persisted parsed frame; if a cached block is evicted it
+    * is recomputed from the source, so `_mid` (and with it the per-
+    * partition counts) must reproduce — which holds exactly when the
+    * micro-batch source is replayable-deterministic, the SAME assumption
+    * the commit-marker idempotence (and every exactly-once foreachBatch
+    * sink) already stands on. It is nevertheless *verified* per batch: an
+    * `observe` on the append asserts the assigned seqs stay inside the
+    * reserved range and the accepted row count matches the counts pass —
+    * a desynced recompute fails the batch loudly instead of silently
+    * writing duplicate seqs (the metric rides on the write job; no extra
+    * pass). */
   def appendBatch(db: UnitDb, batch: DataFrame, batchId: Long, queryName: String): Unit = {
     val commitDir = Paths.get(db.path, "_ingest_commits", queryName)
     val marker = commitDir.resolve(f"$batchId%020d")
@@ -134,10 +147,25 @@ object StreamIngest {
           .join(offDf, Seq("pid"))
           .withColumn("seq",
             lit(base + 1) + col("off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-        db.appendFrame(
-          withSeq.filter(col("msg").isNotNull)
-            .select(col("seq") +: Message.columnsAfterSeq.map(c => col(s"msg.$c")): _*))
         val nMsgs = stats.map(_._3).sum
+        if (nMsgs > 0) {
+          val obs = org.apache.spark.sql.Observation(
+            s"graft_seq_span_${queryName}_$batchId")
+          db.appendFrame(
+            withSeq.filter(col("msg").isNotNull)
+              .observe(obs, count(lit(1)).as("n"),
+                min("seq").as("lo"), max("seq").as("hi"))
+              .select(col("seq") +: Message.columnsAfterSeq.map(c => col(s"msg.$c")): _*))
+          val m = obs.get
+          val (n, lo, hi) = (m("n").asInstanceOf[Long],
+            m("lo").asInstanceOf[Long], m("hi").asInstanceOf[Long])
+          if (n != nMsgs || lo < base + 1 || hi > base + total)
+            throw new IllegalStateException(
+              s"seq assignment desynced from the counts pass (batch $batchId: " +
+              s"wrote $n/$nMsgs rows, seq span [$lo,$hi] vs reserved " +
+              s"[${base + 1},${base + total}]) — the micro-batch source " +
+              "re-evaluated nondeterministically; see appendBatch doc")
+        }
         db.recordBulkAppend(nMsgs, stats.map(_._4).sum)
         // the stats agg already knows the reject count — no isEmpty job.
         // coalesce (not repartition(1), r3 VERDICT #3): rejects are
@@ -146,14 +174,23 @@ object StreamIngest {
         // batch, and that must write with distributed parallelism, not
         // funnel terabytes through one task
         if (total > nMsgs)
-          withSeq.filter(col("reject").isNotNull).select("reject.*")
-            .coalesce(MaxRejectWriteTasks).write.mode("append")
-            .option("compression", "snappy")
-            .parquet(Paths.get(db.path, "_rejects", queryName).toString)
+          // under the writer lock: a dead-letter file racing vacuum's
+          // sidecar copy-then-swap would be deleted with the old
+          // directory (ADVICE r3)
+          db.withWriterLock {
+            withSeq.filter(col("reject").isNotNull).select("reject.*")
+              .coalesce(MaxRejectWriteTasks).write.mode("append")
+              .option("compression", "snappy")
+              .parquet(Paths.get(db.path, "_rejects", queryName).toString)
+          }
       }
     } finally parsed.unpersist(): Unit
-    Files.createDirectories(commitDir)
-    Files.createFile(marker): Unit
+    // same for the commit marker — losing one to a concurrent vacuum
+    // re-opens the duplicate-replay window it exists to close
+    db.withWriterLock {
+      Files.createDirectories(commitDir)
+      Files.createFile(marker): Unit
+    }
   }
 
   /** Observability hook (SURVEY §1.4: reference Varz → engine listener):

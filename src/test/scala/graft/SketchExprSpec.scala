@@ -127,4 +127,18 @@ class SketchExprSpec extends SparkSpec {
     got.values.foreach(fp => assert(fp == fp.distinct.sorted))
     assert(got == noCodegen(run()))
   }
+
+  test("winnow_fp: null tokens hash as empty string, never NPE (ADVICE r3)") {
+    // reachable through the SQL-registered function over user arrays
+    // (split() output never contains nulls, but user arrays may)
+    GraftFunctions.registerAll(spark)
+    val withNull = spark.sql(
+      "SELECT winnow_fp(array('a', CAST(NULL AS STRING), 'b', 'c')) AS fp")
+      .head().getSeq[Long](0)
+    val withEmpty = spark.sql(
+      "SELECT winnow_fp(array('a', '', 'b', 'c')) AS fp")
+      .head().getSeq[Long](0)
+    assert(withNull == withEmpty)
+    assert(withNull.nonEmpty)
+  }
 }

@@ -219,6 +219,40 @@ class StreamingSpec extends SparkSpec {
     assert(partFiles > 1, s"poisoned batch wrote from $partFiles task(s)")
   }
 
+  test("sidecar writes serialize with an in-flight vacuum commit (ADVICE r3)") {
+    // a commit marker (or dead-letter file) written between the swap
+    // protocol's sidecar copy and its directory moves would land in the
+    // doomed old directory; the writer lock must exclude sidecar writes
+    // for the whole commit
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val entered = new CountDownLatch(1)
+    val gate = new CountDownLatch(1)
+    val stalling = new graft.engine.StoreCommitProtocol {
+      def commitRewrite(path: String, tmp: String, sidecars: Seq[String]): Unit = {
+        entered.countDown()
+        assert(gate.await(30, TimeUnit.SECONDS))
+        graft.engine.PosixSwapCommit.commitRewrite(path, tmp, sidecars)
+      }
+    }
+    val base = tmp("race")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0,
+      commitProtocol = stalling)
+    db.put("race.t", "v".getBytes)
+    db.sync()
+    val vacuumer = new Thread(() => db.vacuum())
+    vacuumer.start()
+    assert(entered.await(30, TimeUnit.SECONDS))
+    @volatile var wrote = false
+    val writer = new Thread(() => db.withWriterLock { wrote = true })
+    writer.start()
+    Thread.sleep(300)
+    assert(!wrote, "sidecar write entered during an in-flight commit")
+    gate.countDown()
+    vacuumer.join(30000); writer.join(30000)
+    assert(wrote)
+    assert(db.get(Q("race.t")).length == 1)
+  }
+
   test("S2 subscribe: fan-out routes by bidirectional wildcard match") {
     val subs = spark.createDataset(Seq(
       Subscription(1L, "unit.*.b1.b11.*.*.b11111.*"),

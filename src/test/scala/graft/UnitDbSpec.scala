@@ -163,6 +163,24 @@ class UnitDbSpec extends SparkSpec {
     assert(new String(db2.get(Query("m.t?last=1")).head) == "after-reopen")
   }
 
+  test("minted IDs survive a reopen without colliding (ADVICE r3 seq hwm)") {
+    val dir = Files.createTempDirectory("graftdb_hwm").toString + "/store"
+    val now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    val id = db.newID() // draws a seq backed by no stored row
+    db.close()
+    // recovery from max(stored seq) alone would hand the same seq to the
+    // next put; the high-water-mark sidecar must prevent that
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    db2.put("h.t", "fresh".getBytes)
+    db2.putEntry(graft.model.Entry("h.t", "minted".getBytes, id = Some(id)))
+    db2.sync()
+    val rows = db2.getFrame(Query("h.t")).select("seq", "payload").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).distinct.length == 2,
+      s"minted and fresh seqs collided: ${rows.map(_.getLong(0)).toSeq}")
+  }
+
   test("newID mints usable pre-assigned IDs (reference NewID + Entry.WithID)") {
     val (db, _, _) = freshDb()
     val ids = Array.fill(5)(db.newID())
