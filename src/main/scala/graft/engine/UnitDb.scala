@@ -156,15 +156,23 @@ final class UnitDb private (
   }
 
   /** Atomic multi-put (reference db.go:434-447, batch.go:195-257): entries
-    * buffered locally, committed as one append; exception ⇒ abort. */
+    * buffered locally, committed as one append; exception ⇒ abort —
+    * except entries already persisted by an explicit mid-batch
+    * [[BatchWriter.write]], which survive. */
   def batch(fn: BatchWriter => Unit): Unit = {
     val b = new BatchWriter(this)
-    fn(b) // throws ⇒ nothing written
-    synchronized {
-      pending ++= b.entries
-      nPuts.addAndGet(b.entries.size.toLong)
+    fn(b) // throws ⇒ unwritten entries abort
+    commitBatch(b.drain())
+  }
+
+  /** Commit a batch's buffered entries as one append (shared by closure
+    * exit and mid-batch [[BatchWriter.write]]). */
+  private[engine] def commitBatch(entries: Seq[Message]): Unit = synchronized {
+    if (entries.nonEmpty) {
+      pending ++= entries
+      nPuts.addAndGet(entries.size.toLong)
       nBytesWritten.addAndGet(
-        b.entries.iterator.map(m => if (m.payload == null) 0L else m.payload.length.toLong).sum)
+        entries.iterator.map(m => if (m.payload == null) 0L else m.payload.length.toLong).sum)
       sync()
     }
   }
@@ -744,5 +752,17 @@ final class BatchWriter private[engine] (db: UnitDb) {
       // share the db's seq counter + clock via a package-private hook
       db.mkMessage(withDefaults)
     }
+  }
+
+  /** Mid-batch flush (reference batch.Write, batch.go:158-193): persist
+    * everything buffered so far, inside the managed closure. Flushed
+    * entries survive even if the closure later throws — only entries
+    * still buffered at the abort are discarded. */
+  def write(): Unit = db.commitBatch(drain())
+
+  private[engine] def drain(): Seq[Message] = {
+    val out = entries.toSeq
+    entries.clear()
+    out
   }
 }

@@ -275,7 +275,15 @@ object LlmQueries {
     },
 
     // straightforward all-pairs n-gram Jaccard at oracle scale; the Spark
-    // side is the banded-LSH scale path (recall argument as l2)
+    // side is the banded-LSH scale path (recall argument as l2).
+    // ORACLE-EXACTNESS CONTRACT (r3 VERDICT #5): the ≥3-band vote misses
+    // a pair at exactly Jaccard 0.7 with p ≈ 0.9 % (TextDedup
+    // .NgramMinBandMatches); hash-equality with this all-pairs oracle
+    // therefore requires the corpus's pair similarities to avoid a narrow
+    // band around the threshold (the shipped testdata has no pairs in
+    // (0.3, 0.9)). A testdata refresh that lands a pair at ~0.70 can
+    // deterministically miss it — documented LSH behavior, not a Spark
+    // bug; LlmSpec's seeded near-threshold corpus pins the contract.
     "l12_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id,
         |             unnest(list_distinct(list_transform(range(greatest(length(text) - 4, 0)),

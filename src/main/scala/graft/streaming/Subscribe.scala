@@ -162,11 +162,19 @@ object Subscribe {
     * moves. Subscriptions tables are tiny, so the per-batch re-read is a
     * metadata listing + small scan, not a scale cost.
     *
-    * Reliable-mode note: keyed dedup state lives in the *streaming* plan,
-    * which this path bypasses — for reliable delivery with dynamic subs,
-    * dedupe the message stream (e.g. `dropDuplicatesWithinWatermark` on
-    * seq) before handing it here; each subscriber then sees a message at
-    * most once per retention window. */
+    * Reliable mode (reference subscribers get reliable delivery no matter
+    * when they subscribed, hdl_conn.go:384-431): per-subscriber dedup
+    * state cannot live in the streaming plan here — the fan-out happens
+    * inside foreachBatch, after the stateful operators — so reliability
+    * is composed at the *message* level instead: the stream is deduped on
+    * `dedupKeys` (default `seq` — the store-unique identity) within the
+    * watermark BEFORE fan-out. A republished/replayed message then
+    * reaches EVERY current subscriber at most once per retention window,
+    * which implies at-most-once per subscriber. The difference from
+    * [[start]]'s `(sub_id, seq)` keying: a subscriber who joins after a
+    * message was already delivered does not receive its republish (the
+    * message is spent stream-wide) — the reference behaves the same way,
+    * as its delivery dedup rides the message seq, not the subscriber. */
   def startDynamic(
       messages: DataFrame,
       loadSubs: org.apache.spark.sql.SparkSession => DataFrame,
@@ -174,10 +182,18 @@ object Subscribe {
       deliver: (DataFrame, Long) => Unit,
       queryName: String = "graft_subscribe_dyn",
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      fanoutFn: (DataFrame, DataFrame) => DataFrame = fanout): StreamingQuery = {
+      fanoutFn: (DataFrame, DataFrame) => DataFrame = fanout,
+      mode: Int = Express,
+      dedupKeys: Seq[String] = Seq("seq"),
+      watermarkDelay: String = "1 hour"): StreamingQuery = {
+    val shaped =
+      if (mode == Reliable)
+        messages.withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark(dedupKeys.head, dedupKeys.tail: _*)
+      else messages
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       deliver(fanoutFn(batch.toDF(), loadSubs(batch.sparkSession)), batchId)
-    messages.writeStream
+    shaped.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -194,6 +194,56 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("l12 threshold contract: near-threshold char-gram pairs behave as documented") {
+    // the ≥3-band vote misses a pair at exactly Jaccard 0.7 with p ≈ 0.9 %
+    // (NgramMinBandMatches doc); the l12 oracle stays hash-green because
+    // the shipped corpus has no pairs in the (0.3, 0.9) gap. This seeded
+    // corpus puts pairs AT the boundary and pins the deterministic
+    // behavior: no false positives ever, pairs ≥ 0.8 found, sub-threshold
+    // pairs excluded by the exact verify regardless of banding.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls" +
+      " on the plain in spain every morning before dawn"
+    val docs = Seq(
+      1L -> base,
+      // char-5-gram Jaccard vs doc 1: 0.746 — above threshold, inside the
+      // band-vote's weak zone (per-band p = 0.31, miss p ≈ 2e-4)
+      2L -> ("the quick brown fox jumps over the lazy dog while rain drops" +
+        " on the plain in spain every evening before dawn"),
+      // 0.697 — just BELOW threshold: candidates or not, verify excludes it
+      3L -> ("the quick brown fox jumps over the lazy dog while rain falls" +
+        " on the plain in spain every evening after sunset"),
+      // 0.602 — well below
+      4L -> ("the quick brown fox jumps over the lazy dog while hail falls" +
+        " on the plain in spain every evening after dusk"),
+      // 0.873 vs doc 1 — comfortably above: must be found (miss p < 1e-9)
+      5L -> ("the quick brown fox jumps over the lazy dog while rain falls" +
+        " on the plain in spain every evening before dawn"))
+    def grams(s: String): Set[String] =
+      (0 to s.length - 5).map(i => s.substring(i, i + 5)).toSet
+    def jac(x: String, y: String): Double = {
+      val (gx, gy) = (grams(x), grams(y))
+      gx.intersect(gy).size.toDouble / gx.union(gy).size
+    }
+    val exact = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = jac(ta, tb) if j >= 0.7
+    } yield (ia, ib) -> j).toMap
+    val found = TextDedup.ngramJaccardNearDup(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // contract: never a false positive
+    found.keys.foreach(p => assert(exact.contains(p), s"false positive $p"))
+    found.foreach { case (p, j) => assert(math.abs(exact(p) - j) < 1e-9) }
+    // pairs comfortably above the threshold must be found
+    exact.filter(_._2 >= 0.8).keys
+      .foreach(p => assert(found.contains(p), s"missed high-sim pair $p"))
+    // the deterministic outcome for THIS corpus: every exact pair ≥ 0.7 is
+    // found (the 0.746 pair survives the vote here; a corpus refresh that
+    // lands a pair at ~0.70 may deterministically miss it — that is the
+    // documented 0.9 % contract, not a regression)
+    assert(found.keySet == exact.keySet, s"found=$found exact=$exact")
+  }
+
   private def embBase: Array[Float] =
     Array.tabulate(64)(j => ((j * 37 + 11) % 101 - 50) / 50.0f)
 

@@ -421,6 +421,43 @@ class StreamingSpec extends SparkSpec {
       s"dynamic subs not honored: $delivered")
   }
 
+  test("S2 dynamic subscriptions + reliable mode: replayed seqs deliver once each") {
+    val base = tmp("dynrel")
+    val subsPath = base + "/subs"
+    def writeSubs(subs: Subscription*): Unit =
+      spark.createDataset(subs)(Encoders.product[Subscription]).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(subsPath)
+    writeSubs(Subscription(1L, "dr.*", delivery_mode = Subscribe.Reliable),
+      Subscription(2L, "dr...", delivery_mode = Subscribe.Reliable))
+
+    // messages carry their store seq — the dedup identity
+    val mem = MemoryStream[(Long, String, Array[Byte], Timestamp)](
+      Encoders.product[(Long, String, Array[Byte], Timestamp)], spark)
+    val delivered = ArrayBuffer[(Long, Long)]()
+    val q = Subscribe.startDynamic(
+      mem.toDF().toDF("seq", "topic", "payload", "ts"),
+      loadSubs = s => s.read.parquet(subsPath),
+      base + "/ckpt",
+      deliver = (df: DataFrame, _: Long) =>
+        delivered.synchronized {
+          delivered ++= df.select("sub_id", "seq").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        },
+      mode = Subscribe.Reliable)
+    mem.addData(
+      (101L, "dr.a", "m1".getBytes, ts(T0)),
+      (101L, "dr.a", "m1".getBytes, ts(T0))) // same-batch republish
+    q.processAllAvailable()
+    mem.addData((101L, "dr.a", "m1".getBytes, ts(T0))) // cross-batch replay
+    mem.addData((102L, "dr.b", "m2".getBytes, ts(T0 + 1000)))
+    q.processAllAvailable()
+    q.stop()
+    // each subscriber saw each seq exactly once, dynamic resolution intact
+    assert(delivered.toSet == Set((1L, 101L), (2L, 101L), (1L, 102L), (2L, 102L)),
+      s"got: $delivered")
+    assert(delivered.length == 4, s"replays must dedupe: $delivered")
+  }
+
   test("ingest progress listener counts per-query input rows (Varz hook)") {
     val base = tmp("listen")
     val db = UnitDb.open(spark, base + "/store", clock = () => T0)

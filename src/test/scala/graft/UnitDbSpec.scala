@@ -86,6 +86,27 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("unit2.test", contract = contract)).length == 50)
   }
 
+  test("batch write(): mid-batch flush survives a later abort (reference batch.Write)") {
+    val (db, _, _) = freshDb()
+    intercept[RuntimeException] {
+      db.batch { b =>
+        b.put("bw.t", "c1".getBytes)
+        b.put("bw.t", "c2".getBytes)
+        b.write() // persists c1, c2 inside the closure
+        b.put("bw.t", "aborted".getBytes)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(db.get(Query("bw.t")).map(new String(_)).toSet == Set("c1", "c2"))
+    // and a clean closure with a mid-batch write commits everything once
+    db.batch { b =>
+      b.put("bw.u", "d1".getBytes)
+      b.write()
+      b.put("bw.u", "d2".getBytes)
+    }
+    assert(db.get(Query("bw.u")).map(new String(_)).toSet == Set("d1", "d2"))
+  }
+
   test("expiry: pre-expired entries are invisible; vacuum drops them") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 20)
