@@ -74,6 +74,15 @@ object LlmQueries {
     "l10_ann_ivf" -> { (s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir)) },
 
+    // the persisted-index face of l10: build the partitioned inverted
+    // lists + stored centroids, then answer probes from the index alone
+    // (only probed cell partitions are read — DPP, plan-pinned). Same
+    // oracle as l10: identical semantics by construction.
+    "l14_ann_ivf_indexed" -> { (s, dir) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      Similarity.annIvfIndexed(s, idx) },
+
     // Multimodal feature extraction through the oracle gate: the
     // mapPartitions pipeline runs for real; the stub decoder is
     // SHA-derived, so DuckDB reproduces metadata AND the first feature
@@ -149,6 +158,54 @@ object LlmQueries {
 
   private val duckCosine =
     "list_reduce(list_transform(list_zip(%s, %s), z -> z[1] * z[2]), (a, b) -> a + b) / (%s * %s)"
+
+  /** Shared by l10 (inline IVF) and l14 (persisted index) — identical
+    * semantics, one oracle. */
+  private lazy val ivfOracleSql: String = {
+    val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +
+      " - 2.0 * list_reduce(list_transform(list_zip(%s, cv), z -> z[1] * z[2]), (a, b) -> a + b)"
+    // Lloyd's k-means on the vec_id < IvfTrainSample prefix, IvfIters
+    // fixed iterations — the exact CTE mirror of Similarity.lloyd: same
+    // |c|²−2·v·c argmin (ties → lowest cid), means summed in vec_id
+    // order via sequential list_reduce folds, one IEEE division, empty
+    // cells keep the previous centroid. Bit-identical to the Spark side.
+    val iters = (1 to Similarity.IvfIters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""sc$i AS (SELECT s.vec_id, s.v, c.cid, ${d2.format("s.v")} AS d
+         |       FROM samp s, $prev c),
+         |asg$i AS (SELECT vec_id, v, cid FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |         FROM sc$i) WHERE rn = 1),
+         |agg$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cnt
+         |        FROM asg$i GROUP BY cid),
+         |cent$i AS (SELECT c.cid, COALESCE(list_transform(
+         |           list_reduce(a.vs, (x, y) -> list_transform(list_zip(x, y), z -> z[1] + z[2])),
+         |           x -> x / a.cnt), c.cv) AS cv
+         |         FROM $prev c LEFT JOIN agg$i a ON a.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    val cent = s"cent${Similarity.IvfIters}"
+    s"""WITH $embCte,
+      |samp AS (SELECT vec_id, v FROM n WHERE vec_id < ${Similarity.IvfTrainSample}),
+      |cent0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < ${Similarity.IvfCells}),
+      |$iters,
+      |sc AS (SELECT n.vec_id, n.v, n.nv, $cent.cid, ${d2.format("n.v")} AS d
+      |       FROM n, $cent),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sc),
+      |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1),
+      |pcells AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+      |           WHERE vec_id < 20 AND rn <= ${Similarity.IvfProbes}),
+      |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM cell WHERE vec_id < 20),
+      |cand AS (SELECT p.query_id, cell.vec_id,
+      |           ${duckCosine.format("cell.v", "p.q", "cell.nv", "p.nq")} AS cosine
+      |         FROM pcells JOIN p ON p.query_id = pcells.query_id
+      |                     JOIN cell ON cell.cell = pcells.cell
+      |         WHERE cell.vec_id <> p.query_id),
+      |r AS (SELECT query_id, vec_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |      FROM cand)
+      |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "l1_exact_dedup" ->
@@ -322,51 +379,11 @@ object LlmQueries {
         |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "l10_ann_ivf" -> {
-      val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +
-        " - 2.0 * list_reduce(list_transform(list_zip(%s, cv), z -> z[1] * z[2]), (a, b) -> a + b)"
-      // Lloyd's k-means on the vec_id < IvfTrainSample prefix, IvfIters
-      // fixed iterations — the exact CTE mirror of Similarity.lloyd: same
-      // |c|²−2·v·c argmin (ties → lowest cid), means summed in vec_id
-      // order via sequential list_reduce folds, one IEEE division, empty
-      // cells keep the previous centroid. Bit-identical to the Spark side.
-      val iters = (1 to Similarity.IvfIters).map { i =>
-        val prev = s"cent${i - 1}"
-        s"""sc$i AS (SELECT s.vec_id, s.v, c.cid, ${d2.format("s.v")} AS d
-           |       FROM samp s, $prev c),
-           |asg$i AS (SELECT vec_id, v, cid FROM (
-           |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-           |         FROM sc$i) WHERE rn = 1),
-           |agg$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cnt
-           |        FROM asg$i GROUP BY cid),
-           |cent$i AS (SELECT c.cid, COALESCE(list_transform(
-           |           list_reduce(a.vs, (x, y) -> list_transform(list_zip(x, y), z -> z[1] + z[2])),
-           |           x -> x / a.cnt), c.cv) AS cv
-           |         FROM $prev c LEFT JOIN agg$i a ON a.cid = c.cid)""".stripMargin
-      }.mkString(",\n")
-      val cent = s"cent${Similarity.IvfIters}"
-      s"""WITH $embCte,
-        |samp AS (SELECT vec_id, v FROM n WHERE vec_id < ${Similarity.IvfTrainSample}),
-        |cent0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < ${Similarity.IvfCells}),
-        |$iters,
-        |sc AS (SELECT n.vec_id, n.v, n.nv, $cent.cid, ${d2.format("n.v")} AS d
-        |       FROM n, $cent),
-        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sc),
-        |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1),
-        |pcells AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
-        |           WHERE vec_id < 20 AND rn <= ${Similarity.IvfProbes}),
-        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM cell WHERE vec_id < 20),
-        |cand AS (SELECT p.query_id, cell.vec_id,
-        |           ${duckCosine.format("cell.v", "p.q", "cell.nv", "p.nq")} AS cosine
-        |         FROM pcells JOIN p ON p.query_id = pcells.query_id
-        |                     JOIN cell ON cell.cell = pcells.cell
-        |         WHERE cell.vec_id <> p.query_id),
-        |r AS (SELECT query_id, vec_id,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |      FROM cand)
-        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    },
+    "l10_ann_ivf" -> ivfOracleSql,
+
+    // identical semantics to l10 through the persisted index — the index
+    // stores exactly the cells/vectors the inline path derives
+    "l14_ann_ivf_indexed" -> ivfOracleSql,
 
     "l11_media_features" ->
       """SELECT doc_id AS asset_id,

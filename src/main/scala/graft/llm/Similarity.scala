@@ -245,6 +245,77 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Build a PERSISTED IVF index at `indexPath`: the prepared vectors with
+    * their nearest-centroid cell, written `partitionBy(cell)` — each
+    * inverted list is its own partition directory, so a probe query scans
+    * ONLY the probed cells (dynamic partition pruning from the broadcast
+    * probe side; pinned in PlanShapeSpec). The trained centroid matrix is
+    * stored alongside under `_centroids` (invisible to the data read), so
+    * queries reuse the training instead of re-running Lloyd's. This is
+    * the 100 TB shape the inline [[annIvf]] doc promises: index once,
+    * then every probe batch reads `IvfProbes/IvfCells` of the data and
+    * shuffles nothing. */
+  def buildIvfIndex(embeddings: DataFrame, indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val centroids = trainCentroids(embeddings)
+    // data first — its overwrite clears indexPath; the sidecar goes after
+    prepared(embeddings)
+      .withColumn("cell",
+        graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))
+      .select("vec_id", "v", "nv", "cell")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .option("compression", "snappy").parquet(indexPath)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_centroids")
+  }
+
+  /** Load the stored centroid matrix of an index built by
+    * [[buildIvfIndex]], cid-ordered. */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/_centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** IVF-Flat ANN over a persisted index ([[buildIvfIndex]]): identical
+    * output to [[annIvf]] over the same data (same training sample, same
+    * deterministic Lloyd's), but probes hit the stored inverted lists —
+    * only the probed cell partitions are read (DPP), nothing is
+    * re-trained or re-bucketed, and the re-rank is the same two-phase
+    * tournament. Output: (query_id, rank, neighbor_id). */
+  def annIvfIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      probeMax: Int = 20, k: Int = 3): DataFrame = {
+    val centroids = loadCentroids(spark, indexPath)
+    val listed = spark.read.parquet(indexPath)
+    val probes = listed.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"),
+        explode(graft.functions.NearestCells(col("v"), centroids, IvfProbes))
+          .as("cell"))
+    val w1 = Window.partitionBy("query_id", "pid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    listed.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("nv"), col("q"), col("nq")))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hot-bucket guard for the near-dup band buckets, same principle as
     * [[TextDedup.MinhashBucketCap]]: nothing else bounds a band bucket's
     * *pair count*, which grows as n² — a viral embedding (the same image

@@ -189,6 +189,21 @@ class LlmSpec extends SparkSpec {
     assert(hits * 2 >= brute.size, s"recall too low: $hits / ${brute.size}")
   }
 
+  test("IVF persisted index answers probes identically to the inline path") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.buildIvfIndex(embs, idx)
+    val indexed = Similarity.annIvfIndexed(spark, idx, probeMax = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inline = Similarity.annIvf(embs, probeMax = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(indexed == inline, "index and inline IVF must agree row-for-row")
+    // the index is physically clustered by cell — one directory per
+    // inverted list
+    val cells = new java.io.File(idx).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cells > 1 && cells <= Similarity.IvfCells)
+  }
+
   test("embedding near-dup is symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDup(embs, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

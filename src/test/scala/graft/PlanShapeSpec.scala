@@ -93,6 +93,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "per-row kernel must not become a window op")
   }
 
+  test("l14: indexed IVF probes prune to the probed cell partitions (DPP)") {
+    val p = plan("l14_ann_ivf_indexed")
+    // the probe join key is the index's partition column — dynamic
+    // partition pruning must reach the scan so only probed inverted
+    // lists are read (the whole point of persisting the index)
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(1200))
+    assert(p.contains("pid"), "re-rank must stay two-phase")
+  }
+
   test("q4 top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("q4_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
