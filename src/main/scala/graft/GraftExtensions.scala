@@ -59,6 +59,12 @@ object GraftFunctions {
     ("trigram_hashes",
       "trigram_hashes(tokens) - distinct word-trigram hash set of a token array",
       (exprs: Seq[Expression]) => TrigramHashes(exprs(0))),
+    ("ngram_hashes",
+      "ngram_hashes(tokens, n) - distinct word-n-gram hash set of a token array",
+      (exprs: Seq[Expression]) => NGramHashes(exprs(0), litInt(exprs(1), "n"))),
+    ("char_ngram_hashes",
+      "char_ngram_hashes(text, n) - distinct character-n-gram hash set of a string",
+      (exprs: Seq[Expression]) => CharNgramHashes(exprs(0), litInt(exprs(1), "n"))),
     ("winnow_fp",
       "winnow_fp(tokens) - winnowing (rolling-hash) document fingerprint of a token array",
       (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0))))

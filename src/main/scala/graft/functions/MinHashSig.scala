@@ -143,3 +143,72 @@ object TrigramHashes {
   def apply(tokens: Column): Column =
     GraftBridge.column(TrigramHashes(GraftBridge.expression(tokens)))
 }
+
+/** [[TrigramHashesUtil]] generalized to word n-grams: the same per-token
+  * xxhash64 + left-fold chain (n = 3 reproduces trigram_hashes
+  * bit-for-bit), distinct ascending. Used by the decontamination op,
+  * where the standard n is 8–13. */
+object NGramHashesUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def hashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i < out.length) {
+      var h = th(i)
+      var j = 1
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+}
+
+/** `ngram_hashes(tokens, n)` — distinct word-n-gram hash set (see
+  * [[NGramHashesUtil]]). */
+case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes expects ARRAY<STRING> and n > 0, got $t / n=$n")
+    }
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NGramHashesUtil.hashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NGramHashesUtil.hashes($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
+}
+
+object NGramHashes {
+  def apply(tokens: Column, n: Int): Column =
+    GraftBridge.column(NGramHashes(GraftBridge.expression(tokens), n))
+}

@@ -59,6 +59,13 @@ object LlmQueries {
     "l12_ngram_jaccard" -> { (s, dir) =>
       TextDedup.ngramJaccardNearDup(Tables.documents(s, dir)) },
 
+    // benchmark decontamination: docs 0..19 stand in for an eval suite;
+    // flag training docs sharing any word 8-gram with them
+    "l15_decontam" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextDedup.decontaminate(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -357,6 +364,20 @@ object LlmQueries {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // string 8-grams via list slicing; hash-set equality on the Spark
+    // side ≡ string equality absent ~2^-64 collisions (the l2 argument)
+    "l15_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 7),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 8 AS INTEGER)], ' ')))) AS s
+        |      FROM toks WHERE len(w) >= 8),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 20)
+        |SELECT t.doc_id, COUNT(*) AS n_hits
+        |FROM g t JOIN bench b ON t.s = b.s
+        |WHERE t.doc_id >= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the exact SQL mirror of functions/WinnowFingerprint: 32-bit md5
     // token hash (the l7 parity trick), k-gram rolling hash

@@ -229,6 +229,35 @@ object TextDedup {
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** Decontamination n-gram length — the standard pre-training hygiene
+    * window (8–13 words; one shared n-gram of this length between a
+    * training document and an eval benchmark is taken as contamination). */
+  val DecontamN = 8
+
+  /** Benchmark decontamination: flag training documents sharing ANY word
+    * [[DecontamN]]-gram with the benchmark set. Output: (doc_id, n_hits)
+    * — contaminated training docs with their distinct-overlapping-gram
+    * count, sorted.
+    *
+    * Scale shape: each side collapses to its distinct n-gram *hash* set
+    * at the scan (codegen'd [[graft.functions.NGramHashes]] — 8 B per
+    * gram; hash equality ≡ string equality absent ~2^-64 collisions, the
+    * l2 argument); the benchmark gram set (small — eval suites are MBs,
+    * not TBs) is broadcast, so the 100 TB training scan never shuffles:
+    * probe, partial-count, done. If the benchmark side ever outgrows a
+    * broadcast, removing the hint degrades gracefully to a shuffle-on-
+    * gram join. */
+  def decontaminate(
+      docs: DataFrame, benchmark: DataFrame, n: Int = DecontamN): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.NGramHashes(split(col("text"), " "), n)).as("g"))
+    val bench = grams(benchmark).select("g").distinct()
+    grams(docs)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   // SimHash: 32-bit fingerprint; pairs within Hamming distance <= 1 must
   // share one of 2 exact 16-bit halves (pigeonhole).
   val SimhashBits = 32

@@ -146,6 +146,23 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSet == Set((2001L, 2002L)))
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark 8-gram") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // embeds the benchmark's first 8-gram → contaminated, 1 hit
+      (100L, "prefix words alpha beta gamma delta epsilon zeta eta theta more tail"),
+      (101L, "completely different text with no overlap at all whatsoever here today"),
+      // shares only a 7-gram prefix → clean at n = 8
+      (102L, "alpha beta gamma delta epsilon zeta eta unrelated"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.decontaminate(train, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((100L, 1L)), s"got $out")
+  }
+
   test("exact dedup groups are real duplicate token-set groups") {
     val groups = TextDedup.exactDedup(docs).collect()
     assert(groups.nonEmpty)

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BandHashes, CharNgramHashes, MinHashSig, SimHashFp,
-  TrigramHashes, WinnowFingerprint}
+import graft.functions.{BandHashes, CharNgramHashes, MinHashSig, NGramHashes,
+  SimHashFp, TrigramHashes, WinnowFingerprint}
 
 /** Edge cases + codegen/interpreted parity for the sketch expressions. */
 class SketchExprSpec extends SparkSpec {
@@ -126,6 +126,25 @@ class SketchExprSpec extends SparkSpec {
     assert(got(4L) != got(2L))
     got.values.foreach(fp => assert(fp == fp.distinct.sorted))
     assert(got == noCodegen(run()))
+  }
+
+  test("ngram_hashes: n=3 reproduces trigram_hashes bit-for-bit; short docs empty") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b")),
+      (3L, Seq("x", "x", "x", "x"))
+    ).toDF("id", "toks")
+    val both = df.select(col("id"),
+      NGramHashes(col("toks"), 3).as("n3"),
+      TrigramHashes(col("toks")).as("t3"),
+      NGramHashes(col("toks"), 8).as("n8"))
+      .collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3)))
+    both.foreach { case (id, n3, t3, n8) =>
+      assert(n3 == t3, s"doc $id: ngram(3) != trigram")
+      assert(n8.isEmpty, "below-n docs have no grams")
+    }
+    assert(both.find(_._1 == 3L).get._2.length == 1, "repeated grams dedup")
   }
 
   test("winnow_fp: null tokens hash as empty string, never NPE (ADVICE r3)") {
