@@ -126,6 +126,80 @@ object Multimodal {
     Array.tabulate(keep)(i => bytes((i.toLong * bytes.length / keep).toInt))
   }
 
+  /** Container-header probe result — [[probe]]. */
+  final case class MediaProbe(
+      format: String, // png | jpeg | gif | bmp | wav | unknown
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      sample_rate: Option[Int])
+
+  /** REAL (not stubbed) media metadata extraction: container headers are
+    * plain bytes — PNG IHDR, JPEG SOF markers, GIF/BMP dimension fields,
+    * WAV fmt chunk — so dimensions / channels / sample-rate need no codec
+    * library at all. This is the part of the decode seam a data pipeline
+    * uses most (resolution/duration filtering, corrupt-file triage), and
+    * it runs here for real; only pixel/sample DECODING remains behind
+    * [[decodeStub]]. Unknown or truncated payloads probe as `unknown`
+    * with no fields — never an exception (a 100 TB crawl always contains
+    * garbage). */
+  def probe(bytes: Array[Byte]): MediaProbe = {
+    val n = bytes.length
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    def le32(i: Int) = (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    def ascii(i: Int, len: Int) = new String(bytes, i, len, "US-ASCII")
+    val unknown = MediaProbe("unknown", None, None, None, None)
+    if (n >= 24 && u8(0) == 0x89 && ascii(1, 3) == "PNG" && ascii(12, 4) == "IHDR")
+      MediaProbe("png", Some(be32(16)), Some(be32(20)), None, None)
+    else if (n >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk the marker chain to the first start-of-frame
+      var i = 2
+      var out = MediaProbe("jpeg", None, None, None, None)
+      var done = false
+      while (!done && i + 9 < n) {
+        if (u8(i) != 0xFF) done = true
+        else {
+          val m = u8(i + 1)
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m >= 0xD0 && m <= 0xD9) i += 2 // standalone marker
+          else {
+            val len = be16(i + 2)
+            val isSof = (m >= 0xC0 && m <= 0xCF) &&
+              m != 0xC4 && m != 0xC8 && m != 0xCC // not DHT/JPG/DAC
+            if (isSof && i + 9 < n) {
+              out = MediaProbe("jpeg", Some(be16(i + 7)), Some(be16(i + 5)), None, None)
+              done = true
+            } else if (len < 2) done = true
+            else i += 2 + len
+          }
+        }
+      }
+      out
+    }
+    else if (n >= 10 && ascii(0, 4) == "GIF8")
+      MediaProbe("gif", Some(le16(6)), Some(le16(8)), None, None)
+    else if (n >= 26 && ascii(0, 2) == "BM")
+      MediaProbe("bmp", Some(le32(18)), Some(le32(22)), None, None)
+    else if (n >= 28 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE")
+      MediaProbe("wav", None, None, Some(le16(22)), Some(le32(24)))
+    else unknown
+  }
+
+  /** Probe a whole asset table: per-asset header parse on the executor
+    * holding the bytes (no shuffle, metadata-width output). */
+  def probeAssets(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.map { a =>
+      val p = probe(a.media_bytes)
+      (a.asset_id, a.modality, p.format, p.width, p.height, p.channels, p.sample_rate)
+    }.toDF("asset_id", "modality", "format", "width", "height",
+      "channels", "sample_rate")
+  }
+
   /** Synthesize assets from the documents table (utf-8 payload bytes) — the
     * testdata has no real media, but the plumbing is payload-agnostic. */
   def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {

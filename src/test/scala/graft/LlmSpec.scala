@@ -352,6 +352,46 @@ class LlmSpec extends SparkSpec {
     assert(feats.find(_.asset_id == one.asset_id).get.content_sha === sha)
   }
 
+  test("media probe parses real container headers without codec libs") {
+    import Multimodal.{probe, MediaProbe}
+    // PNG: signature + IHDR with 512x384
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0, 0, 0, 1, 0x80, 8, 2, 0, 0, 0).map(_.toByte)
+    assert(probe(png) == MediaProbe("png", Some(512), Some(384), None, None))
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with h=256 w=200
+    val jpeg = (Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++
+      Array.fill(14)(0) ++
+      Array[Int](0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0x00, 0x00, 0xC8, 0x03) ++
+      Array.fill(12)(0) ++ Array[Int](0xFF, 0xD9)).map(_.toByte)
+    assert(probe(jpeg) == MediaProbe("jpeg", Some(200), Some(256), None, None))
+    // GIF89a 320x240 (little-endian dims)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xF0, 0x00, 0, 0, 0, 0).map(_.toByte))
+    assert(probe(gif) == MediaProbe("gif", Some(320), Some(240), None, None))
+    // BMP 640x480 (dims at offsets 18/22, little-endian)
+    val bmp = ("BM".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0) ++
+      Array[Int](0x80, 0x02, 0, 0, 0xE0, 0x01, 0, 0).map(_.toByte))
+    assert(probe(bmp) == MediaProbe("bmp", Some(640), Some(480), None, None))
+    // WAV: stereo 44100 Hz
+    val wav = ("RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++
+      Array[Int](16, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC, 0, 0, 0, 0, 0, 0).map(_.toByte))
+    assert(probe(wav) == MediaProbe("wav", None, None, Some(2), Some(44100)))
+    // garbage, truncation, empty: unknown, never an exception
+    assert(probe("just some text".getBytes).format == "unknown")
+    assert(probe(png.take(10)).format == "unknown")
+    assert(probe(Array.emptyByteArray).format == "unknown")
+    // and through the distributed path
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", png, 0, 0),
+      Multimodal.MediaAsset(2L, "audio", wav, 0, 0)).toDS()
+    val probed = Multimodal.probeAssets(assets).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(probed == Map(1L -> "png", 2L -> "wav"))
+  }
+
   test("frame sampling yields n evenly spaced windows per asset") {
     val assets = Multimodal.assetsFromDocuments(spark, docs.limit(5))
     val frames = Multimodal.frameSample(assets, n = 4)
