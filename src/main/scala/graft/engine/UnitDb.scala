@@ -58,7 +58,8 @@ final class UnitDb private (
     clock: () => Long,
     autoFlushRows: Int,
     encryptionKey: Option[Array[Byte]],
-    commitProtocol: StoreCommitProtocol) {
+    commitProtocol: StoreCommitProtocol,
+    writeSaltBuckets: Int) {
 
   import UnitDb._
 
@@ -600,21 +601,36 @@ final class UnitDb private (
     case None => df
   }
 
-  /** One file per (contract, wc, day) per sync: repartitioning on the
-    * partition columns before the partitioned write prevents the
-    * every-input-task-writes-every-partition small-files explosion (a
-    * 1000-task batch over 30 days would otherwise cut 30k files). Sorting
-    * by (topic, ts) inside each file keeps row-group stats selective.
-    * NOTE at extreme skew (one day = most of the batch) this serializes
-    * that day into one writer task — add a salt column to the repartition
-    * (and accept multiple files for the hot day) when a single sync's hot
-    * partition exceeds what one task should write. */
-  private def writeStore(df: DataFrame): Unit =
+  /** One file per (contract, wc, day) per sync (writeSaltBuckets = 1):
+    * repartitioning on the partition columns before the partitioned write
+    * prevents the every-input-task-writes-every-partition small-files
+    * explosion (a 1000-task batch over 30 days would otherwise cut 30k
+    * files). Sorting by (topic, ts) inside each file keeps row-group
+    * stats selective.
+    *
+    * At extreme skew (one day = most of a huge batch) a single-bucket
+    * repartition serializes that day into one writer task — opening the
+    * store with `writeSaltBuckets` = k splits every (contract, wc, day)
+    * across k deterministic seq-keyed buckets: the hot day writes from k
+    * tasks at the price of ≤ k files per partition per sync. Readers are
+    * unaffected (the salt is a shuffle key, never a stored column). */
+  private def writeStore(df: DataFrame): Unit = {
+    val prepared = encrypt(withDerived(df))
+    val shuffled =
+      if (writeSaltBuckets > 1)
+        // explicit partition count: AQE would otherwise coalesce the
+        // salted splits of a small sync back into one task, defeating
+        // the salt exactly when testing it (it respects user-specified
+        // counts; at real hot-day sizes it wouldn't coalesce anyway)
+        prepared.repartition(spark.sessionState.conf.numShufflePartitions,
+          col("contract"), col("wc"), col("day"),
+          pmod(col("seq"), lit(writeSaltBuckets)))
+      else
+        prepared.repartition(col("contract"), col("wc"), col("day"))
     configureWriter(
-      encrypt(withDerived(df))
-        .repartition(col("contract"), col("wc"), col("day"))
-        .sortWithinPartitions("topic", "ts")
+      shuffled.sortWithinPartitions("topic", "ts")
         .write.mode(SaveMode.Append)).parquet(dataPath)
+  }
 
   /** Vacuum rewrite — rows are already in at-rest form (no crypto pass). */
   private def writeStoreTo(df: DataFrame, target: String): Unit =
@@ -702,19 +718,26 @@ object UnitDb {
 
   /** Open (or create) a store directory (reference db.go:50-210).
     * `encryptionKey` (16/24/32 bytes) enables per-entry at-rest encryption
-    * (reference WithEncryption, options.go). */
+    * (reference WithEncryption, options.go). `writeSaltBuckets` > 1
+    * splits each (contract, wc, day) write partition across that many
+    * seq-keyed writer tasks — for ingest where one hot day dominates a
+    * sync (see `writeStore`); the default writes one file per partition
+    * per sync. */
   def open(
       spark: SparkSession,
       path: String,
       clock: () => Long = () => System.currentTimeMillis(),
       autoFlushRows: Int = 100000,
       encryptionKey: Option[Array[Byte]] = None,
-      commitProtocol: StoreCommitProtocol = PosixSwapCommit): UnitDb = {
+      commitProtocol: StoreCommitProtocol = PosixSwapCommit,
+      writeSaltBuckets: Int = 1): UnitDb = {
     encryptionKey.foreach(k => require(Set(16, 24, 32)(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
+    require(writeSaltBuckets >= 1, s"writeSaltBuckets must be >= 1")
     TopicMatches.register(spark)
     Files.createDirectories(Paths.get(path))
-    new UnitDb(spark, path, clock, autoFlushRows, encryptionKey, commitProtocol)
+    new UnitDb(spark, path, clock, autoFlushRows, encryptionKey, commitProtocol,
+      writeSaltBuckets)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

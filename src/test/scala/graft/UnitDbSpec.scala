@@ -137,6 +137,25 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("unit4.test")).length == 9)
   }
 
+  test("writeSaltBuckets fans a hot day across multiple files; reads unchanged") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_salt").toString + "/store"
+    val now = 1700000000000L // all puts land on ONE (contract, wc, day)
+    val db = UnitDb.open(spark, dir, clock = () => now, writeSaltBuckets = 4)
+    for (i <- 1 to 200) db.put("salt.t", s"v$i".getBytes)
+    db.sync()
+    val dayDir = Paths.get(dir).toFile.listFiles
+      .find(_.getName.startsWith("contract=")).get
+      .listFiles.find(_.getName.startsWith("wc=")).get
+      .listFiles.find(_.getName.startsWith("day=")).get
+    val files = dayDir.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files > 1 && files <= 4,
+      s"hot day should write from up to 4 tasks, got $files files")
+    // the salt is a shuffle key, not a stored column: full read-back intact
+    assert(db.get(Query("salt.t")).map(new String(_)).toSet ==
+      (1 to 200).map(i => s"v$i").toSet)
+  }
+
   test("manifest commit: vacuum swaps a generation pointer, sidecars never move") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graftdb_manifest").toString + "/store"
