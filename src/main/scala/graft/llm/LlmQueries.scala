@@ -66,6 +66,16 @@ object LlmQueries {
       TextDedup.decontaminate(
         d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20)) },
 
+    // engine-independent md5-keyed train/val/test split, per-lang counts
+    "l16_split" -> { (s, dir) =>
+      TextStats.splitAssign(Tables.documents(s, dir))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split") },
+
+    // best-tokens-per-language budget selection
+    "l17_token_budget" -> { (s, dir) =>
+      TextStats.tokenBudget(Tables.documents(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -378,6 +388,31 @@ object LlmQueries {
         |FROM g t JOIN bench b ON t.s = b.s
         |WHERE t.doc_id >= 20
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the split is a pure function of md5(decimal doc_id) — identical in
+    // any engine, which is the whole point of the operator
+    "l16_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "l17_token_budget" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, len(w) AS n_tokens,
+        |    len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) * 1.0 / len(w) AS stop_ratio
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+        |        ORDER BY stop_ratio, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM sc)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c WHERE cum - n_tokens < 20000
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // the exact SQL mirror of functions/WinnowFingerprint: 32-bit md5
     // token hash (the l7 parity trick), k-gram rolling hash

@@ -46,6 +46,56 @@ object TextStats {
         "stop_ratio", "bpe_est")
       .orderBy("doc_id")
 
+  /** Deterministic, engine-independent train/val/test assignment: the
+    * split is a pure function of the stable document key (md5 of its
+    * decimal id → first 4 hex digits → mod 100), so ANY engine — Spark
+    * at 100 TB, DuckDB in a notebook, a Python sanity script — derives
+    * the identical split for the identical document. That is the
+    * property a reproducible training mix needs, and what
+    * `df.randomSplit`/`sampleBy` (partition-order-dependent RNG) cannot
+    * give. Zero shuffle: one hash per row. Default 80/10/10. */
+  def splitAssign(docs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.withColumn("bucket",
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** Token-budget corpus selection: within each language, take documents
+    * in quality order (lowest stopword ratio first, doc_id ties) until
+    * the cumulative token count reaches `budget` — the "best N tokens
+    * per language" training-mix primitive. A document is kept iff the
+    * budget was not yet exhausted when it starts (so the total may
+    * overshoot by at most one document, the standard contract). Output:
+    * per-language kept-doc and token totals.
+    *
+    * Scale note: the running sum partitions by lang — at 100 TB, with a
+    * handful of languages, the cumulative pass would instead range-
+    * partition each language by the quality key and convert per-range
+    * partial sums into offsets (the two-phase trick every running total
+    * uses); the declarative window form here states the semantics and is
+    * what the oracle mirrors. */
+  def tokenBudget(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("stop_ratio"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("wtoks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("wtoks")).cast("long"))
+      .withColumn("stop_ratio",
+        countIn(col("wtoks"), Stopwords) * lit(1.0) / size(col("wtoks")))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   /** Marker-word language ID: per-language hit counts + argmax prediction
     * (fixed priority on ties), with the dataset's labeled `lang` retained
     * for comparison. */

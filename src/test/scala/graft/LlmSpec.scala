@@ -313,6 +313,32 @@ class LlmSpec extends SparkSpec {
     assert(pairs.length === 45 && pairs.toSet.size === 45)
   }
 
+  test("split assignment is a pure key function — partitioning-invariant") {
+    val one = TextStats.splitAssign(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val other = TextStats.splitAssign(docs.repartition(13)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(one == other, "split must not depend on physical layout")
+    val byName = one.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+  }
+
+  test("token budget keeps best-quality docs first, overshoots by at most one doc") {
+    import spark.implicits._
+    val ws = (c: Char) => (1 to 10).map(i => s"$c$i").mkString(" ") // 10 tokens, 0 stopwords
+    val half = "the a of and the " + (1 to 5).map(i => s"x$i").mkString(" ") // ratio 0.5
+    val all = "the a of and the a of and the a" // ratio 1.0
+    val corpus = Seq(
+      (1L, "aa", ws('p')), (2L, "aa", half), (3L, "aa", all),
+      (4L, "bb", ws('q'))).toDF("doc_id", "lang", "text")
+    val out = TextStats.tokenBudget(corpus, budget = 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // lang aa: quality order d1 (0.0), d2 (0.5), d3 (1.0); cum 10, 20, 30 →
+    // d1 starts at 0 < 15, d2 at 10 < 15 (kept, overshoots), d3 at 20 ≥ 15
+    assert(out == Seq(("aa", 2L, 20L), ("bb", 1L, 10L)), s"got $out")
+  }
+
   test("text stats are exact and complete") {
     val stats = TextStats.textStats(docs).collect()
     assert(stats.length === docs.count())
