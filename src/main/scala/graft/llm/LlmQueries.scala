@@ -66,6 +66,13 @@ object LlmQueries {
       TextDedup.decontaminate(
         d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20)) },
 
+    // incremental dedup: docs < 250 are the standing corpus, the rest a
+    // new crawl batch deduped against it (and within itself)
+    "l18_incr_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextDedup.exactDedupAgainst(
+        d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250)) },
+
     // engine-independent md5-keyed train/val/test split, per-lang counts
     "l16_split" -> { (s, dir) =>
       TextStats.splitAssign(Tables.documents(s, dir))
@@ -388,6 +395,18 @@ object LlmQueries {
         |FROM g t JOIN bench b ON t.s = b.s
         |WHERE t.doc_id >= 20
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l18_incr_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT MIN(i.doc_id) AS doc_id, i.fingerprint
+        |FROM fp i
+        |WHERE i.doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM fp c
+        |                  WHERE c.doc_id < 250 AND c.fingerprint = i.fingerprint)
+        |GROUP BY i.fingerprint
+        |ORDER BY doc_id""".stripMargin,
 
     // the split is a pure function of md5(decimal doc_id) — identical in
     // any engine, which is the whole point of the operator

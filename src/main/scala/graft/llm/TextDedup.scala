@@ -229,6 +229,30 @@ object TextDedup {
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental exact dedup: keep only the `incoming` documents whose
+    * normalized fingerprint ([[exactDedup]]'s bag-of-words md5) appears
+    * neither in the existing `corpus` nor earlier (lower doc_id) in the
+    * incoming batch itself — the "dedup the new crawl against what we
+    * already have" primitive, which must NOT re-scan-pair the corpus.
+    * Output: kept (doc_id, fingerprint), sorted.
+    *
+    * Scale shape: both sides collapse to (fingerprint, doc_id) at the
+    * scan; the corpus side is an anti-join on the fingerprint — one
+    * shuffle of fingerprint-width rows (at 100 TB the corpus fingerprint
+    * set would be a bucketed table, making the anti-join co-located) —
+    * and intra-batch dedup is a min-per-fingerprint aggregate. The
+    * corpus text is never re-paired, only its fingerprints. */
+  def exactDedupAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+        .as("fingerprint"))
+    fp(incoming)
+      .join(fp(corpus).select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** Decontamination n-gram length — the standard pre-training hygiene
     * window (8–13 words; one shared n-gram of this length between a
     * training document and an eval benchmark is taken as contamination). */

@@ -146,6 +146,20 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSet == Set((2001L, 2002L)))
   }
 
+  test("incremental dedup keeps only fingerprints new to corpus AND batch") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "c b a"),            // token set equals corpus doc 1 → dropped
+      (11L, "new words here"),   // first of an intra-batch pair → kept
+      (12L, "words new here"),   // same token set as 11 → dropped
+      (13L, "unique other text") // genuinely new → kept
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.exactDedupAgainst(corpus, incoming)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L, 13L), s"got $kept")
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark 8-gram") {
     import spark.implicits._
     val bench = Seq(

@@ -458,6 +458,32 @@ class StreamingSpec extends SparkSpec {
     assert(delivered.length == 4, s"replays must dedupe: $delivered")
   }
 
+  test("S2→S1 bridge: subscribe fan-out delivers into a second store") {
+    // reference bridge/relay topology: one node's SUBSCRIBE feeds another
+    // node's PUBLISH — here a subscription's deliveries append into a
+    // second UnitDb via the same idempotent batch path, exercising the
+    // full composition (wildcard fan-out → seq reservation → store read)
+    val base = tmp("bridge")
+    val dst = UnitDb.open(spark, base + "/dst", clock = () => T0)
+    val subs = spark.createDataset(Seq(Subscription(77L, "br.keep.*")))(
+      Encoders.product[Subscription]).toDF()
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val q = Subscribe.start(
+      mem.toDF().toDF("topic", "payload", "ts"), subs, base + "/ckpt",
+      deliver = (df: DataFrame, batchId: Long) =>
+        StreamIngest.appendBatch(dst,
+          df.select("topic", "payload", "ts"), batchId, "bridge"))
+    mem.addData(
+      ("br.keep.a", "m1".getBytes, ts(T0)),
+      ("br.drop.b", "m2".getBytes, ts(T0 + 1000)), // no matching sub
+      ("br.keep.c", "m3".getBytes, ts(T0 + 2000)))
+    q.processAllAvailable()
+    q.stop()
+    assert(dst.count() == 2)
+    assert(dst.get(Q("br.keep...")).map(new String(_)).toSet == Set("m1", "m3"))
+  }
+
   test("ingest progress listener counts per-query input rows (Varz hook)") {
     val base = tmp("listen")
     val db = UnitDb.open(spark, base + "/store", clock = () => T0)
