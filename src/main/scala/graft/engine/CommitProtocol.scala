@@ -38,6 +38,14 @@ trait StoreCommitProtocol {
     * What's-wrong #2).
     */
   def commitRewrite(path: String, tmp: String, preserveSidecars: Seq[String]): Unit
+
+  /** Repair crash leftovers of an interrupted [[commitRewrite]] — called
+    * once at store open, before any read or write. Each protocol knows
+    * its own crash windows: the swap protocol may need to roll the
+    * `.compact.old` copy back into place; the manifest protocol
+    * garbage-collects generations no pointer references. Default: no
+    * crash windows to repair. */
+  def recover(path: String): Unit = ()
 }
 
 private[engine] object FsUtil {
@@ -103,9 +111,11 @@ object PosixSwapCommit extends StoreCommitProtocol {
     val p = Paths.get(path)
     val pt = Paths.get(tmp)
     val po = Paths.get(path + ".compact.old")
-    // a crash-leftover .old from a previous vacuum would make the first
-    // ATOMIC_MOVE throw on the existing target — pre-clean it (ADVICE r3)
-    if (Files.exists(po)) FsUtil.deleteTree(po)
+    // recover() rolled back or GC'd any crash leftover at open; an .old
+    // still present here is a recover() bug, and silently deleting it
+    // could destroy the only surviving copy of a crashed store — refuse
+    require(!Files.exists(po),
+      s"$po exists — crash leftover not repaired at open; refusing to vacuum")
     preserveSidecars.foreach { name =>
       val src = p.resolve(name)
       if (Files.isDirectory(src)) FsUtil.copyTree(src, pt.resolve(name))
@@ -113,6 +123,38 @@ object PosixSwapCommit extends StoreCommitProtocol {
     Files.move(p, po, StandardCopyOption.ATOMIC_MOVE)
     Files.move(pt, p, StandardCopyOption.ATOMIC_MOVE)
     FsUtil.deleteTree(po)
+  }
+
+  private def hasData(dir: Path): Boolean =
+    Files.isDirectory(dir) && {
+      val kids = dir.toFile.listFiles
+      kids != null && kids.exists(f =>
+        f.getName.startsWith("contract=") || f.getName.endsWith(".parquet"))
+    }
+
+  /** Crash windows of the two-move swap (ADVICE r3 — the old behavior
+    * either threw forever on the leftover or, worse, a blind pre-clean
+    * would have silently destroyed the only surviving copy):
+    *  - between the moves: no live `path` (or an empty one recreated by
+    *    a later open) while `.compact.old` holds the full original →
+    *    ROLL BACK by moving `.old` into place;
+    *  - after the second move but before the delete: `path` is the
+    *    committed rewrite and `.old` is superseded garbage → finish the
+    *    delete.
+    * A leftover `.compact.tmp` (crash before the first move, or after a
+    * completed rollback) is always unreferenced staging — removed so the
+    * next vacuum's rewrite starts clean. */
+  override def recover(path: String): Unit = {
+    val p = Paths.get(path)
+    val po = Paths.get(path + ".compact.old")
+    if (Files.exists(po)) {
+      if (!hasData(p)) {
+        if (Files.exists(p)) FsUtil.deleteTree(p)
+        Files.move(po, p, StandardCopyOption.ATOMIC_MOVE): Unit
+      } else FsUtil.deleteTree(po)
+    }
+    val pt = Paths.get(path + ".compact.tmp")
+    if (Files.exists(pt)) FsUtil.deleteTree(pt)
   }
 }
 
@@ -186,10 +228,32 @@ object ManifestCommit extends StoreCommitProtocol {
       (listing.mkString("\n") + "\n").getBytes(UTF_8))
     // 2. publish: one atomic pointer write (single PUT on an object store)
     FsUtil.atomicWrite(pointer(path), (next + "\n").getBytes(UTF_8))
-    // 3. garbage-collect the superseded generation (safe: unreferenced)
-    val oldDir = genDir(path, old)
-    if (Files.exists(oldDir)) FsUtil.deleteTree(oldDir)
-    val oldList = Paths.get(path, "_manifest", s"$old.list")
-    if (Files.exists(oldList)) FsUtil.deleteTree(oldList)
+    // 3. garbage-collect EVERY unreferenced generation, not just the
+    //    immediately superseded one — a crash between steps 2 and 3 of a
+    //    previous commit leaves its old generation orphaned, and nothing
+    //    later would ever name it again
+    collectGarbage(path, keep = next)
   }
+
+  /** Delete every generation directory (and audit listing) other than
+    * `keep` — all are unreferenced by the pointer and safe to drop. */
+  private def collectGarbage(path: String, keep: String): Unit = {
+    val gens = Paths.get(path, "_gen").toFile.listFiles
+    if (gens != null)
+      gens.filter(d => d.isDirectory && d.getName != keep)
+        .foreach(d => FsUtil.deleteTree(d.toPath))
+    val lists = Paths.get(path, "_manifest").toFile.listFiles
+    if (lists != null)
+      lists.filter(f => f.getName.endsWith(".list") && f.getName != s"$keep.list")
+        .foreach(f => FsUtil.deleteTree(f.toPath))
+  }
+
+  /** Crash repair: a commit interrupted between the pointer write and
+    * garbage collection leaves whole generations orphaned forever (no
+    * later commit names them) — collect them now. A crash BEFORE the
+    * pointer write needs nothing: the staged next-generation directory
+    * is unreferenced and the same sweep removes it. */
+  override def recover(path: String): Unit =
+    if (Files.exists(Paths.get(path, "_gen")))
+      collectGarbage(path, keep = currentGen(path))
 }

@@ -67,7 +67,6 @@ final class UnitDb private (
   private val pendingTombs = ArrayBuffer[Tombstone]()
   private val seqCounter = new AtomicLong(0L)
   // declared before the recovery block below, which seeds hwmWritten
-  private val hwmLock = new Object
   @volatile private var hwmWritten = 0L
   @volatile private var storeExists = hasStore
   @volatile private var tombsExist = hasTombs
@@ -521,9 +520,14 @@ final class UnitDb private (
     * handed out but not (yet) backed by stored rows — minted IDs, reserved
     * streaming ranges — so recovery never re-issues them. A directory (not
     * a bare file) so the swap protocol's sidecar preservation carries it
-    * across vacuum. Monotonic under its own lock; one tiny atomic write
-    * per newID/reserve, nothing per put. */
-  private def persistSeqHwm(v: Long): Unit = hwmLock.synchronized {
+    * across vacuum. Runs under the WRITER lock, not a private one: like
+    * every sidecar write it must serialize with vacuum's commitRewrite —
+    * an hwm update racing the swap protocol's copy-then-move window would
+    * either be deleted with the old directory (re-issuing the seq after
+    * reopen) or, by recreating `path/_seq_hwm` between the two moves,
+    * make the second ATOMIC_MOVE throw with the store stranded in tmp.
+    * One tiny atomic write per newID/reserve, nothing per put. */
+  private def persistSeqHwm(v: Long): Unit = synchronized {
     if (v > hwmWritten) {
       FsUtil.atomicWrite(Paths.get(path, "_seq_hwm", "hwm"),
         v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -735,6 +739,11 @@ object UnitDb {
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
     require(writeSaltBuckets >= 1, s"writeSaltBuckets must be >= 1")
     TopicMatches.register(spark)
+    // repair any crash leftovers of an interrupted vacuum commit BEFORE
+    // creating/reading anything — a crash between the swap protocol's two
+    // moves leaves the store's only copy in `.compact.old`, which a blind
+    // open would shadow with a fresh empty directory
+    commitProtocol.recover(path)
     Files.createDirectories(Paths.get(path))
     new UnitDb(spark, path, clock, autoFlushRows, encryptionKey, commitProtocol,
       writeSaltBuckets)

@@ -87,7 +87,11 @@ object TrigramHashesUtil {
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      // null elements (user arrays via SQL) hash as the empty string —
+      // deterministic, never an NPE (same policy as winnow_fp, ADVICE r3)
+      val s = tokens.getUTF8String(i)
+      th(i) = XXH64.hashUTF8String(
+        if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s, 42L)
       i += 1
     }
     val out = new Array[Long](n - 2)
@@ -158,7 +162,10 @@ object NGramHashesUtil {
     val th = new Array[Long](m)
     var i = 0
     while (i < m) {
-      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      // null elements hash as the empty string (same policy as winnow_fp)
+      val s = tokens.getUTF8String(i)
+      th(i) = XXH64.hashUTF8String(
+        if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s, 42L)
       i += 1
     }
     val out = new Array[Long](m - n + 1)

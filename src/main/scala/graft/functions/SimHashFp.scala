@@ -30,7 +30,9 @@ object SimHashFpUtil {
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      // null elements hash as the empty string (same policy as winnow_fp)
+      val s = tokens.getUTF8String(i)
+      val d = md.digest(if (s == null) Array.emptyByteArray else s.getBytes)
       val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       var j = 0

@@ -101,9 +101,14 @@ object LlmQueries {
     // the persisted-index face of l10: build the partitioned inverted
     // lists + stored centroids, then answer probes from the index alone
     // (only probed cell partitions are read — DPP, plan-pinned). Same
-    // oracle as l10: identical semantics by construction.
+    // oracle as l10: identical semantics by construction. The index path
+    // is a STABLE function of the source dir (not a fresh temp dir):
+    // buildIvfIndex overwrites in place, so repeated bench/verify runs
+    // reuse one location instead of accumulating a full table copy per
+    // invocation in /tmp.
     "l14_ann_ivf_indexed" -> { (s, dir) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_${Integer.toHexString(dir.hashCode)}/idx").toString
       Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
       Similarity.annIvfIndexed(s, idx) },
 
@@ -137,7 +142,7 @@ object LlmQueries {
             / col("n_tokens"))
         .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.15)
         .withColumn("fingerprint",
-          md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
+          TextDedup.bagOfWordsFingerprintFromTokens(col("w")))
       // one shuffle: per (fingerprint, lang) — count + that lang's min doc
       val perFpLang = passed.groupBy("fingerprint", "lang").agg(
         count(lit(1)).as("c"),

@@ -182,9 +182,27 @@ object Multimodal {
     else if (n >= 10 && ascii(0, 4) == "GIF8")
       MediaProbe("gif", Some(le16(6)), Some(le16(8)), None, None)
     else if (n >= 26 && ascii(0, 2) == "BM")
-      MediaProbe("bmp", Some(le32(18)), Some(le32(22)), None, None)
-    else if (n >= 28 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE")
-      MediaProbe("wav", None, None, Some(le16(22)), Some(le32(24)))
+      // biHeight is SIGNED: top-down DIBs store it negative — report the
+      // row count, not the sign convention
+      MediaProbe("bmp", Some(le32(18)), Some(math.abs(le32(22))), None, None)
+    else if (n >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      // walk the RIFF chunk chain for "fmt " — it is NOT always the first
+      // chunk (broadcast-WAV/DAW exports lead with JUNK/LIST padding);
+      // assuming fixed offsets 22/24 would read garbage from those
+      var i = 12
+      var out = MediaProbe("wav", None, None, None, None)
+      var done = false
+      while (!done && i + 8 <= n) {
+        val id = ascii(i, 4)
+        val size = le32(i + 4)
+        if (id == "fmt " && i + 16 <= n && size >= 16) {
+          out = MediaProbe("wav", None, None, Some(le16(i + 10)), Some(le32(i + 12)))
+          done = true
+        } else if (size < 0) done = true
+        else i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      out
+    }
     else unknown
   }
 

@@ -43,13 +43,24 @@ object TextDedup {
           .otherwise(expr("array()")))
       .drop("w")
 
+  /** Bag-of-words normalization fingerprint: md5 of the sorted distinct
+    * token set. ONE definition shared by [[exactDedup]] and
+    * [[exactDedupAgainst]] — a normalization change must reach both, or
+    * corpus fingerprints written under one version stop matching the
+    * incoming batch's. (The c1 curation oracle mirrors this expression.) */
+  def bagOfWordsFingerprint(text: Column): Column =
+    bagOfWordsFingerprintFromTokens(split(text, " "))
+
+  /** Token-array form, for callers that already split (c1 curation). */
+  def bagOfWordsFingerprintFromTokens(tokens: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens))))
+
   /** Exact dedup after bag-of-words normalization: fingerprint = md5 of the
     * sorted distinct token set. Returns one row per duplicate group with the
     * kept (minimum) doc_id and the copy count. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fingerprint",
-        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .withColumn("fingerprint", bagOfWordsFingerprint(col("text")))
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
@@ -244,8 +255,7 @@ object TextDedup {
     * corpus text is never re-paired, only its fingerprints. */
   def exactDedupAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame = {
     def fp(df: DataFrame) = df.select(col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
-        .as("fingerprint"))
+      bagOfWordsFingerprint(col("text")).as("fingerprint"))
     fp(incoming)
       .join(fp(corpus).select("fingerprint"), Seq("fingerprint"), "left_anti")
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))

@@ -123,6 +123,10 @@ object StreamIngest {
     val commitDir = Paths.get(db.path, "_ingest_commits", queryName)
     val marker = commitDir.resolve(f"$batchId%020d")
     if (Files.exists(marker)) return // replayed batch — already committed
+    def writeMarker(): Unit = db.withWriterLock {
+      Files.createDirectories(commitDir)
+      Files.createFile(marker): Unit
+    }
     val parsed = toParsed(db, batch, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -159,12 +163,19 @@ object StreamIngest {
           val m = obs.get
           val (n, lo, hi) = (m("n").asInstanceOf[Long],
             m("lo").asInstanceOf[Long], m("hi").asInstanceOf[Long])
-          if (n != nMsgs || lo < base + 1 || hi > base + total)
+          if (n != nMsgs || lo < base + 1 || hi > base + total) {
+            // the bad rows are already durably appended — mark the batch
+            // committed FIRST, or every restart would replay it and append
+            // a full second copy on top of the desynced one; the exception
+            // then stops the query with the span to reconcile by
+            writeMarker()
             throw new IllegalStateException(
               s"seq assignment desynced from the counts pass (batch $batchId: " +
               s"wrote $n/$nMsgs rows, seq span [$lo,$hi] vs reserved " +
               s"[${base + 1},${base + total}]) — the micro-batch source " +
-              "re-evaluated nondeterministically; see appendBatch doc")
+              "re-evaluated nondeterministically; batch is marked committed " +
+              "to prevent duplicate replay; see appendBatch doc")
+          }
         }
         db.recordBulkAppend(nMsgs, stats.map(_._4).sum)
         // the stats agg already knows the reject count — no isEmpty job.
@@ -185,12 +196,10 @@ object StreamIngest {
           }
       }
     } finally parsed.unpersist(): Unit
-    // same for the commit marker — losing one to a concurrent vacuum
-    // re-opens the duplicate-replay window it exists to close
-    db.withWriterLock {
-      Files.createDirectories(commitDir)
-      Files.createFile(marker): Unit
-    }
+    // marker write runs under the writer lock (see writeMarker) — losing
+    // one to a concurrent vacuum re-opens the duplicate-replay window it
+    // exists to close
+    writeMarker()
   }
 
   /** Observability hook (SURVEY §1.4: reference Varz → engine listener):

@@ -418,6 +418,18 @@ class LlmSpec extends SparkSpec {
       "WAVEfmt ".getBytes("US-ASCII") ++
       Array[Int](16, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC, 0, 0, 0, 0, 0, 0).map(_.toByte))
     assert(probe(wav) == MediaProbe("wav", None, None, Some(2), Some(44100)))
+    // WAV whose fmt chunk is NOT first (broadcast-WAV style JUNK padding):
+    // the chunk walk must find it, not read garbage at fixed offsets
+    val wavJunk = ("RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+      "WAVEJUNK".getBytes("US-ASCII") ++
+      Array[Int](4, 0, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F).map(_.toByte) ++
+      "fmt ".getBytes("US-ASCII") ++
+      Array[Int](16, 0, 0, 0, 1, 0, 1, 0, 0x40, 0x1F, 0, 0, 0, 0, 0, 0).map(_.toByte))
+    assert(probe(wavJunk) == MediaProbe("wav", None, None, Some(1), Some(8000)))
+    // top-down BMP: biHeight is stored negative; report the row count
+    val bmpTopDown = ("BM".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0) ++
+      Array[Int](0x80, 0x02, 0, 0, 0x20, 0xFE, 0xFF, 0xFF).map(_.toByte))
+    assert(probe(bmpTopDown) == MediaProbe("bmp", Some(640), Some(480), None, None))
     // garbage, truncation, empty: unknown, never an exception
     assert(probe("just some text".getBytes).format == "unknown")
     assert(probe(png.take(10)).format == "unknown")

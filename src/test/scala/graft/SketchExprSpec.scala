@@ -147,6 +147,21 @@ class SketchExprSpec extends SparkSpec {
     assert(both.find(_._1 == 3L).get._2.length == 1, "repeated grams dedup")
   }
 
+  test("all token-array kernels hash null elements as empty string, never NPE") {
+    GraftFunctions.registerAll(spark)
+    def run(fn: String): Seq[org.apache.spark.sql.Row] = spark.sql(
+      s"""SELECT $fn AS a,
+         |       ${fn.replace("CAST(NULL AS STRING)", "''")} AS b""".stripMargin)
+      .collect().toSeq
+    for (call <- Seq(
+        "trigram_hashes(array('a', CAST(NULL AS STRING), 'b', 'c'))",
+        "ngram_hashes(array('a', CAST(NULL AS STRING), 'b', 'c'), 2)",
+        "simhash_fp(array('a', CAST(NULL AS STRING), 'b'))")) {
+      val r = run(call)
+      assert(r.head.get(0) == r.head.get(1), s"$call: null != '' result")
+    }
+  }
+
   test("winnow_fp: null tokens hash as empty string, never NPE (ADVICE r3)") {
     // reachable through the SQL-registered function over user arrays
     // (split() output never contains nulls, but user arrays may)

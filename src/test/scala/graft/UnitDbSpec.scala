@@ -156,6 +156,48 @@ class UnitDbSpec extends SparkSpec {
       (1 to 200).map(i => s"v$i").toSet)
   }
 
+  test("open repairs a vacuum crash between the swap moves (recover)") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graftdb_crash").toString + "/store"
+    val now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    for (i <- 1 to 5) db.put("r.t", s"v$i".getBytes)
+    db.sync(); db.close()
+    // simulate the crash window: first ATOMIC_MOVE done (live path is
+    // gone, full original in .compact.old), second never happened
+    Files.move(Paths.get(dir), Paths.get(dir + ".compact.old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // a blind open would shadow the only copy with a fresh empty store
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    assert(db2.get(Query("r.t")).length == 5, "rollback must restore the store")
+    assert(!Files.exists(Paths.get(dir + ".compact.old")))
+    // and the repaired store vacuums normally afterwards
+    db2.delete(1L, "r.t")
+    db2.vacuum()
+    assert(db2.get(Query("r.t")).length == 4)
+  }
+
+  test("open garbage-collects manifest generations orphaned by a crashed commit") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_orphan").toString + "/store"
+    val now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit)
+    for (i <- 1 to 5) db.put("o.t", s"v$i".getBytes)
+    db.sync(); db.close()
+    // a commit that crashed between pointer write and GC leaves whole
+    // generations unreferenced forever — plant one
+    Files.createDirectories(Paths.get(dir, "_gen", "g00000099"))
+    Files.write(Paths.get(dir, "_gen", "g00000099", "stale.parquet"), "x".getBytes)
+    Files.createDirectories(Paths.get(dir, "_manifest"))
+    Files.write(Paths.get(dir, "_manifest", "g00000099.list"), "stale\n".getBytes)
+    val db2 = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit)
+    assert(!Files.exists(Paths.get(dir, "_gen", "g00000099")), "orphan not swept")
+    assert(!Files.exists(Paths.get(dir, "_manifest", "g00000099.list")))
+    assert(db2.get(Query("o.t")).length == 5, "live generation untouched")
+  }
+
   test("manifest commit: vacuum swaps a generation pointer, sidecars never move") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graftdb_manifest").toString + "/store"
