@@ -62,6 +62,9 @@ object GraftFunctions {
     ("ngram_hashes",
       "ngram_hashes(tokens, n) - distinct word-n-gram hash set of a token array",
       (exprs: Seq[Expression]) => NGramHashes(exprs(0), litInt(exprs(1), "n"))),
+    ("ngram_hashes_all",
+      "ngram_hashes_all(tokens, n) - sorted word-n-gram hashes with multiplicity",
+      (exprs: Seq[Expression]) => NGramHashesAll(exprs(0), litInt(exprs(1), "n"))),
     ("char_ngram_hashes",
       "char_ngram_hashes(text, n) - distinct character-n-gram hash set of a string",
       (exprs: Seq[Expression]) => CharNgramHashes(exprs(0), litInt(exprs(1), "n"))),

@@ -156,7 +156,11 @@ object NGramHashesUtil {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-  def hashes(tokens: ArrayData, n: Int): ArrayData = {
+  /** Sorted n-gram hash sequence WITH duplicates — one hash per gram
+    * occurrence. Sorted so multiplicity consumers (run-length mode,
+    * duplicate-gram fractions) get equal grams adjacent without a second
+    * per-row sort. */
+  def hashesAll(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](m)
@@ -178,9 +182,19 @@ object NGramHashesUtil {
       i += 1
     }
     java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  def hashes(tokens: ArrayData, n: Int): ArrayData = {
+    val sorted = hashesAll(tokens, n)
+    val len = sorted.numElements()
+    if (len == 0) return sorted
+    val out = new Array[Long](len)
+    var i = 0
+    while (i < len) { out(i) = sorted.getLong(i); i += 1 }
     var uniq = 1
     i = 1
-    while (i < out.length) {
+    while (i < len) {
       if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
       i += 1
     }
@@ -218,4 +232,39 @@ case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
 object NGramHashes {
   def apply(tokens: Column, n: Int): Column =
     GraftBridge.column(NGramHashes(GraftBridge.expression(tokens), n))
+}
+
+/** `ngram_hashes_all(tokens, n)` — the multiplicity-preserving sibling of
+  * [[NGramHashes]]: every gram occurrence keeps its hash, sorted ascending
+  * (equal grams adjacent). Repetition-signal consumers derive gram counts,
+  * mode, and duplicate fractions from this in one codegen'd kernel + one
+  * linear fold, with no per-row string n-gram materialization. */
+case class NGramHashesAll(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes_all expects ARRAY<STRING> and n > 0, got $t / n=$n")
+    }
+  override def prettyName: String = "ngram_hashes_all"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NGramHashesUtil.hashesAll(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NGramHashesUtil.hashesAll($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashesAll =
+    copy(child = newChild)
+}
+
+object NGramHashesAll {
+  def apply(tokens: Column, n: Int): Column =
+    GraftBridge.column(NGramHashesAll(GraftBridge.expression(tokens), n))
 }

@@ -83,6 +83,11 @@ object LlmQueries {
     "l17_token_budget" -> { (s, dir) =>
       TextStats.tokenBudget(Tables.documents(s, dir)) },
 
+    // Gopher-style repetition quality signals: top-bigram share + repeated
+    // 5-gram fraction, zero-shuffle per-row kernels
+    "l19_repetition" -> { (s, dir) =>
+      TextStats.repetitionStats(Tables.documents(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -424,6 +429,34 @@ object LlmQueries {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // mode and multiplicities over gram STRINGS — the Spark side counts
+    // 64-bit gram hashes (identical counts absent ~2^-64 collisions);
+    // integer counts + one IEEE division each → bit-identical fractions
+    "l19_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |          ELSE CAST([] AS VARCHAR[]) END AS big,
+        |        greatest(len(w) - 2, 0) AS n3,
+        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
+        |          ELSE 0 END AS d3
+        |      FROM toks),
+        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS top, COUNT(*) AS dist FROM cnt GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(len(big) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(mx.top, 0) AS BIGINT) AS top_bigram_n,
+        |  CASE WHEN len(big) = 0 THEN 0.0
+        |       ELSE COALESCE(mx.top, 0) * 1.0 / len(big) END AS top_bigram_frac,
+        |  CASE WHEN len(big) = 0 THEN 0.0
+        |       ELSE (len(big) - COALESCE(mx.dist, 0)) * 1.0 / len(big) END AS dup_bigram_frac,
+        |  CASE WHEN n3 = 0 THEN 0.0
+        |       ELSE (n3 - d3) * 1.0 / n3 END AS dup_trigram_frac
+        |FROM b LEFT JOIN mx USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     "l17_token_budget" ->
       """WITH sc AS (

@@ -96,6 +96,60 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
+    * "repetition" filters, re-expressed over the word stream): the fraction
+    * of the document occupied by its most frequent word bigram, and the
+    * fraction of word bigrams / trigrams that repeat an earlier gram in
+    * the same document (Gopher's duplicate-n-gram family; n chosen where
+    * the corpus has signal). High values flag boilerplate / template /
+    * generated text that per-corpus dedup cannot see.
+    *
+    * Scale shape: zero shuffle — both signals come from one codegen'd
+    * kernel per row ([[graft.functions.NGramHashesAll]]: sorted gram
+    * hashes with multiplicity) plus one linear `aggregate` fold for the
+    * mode (run-length over the sorted array, O(n log n) per doc). The
+    * naive per-row mode (`count each distinct gram`) is O(n·distinct) —
+    * quadratic on long documents — and the explode→groupBy alternative
+    * shuffles every gram of every document; this form does neither.
+    * Multiplicity/mode on 64-bit gram hashes ≡ on gram strings absent
+    * ~2^-64 collisions (the l2/l15 argument; the oracle counts strings). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    // run-length max over the sorted-with-duplicates hash array: the mode
+    // count of the document's bigrams, shuffle-free
+    val topRun =
+      """aggregate(h2,
+        |  named_struct('prev', CAST(NULL AS BIGINT), 'run', 0L, 'best', 0L),
+        |  (a, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
+        |    'best', greatest(a.best, IF(a.prev <=> x, a.run + 1L, 1L))),
+        |  a -> a.best)""".stripMargin
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("h2", graft.functions.NGramHashesAll(col("w"), 2))
+      .withColumn("n_bigrams", size(col("h2")).cast("long"))
+      .withColumn("top_bigram_n", expr(topRun))
+      .withColumn("n_dup_bigrams",
+        col("n_bigrams") - size(graft.functions.NGramHashes(col("w"), 2)))
+      .withColumn("n_trigrams", greatest(size(col("w")) - 2, lit(0)).cast("long"))
+      .withColumn("n_dup_trigrams",
+        col("n_trigrams") - size(graft.functions.TrigramHashes(col("w"))))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("top_bigram_n"),
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("top_bigram_n") * lit(1.0) / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("n_dup_bigrams") * lit(1.0) / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        when(col("n_trigrams") === 0, 0.0)
+          .otherwise(col("n_dup_trigrams") * lit(1.0) / col("n_trigrams"))
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Marker-word language ID: per-language hit counts + argmax prediction
     * (fixed priority on ties), with the dataset's labeled `lang` retained
     * for comparison. */

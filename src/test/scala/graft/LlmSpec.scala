@@ -362,6 +362,39 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("repetition stats: known-count docs, short-doc zeros, corpus sanity") {
+    import spark.implicits._
+    // "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> n=5, top=3 ('a b'),
+    // distinct=2 -> dup=3/5; trigrams [aba, bab, aba, bab] -> n=4,
+    // distinct=2 -> dup=2/4
+    val golden = Seq((1L, "a b a b a b"), (2L, "x"), (3L, "p q")).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(golden).collect()
+    val d1 = r.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("n_bigrams") == 5L)
+    assert(d1.getAs[Long]("top_bigram_n") == 3L)
+    assert(d1.getAs[Double]("top_bigram_frac") == 3.0 / 5)
+    assert(d1.getAs[Double]("dup_bigram_frac") == 3.0 / 5)
+    assert(d1.getAs[Double]("dup_trigram_frac") == 2.0 / 4)
+    // single token: no bigrams at all -> all zeros, no division error
+    val d2 = r.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[Long]("n_bigrams") == 0L &&
+      d2.getAs[Double]("top_bigram_frac") == 0.0 &&
+      d2.getAs[Double]("dup_trigram_frac") == 0.0)
+    // two tokens: one bigram, trivially the mode, nothing duplicated
+    val d3 = r.find(_.getLong(0) == 3L).get
+    assert(d3.getAs[Long]("n_bigrams") == 1L &&
+      d3.getAs[Long]("top_bigram_n") == 1L &&
+      d3.getAs[Double]("dup_bigram_frac") == 0.0)
+    // corpus-wide invariants: frac bounds, mode >= dup implication
+    val all = TextStats.repetitionStats(docs).collect()
+    assert(all.forall { x =>
+      val tf = x.getAs[Double]("top_bigram_frac")
+      val df = x.getAs[Double]("dup_bigram_frac")
+      tf >= 0.0 && tf <= 1.0 && df >= 0.0 && df < 1.0 &&
+        (df == 0.0 || x.getAs[Long]("top_bigram_n") >= 2L)
+    })
+  }
+
   test("langid predicts a language for every doc with fixed tiebreak") {
     import spark.implicits._
     val golden = Seq(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BandHashes, CharNgramHashes, MinHashSig, NGramHashes,
-  SimHashFp, TrigramHashes, WinnowFingerprint}
+  NGramHashesAll, SimHashFp, TrigramHashes, WinnowFingerprint}
 
 /** Edge cases + codegen/interpreted parity for the sketch expressions. */
 class SketchExprSpec extends SparkSpec {
@@ -145,6 +145,25 @@ class SketchExprSpec extends SparkSpec {
       assert(n8.isEmpty, "below-n docs have no grams")
     }
     assert(both.find(_._1 == 3L).get._2.length == 1, "repeated grams dedup")
+  }
+
+  test("ngram_hashes_all: sorted with multiplicity; distinct set equals ngram_hashes") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // bigrams ab,ba,ab,ba -> 2 distinct x2
+      (2L, Seq("a")),                     // below n -> empty
+      (3L, Seq("x", "x", "x", "x"))       // one gram, multiplicity 3
+    ).toDF("id", "toks")
+    def run() = df.select(col("id"),
+      NGramHashesAll(col("toks"), 2).as("all"),
+      NGramHashes(col("toks"), 2).as("dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val got = run()
+    assert(got(1L)._1.length == 4 && got(1L)._2.length == 2)
+    assert(got(1L)._1.sorted == got(1L)._1, "hashesAll is sorted")
+    assert(got(1L)._1.distinct == got(1L)._2, "distinct of all == ngram_hashes")
+    assert(got(2L)._1.isEmpty)
+    assert(got(3L)._1.length == 3 && got(3L)._1.distinct.length == 1)
+    assert(got == noCodegen(run()))
   }
 
   test("all token-array kernels hash null elements as empty string, never NPE") {
