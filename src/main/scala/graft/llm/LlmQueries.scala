@@ -88,6 +88,10 @@ object LlmQueries {
     "l19_repetition" -> { (s, dir) =>
       TextStats.repetitionStats(Tables.documents(s, dir)) },
 
+    // MOSS-style copy detection: winnowing-fingerprint overlap pairs
+    "l20_winnow_overlap" -> { (s, dir) =>
+      TextDedup.winnowOverlapPairs(Tables.documents(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -491,6 +495,36 @@ object LlmQueries {
         |       COALESCE(fp.fp_md5, md5('')) AS fp_md5
         |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the l13 winnowing chain (same selection contract), then MOSS pairing:
+    // drop fingerprints in > WinnowHashCap docs (mirrored cap), count
+    // shared fingerprints per pair, containment overlap vs the smaller
+    // set. Pairing is exact (equi-join on fingerprints, no banding), so
+    // there is no threshold-gap caveat here.
+    "l20_winnow_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks),
+        |th AS (SELECT doc_id, i, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM pos),
+        |kg AS (SELECT a.doc_id, a.i, xor(xor(a.h * 4, b.h * 2), c.h) AS h
+        |       FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |                 JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |win AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM kg),
+        |fp AS (SELECT DISTINCT doc_id, sel FROM win),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY 1),
+        |hot AS (SELECT sel FROM fp GROUP BY sel
+        |        HAVING COUNT(*) > ${TextDedup.WinnowHashCap}),
+        |f2 AS (SELECT * FROM fp WHERE sel NOT IN (SELECT sel FROM hot)),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |          FROM f2 a JOIN f2 b ON a.sel = b.sel AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id AS doc_a, b_id AS doc_b, i AS n_shared,
+        |       i * 1.0 / least(sa.n, sb.n) AS overlap
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "l10_ann_ivf" -> ivfOracleSql,
 

@@ -292,6 +292,62 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Fingerprints shared by more documents than this are dropped from
+    * pair generation — the MOSS "too common to be evidence" filter
+    * (boilerplate k-grams every document contains say nothing about any
+    * PAIR), doubling as the quadratic guard: one posting list can form at
+    * most cap² candidate pairs, so no single viral fingerprint can
+    * detonate the self-join. Mirrored verbatim in the oracle. */
+  val WinnowHashCap = 64
+
+  /** MOSS-style near-dup via winnowing-fingerprint overlap (Schleimer et
+    * al., SIGMOD'03 §4 — the copy-detection use the winnowing paper was
+    * written for): two documents are near-duplicates when the shared
+    * fraction of their selected fingerprints reaches `minOverlap`,
+    * measured against the SMALLER document (containment — so a document
+    * pasted inside a bigger one still scores high). Output:
+    * (doc_a, doc_b, n_shared, overlap), sorted.
+    *
+    * Complements the other near-dup families: minhash/n-gram estimate
+    * whole-document Jaccard, simhash a global bit profile — fingerprint
+    * overlap is LOCAL evidence (each shared hash is a verbatim shared
+    * k-gram window), which is what plagiarism/quotation/partial-copy
+    * detection needs. Pairing is EXACT given the fingerprint sets (an
+    * equi-join on hash values, no probabilistic banding), so the oracle
+    * reproduces it with no threshold-gap caveat.
+    *
+    * Scale shape: one codegen'd [[graft.functions.WinnowFingerprint]]
+    * kernel per row collapses each document to ~2/(W+1) of its k-grams
+    * (8 B each); the posting-list self-join shuffles only
+    * (doc_id, n_fp, hash) rows on the hash key; [[WinnowHashCap]] bounds
+    * every posting list ON the join's own shuffle key (window count — no
+    * extra exchange, the minhash-bucket pattern); the per-pair aggregate
+    * is a partial-combined count. Set sizes ride along on the posting
+    * rows, so no size-lookup join afterwards. */
+  def winnowOverlapPairs(docs: DataFrame, minOverlap: Double = 0.5): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprint(split(col("text"), " ")).as("fp"))
+      .withColumn("n_fp", size(col("fp")))
+      .select(col("doc_id"), col("n_fp"), explode(col("fp")).as("h"))
+    val filtered = postings
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= WinnowHashCap)
+      .drop("df")
+    filtered.as("x")
+      .join(filtered.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_fp").as("na"), col("y.n_fp").as("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap",
+        col("n_shared") * lit(1.0) / least(col("na"), col("nb")))
+      .filter(col("overlap") >= minOverlap)
+      .select("doc_a", "doc_b", "n_shared", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // SimHash: 32-bit fingerprint; pairs within Hamming distance <= 1 must
   // share one of 2 exact 16-bit halves (pigeonhole).
   val SimhashBits = 32

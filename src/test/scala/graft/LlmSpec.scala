@@ -177,6 +177,27 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((100L, 1L)), s"got $out")
   }
 
+  test("winnow overlap: identical docs 1.0, containment high, unrelated absent, cap kills mass dup") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val golden = Seq(
+      (1L, base.trim),
+      (2L, base.trim),                                  // identical -> overlap 1.0
+      (3L, (base + "omega psi chi phi upsilon tau").trim), // A pasted in B -> containment
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowOverlapPairs(golden).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("overlap")).toMap
+    assert(pairs((1L, 2L)) == 1.0, "identical docs share every fingerprint")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.9,
+      "contained doc scores vs the smaller set")
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // mass duplication: a fingerprint present in > WinnowHashCap docs is
+    // dropped, so a 70-copy group forms NO pairs (exact-dedup's job)
+    val mass = (1L to 70L).map(i => (i, base.trim)).toDF("doc_id", "text")
+    assert(TextDedup.winnowOverlapPairs(mass).count() == 0)
+  }
+
   test("exact dedup groups are real duplicate token-set groups") {
     val groups = TextDedup.exactDedup(docs).collect()
     assert(groups.nonEmpty)
