@@ -92,6 +92,10 @@ object LlmQueries {
     "l20_winnow_overlap" -> { (s, dir) =>
       TextDedup.winnowOverlapPairs(Tables.documents(s, dir)) },
 
+    // SemDeDup: within-k-means-cluster semantic near-dup pruning
+    "l21_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -197,9 +201,10 @@ object LlmQueries {
   private val duckCosine =
     "list_reduce(list_transform(list_zip(%s, %s), z -> z[1] * z[2]), (a, b) -> a + b) / (%s * %s)"
 
-  /** Shared by l10 (inline IVF) and l14 (persisted index) — identical
-    * semantics, one oracle. */
-  private lazy val ivfOracleSql: String = {
+  /** CTE chain ending in `cell(vec_id, v, nv, cell)` (+ `ranked` for probe
+    * cell lists) — the k-means training + assignment shared by l10/l14
+    * (IVF ANN) and l21 (SemDeDup). */
+  private lazy val cellChainCtes: String = {
     val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +
       " - 2.0 * list_reduce(list_transform(list_zip(%s, cv), z -> z[1] * z[2]), (a, b) -> a + b)"
     // Lloyd's k-means on the vec_id < IvfTrainSample prefix, IvfIters
@@ -222,14 +227,20 @@ object LlmQueries {
          |         FROM $prev c LEFT JOIN agg$i a ON a.cid = c.cid)""".stripMargin
     }.mkString(",\n")
     val cent = s"cent${Similarity.IvfIters}"
-    s"""WITH $embCte,
+    s"""$embCte,
       |samp AS (SELECT vec_id, v FROM n WHERE vec_id < ${Similarity.IvfTrainSample}),
       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < ${Similarity.IvfCells}),
       |$iters,
       |sc AS (SELECT n.vec_id, n.v, n.nv, $cent.cid, ${d2.format("n.v")} AS d
       |       FROM n, $cent),
       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sc),
-      |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1),
+      |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared by l10 (inline IVF) and l14 (persisted index) — identical
+    * semantics, one oracle. */
+  private lazy val ivfOracleSql: String = {
+    s"""WITH $cellChainCtes,
       |pcells AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
       |           WHERE vec_id < 20 AND rn <= ${Similarity.IvfProbes}),
       |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM cell WHERE vec_id < 20),
@@ -525,6 +536,21 @@ object LlmQueries {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the same k-means cell chain as l10, then the SemDeDup rule: pruned
+    // iff a lower-id same-cell neighbor reaches cosine 0.4 (zero-norm
+    // vectors excluded structurally — NaN never reaches the comparison)
+    "l21_semdedup" ->
+      s"""WITH $cellChainCtes,
+        |pr AS (SELECT DISTINCT x.vec_id
+        |       FROM cell x JOIN cell y
+        |         ON y.cell = x.cell AND y.vec_id < x.vec_id
+        |            AND x.nv > 0 AND y.nv > 0
+        |       WHERE ${duckCosine.format("x.v", "y.v", "x.nv", "y.nv")} >= 0.4)
+        |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+        |       (pr.vec_id IS NOT NULL) AS pruned
+        |FROM cell c LEFT JOIN pr ON pr.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
 
     "l10_ann_ivf" -> ivfOracleSql,
 

@@ -316,6 +316,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embeddings, then inside each cluster prune every vector that has a
+    * LOWER-id neighbor at cosine >= `tau` — semantic near-duplicates that
+    * text-level dedup cannot see (paraphrases, re-encodes, translations).
+    * Keeping the minimum id per duplicate neighborhood is the paper's
+    * "keep one representative" rule made deterministic. Output: one row
+    * per vector — (vec_id, cell, pruned), sorted.
+    *
+    * Scale shape: cells come from the same bounded-sample Lloyd's as IVF
+    * ([[trainCentroids]] — broadcast centroid matrix, no shuffle to
+    * assign); the within-cell pair scan is ONE self-join shuffled on the
+    * cell key (both sides canonicalize to the same plan → one exchange +
+    * ReusedExchange). The quadratic-within-cell cost is the algorithm's
+    * own contract — SemDeDup controls it by scaling k with N (cells of
+    * roughly constant size; the paper uses 50k clusters for LAION-440M),
+    * here [[IvfCells]] at toy scale. Zero-norm vectors never pair (NaN
+    * cosine is excluded structurally on both engines, the l9 rule). */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    val centroids = trainCentroids(embeddings)
+    val listed = prepared(embeddings)
+      .withColumn("cell",
+        graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))
+      .select("vec_id", "v", "nv", "cell")
+    val pruned = listed.as("x")
+      .join(listed.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
+        col("x.nv") > 0 && col("y.nv") > 0)
+      .filter(cosine(col("x.v"), col("x.nv"), col("y.v"), col("y.nv")) >= tau)
+      .select(col("x.vec_id").as("vec_id"))
+      .distinct()
+    listed
+      .join(pruned.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+      .orderBy("vec_id")
+  }
+
   /** Hot-bucket guard for the near-dup band buckets, same principle as
     * [[TextDedup.MinhashBucketCap]]: nothing else bounds a band bucket's
     * *pair count*, which grows as n² — a viral embedding (the same image

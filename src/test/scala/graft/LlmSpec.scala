@@ -256,6 +256,31 @@ class LlmSpec extends SparkSpec {
     assert(cells > 1 && cells <= Similarity.IvfCells)
   }
 
+  test("semdedup: pruned iff a lower-id same-cell neighbor reaches tau (brute check)") {
+    val tau = 0.4
+    val out = Similarity.semDedup(embs, tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.map(_._1).distinct.length == out.length, "one row per vector")
+    // brute-force recomputation in plain Scala
+    val vecs = embs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cell, pruned) =>
+      val expect = vecs.keys.exists(y => y < id && cellOf(y) == cell &&
+        cos(vecs(id), vecs(y)) >= tau)
+      assert(pruned == expect, s"vec $id: pruned=$pruned, brute=$expect")
+    }
+    // the lowest id of every cell can never be pruned
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(!rows.minBy(_._1)._3)
+    }
+  }
+
   test("embedding near-dup is symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDup(embs, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
