@@ -336,10 +336,13 @@ object Similarity {
     * cosine is excluded structurally on both engines, the l9 rule). */
   def semDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     val centroids = trainCentroids(embeddings)
+    // persisted: the cell assignment serves both self-join sides and the
+    // final flag join from one materialization (PlanShapeSpec pin)
     val listed = prepared(embeddings)
       .withColumn("cell",
         graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))
       .select("vec_id", "v", "nv", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = listed.as("x")
       .join(listed.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&

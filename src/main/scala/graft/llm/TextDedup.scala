@@ -323,7 +323,12 @@ object TextDedup {
     * every posting list ON the join's own shuffle key (window count — no
     * extra exchange, the minhash-bucket pattern); the per-pair aggregate
     * is a partial-combined count. Set sizes ride along on the posting
-    * rows, so no size-lookup join afterwards. */
+    * rows, so no size-lookup join afterwards. The filtered posting frame
+    * is persisted so the fingerprint kernel and the document-frequency
+    * window run ONCE and serve both join sides (without the cache,
+    * Catalyst re-derives each side from the scan — and the explode's
+    * implicit non-empty filter makes it evaluate the kernel 3x per row;
+    * the l12 lesson, pinned in PlanShapeSpec). */
   def winnowOverlapPairs(docs: DataFrame, minOverlap: Double = 0.5): DataFrame = {
     val postings = docs
       .select(col("doc_id"),
@@ -335,6 +340,7 @@ object TextDedup {
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("df") <= WinnowHashCap)
       .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     filtered.as("x")
       .join(filtered.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

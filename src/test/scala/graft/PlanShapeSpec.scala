@@ -102,6 +102,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("pid"), "re-rank must stay two-phase")
   }
 
+  test("l19: repetition signals are a pure projection — no mid-plan exchange") {
+    val p = SparkEntry.queries("l19_repetition")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // run-length mode fold + distinct-count kernels stay per-row; only
+    // the final orderBy's range partitioning may exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"repetition stats plan grew a shuffle:\n$p")
+    assert(!p.contains("Window") && !p.toLowerCase.contains("generate"),
+      "mode must not become an explode+window/groupBy")
+  }
+
+  test("l20: winnow postings cached — kernel+df-window run once; count is partial") {
+    val p = plan("l20_winnow_overlap")
+    // both self-join sides must read the persisted posting frame (without
+    // it Catalyst re-derives each side from the scan, evaluating the
+    // fingerprint kernel 3x per row via the explode's implicit filter),
+    // and the per-pair count must partial-aggregate before its exchange
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+    assert(p.contains("partial_count"), "pair count must map-side combine")
+  }
+
+  test("l21: semdedup cell assignment cached — serves both join sides + flag join") {
+    val p = plan("l21_semdedup")
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+    // the expensive nearest_cells expression must not appear in the plan
+    // more than once (one materialization feeds every consumer)
+    assert(p.linesIterator.count(_.contains("nearest_cells")) <= 1, p.take(1200))
+  }
+
   test("q4 top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("q4_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
