@@ -335,12 +335,18 @@ object TextDedup {
         graft.functions.WinnowFingerprint(split(col("text"), " ")).as("fp"))
       .withColumn("n_fp", size(col("fp")))
       .select(col("doc_id"), col("n_fp"), explode(col("fp")).as("h"))
-    val filtered = postings
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("df") <= WinnowHashCap)
-      .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the hot set is small BY CONSTRUCTION (≤ |postings|/cap hashes can
+    // exceed the cap), so filter via partial-aggregated count + broadcast
+    // anti-join — a window count on the hash key would SORT the whole
+    // posting list inside each partition just to count it (measured ~2x
+    // the query). A corpus so boilerplate-heavy the hot set outgrows a
+    // broadcast degrades gracefully: drop the hint and the anti-join
+    // shuffles on the same hash key the pair join uses anyway.
+    val hot = postings.groupBy("h")
+      .agg(count(lit(1)).as("df")).filter(col("df") > WinnowHashCap)
+      .select("h")
+    val filtered = postings.join(broadcast(hot), Seq("h"), "left_anti")
     filtered.as("x")
       .join(filtered.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
