@@ -92,6 +92,13 @@ object LlmQueries {
     "l20_winnow_overlap" -> { (s, dir) =>
       TextDedup.winnowOverlapPairs(Tables.documents(s, dir)) },
 
+    // pair list → retention decisions: connected components over the
+    // minhash near-dup pairs, one kept representative per component
+    "l22_dedup_clusters" -> { (s, dir) =>
+      TextDedup.dedupClusters(
+        TextDedup.minhashNearDup(Tables.documents(s, dir))
+          .select("doc_a", "doc_b")) },
+
     // SemDeDup: within-k-means-cluster semantic near-dup pruning
     "l21_semdedup" -> { (s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir)) },
@@ -536,6 +543,32 @@ object LlmQueries {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the l2 pair chain, then transitive closure by recursive CTE:
+    // cluster_id = min doc_id reachable in the undirected pair graph —
+    // the declarative mirror of Spark's min-label propagation fixpoint
+    "l22_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT a_id AS doc_a, b_id AS doc_b
+        |       FROM inter
+        |       JOIN sz sa ON sa.doc_id = a_id
+        |       JOIN sz sb ON sb.doc_id = b_id
+        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.v = e.d),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT doc_id, cluster_id,
+        |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |       doc_id = cluster_id AS keep
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // the same k-means cell chain as l10, then the SemDeDup rule: pruned
     // iff a lower-id same-cell neighbor reaches cosine 0.4 (zero-norm

@@ -360,6 +360,76 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Fixpoint-iteration ceiling for [[dedupClusters]]. Min-label
+    * propagation converges in O(component diameter) rounds; duplicate
+    * clusters are near-cliques (every member pairs with most others), so
+    * organic diameters are 2–3 and convergence takes a handful of rounds.
+    * The ceiling is a runaway guard — hitting it throws rather than
+    * silently emitting unconverged labels. */
+  val ClusterMaxIters = 50
+
+  /** Connected-components resolution over a near-dup pair list — the step
+    * that turns any of the pair families ([[minhashNearDup]],
+    * [[ngramJaccardNearDup]], [[simhashNearDup]], [[winnowOverlapPairs]],
+    * embedding near-dup) into per-document keep/drop decisions: near-dup
+    * similarity is not transitive, but retention policy must be (if A~B
+    * and B~C, keeping both A and C still leaves near-dups of B in the
+    * corpus), so real pipelines collapse pairs into components and keep
+    * one representative per component.
+    *
+    * Input: (doc_a, doc_b) pairs, doc_a < doc_b. Output one row per
+    * document that appears in any pair: (doc_id, cluster_id, n_members,
+    * keep) where cluster_id = the component's minimum doc_id and
+    * keep ⇔ doc_id == cluster_id. Sorted by doc_id.
+    *
+    * Scale shape: iterative min-label propagation — labels(v) starts at
+    * min(v, neighbors(v)) and each round takes the min over the
+    * neighborhood, a (shuffle join on the edge key + partial-aggregated
+    * min) per round, all executor-side; the driver sees only the one-row
+    * convergence count. The edge list is |pairs| rows — orders of
+    * magnitude smaller than the corpus, since only documents with at
+    * least one near-dup appear. `localCheckpoint` truncates each round's
+    * lineage so the plan doesn't grow with iteration count. Rounds =
+    * O(diameter), and dedup components are near-cliques (see
+    * [[ClusterMaxIters]]); a corpus whose pair graph forms long chains
+    * would want the O(log² n) large-star/small-star variant instead —
+    * same join primitives, more rounds-parallel pointer jumping. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    // symmetric edge list; persisted — probed every round
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.groupBy("s").agg(min("d").as("mn"))
+      .select(col("s").as("doc_id"), least(col("s"), col("mn")).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iters = 0
+    while (!converged) {
+      iters += 1
+      require(iters <= ClusterMaxIters,
+        s"dedupClusters did not converge in $ClusterMaxIters rounds — " +
+          "pathological chain-shaped pair graph; use a star-contraction variant")
+      // each node pulls the minimum label seen across its neighborhood
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("doc_id", "d"), Seq("d"))
+        .groupBy(col("s").as("doc_id")).agg(min("cluster_id").as("nb"))
+      val next = labels.join(viaNbr, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id").as("old"),
+          least(col("cluster_id"), col("nb")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next.drop("old")
+    }
+    edges.unpersist()
+    labels
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "n_members", "keep")
+      .orderBy("doc_id")
+  }
+
   // SimHash: 32-bit fingerprint; pairs within Hamming distance <= 1 must
   // share one of 2 exact 16-bit halves (pigeonhole).
   val SimhashBits = 32

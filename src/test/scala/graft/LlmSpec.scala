@@ -204,6 +204,31 @@ class LlmSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Long]("n_copies") >= 2))
   }
 
+  test("dedup clusters: components resolve to min-id labels, chains converge") {
+    import spark.implicits._
+    // two components — a triangle {1,2,3} and a LONG CHAIN 10–11–…–30
+    // (diameter 20, forcing many propagation rounds) — plus a pair {40,41}
+    val chain = (10L until 30L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (40L, 41L)) ++ chain)
+      .toDF("doc_a", "doc_b")
+    val out = TextDedup.dedupClusters(pairs).collect()
+    val lbl = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(lbl(_) == 1L))
+    assert((10L to 30L).forall(lbl(_) == 10L))
+    assert(Seq(40L, 41L).forall(lbl(_) == 40L))
+    // keep exactly the component minima; member counts per component
+    assert(out.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+      == Set(1L, 10L, 40L))
+    val sizes = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sizes(1L) == 3L && sizes(10L) == 21L && sizes(40L) == 2L)
+    // corpus-level: clustering the real minhash pairs covers every paired doc
+    val mp = TextDedup.minhashNearDup(docs).select("doc_a", "doc_b")
+    val clustered = TextDedup.dedupClusters(mp)
+    val docsInPairs = mp.select(col("doc_a").as("d"))
+      .unionByName(mp.select(col("doc_b").as("d"))).distinct().count()
+    assert(clustered.count() == docsInPairs)
+  }
+
   test("simhash is deterministic and near-dup pairs respect the hamming bound") {
     val fp1 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
     val fp2 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
