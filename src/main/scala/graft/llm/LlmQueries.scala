@@ -103,6 +103,11 @@ object LlmQueries {
     "l21_semdedup" -> { (s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir)) },
 
+    // exact-substring-style dedup at chunk granularity: per-doc count
+    // and fraction of 20-token chunks appearing verbatim in another doc
+    "l23_chunk_dedup" -> { (s, dir) =>
+      TextDedup.chunkDedup(Tables.documents(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -584,6 +589,24 @@ object LlmQueries {
         |       (pr.vec_id IS NOT NULL) AS pruned
         |FROM cell c LEFT JOIN pr ON pr.vec_id = c.vec_id
         |ORDER BY c.vec_id""".stripMargin,
+
+    // chunk strings where Spark compares chunk hashes (the l2 argument);
+    // duplicated ⇔ the chunk appears in > 1 DISTINCT documents
+    "l23_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(w) // ${TextDedup.ChunkTokens}),
+        |           i -> array_to_string(w[CAST(i * ${TextDedup.ChunkTokens} + 1 AS INTEGER):CAST(i * ${TextDedup.ChunkTokens} + ${TextDedup.ChunkTokens} AS INTEGER)], ' '))) AS c
+        |       FROM toks WHERE len(w) >= ${TextDedup.ChunkTokens}),
+        |dd AS (SELECT c FROM ch GROUP BY c HAVING COUNT(DISTINCT doc_id) > 1),
+        |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM ch JOIN dd USING (c) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  len(t.w) // ${TextDedup.ChunkTokens} AS n_chunks,
+        |  COALESCE(dup.n_dup, 0) AS n_dup_chunks,
+        |  CASE WHEN len(t.w) // ${TextDedup.ChunkTokens} = 0 THEN 0.0
+        |       ELSE COALESCE(dup.n_dup, 0) * 1.0 / (len(t.w) // ${TextDedup.ChunkTokens}) END AS dup_chunk_frac
+        |FROM toks t LEFT JOIN dup USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "l10_ann_ivf" -> ivfOracleSql,
 

@@ -360,6 +360,59 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Chunk width (in tokens) for [[chunkDedup]] — coarse enough that a
+    * shared chunk is strong evidence of copying (a 20-token verbatim
+    * overlap is never coincidence), fine enough to localize which parts
+    * of a document are duplicated. */
+  val ChunkTokens = 20
+
+  /** Cross-document duplicated-chunk detection — the chunk-granularity
+    * form of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": verbatim repeated
+    * passages, not just whole-doc near-dups, drive memorization). Each
+    * document is cut into non-overlapping [[ChunkTokens]]-token chunks
+    * (tail remainder ignored); a chunk is *duplicated* when the same
+    * token sequence appears in more than one distinct document. Output
+    * per document: chunk count, duplicated-chunk instances, and the
+    * duplicated fraction — the signal a curation pass thresholds on (or
+    * uses to cut the offending spans). Suffix-array exact-substring
+    * dedup finds unaligned overlaps too; aligned chunks are the
+    * shuffle-friendly approximation (one fixed hash per token position
+    * instead of O(len) suffixes).
+    *
+    * Scale shape: each doc collapses to size/20 chunk *hashes* at the
+    * scan (hash equality ≡ string equality absent ~2^-64 collisions, the
+    * l2 argument); duplicated-chunk lookup is a pair of hash-keyed
+    * shuffles (count-distinct-docs per chunk, then an equi-join back),
+    * with AQE free to broadcast the duplicated set when it is small —
+    * no broadcast is *assumed*, so a duplicate-heavy corpus degrades to
+    * a plain shuffle join, never OOM. */
+  def chunkDedup(docs: DataFrame, c: Int = ChunkTokens): DataFrame = {
+    val withChunks = docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("ch",
+        when(size(col("w")) >= c, expr(
+          s"""transform(sequence(0, CAST(size(w) / $c AS INT) - 1),
+             |  i -> xxhash64(concat_ws(' ', slice(w, i * $c + 1, $c))))""".stripMargin))
+          .otherwise(expr("array()")))
+      .select(col("doc_id"), col("ch"))
+    val chunks = withChunks.select(col("doc_id"), explode(col("ch")).as("h"))
+    val dupSet = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("dd"))
+      .filter(col("dd") > 1).select("h")
+    val perDoc = chunks.join(dupSet, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    withChunks
+      .select(col("doc_id"), size(col("ch")).cast("long").as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_chunks", coalesce(col("n_dup_chunks"), lit(0L)))
+      .withColumn("dup_chunk_frac",
+        when(col("n_chunks") === 0, 0.0)
+          .otherwise(col("n_dup_chunks") * lit(1.0) / col("n_chunks")))
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_frac")
+      .orderBy("doc_id")
+  }
+
   /** Fixpoint-iteration ceiling for [[dedupClusters]]. Min-label
     * propagation converges in O(component diameter) rounds; duplicate
     * clusters are near-cliques (every member pairs with most others), so

@@ -229,6 +229,28 @@ class LlmSpec extends SparkSpec {
     assert(clustered.count() == docsInPairs)
   }
 
+  test("chunk dedup: planted verbatim chunk found, intra-doc repeat is not cross-doc") {
+    import spark.implicits._
+    val span = (1 to TextDedup.ChunkTokens).map("t" + _).mkString(" ")
+    val other = (1 to TextDedup.ChunkTokens).map("u" + _).mkString(" ")
+    val corpus = Seq(
+      (1L, span + " " + other),  // 2 chunks, first shared with doc 2
+      (2L, span + " tail words only seven not a chunk"), // 1 chunk, shared
+      (3L, other + " " + other), // same chunk TWICE in one doc — not cross-doc
+      (4L, "short doc")          // under one chunk
+    ).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedup(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)))  // `span` shared with doc 2, `other` with doc 3
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((2L, 2L))) // doc1 also holds `other` → cross-doc dup
+    assert(out(4L) == ((0L, 0L)))
+    // drop doc 1 and doc 3's intra-doc repeat is no longer a duplicate
+    val solo = TextDedup.chunkDedup(corpus.filter(col("doc_id") =!= 1L))
+      .filter(col("doc_id") === 3L).head()
+    assert(solo.getLong(2) == 0L)
+  }
+
   test("simhash is deterministic and near-dup pairs respect the hamming bound") {
     val fp1 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
     val fp2 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
