@@ -108,6 +108,10 @@ object LlmQueries {
     "l23_chunk_dedup" -> { (s, dir) =>
       TextDedup.chunkDedup(Tables.documents(s, dir)) },
 
+    // per-doc top-3 TF-IDF keywords (exact-arithmetic score)
+    "l24_tfidf_keywords" -> { (s, dir) =>
+      TextStats.tfidfKeywords(Tables.documents(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -607,6 +611,21 @@ object LlmQueries {
         |       ELSE COALESCE(dup.n_dup, 0) * 1.0 / (len(t.w) // ${TextDedup.ChunkTokens}) END AS dup_chunk_frac
         |FROM toks t LEFT JOIN dup USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // score = tf * N / df: integer product then one IEEE division —
+    // bit-identical across engines; ties break on the word
+    "l24_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        CAST(tf.tf * n.nd AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df USING (word), n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) AS rank FROM s)
+        |SELECT doc_id, rank, word, tf, df, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "l10_ann_ivf" -> ivfOracleSql,
 

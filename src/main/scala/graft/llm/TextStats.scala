@@ -150,6 +150,43 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-`k` TF-IDF keywords — the light-weight topic/domain
+    * signal curation pipelines attach to every document (mixture
+    * weighting, domain filtering, cluster labeling) without running a
+    * model. Score = tf · N / df with plain counts: one exact integer
+    * product and ONE IEEE division, so the DuckDB oracle reproduces it
+    * bit-for-bit (a log-idf would hand the hash gate to libm). Ranking
+    * by tf·N/df orders identically to tf·log(N/df) per document when
+    * df < N; ties break on the term itself. Output: (doc_id, rank, word,
+    * tf, df, score), `k` rows per document (fewer if the doc has fewer
+    * distinct terms).
+    *
+    * Scale shape: tf is one (doc_id, word)-keyed partial-aggregated
+    * shuffle; df reuses tf (count of docs per word — no second scan);
+    * N joins in as a broadcast one-row frame (never a driver-side
+    * collect); the score join shuffles on the word key, where AQE
+    * broadcasts the df side if the vocabulary is small. The top-k window
+    * partitions by doc_id — per-partition row counts are bounded by each
+    * DOCUMENT's distinct-term count, not by corpus size, so there is no
+    * single-task funnel (the reason annBrute's two-phase tournament is
+    * NOT needed here). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "word", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Marker-word language ID: per-language hit counts + argmax prediction
     * (fixed priority on ties), with the dataset's labeled `lang` retained
     * for comparison. */

@@ -488,6 +488,26 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("tfidf keywords: rare repeated terms beat common ones, ties on word") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common rare rare rare common"),   // rare: tf=3 df=1
+      (2L, "common words words zz"),
+      (3L, "common zz zz aa")
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfidfKeywords(corpus, k = 2).collect()
+    val top1 = out.filter(r => r.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1(1L) == "rare")   // 3*3/1 = 9 beats common 3*3/3 = 3
+    assert(top1(2L) == "words")  // 2*3/1 = 6 beats zz 1*3/2 = 1.5
+    assert(top1(3L) == "aa")     // zz (2*3/2) ties aa (1*3/1) at 3.0 → word asc
+    // scores are exactly tf*N/df and ranks bounded by k
+    out.foreach { r =>
+      assert(r.getDouble(5) == r.getLong(3).toDouble * 3 / r.getLong(4))
+    }
+    assert(out.count(_.getLong(0) == 1L) == 2)
+  }
+
   test("langid predicts a language for every doc with fixed tiebreak") {
     import spark.implicits._
     val golden = Seq(
