@@ -388,6 +388,9 @@ object TextDedup {
     * no broadcast is *assumed*, so a duplicate-heavy corpus degrades to
     * a plain shuffle join, never OOM. */
   def chunkDedup(docs: DataFrame, c: Int = ChunkTokens): DataFrame = {
+    // chunk kernel runs ONCE: the persisted frame serves the dup-set
+    // aggregate, the per-doc dup count, and the final n_chunks column
+    // (without it Catalyst re-derives all three from the text scan)
     val withChunks = docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("ch",
@@ -396,6 +399,7 @@ object TextDedup {
              |  i -> xxhash64(concat_ws(' ', slice(w, i * $c + 1, $c))))""".stripMargin))
           .otherwise(expr("array()")))
       .select(col("doc_id"), col("ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = withChunks.select(col("doc_id"), explode(col("ch")).as("h"))
     val dupSet = chunks.groupBy("h")
       .agg(countDistinct("doc_id").as("dd"))

@@ -251,6 +251,32 @@ class LlmSpec extends SparkSpec {
     assert(solo.getLong(2) == 0L)
   }
 
+  test("dedup clusters match a union-find reference on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC1C1)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val pairs = Seq.fill(50) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = TextDedup.dedupClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("simhash is deterministic and near-dup pairs respect the hamming bound") {
     val fp1 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
     val fp2 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))

@@ -132,6 +132,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("nearest_cells")) <= 1, p.take(1200))
   }
 
+  test("l23: chunk dedup hashes at the scan, aggregates partial, no cross join") {
+    val p = plan("l23_chunk_dedup")
+    // chunk text collapses to xxhash64 before any exchange; both the
+    // per-chunk doc count and the per-doc dup count map-side combine;
+    // the duplicated-set join must stay an equi-join (AQE may broadcast
+    // it at runtime, but nothing may plan a cartesian)
+    assert(p.contains("xxhash64"), p.take(800))
+    assert(p.contains("partial_count"), "chunk counts must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dup-set membership must be an equi-join")
+  }
+
+  test("l24: tfidf joins N as broadcast; tf aggregate is partial") {
+    val p = plan("l24_tfidf_keywords")
+    // the corpus-size frame is one row — it must broadcast, never shuffle
+    // the tf side against it; tf itself map-side combines
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(p.contains("partial_count"), "tf must map-side combine")
+  }
+
   test("q4 top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("q4_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
