@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) columns as opaque binary + typed metadata.
   *
   * The Spark-side plumbing is real and tested — schema, partition-local
-  * batch iteration, deterministic output — while the actual codec call is
-  * a clearly-marked stub ([[decodeStub]]): the container has no image/audio
-  * libraries, and in production that one function body is replaced by e.g.
-  * a JNI decode (or, in PySpark, an Arrow-batched `mapInPandas` worker).
+  * batch iteration, deterministic output — and so is decoding for every
+  * format the JDK itself ships a codec for: PNG/JPEG/GIF/BMP via
+  * `javax.imageio` and PCM WAV via `javax.sound.sampled`
+  * ([[decodeImage]]/[[decodeWav]]; no external library, headless-safe).
+  * Payloads outside that set (mp3/mp4/webp — codecs the JDK lacks) fall
+  * back to the deterministic [[decodeStub]], the one seam a production
+  * deployment backs with ffmpeg/JNI (or an Arrow-batched `mapInPandas`
+  * worker in PySpark).
   *
   * Scale notes: feature extraction is `mapPartitions` over the asset table —
   * embarrassingly parallel, no shuffle; assets should be stored in their own
@@ -40,14 +44,109 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB — stands in for the real image/audio decoder. Deterministic fake:
-    * derives a feature vector from the SHA-256 of the payload, so tests can
-    * assert exact values and reruns are reproducible. A real deployment
-    * replaces ONLY this function with a codec call (libjpeg/ffmpeg/...). */
+  /** Fallback for formats the JDK has no codec for (and for non-media
+    * payloads such as the synthetic testdata). Deterministic: derives a
+    * feature vector from the SHA-256 of the payload, so tests can assert
+    * exact values and reruns are reproducible. A production deployment
+    * backs this seam with ffmpeg/JNI for the exotic formats; JDK-native
+    * formats never reach it (see [[decodeImage]]/[[decodeWav]]). */
   def decodeStub(bytes: Array[Byte], dim: Int = FeatureDim): Array[Float] = {
     val sha = MessageDigest.getInstance("SHA-256").digest(bytes)
     Array.tabulate(dim)(i => ((sha(i % sha.length) & 0xFF) - 128) / 128.0f)
   }
+
+  /** REAL image decode via the JDK's own codecs (`javax.imageio`:
+    * PNG/JPEG/GIF/BMP — no external library, works headless). Feature =
+    * the [[FeatureDim]]-cell (4×4) grid of mean luminance values mapped
+    * to [-1, 1) — the classic thumbnail-signature baseline. Pixels are
+    * sampled on a bounded stride (≤ 64 per axis), so a 100-megapixel
+    * scan costs the same as a thumbnail. Returns None when no JDK reader
+    * claims the bytes (truncated/garbage/exotic format) — the caller
+    * falls back, never throws (a 100 TB crawl always contains garbage). */
+  def decodeImage(bytes: Array[Byte], dim: Int = FeatureDim): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = math.max(1, math.sqrt(dim.toDouble).toInt) // 4 for dim 16
+        val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+        val sum = new Array[Double](grid * grid)
+        val cnt = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val gy = math.min(grid - 1, y * grid / h)
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val c = gy * grid + math.min(grid - 1, x * grid / w)
+            sum(c) += lum; cnt(c) += 1
+            x += sx
+          }
+          y += sy
+        }
+        Some(Array.tabulate(dim) { i =>
+          val c = i % (grid * grid)
+          if (cnt(c) == 0) 0f
+          else ((sum(c) / cnt(c)) / 255.0 * 2.0 - 1.0).toFloat
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (PCM WAV).
+    * Feature = mean |amplitude| of [[FeatureDim]] equal time bins,
+    * normalized to [0, 1] — the standard coarse envelope signature.
+    * Returns None for anything the JDK can't parse as PCM. */
+  def decodeWav(bytes: Array[Byte], dim: Int = FeatureDim): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        if ((enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+             enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16)) None
+        else {
+          val data = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val nSamples = data.length / bytesPerSample
+          if (nSamples == 0) None
+          else {
+            val sum = new Array[Double](dim)
+            val cnt = new Array[Long](dim)
+            var i = 0
+            while (i < nSamples) {
+              val amp =
+                if (bits == 16) {
+                  val lo = data(i * 2) & 0xFF
+                  val hi = data(i * 2 + 1).toInt
+                  val v = if (fmt.isBigEndian) (data(i * 2).toInt << 8) | (data(i * 2 + 1) & 0xFF)
+                          else (hi << 8) | lo
+                  math.abs(v / 32768.0)
+                } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  math.abs(((data(i) & 0xFF) - 128) / 128.0)
+                else math.abs(data(i) / 128.0)
+              val b = math.min(dim - 1, (i.toLong * dim / nSamples).toInt)
+              sum(b) += amp; cnt(b) += 1
+              i += 1
+            }
+            Some(Array.tabulate(dim)(b =>
+              if (cnt(b) == 0) 0f else (sum(b) / cnt(b)).toFloat))
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The decode chain [[extractFeatures]] uses: JDK image codecs, then
+    * JDK PCM audio, then the deterministic fallback. */
+  def decode(bytes: Array[Byte], dim: Int = FeatureDim): Array[Float] =
+    decodeImage(bytes, dim)
+      .orElse(decodeWav(bytes, dim))
+      .getOrElse(decodeStub(bytes, dim))
 
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
@@ -66,7 +165,7 @@ object Multimodal {
           modality = a.modality,
           n_bytes = a.media_bytes.length,
           content_sha = hex(digest.digest(a.media_bytes)),
-          feature = decodeStub(a.media_bytes))
+          feature = decode(a.media_bytes))
       }
     }
   }
@@ -90,22 +189,53 @@ object Multimodal {
   /** Resize to a target box: the Spark shape of a media resize — per-asset
     * kernel on the executor holding the bytes (mapPartitions, no shuffle),
     * output carries the new declared dimensions plus the transformed
-    * payload. The pixel resampler is [[resizeStub]] (same contract as
-    * [[decodeStub]]: the one function a real deployment replaces with
-    * libjpeg/ffmpeg scaling); everything around it — schema, dimension
-    * arithmetic, aspect-preserving box fit — is real. */
+    * payload. JDK-decodable images are REALLY resized ([[resizeImage]]:
+    * decode → bilinear scale → PNG re-encode, all `java.awt` headless);
+    * other payloads go through [[resizeStub]] (the ffmpeg seam), keyed by
+    * their declared dimensions. */
   def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
     implicit val enc = Encoders.product[MediaAsset]
     assets.mapPartitions { it =>
       it.map { a =>
-        val (w, h) = fitBox(a.declared_width, a.declared_height, maxW, maxH)
-        a.copy(
-          media_bytes = resizeStub(a.media_bytes, a.declared_width, a.declared_height, w, h),
-          declared_width = w,
-          declared_height = h)
+        resizeImage(a.media_bytes, maxW, maxH) match {
+          case Some((out, w, h)) =>
+            a.copy(media_bytes = out, declared_width = w, declared_height = h)
+          case None =>
+            val (w, h) = fitBox(a.declared_width, a.declared_height, maxW, maxH)
+            a.copy(
+              media_bytes = resizeStub(a.media_bytes, a.declared_width, a.declared_height, w, h),
+              declared_width = w,
+              declared_height = h)
+        }
       }
     }
   }
+
+  /** REAL image resize via the JDK: decode with `javax.imageio`, fit the
+    * actual pixel dimensions into (maxW, maxH) aspect-preserving, scale
+    * through a bilinear `Graphics2D` draw, re-encode as PNG. Returns the
+    * new bytes + dimensions, or None when the payload isn't a JDK-
+    * decodable image (caller falls back to the stub seam). */
+  def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = fitBox(img.getWidth, img.getHeight, maxW, maxH)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        Some((buf.toByteArray, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Aspect-preserving fit of (w, h) into (maxW, maxH), never upscaling;
     * degenerate declared dims pass through clamped. */

@@ -616,6 +616,71 @@ class LlmSpec extends SparkSpec {
     assert(probed == Map(1L -> "png", 2L -> "wav"))
   }
 
+  test("JDK image decode: a real PNG yields grid-luminance features") {
+    // left half black, right half white — no external codec libs, the
+    // JDK's own ImageIO both writes and reads the PNG
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val f = Multimodal.decodeImage(png).get
+    assert(f.length == Multimodal.FeatureDim)
+    for (gy <- 0 to 3; gx <- 0 to 3) {
+      val v = f(gy * 4 + gx)
+      if (gx < 2) assert(math.abs(v - (-1f)) < 1e-3, s"cell ($gx,$gy) = $v")
+      else assert(math.abs(v - 1f) < 1e-3, s"cell ($gx,$gy) = $v")
+    }
+    // the decode chain uses the real decoder for PNG, the stub for text
+    assert(Multimodal.decode(png).sameElements(f))
+    val text = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decode(text).sameElements(Multimodal.decodeStub(text)))
+  }
+
+  test("JDK wav decode: synthesized PCM envelope lands in the right bins") {
+    // 16-bit mono PCM, 8000 Hz: 800 silent samples then 800 at half scale
+    val n = 1600
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach(i => bb.putShort(if (i < n / 2) 0 else 16384))
+    val wav = bb.array()
+    val f = Multimodal.decodeWav(wav).get
+    assert(f.length == Multimodal.FeatureDim)
+    (0 until 8).foreach(b => assert(math.abs(f(b)) < 1e-3, s"bin $b = ${f(b)}"))
+    (8 until 16).foreach(b => assert(math.abs(f(b) - 0.5f) < 1e-3, s"bin $b = ${f(b)}"))
+    assert(Multimodal.decode(wav).sameElements(f))
+  }
+
+  test("resize really rescales JDK-decodable images; others use the stub seam") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      100, 50, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", buf.toByteArray, 9999, 9999), // real PNG
+      Multimodal.MediaAsset(2L, "image", "not an image".getBytes, 100, 50))
+      .toDS()
+    val out = Multimodal.resize(assets, maxW = 64, maxH = 64)
+      .collect().map(a => a.asset_id -> a).toMap
+    // real path: dims come from the DECODED pixels (100x50 → 64x32), not
+    // the (deliberately wrong) declared dims, and the payload re-decodes
+    assert(out(1L).declared_width == 64 && out(1L).declared_height == 32)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).media_bytes))
+    assert(back.getWidth == 64 && back.getHeight == 32)
+    // fallback path: declared dims drive the box fit
+    assert(out(2L).declared_width == 64 && out(2L).declared_height == 32)
+  }
+
   test("frame sampling yields n evenly spaced windows per asset") {
     val assets = Multimodal.assetsFromDocuments(spark, docs.limit(5))
     val frames = Multimodal.frameSample(assets, n = 4)
