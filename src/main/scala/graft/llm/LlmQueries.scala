@@ -112,6 +112,10 @@ object LlmQueries {
     "l24_tfidf_keywords" -> { (s, dir) =>
       TextStats.tfidfKeywords(Tables.documents(s, dir)) },
 
+    // reproducible global shuffle: md5-keyed shard + within-shard order
+    "l25_shard_assign" -> { (s, dir) =>
+      TextStats.shardAssign(Tables.documents(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -611,6 +615,17 @@ object LlmQueries {
         |       ELSE COALESCE(dup.n_dup, 0) * 1.0 / (len(t.w) // ${TextDedup.ChunkTokens}) END AS dup_chunk_frac
         |FROM toks t LEFT JOIN dup USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // the shard and order key are pure md5 functions of the doc id —
+    // identical in any engine (the l16 principle, extended to ordering)
+    "l25_shard_assign" ->
+      """WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |s AS (SELECT doc_id, k,
+        |        CAST(CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard
+        |      FROM b)
+        |SELECT doc_id, shard,
+        |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // score = tf * N / df: integer product then one IEEE division —
     // bit-identical across engines; ties break on the word

@@ -64,6 +64,35 @@ object TextStats {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Deterministic training-order shard assignment: every document gets a
+    * shard and a position within it, both pure functions of the stable
+    * document key — md5(decimal id) is the order key (a reproducible
+    * global shuffle: uniform, engine-independent, independent of input
+    * partitioning) and its leading hex picks the shard. This is the
+    * write-side primitive for training output: shards can be written as
+    * `partitionBy(shard)` files whose within-file order IS the training
+    * order, reproducible forever — what `orderBy(rand())` (seed
+    * partition-dependent) and `randomSplit` cannot give. Output:
+    * (doc_id, shard, pos), pos 0-based within shard.
+    *
+    * Scale note: the position window partitions by shard — with few
+    * shards each partition is corpus-scale, so at 100 TB the positions
+    * come from range-partitioning each shard by the key and turning
+    * per-range counts into offsets (the two-phase running-total trick,
+    * same note as [[tokenBudget]]); the window form states the
+    * semantics the oracle mirrors. */
+  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection: within each language, take documents
     * in quality order (lowest stopword ratio first, doc_id ties) until
     * the cumulative token count reaches `budget` — the "best N tokens

@@ -457,6 +457,20 @@ class LlmSpec extends SparkSpec {
     assert(byName("train") > byName("val") && byName("train") > byName("test"))
   }
 
+  test("shard assignment: partitioning-invariant, dense 0-based positions") {
+    val one = TextStats.shardAssign(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val other = TextStats.shardAssign(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(one == other, "shard/order must not depend on physical layout")
+    // within each shard, positions are exactly 0..n-1
+    one.values.groupBy(_._1).foreach { case (_, members) =>
+      val ps = members.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.size))
+    }
+    assert(one.values.map(_._1).toSet.subsetOf((0 until 8).toSet))
+  }
+
   test("token budget keeps best-quality docs first, overshoots by at most one doc") {
     import spark.implicits._
     val ws = (c: Char) => (1 to 10).map(i => s"$c$i").mkString(" ") // 10 tokens, 0 stopwords
