@@ -452,9 +452,13 @@ object TextDedup {
     * would want the O(log² n) large-star/small-star variant instead —
     * same join primitives, more rounds-parallel pointer jumping. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
-    // symmetric edge list; persisted — probed every round
+    // symmetric edge list, pre-partitioned on the per-round join key and
+    // persisted: every round's neighbor join then reuses the cached
+    // partitioning for the edge side (AQE handles the labels side), so
+    // only the label frame moves per round
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .repartition(col("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = edges.groupBy("s").agg(min("d").as("mn"))
