@@ -116,6 +116,11 @@ object LlmQueries {
     "l25_shard_assign" -> { (s, dir) =>
       TextStats.shardAssign(Tables.documents(s, dir)) },
 
+    // k-means cell sizes + tightness: the QC view behind semdedup /
+    // cluster-balanced sampling decisions
+    "l26_cluster_profile" -> { (s, dir) =>
+      Similarity.clusterProfile(Tables.embeddings(s, dir)) },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -641,6 +646,15 @@ object LlmQueries {
         |        ORDER BY score DESC, word) AS rank FROM s)
         |SELECT doc_id, rank, word, tf, df, score FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // the shared k-means chain's rn=1 rows carry the assignment objective
+    // d = |c|²−2·v·c; min/max are order-free, so exact across engines
+    "l26_cluster_profile" ->
+      s"""WITH $cellChainCtes
+        |SELECT CAST(cid AS INTEGER) AS cell, COUNT(*) AS n_vectors,
+        |       MIN(d) AS min_d, MAX(d) AS max_d
+        |FROM ranked WHERE rn = 1
+        |GROUP BY 1 ORDER BY cell""".stripMargin,
 
     "l10_ann_ivf" -> ivfOracleSql,
 

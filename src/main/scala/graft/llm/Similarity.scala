@@ -357,6 +357,39 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-cluster corpus profile over the k-means cells — the QC view a
+    * curation pipeline reads before trusting cluster-based operations
+    * (SemDeDup pruning, cluster-balanced sampling, DoReMi-style mixture
+    * weighting): how big is each cell, and how tight (min/max of the
+    * assignment objective |c|² − 2·v·c — the same monotone-in-distance
+    * form the assignment itself minimizes; exact doubles, and min/max
+    * are order-free so results are partitioning-invariant, unlike a
+    * mean). Output: (cell, n_vectors, min_d, max_d), sorted.
+    *
+    * Scale shape: one pass — assignment + per-assigned-cell objective
+    * are per-row expressions, then a single partial-aggregated shuffle
+    * onto the (1-int) cell key. The objective when-chain evaluates only
+    * the assigned cell's dot product at runtime. */
+  def clusterProfile(embeddings: DataFrame): DataFrame = {
+    val centroids = trainCentroids(embeddings)
+    val listed = prepared(embeddings)
+      .withColumn("cell",
+        graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))
+    // |c|² is folded on the driver in index order — the same sequential
+    // fold the oracle's list_reduce does, so the literal is bit-identical
+    val d = centroids.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (c, k)) =>
+        when(col("cell") === k,
+          lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("v"), lit64(c)))
+          .otherwise(acc)
+    }
+    listed
+      .withColumn("d", d)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min("d").as("min_d"), max("d").as("max_d"))
+      .orderBy("cell")
+  }
+
   /** Hot-bucket guard for the near-dup band buckets, same principle as
     * [[TextDedup.MinhashBucketCap]]: nothing else bounds a band bucket's
     * *pair count*, which grows as n² — a viral embedding (the same image

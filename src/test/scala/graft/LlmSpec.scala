@@ -354,6 +354,16 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("cluster profile partitions the corpus and agrees with semdedup cells") {
+    val prof = Similarity.clusterProfile(embs).collect()
+    assert(prof.map(_.getLong(1)).sum == embs.count())
+    prof.foreach(r => assert(r.getDouble(2) <= r.getDouble(3)))
+    // cell sizes must match the semdedup assignment's
+    val bySem = Similarity.semDedup(embs).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(prof.map(r => r.getInt(0) -> r.getLong(1)).toMap == bySem)
+  }
+
   test("embedding near-dup is symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDup(embs, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
