@@ -263,6 +263,27 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Streaming face of exact dedup — for CONTINUOUS crawl ingestion: each
+    * micro-batch's documents are admitted only if their normalized
+    * fingerprint ([[bagOfWordsFingerprint]] — the same definition as the
+    * batch and incremental paths, so all three faces agree on what "a
+    * duplicate" is) was not already admitted within the watermark
+    * horizon. State is keyed by the 16-byte fingerprint, bounded by the
+    * watermark (Spark evicts keys older than `horizon` — without the
+    * bound, dedup state on an endless crawl grows forever). The horizon
+    * is therefore the dedup window; history OLDER than it is the
+    * standing corpus's job — run [[exactDedupAgainst]] against the
+    * compacted corpus downstream (the lambda-architecture split every
+    * streaming dedup deployment uses). */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", bagOfWordsFingerprint(col("text")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Decontamination n-gram length — the standard pre-training hygiene
     * window (8–13 words; one shared n-gram of this length between a
     * training document and an eval benchmark is taken as contamination). */

@@ -589,4 +589,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming dedup: cross-batch duplicates dropped within the watermark") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[(Long, String, Timestamp)](
+      Encoders.product[(Long, String, Timestamp)], spark)
+    val out = graft.llm.TextDedup.dedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a duplicate INSIDE the batch + a distinct doc
+      mem.addData(
+        (1L, "alpha beta gamma", ts(T0)),
+        (2L, "alpha beta gamma", ts(T0 + 1000)),
+        (3L, "something else entirely", ts(T0 + 2000)))
+      q.processAllAvailable()
+      // batch 2: a replay of doc 1's text within the horizon — dropped —
+      // plus token-order/duplicate variants, which normalize to the SAME
+      // bag-of-words fingerprint (the batch dedup's exact contract)
+      mem.addData(
+        (4L, "alpha beta gamma", ts(T0 + 3000)),
+        (5L, "gamma beta alpha alpha", ts(T0 + 4000)),
+        (6L, "brand new text", ts(T0 + 5000)))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 6L), s"got $kept")
+    } finally q.stop()
+  }
 }
