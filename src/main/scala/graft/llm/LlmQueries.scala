@@ -164,6 +164,11 @@ object LlmQueries {
         .orderBy("asset_id")
     },
 
+    // Gopher-rule quality gate with per-rule attribution (c2): the
+    // filter every pre-training pass applies, zero shuffle
+    "c2_quality_filter" -> { (s, dir) =>
+      TextStats.qualityFilter(Tables.documents(s, dir)) },
+
     // Composite curation pipeline — the actual training-data use case,
     // end to end: quality-score → filter → exact-dedup (keep lowest
     // doc_id per fingerprint) → per-language corpus stats. The text is
@@ -669,6 +674,36 @@ object LlmQueries {
         |  sha256(text) AS content_sha,
         |  ((CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER) & 255) - 128) / 128.0 AS f0
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the l5/l19 oracle fragments feeding boolean rules; gram mode over
+    // strings vs Spark's hashes — the usual ~2^-64 equivalence
+    "c2_quality_filter" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, text, w,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |          ELSE CAST([] AS VARCHAR[]) END AS big,
+        |        greatest(len(w) - 2, 0) AS n3,
+        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
+        |          ELSE 0 END AS d3
+        |      FROM toks),
+        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1),
+        |m AS (SELECT b.doc_id,
+        |        len(b.w) AS n_tokens,
+        |        (length(b.text) - (len(b.w) - 1)) * 1.0 / len(b.w) AS mean_word_len,
+        |        len(list_filter(b.w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS stop_hits,
+        |        CASE WHEN len(b.big) = 0 THEN 0.0
+        |             ELSE COALESCE(mx.top, 0) * 1.0 / len(b.big) END AS top_bigram_frac,
+        |        CASE WHEN b.n3 = 0 THEN 0.0
+        |             ELSE (b.n3 - b.d3) * 1.0 / b.n3 END AS dup_trigram_frac
+        |      FROM b LEFT JOIN mx USING (doc_id))
+        |SELECT doc_id, n_tokens, mean_word_len, stop_hits, top_bigram_frac, dup_trigram_frac,
+        |  (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND stop_hits >= 2 AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.3) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "c1_curate" ->
       """WITH sc AS (

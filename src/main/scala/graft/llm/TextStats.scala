@@ -142,17 +142,19 @@ object TextStats {
     * shuffles every gram of every document; this form does neither.
     * Multiplicity/mode on 64-bit gram hashes ≡ on gram strings absent
     * ~2^-64 collisions (the l2/l15 argument; the oracle counts strings). */
+  /** Run-length max over the sorted-with-duplicates hash array `h2`: the
+    * mode count of the document's bigrams, shuffle-free (shared by
+    * [[repetitionStats]] and [[qualityFilter]]). */
+  private val topRun =
+    """aggregate(h2,
+      |  named_struct('prev', CAST(NULL AS BIGINT), 'run', 0L, 'best', 0L),
+      |  (a, x) -> named_struct(
+      |    'prev', x,
+      |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
+      |    'best', greatest(a.best, IF(a.prev <=> x, a.run + 1L, 1L))),
+      |  a -> a.best)""".stripMargin
+
   def repetitionStats(docs: DataFrame): DataFrame = {
-    // run-length max over the sorted-with-duplicates hash array: the mode
-    // count of the document's bigrams, shuffle-free
-    val topRun =
-      """aggregate(h2,
-        |  named_struct('prev', CAST(NULL AS BIGINT), 'run', 0L, 'best', 0L),
-        |  (a, x) -> named_struct(
-        |    'prev', x,
-        |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
-        |    'best', greatest(a.best, IF(a.prev <=> x, a.run + 1L, 1L))),
-        |  a -> a.best)""".stripMargin
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("h2", graft.functions.NGramHashesAll(col("w"), 2))
@@ -215,6 +217,50 @@ object TextStats {
       .select("doc_id", "rank", "word", "tf", "df", "score")
       .orderBy("doc_id", "rank")
   }
+
+  /** Composite Gopher-style quality gate (Rae et al. 2021 §A1, the rule
+    * family every pre-training corpus pass applies): token-count bounds,
+    * mean-word-length bounds, a minimum stopword presence, and
+    * repetition caps (top-bigram share, duplicate-trigram fraction) —
+    * each rule reported per document alongside the final verdict, so a
+    * pipeline can both filter on `pass` and audit WHICH rule rejected
+    * what (rule-attribution is how thresholds get tuned).
+    *
+    * One pass, zero shuffle: every signal is a per-row expression over
+    * the token array (the l5/l19 kernels), the final orderBy exists only
+    * for the deterministic oracle compare. All arithmetic is integer
+    * counts plus single IEEE divisions — bit-identical in the oracle. */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2,
+      maxTopBigram: Double = 0.2, maxDupTrigram: Double = 0.3): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("mean_word_len",
+        (length(col("text")) - (col("n_tokens") - 1)) * lit(1.0) / col("n_tokens"))
+      .withColumn("stop_hits", countIn(col("w"), Stopwords))
+      .withColumn("h2", graft.functions.NGramHashesAll(col("w"), 2))
+      .withColumn("n_bigrams", size(col("h2")).cast("long"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(expr(topRun) * lit(1.0) / col("n_bigrams")))
+      .withColumn("n_trigrams", greatest(size(col("w")) - 2, lit(0)).cast("long"))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") === 0, 0.0)
+          .otherwise((col("n_trigrams") -
+            size(graft.functions.TrigramHashes(col("w")))) * lit(1.0) / col("n_trigrams")))
+      .withColumn("pass",
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("stop_hits") >= minStopHits &&
+        col("top_bigram_frac") <= maxTopBigram &&
+        col("dup_trigram_frac") <= maxDupTrigram)
+      .select("doc_id", "n_tokens", "mean_word_len", "stop_hits",
+        "top_bigram_frac", "dup_trigram_frac", "pass")
+      .orderBy("doc_id")
 
   /** Marker-word language ID: per-language hit counts + argmax prediction
     * (fixed priority on ties), with the dataset's labeled `lang` retained

@@ -558,6 +558,29 @@ class LlmSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 1L) == 2)
   }
 
+  test("quality filter: each rule rejects its own violation, clean doc passes") {
+    import spark.implicits._
+    // varied tokens (a sentence repeated 5x would — correctly — trip the
+    // duplicate-trigram rule); every 10th word a stopword
+    val clean = Seq.tabulate(60)(i =>
+      if (i % 10 == 0) "the" else s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, clean),                                     // passes all rules
+      (2L, "too few words here"),                      // n_tokens < 50
+      (3L, Seq.fill(60)("extraordinarily").mkString(" ")), // mean word len > 10
+      (4L, Seq.fill(60)("word").mkString(" ")),        // no stopwords + repetition
+      (5L, clean + " " + Seq.fill(40)("spam ham").mkString(" ")) // top bigram
+    ).toDF("doc_id", "text")
+    val out = TextStats.qualityFilter(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("pass") && out(2L).getAs[Int]("n_tokens") < 50)
+    assert(!out(3L).getAs[Boolean]("pass") && out(3L).getAs[Double]("mean_word_len") > 10)
+    assert(!out(4L).getAs[Boolean]("pass") && out(4L).getAs[Int]("stop_hits") < 2)
+    assert(!out(5L).getAs[Boolean]("pass") &&
+      out(5L).getAs[Double]("top_bigram_frac") > 0.2)
+  }
+
   test("langid predicts a language for every doc with fixed tiebreak") {
     import spark.implicits._
     val golden = Seq(
