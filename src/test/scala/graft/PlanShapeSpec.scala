@@ -153,6 +153,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "tf must map-side combine")
   }
 
+  test("c2: quality gate is a pure projection — no mid-plan exchange") {
+    val p = SparkEntry.queries("c2_quality_filter")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // every rule signal is a per-row kernel; only the oracle orderBy's
+    // range partitioning may exchange (the l19 contract)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"quality gate grew a shuffle:\n$p")
+    assert(!p.contains("Window") && !p.toLowerCase.contains("generate"),
+      "rule signals must not become an explode+window/groupBy")
+  }
+
   test("q4 top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("q4_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
