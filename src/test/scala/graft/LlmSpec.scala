@@ -251,6 +251,12 @@ class LlmSpec extends SparkSpec {
     assert(solo.getLong(2) == 0L)
   }
 
+  test("dedup clusters: empty pair list yields empty output, no iteration blow-up") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(TextDedup.dedupClusters(none).isEmpty)
+  }
+
   test("dedup clusters match a union-find reference on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(0xC1C1)
