@@ -155,20 +155,28 @@ final class UnitDb private (
     delete(seq, e.topic, contract)
   }
 
-  /** Atomic multi-put (reference db.go:434-447, batch.go:195-257): entries
-    * buffered locally, committed as one append; exception ⇒ abort —
-    * except entries already persisted by an explicit mid-batch
-    * [[BatchWriter.write]], which survive. */
+  /** Atomic multi-put/delete (reference db.go:434-447, batch.go:64-257):
+    * entries AND delete markers buffered locally, committed as one
+    * flush; exception ⇒ abort — except anything already persisted by an
+    * explicit mid-batch [[BatchWriter.write]], which survives. */
   def batch(fn: BatchWriter => Unit): Unit = {
     val b = new BatchWriter(this)
-    fn(b) // throws ⇒ unwritten entries abort
-    commitBatch(b.drain())
+    fn(b) // throws ⇒ unwritten entries/deletes abort
+    val (entries, tombs) = b.drain()
+    commitBatch(entries, tombs)
   }
 
-  /** Commit a batch's buffered entries as one append (shared by closure
-    * exit and mid-batch [[BatchWriter.write]]). */
-  private[engine] def commitBatch(entries: Seq[Message]): Unit = synchronized {
-    if (entries.nonEmpty) {
+  /** Commit a batch's buffered entries + tombstones in one flush (shared
+    * by closure exit and mid-batch [[BatchWriter.write]]). Tombstones
+    * enter the buffer first: if the sync's two sidecar appends are split
+    * by a crash, a tombstone whose message never landed is a harmless
+    * anti-join no-op, whereas the reverse order could expose batch puts
+    * with their batched deletes lost. */
+  private[engine] def commitBatch(
+      entries: Seq[Message], tombs: Seq[Tombstone] = Nil): Unit = synchronized {
+    if (entries.nonEmpty || tombs.nonEmpty) {
+      pendingTombs ++= tombs
+      nDeletes.addAndGet(tombs.size.toLong)
       pending ++= entries
       nPuts.addAndGet(entries.size.toLong)
       nBytesWritten.addAndGet(
@@ -176,6 +184,11 @@ final class UnitDb private (
       sync()
     }
   }
+
+  /** Build (without buffering) a tombstone — the [[BatchWriter]] delete
+    * hook, sharing the store clock and topic normalization. */
+  private[engine] def mkTombstone(seq: Long, topic: String, contract: Long): Tombstone =
+    Tombstone(seq, contract, Topic.parse(topic).key, new Timestamp(clock()))
 
   /** Flush the pending buffers as atomic Parquet appends (reference
     * DB.Sync, db.go:452-472): entries to the main table, delete markers to
@@ -761,6 +774,7 @@ object UnitDb {
 /** Buffered writer handed to [[UnitDb.batch]] (reference batch.go:64-257). */
 final class BatchWriter private[engine] (db: UnitDb) {
   private[engine] val entries = ArrayBuffer[Message]()
+  private[engine] val tombs = ArrayBuffer[Tombstone]()
   private var batchContract: Option[Long] = None
   private var batchTtl: Option[Long] = None
   private var batchEncrypt: Boolean = false
@@ -770,31 +784,67 @@ final class BatchWriter private[engine] (db: UnitDb) {
   /** Per-batch encryption option (reference batch.SetOptions). */
   def withEncryption(): this.type = { batchEncrypt = true; this }
 
-  def put(topic: String, payload: Array[Byte]): Unit =
+  def put(topic: String, payload: Array[Byte]): Array[Byte] =
     putEntry(Entry(topic, payload,
       contract = batchContract.getOrElse(Message.MasterContract),
       ttlMillis = batchTtl))
 
-  def putEntry(e: Entry): Unit = {
+  /** Returns the entry's 16-byte ID (as [[UnitDb.putEntry]] does) — the
+    * handle a later [[delete]]/[[deleteEntry]] in the SAME batch needs. */
+  def putEntry(e: Entry): Array[Byte] = {
     val withDefaults = e.copy(
       contract = batchContract.getOrElse(e.contract),
       ttlMillis = e.ttlMillis.orElse(batchTtl),
       encrypt = e.encrypt || batchEncrypt)
-    entries += db.synchronized {
+    val m = db.synchronized {
       // share the db's seq counter + clock via a package-private hook
       db.mkMessage(withDefaults)
     }
+    entries += m
+    e.id.getOrElse(MessageId.encode(m.ts.getTime / 1000, m.contract, m.seq))
+  }
+
+  /** Batched delete by seq + topic (reference batch.Delete,
+    * batch.go:108-113): buffered, applied atomically with the batch's
+    * puts at commit/write — may target a message put earlier in the SAME
+    * batch (the seq is already assigned at putEntry time). */
+  def delete(seq: Long, topic: String,
+      contract: Long = Message.MasterContract): Unit =
+    tombs += db.mkTombstone(seq, topic,
+      batchContract.getOrElse(contract))
+
+  /** Batched delete by 16-byte message ID (reference batch.Delete). The
+    * batch contract option dominates, as it does for puts. */
+  def delete(id: Array[Byte], topic: String): Unit = {
+    val (_, contract, seq) = MessageId.decode(id)
+    tombs += db.mkTombstone(seq, topic, batchContract.getOrElse(contract))
+  }
+
+  /** Batched Entry-form delete (reference batch.DeleteEntry,
+    * batch.go:115-120) — same contract-resolution rule as
+    * [[UnitDb.deleteEntry]], under the batch option. */
+  def deleteEntry(e: Entry): Unit = {
+    val id = e.id.getOrElse(
+      throw new IllegalArgumentException("deleteEntry requires Entry.id"))
+    val (_, idContract, seq) = MessageId.decode(id)
+    val contract =
+      if (e.contract != Message.MasterContract) e.contract else idContract
+    tombs += db.mkTombstone(seq, e.topic, batchContract.getOrElse(contract))
   }
 
   /** Mid-batch flush (reference batch.Write, batch.go:158-193): persist
     * everything buffered so far, inside the managed closure. Flushed
-    * entries survive even if the closure later throws — only entries
-    * still buffered at the abort are discarded. */
-  def write(): Unit = db.commitBatch(drain())
+    * entries/deletes survive even if the closure later throws — only
+    * what is still buffered at the abort is discarded. */
+  def write(): Unit = {
+    val (es, ts) = drain()
+    db.commitBatch(es, ts)
+  }
 
-  private[engine] def drain(): Seq[Message] = {
-    val out = entries.toSeq
+  private[engine] def drain(): (Seq[Message], Seq[Tombstone]) = {
+    val out = (entries.toSeq, tombs.toSeq)
     entries.clear()
+    tombs.clear()
     out
   }
 }

@@ -107,6 +107,32 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("bw.u")).map(new String(_)).toSet == Set("d1", "d2"))
   }
 
+  test("batch deletes: buffered with puts, atomic, abort discards (reference batch.Delete)") {
+    val (db, _, _) = freshDb()
+    val oldId = db.put("bd.t", "old".getBytes)
+    db.sync()
+    // one batch: delete a pre-existing message by ID, put two, delete one
+    // of the batch's OWN puts by its returned ID
+    db.batch { b =>
+      b.delete(oldId, "bd.t")
+      b.put("bd.t", "keep".getBytes)
+      val inBatch = b.putEntry(Entry("bd.t", "gone".getBytes))
+      b.deleteEntry(Entry("bd.t", Array.emptyByteArray, id = Some(inBatch)))
+    }
+    assert(db.get(Query("bd.t")).map(new String(_)).toSeq == Seq("keep"))
+    // abort: neither the put nor the delete applies
+    val keepId = db.put("bd.u", "survives".getBytes)
+    db.sync()
+    intercept[RuntimeException] {
+      db.batch { b =>
+        b.delete(keepId, "bd.u")
+        b.put("bd.u", "aborted".getBytes)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(db.get(Query("bd.u")).map(new String(_)).toSeq == Seq("survives"))
+  }
+
   test("expiry: pre-expired entries are invisible; vacuum drops them") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 20)
