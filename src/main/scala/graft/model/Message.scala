@@ -82,7 +82,22 @@ final case class Entry(
     ttlMillis: Option[Long] = None,
     tsMillis: Option[Long] = None,
     encrypt: Boolean = false,
-    id: Option[Array[Byte]] = None)
+    id: Option[Array[Byte]] = None) {
+
+  // fluent builders matching the reference Entry API (entry.go:62-95);
+  // named copy() works too — these exist so ported call sites read 1:1
+
+  def withID(id: Array[Byte]): Entry = copy(id = Some(id))
+  def withPayload(payload: Array[Byte]): Entry = copy(payload = payload)
+  def withContract(contract: Long): Entry = copy(contract = contract)
+  def withEncryption(): Entry = copy(encrypt = true)
+
+  /** Go-style duration TTL (`"1h"`, `"30m"` — reference WithTTL parses
+    * the same strings the `?ttl=` topic option accepts). */
+  def withTtl(ttl: String): Entry =
+    copy(ttlMillis = Some(Topic.parseDurationMillis(ttl).getOrElse(
+      throw new IllegalArgumentException(s"bad ttl duration: $ttl"))))
+}
 
 /** Read query (reference query.go:41-47): topic pattern with optional
   * `?last=` (duration or count), tenant, and result limit with the

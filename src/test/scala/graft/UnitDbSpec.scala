@@ -133,6 +133,19 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("bd.u")).map(new String(_)).toSeq == Seq("survives"))
   }
 
+  test("Entry fluent builders mirror the reference WithX API") {
+    val (db, _, tick) = freshDb()
+    val e = Entry("fl.t", Array.emptyByteArray)
+      .withPayload("v".getBytes).withContract(42L).withTtl("1h")
+    assert(e.contract == 42L && e.ttlMillis.contains(3600000L))
+    assert(e.withEncryption().encrypt) // key-gated at put, not at build
+    db.putEntry(e); db.sync()
+    assert(db.get(Query("fl.t", contract = 42L)).length == 1)
+    tick(3600001L) // ttl elapses
+    assert(db.get(Query("fl.t", contract = 42L)).isEmpty)
+    intercept[IllegalArgumentException](Entry("x", null).withTtl("not-a-ttl"))
+  }
+
   test("expiry: pre-expired entries are invisible; vacuum drops them") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 20)
