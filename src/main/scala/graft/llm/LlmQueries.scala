@@ -169,6 +169,29 @@ object LlmQueries {
     "c2_quality_filter" -> { (s, dir) =>
       TextStats.qualityFilter(Tables.documents(s, dir)) },
 
+    // The full curation pipeline, composed end-to-end from the proven
+    // operators (c3): Gopher quality gate (c2) → banded-MinHash near-dup
+    // pairs on the SURVIVORS (l2) → connected-components retention (l22)
+    // → drop non-representatives → per-language corpus report. The
+    // near-dup stage sees only quality-passed documents — the order
+    // every production pipeline uses (dedup work scales with the corpus
+    // you keep, not the garbage you dropped).
+    "c3_curate_full" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val passed = docs
+        .join(TextStats.qualityFilter(docs).select("doc_id", "pass"), "doc_id")
+        .filter(col("pass"))
+        .select("doc_id", "lang", "text")
+      val pairs = TextDedup.minhashNearDup(passed).select("doc_a", "doc_b")
+      val drops = TextDedup.dedupClusters(pairs)
+        .filter(!col("keep")).select(col("doc_id"))
+      passed
+        .join(drops, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+        .orderBy("lang") },
+
     // Composite curation pipeline — the actual training-data use case,
     // end to end: quality-score → filter → exact-dedup (keep lowest
     // doc_id per fingerprint) → per-language corpus stats. The text is
@@ -674,6 +697,60 @@ object LlmQueries {
         |  sha256(text) AS content_sha,
         |  ((CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER) & 255) - 128) / 128.0 AS f0
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the c2 rules + the l2 pair chain ON the survivors + the l22
+    // recursive closure, assembled into one statement — every fragment
+    // is the already-hash-proven oracle of its operator
+    "c3_curate_full" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, text, w,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |          ELSE CAST([] AS VARCHAR[]) END AS big,
+        |        greatest(len(w) - 2, 0) AS n3,
+        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
+        |          ELSE 0 END AS d3
+        |      FROM toks),
+        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1),
+        |m AS (SELECT b.doc_id,
+        |        (len(b.w) BETWEEN 50 AND 100000
+        |         AND (length(b.text) - (len(b.w) - 1)) * 1.0 / len(b.w) BETWEEN 3.0 AND 10.0
+        |         AND len(list_filter(b.w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) >= 2
+        |         AND (CASE WHEN len(b.big) = 0 THEN 0.0
+        |              ELSE COALESCE(mx.top, 0) * 1.0 / len(b.big) END) <= 0.2
+        |         AND (CASE WHEN b.n3 = 0 THEN 0.0
+        |              ELSE (b.n3 - b.d3) * 1.0 / b.n3 END) <= 0.3) AS pass
+        |      FROM b LEFT JOIN mx USING (doc_id)),
+        |p AS (SELECT t.doc_id, t.lang, t.w FROM toks t JOIN m USING (doc_id) WHERE m.pass),
+        |pos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM p),
+        |sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+        |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |                  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT a_id AS doc_a, b_id AS doc_b
+        |       FROM inter
+        |       JOIN sz sa ON sa.doc_id = a_id
+        |       JOIN sz sb ON sb.doc_id = b_id
+        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.v = e.d),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        |drops AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+        |SELECT p.lang, COUNT(*) AS n_kept, CAST(SUM(len(p.w)) AS BIGINT) AS sum_tokens
+        |FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = p.doc_id)
+        |GROUP BY 1 ORDER BY p.lang""".stripMargin,
 
     // the l5/l19 oracle fragments feeding boolean rules; gram mode over
     // strings vs Spark's hashes — the usual ~2^-64 equivalence
