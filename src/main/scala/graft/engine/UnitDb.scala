@@ -167,11 +167,10 @@ final class UnitDb private (
   }
 
   /** Commit a batch's buffered entries + tombstones in one flush (shared
-    * by closure exit and mid-batch [[BatchWriter.write]]). Tombstones
-    * enter the buffer first: if the sync's two sidecar appends are split
-    * by a crash, a tombstone whose message never landed is a harmless
-    * anti-join no-op, whereas the reverse order could expose batch puts
-    * with their batched deletes lost. */
+    * by closure exit and mid-batch [[BatchWriter.write]]). Crash safety
+    * comes from [[sync]]'s flush ORDER (tombstones before entries — see
+    * the comment there), not buffer insertion order: a split flush can
+    * only under-apply the batch, never expose puts without their deletes. */
   private[engine] def commitBatch(
       entries: Seq[Message], tombs: Seq[Tombstone] = Nil): Unit = synchronized {
     if (entries.nonEmpty || tombs.nonEmpty) {
@@ -195,13 +194,10 @@ final class UnitDb private (
     * the `_tombstones` sidecar. */
   def sync(): Unit = synchronized {
     var flushed = false
-    if (pending.nonEmpty) {
-      val ds = spark.createDataset(pending.toSeq)(Encoders.product[Message])
-      writeStore(ds.toDF())
-      pending.clear()
-      storeExists = true
-      flushed = true
-    }
+    // Tombstones flush FIRST: the two appends are not atomic together, and
+    // a crash between them must only ever under-apply the batch. A
+    // tombstone whose message never landed is a harmless anti-join no-op;
+    // the reverse order would expose batch puts with their deletes lost.
     if (pendingTombs.nonEmpty) {
       val ds = spark.createDataset(pendingTombs.toSeq)(Encoders.product[Tombstone])
       ds.toDF().repartition(1).write.mode(SaveMode.Append)
@@ -209,6 +205,13 @@ final class UnitDb private (
         .parquet(tombsPath)
       pendingTombs.clear()
       tombsExist = true
+      flushed = true
+    }
+    if (pending.nonEmpty) {
+      val ds = spark.createDataset(pending.toSeq)(Encoders.product[Message])
+      writeStore(ds.toDF())
+      pending.clear()
+      storeExists = true
       flushed = true
     }
     if (flushed) nSyncs.incrementAndGet(): Unit

@@ -115,36 +115,50 @@ object Multimodal {
         if ((enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
              enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
             (bits != 8 && bits != 16)) None
-        else {
-          val data = in.readAllBytes()
-          val bytesPerSample = bits / 8
-          val nSamples = data.length / bytesPerSample
-          if (nSamples == 0) None
-          else {
-            val sum = new Array[Double](dim)
-            val cnt = new Array[Long](dim)
-            var i = 0
-            while (i < nSamples) {
-              val amp =
-                if (bits == 16) {
-                  val lo = data(i * 2) & 0xFF
-                  val hi = data(i * 2 + 1).toInt
-                  val v = if (fmt.isBigEndian) (data(i * 2).toInt << 8) | (data(i * 2 + 1) & 0xFF)
-                          else (hi << 8) | lo
-                  math.abs(v / 32768.0)
-                } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
-                  math.abs(((data(i) & 0xFF) - 128) / 128.0)
-                else math.abs(data(i) / 128.0)
-              val b = math.min(dim - 1, (i.toLong * dim / nSamples).toInt)
-              sum(b) += amp; cnt(b) += 1
-              i += 1
-            }
-            Some(Array.tabulate(dim)(b =>
-              if (cnt(b) == 0) 0f else (sum(b) / cnt(b)).toFloat))
-          }
-        }
+        else pcmEnvelope(
+          in.readAllBytes(), bits,
+          unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          bigEndian = fmt.isBigEndian, dim = dim)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The envelope fold over raw PCM frames, factored out of [[decodeWav]]
+    * so every (bits, signedness, endianness) branch is unit-testable —
+    * the JDK's WAV reader only ever reports 16-bit PCM as signed, so the
+    * unsigned-16 branch can't be reached through real WAV bytes. */
+  private[graft] def pcmEnvelope(data: Array[Byte], bits: Int,
+      unsigned: Boolean, bigEndian: Boolean, dim: Int): Option[Array[Float]] = {
+    val bytesPerSample = bits / 8
+    val nSamples = data.length / bytesPerSample
+    if (nSamples == 0) None
+    else {
+      val sum = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      var i = 0
+      while (i < nSamples) {
+        val amp =
+          if (bits == 16) {
+            if (unsigned) {
+              // unsigned: both bytes raw, midpoint 0x8000 = silence
+              val u = if (bigEndian)
+                ((data(i * 2) & 0xFF) << 8) | (data(i * 2 + 1) & 0xFF)
+              else ((data(i * 2 + 1) & 0xFF) << 8) | (data(i * 2) & 0xFF)
+              math.abs((u - 32768) / 32768.0)
+            } else {
+              val v = if (bigEndian) (data(i * 2).toInt << 8) | (data(i * 2 + 1) & 0xFF)
+                      else (data(i * 2 + 1).toInt << 8) | (data(i * 2) & 0xFF)
+              math.abs(v / 32768.0)
+            }
+          } else if (unsigned) math.abs(((data(i) & 0xFF) - 128) / 128.0)
+          else math.abs(data(i) / 128.0)
+        val b = math.min(dim - 1, (i.toLong * dim / nSamples).toInt)
+        sum(b) += amp; cnt(b) += 1
+        i += 1
+      }
+      Some(Array.tabulate(dim)(b =>
+        if (cnt(b) == 0) 0f else (sum(b) / cnt(b)).toFloat))
+    }
+  }
 
   /** The decode chain [[extractFeatures]] uses: the header [[probe]]
     * routes each payload to the matching JDK codec, everything else to

@@ -485,25 +485,26 @@ object TextDedup {
     var labels = edges.groupBy("s").agg(min("d").as("mn"))
       .select(col("s").as("doc_id"), least(col("s"), col("mn")).as("cluster_id"))
       .localCheckpoint()
-    var converged = false
-    var iters = 0
-    while (!converged) {
-      iters += 1
-      require(iters <= ClusterMaxIters,
-        s"dedupClusters did not converge in $ClusterMaxIters rounds — " +
-          "pathological chain-shaped pair graph; use a star-contraction variant")
-      // each node pulls the minimum label seen across its neighborhood
-      val viaNbr = edges
-        .join(labels.withColumnRenamed("doc_id", "d"), Seq("d"))
-        .groupBy(col("s").as("doc_id")).agg(min("cluster_id").as("nb"))
-      val next = labels.join(viaNbr, Seq("doc_id"))
-        .select(col("doc_id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), col("nb")).as("cluster_id"))
-        .localCheckpoint()
-      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next.drop("old")
-    }
-    edges.unpersist()
+    try {
+      var converged = false
+      var iters = 0
+      while (!converged) {
+        iters += 1
+        require(iters <= ClusterMaxIters,
+          s"dedupClusters did not converge in $ClusterMaxIters rounds — " +
+            "pathological chain-shaped pair graph; use a star-contraction variant")
+        // each node pulls the minimum label seen across its neighborhood
+        val viaNbr = edges
+          .join(labels.withColumnRenamed("doc_id", "d"), Seq("d"))
+          .groupBy(col("s").as("doc_id")).agg(min("cluster_id").as("nb"))
+        val next = labels.join(viaNbr, Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_id").as("old"),
+            least(col("cluster_id"), col("nb")).as("cluster_id"))
+          .localCheckpoint()
+        converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+        labels = next.drop("old")
+      }
+    } finally edges.unpersist()
     labels
       .withColumn("n_members", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))

@@ -712,6 +712,30 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decode(wav).sameElements(f))
   }
 
+  test("pcm envelope: unsigned 16-bit midpoint is silence, not full scale") {
+    // 0x8000 little-endian = unsigned silence; 0xC000 = half scale up
+    val n = 16
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => bb.putShort(if (i < n / 2) 0x8000.toShort else 0xC000.toShort))
+    val f = Multimodal.pcmEnvelope(bb.array(), bits = 16,
+      unsigned = true, bigEndian = false, dim = 16).get
+    (0 until 8).foreach(b => assert(math.abs(f(b)) < 1e-6, s"bin $b = ${f(b)}"))
+    (8 until 16).foreach(b => assert(math.abs(f(b) - 0.5f) < 1e-6, s"bin $b = ${f(b)}"))
+    // signed interpretation of the same bytes would be full scale — the
+    // pre-fix behavior the advisor flagged
+    val g = Multimodal.pcmEnvelope(bb.array(), bits = 16,
+      unsigned = false, bigEndian = false, dim = 16).get
+    assert(g(0) == 1.0f)
+    // big-endian unsigned round-trips the same envelope
+    val be = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    (0 until n).foreach(i => be.putShort(if (i < n / 2) 0x8000.toShort else 0xC000.toShort))
+    val h = Multimodal.pcmEnvelope(be.array(), bits = 16,
+      unsigned = true, bigEndian = true, dim = 16).get
+    assert(h.sameElements(f))
+  }
+
   test("resize really rescales JDK-decodable images; others use the stub seam") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(
