@@ -30,7 +30,11 @@ object Bench {
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
     try run(SparkEntry.queries("q3_join")) catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names (local iteration; the driver
+    // passes none and measures everything)
+    val wanted = if (args.isEmpty) SparkEntry.queries
+                 else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE — a swallowed failure reads as a
       // fast query and quietly corrupts the trend line

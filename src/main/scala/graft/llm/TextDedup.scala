@@ -462,9 +462,13 @@ object TextDedup {
     *
     * Scale shape: iterative min-label propagation — labels(v) starts at
     * min(v, neighbors(v)) and each round takes the min over the
-    * neighborhood, a (shuffle join on the edge key + partial-aggregated
-    * min) per round, all executor-side; the driver sees only the one-row
-    * convergence count. The edge list is |pairs| rows — orders of
+    * neighborhood. Self-loops in the cached edge list make each round a
+    * SINGLE (shuffle join on the edge key + partial-aggregated min):
+    * min over nbrs ∪ self IS the next label, so there is no separate
+    * old⋈new join, and convergence falls out of the label sum — labels
+    * only ever decrease, so the (overflow-safe decimal) sum is strictly
+    * decreasing until fixpoint. All executor-side; the driver sees one
+    * scalar per round. The edge list is |pairs| rows — orders of
     * magnitude smaller than the corpus, since only documents with at
     * least one near-dup appear. `localCheckpoint` truncates each round's
     * lineage so the plan doesn't grow with iteration count. Rounds =
@@ -473,19 +477,33 @@ object TextDedup {
     * would want the O(log² n) large-star/small-star variant instead —
     * same join primitives, more rounds-parallel pointer jumping. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
-    // symmetric edge list, pre-partitioned on the per-round join key and
-    // persisted: every round's neighbor join then reuses the cached
-    // partitioning for the edge side (AQE handles the labels side), so
-    // only the label frame moves per round
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
-      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    // symmetric edge list + self-loops, built in ONE pass over the (often
+    // expensive — an LSH pipeline) pair frame via explode: a union of
+    // re-selects would re-evaluate that pipeline per branch. Per-vertex
+    // self-loop duplicates (one per incident pair) are harmless under the
+    // min aggregate and cheaper than a distinct shuffle. Pre-partitioned
+    // on the per-round join key and persisted: every round's neighbor
+    // join reuses the cached partitioning for the edge side (AQE handles
+    // the labels side), so only the label frame moves per round.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("s"), col("doc_b").as("d")),
+        struct(col("doc_b").as("s"), col("doc_a").as("d")),
+        struct(col("doc_a").as("s"), col("doc_a").as("d")),
+        struct(col("doc_b").as("s"), col("doc_b").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
       .repartition(col("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.groupBy("s").agg(min("d").as("mn"))
-      .select(col("s").as("doc_id"), least(col("s"), col("mn")).as("cluster_id"))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty pair list
+    }
+
+    var labels = edges.groupBy("s").agg(min("d").as("cluster_id"))
+      .withColumnRenamed("s", "doc_id")
       .localCheckpoint()
     try {
+      var prevSum = labelSum(labels)
       var converged = false
       var iters = 0
       while (!converged) {
@@ -493,16 +511,15 @@ object TextDedup {
         require(iters <= ClusterMaxIters,
           s"dedupClusters did not converge in $ClusterMaxIters rounds — " +
             "pathological chain-shaped pair graph; use a star-contraction variant")
-        // each node pulls the minimum label seen across its neighborhood
-        val viaNbr = edges
+        // each node pulls the minimum label across its neighborhood ∪ self
+        val next = edges
           .join(labels.withColumnRenamed("doc_id", "d"), Seq("d"))
-          .groupBy(col("s").as("doc_id")).agg(min("cluster_id").as("nb"))
-        val next = labels.join(viaNbr, Seq("doc_id"))
-          .select(col("doc_id"), col("cluster_id").as("old"),
-            least(col("cluster_id"), col("nb")).as("cluster_id"))
+          .groupBy(col("s").as("doc_id")).agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()
-        converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
-        labels = next.drop("old")
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels = next
       }
     } finally edges.unpersist()
     labels
