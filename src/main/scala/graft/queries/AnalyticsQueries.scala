@@ -161,6 +161,27 @@ object AnalyticsQueries {
         .select("o_custkey", "o_orderkey", "rk", "drk", "prev_price",
           "next_key", "quartile")
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Range join (q13): events matched to OVERLAPPING value intervals —
+    // the inequality-join shape Spark would otherwise plan as a
+    // BroadcastNestedLoopJoin. [[graft.operators.RangeJoin]] bins the
+    // number line so it becomes an equi-join on the bin id (broadcast
+    // here because the interval side is tiny; shuffle-join at scale).
+    // Interval arithmetic stays on exact small-integer doubles so both
+    // engines compare identical IEEE values.
+    "q13_range_join" -> { (s, dir) =>
+      val buckets = s.range(0, 25).select(
+        col("id").as("bucket_id"),
+        (col("id") * lit(20.0)).as("lo"),
+        (col("id") * lit(20.0) + lit(40.0)).as("hi"))
+      val pts = Tables.events(s, dir).select("event_id", "user_id", "value")
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "value", buckets, "lo", "hi", binWidth = 20.0)
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"),
+          min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("bucket_id")
     }
   )
 
@@ -263,6 +284,17 @@ object AnalyticsQueries {
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q13_range_join" ->
+      """SELECT b.bucket_id, COUNT(*) AS n,
+        |  COUNT(DISTINCT e.user_id) AS nd_users,
+        |  MIN(e.value) AS min_v, MAX(e.value) AS max_v
+        |FROM events e
+        |JOIN (SELECT i AS bucket_id, CAST(i * 20.0 AS DOUBLE) AS lo,
+        |        CAST(i * 20.0 + 40.0 AS DOUBLE) AS hi
+        |      FROM range(0, 25) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -23,6 +23,8 @@ import graft.queries.QUtil._
   *  - m9_session  : 30-minute-gap sessions per user (the engine analogue
   *                  of q10's log sessionization, computed by
   *                  `session_window` instead of a lag/cumsum window)
+  *  - q12_asof    : as-of join — latest prior purchase per click, via
+  *                  [[graft.operators.AsOfJoin]] (DuckDB ASOF JOIN oracle)
   */
 object TimeSeriesQueries {
 
@@ -58,6 +60,30 @@ object TimeSeriesQueries {
         .select(col("user_id"), tsec(col("w.start")).as("s_start"),
           tsec(col("w.end")).as("s_end"), col("n"), col("sum_value"))
         .orderBy("user_id", "s_start")
+    },
+
+    // As-of join (q12): each click picks up the latest prior purchase
+    // value of the same user — the canonical temporal enrichment (quotes
+    // to trades, config to metrics). Times are microsecond epoch longs on
+    // both sides: DuckDB reads the TIMESTAMP(NANOS) parquet truncated to
+    // µs, so Spark's raw ns longs are divided down to match. The purchase
+    // side is pre-aggregated per (user, t) because as-of semantics need a
+    // unique right row per instant (see AsOfJoin contract). Plan shape
+    // pinned: one exchange on user_id, no nested-loop join.
+    "q12_asof" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("t", expr("ts div 1000")) // ns → µs (integer division)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "t")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "t").agg(max("value").as("pval"))
+      graft.operators.AsOfJoin.backward(
+          clicks, purchases, Seq("user_id"),
+          leftTime = "t", rightTime = "t", rightVals = Seq("pval"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("pval").as("last_purchase"))
+        .orderBy("event_id")
     }
   )
 
@@ -96,6 +122,17 @@ object TimeSeriesQueries {
         |SELECT user_id, MIN(t) AS s_start, MAX(t) + 1800 AS s_end,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    "q12_asof" ->
+      """SELECT c.event_id, c.user_id, c.t, p.pval AS last_purchase
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS t,
+        |                  MAX(value) AS pval
+        |                FROM events WHERE event_type = 'purchase'
+        |                GROUP BY 1, 2) p
+        |  ON c.user_id = p.user_id AND p.t <= c.t
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Unit coverage for the standalone relational operators — semantics
+  * checked against hand-computed expectations and (for RangeJoin) a naive
+  * cross-join reference. The oracle gate covers q12/q13 end-to-end; these
+  * pin the corners the testdata may not exercise. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (key, t, trade_id)
+    ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+    ("b", 15L, 4L),
+    ("c", 5L, 5L) // key with no quotes at all
+  ).toDF("sym", "t", "trade_id")
+
+  private def quotes = Seq(
+    // (key, qt, px) — unique per (key, qt) as the contract requires
+    ("a", 8L, 1.0), ("a", 20L, 2.0), ("a", 25L, 3.0),
+    ("b", 99L, 9.0)
+  ).toDF("sym", "qt", "px")
+
+  test("asof backward: latest quote at-or-before each trade; none => null") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightVals = Seq("px"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out(1L) == Some(1.0)) // t=10 ← qt=8
+    assert(out(2L) == Some(2.0)) // t=20 ← qt=20 (inclusive tie)
+    assert(out(3L) == Some(3.0)) // t=30 ← qt=25
+    assert(out(4L) == None)      // b: only quote is later (99 > 15)
+    assert(out(5L) == None)      // c: no quotes
+  }
+
+  test("asof forward: earliest quote at-or-after; tolerance nulls old matches") {
+    val fwd = AsOfJoin.forward(trades, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightVals = Seq("px"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(fwd(1L) == Some(2.0)) // t=10 → qt=20
+    assert(fwd(2L) == Some(2.0)) // inclusive at equal time
+    assert(fwd(3L) == None)      // nothing after 30 for a
+    assert(fwd(4L) == Some(9.0)) // b: qt=99
+
+    val tol = AsOfJoin.backward(trades, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightVals = Seq("px"),
+        tolerance = Some(1L))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(tol(1L) == None)      // age 2 > tolerance 1
+    assert(tol(2L) == Some(2.0)) // age 0
+    assert(tol(3L) == None)      // age 5
+  }
+
+  test("asof: left row count is preserved and columns append") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", rightVals = Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("sym", "t", "trade_id", "px"))
+  }
+
+  test("asof plan: one exchange on the key, no nested-loop join") {
+    val p = AsOfJoin.backward(trades, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightVals = Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("range join matches a naive cross-join filter, incl. [lo,hi) bounds") {
+    val pts = Seq.tabulate(50)(i => (i.toLong, i * 1.7)).toDF("pid", "v")
+    // overlapping, touching, and disjoint intervals; one empty
+    val ivs = Seq((0L, 0.0, 10.0), (1L, 5.0, 25.0), (2L, 25.0, 30.0),
+      (3L, 80.0, 81.0), (4L, 42.5, 42.5)).toDF("iid", "lo", "hi")
+    for (w <- Seq(1.0, 7.0, 100.0)) { // correctness must not depend on width
+      val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", binWidth = w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pts.crossJoin(ivs)
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"binWidth=$w")
+    }
+  }
+
+  test("range join honors extra equality keys") {
+    val pts = Seq(("x", 5.0, 1L), ("y", 5.0, 2L)).toDF("k", "v", "pid")
+    val ivs = Seq(("x", 0.0, 10.0, 10L)).toDF("k", "lo", "hi", "iid")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi",
+        binWidth = 4.0, keys = Seq("k"))
+      .select("pid").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // y's point matches the range but not the key
+  }
+}

@@ -169,4 +169,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q4_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
+
+  test("q12: as-of join is the one-shuffle sort-merge shape, no nested loop") {
+    val p = plan("q12_asof")
+    // the union+running-last formulation must not degenerate into the
+    // quadratic plans Spark gives naive as-of attempts
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    assert(p.contains("Window"), p.take(800))
+    // both event_type filters reach the parquet scan
+    assert(p.contains("EqualTo(event_type,click)") &&
+      p.contains("EqualTo(event_type,purchase)"), p.take(1200))
+  }
+
+  test("q13: range join is an equi-join on the bin id, no nested loop") {
+    val p = plan("q13_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // tiny interval side broadcasts; at scale the same plan shuffles on
+    // the bin key — either way it's a hash join, never a nested loop
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+  }
 }
