@@ -121,6 +121,30 @@ object LlmQueries {
     "l26_cluster_profile" -> { (s, dir) =>
       Similarity.clusterProfile(Tables.embeddings(s, dir)) },
 
+    // deterministic per-stratum sample (two-phase top-k on the md5 key)
+    "l27_stratified_sample" -> { (s, dir) =>
+      TextStats.stratifiedSample(Tables.documents(s, dir), "lang", k = 20)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk") },
+
+    // PII scrub: the synthetic corpus carries no PII, so each doc gets a
+    // deterministic doc_id-derived email/phone/IP tail appended IN THE
+    // QUERY (both engines build the identical string) — the oracle then
+    // genuinely verifies detection counts and the redacted text, not a
+    // no-op pass. Real pipelines call PiiScrub.scrub on the raw text.
+    "l28_pii_scrub" -> { (s, dir) =>
+      val withPii = Tables.documents(s, dir).withColumn("text", concat(
+        col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 5).cast("string"),
+        lit(".com ph 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+      PiiScrub.scrub(withPii)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id") },
+
     // Rolling-hash document fingerprinting (winnowing): one codegen'd
     // per-row kernel, zero shuffle; output digests the selected-hash set.
     "l13_winnow_fp" -> { (s, dir) =>
@@ -674,6 +698,41 @@ object LlmQueries {
         |        ORDER BY score DESC, word) AS rank FROM s)
         |SELECT doc_id, rank, word, tf, df, score FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // the sample is a pure function of the md5 document keys — identical
+    // in any engine (the l16/l25 principle, applied to per-stratum top-k)
+    "l27_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    // patterns restricted to the Java-regex ∩ RE2 common subset (see
+    // PiiScrub doc) so both engines match identically; DuckDB needs the
+    // explicit 'g' flag for global replace
+    "l28_pii_scrub" -> {
+      val em = PiiScrub.EmailPattern
+      val ph = PiiScrub.PhonePattern
+      val ip = PiiScrub.Ipv4Pattern
+      s"""WITH aug AS (SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com ph 415-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$em', '${PiiScrub.EmailToken}', 'g'),
+        |    '$ph', '${PiiScrub.PhoneToken}', 'g'),
+        |    '$ip', '${PiiScrub.Ipv4Token}', 'g')) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin
+    },
 
     // the shared k-means chain's rn=1 rows carry the assignment objective
     // d = |c|²−2·v·c; min/max are order-free, so exact across engines

@@ -93,6 +93,35 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sample: the k documents per stratum with
+    * the smallest md5-of-id key, ranked in key order — a reproducible
+    * uniform sample per stratum (language, source, quality band, k-means
+    * cell for cluster-balanced selection). Same engine-independence
+    * argument as [[splitAssign]]: the sample is a pure function of the
+    * document keys, invariant to partitioning and engine, which
+    * `df.stat.sampleBy` (partition-order RNG) cannot give.
+    *
+    * Scale shape: two-phase top-k (the m5/l3 tournament) — phase 1 ranks
+    * per (stratum, input partition) and keeps ≤ k, phase 2 ranks only
+    * the ≤ k·P survivors per stratum, so no task ever sorts a whole
+    * stratum even when one stratum is most of the corpus. The global
+    * per-stratum top-k is always a subset of the per-partition top-ks,
+    * so results are identical row-for-row. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("__k", md5(col("doc_id").cast("string")))
+      .withColumn("__pid", spark_partition_id())
+    val w1 = Window.partitionBy(col(strataCol), col("__pid"))
+      .orderBy(col("__k"), col("doc_id"))
+    val w2 = Window.partitionBy(col(strataCol))
+      .orderBy(col("__k"), col("doc_id"))
+    keyed
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= k)
+      .drop("__k", "__pid", "__r1")
+  }
+
   /** Token-budget corpus selection: within each language, take documents
     * in quality order (lowest stopword ratio first, doc_id ties) until
     * the cumulative token count reaches `budget` — the "best N tokens

@@ -791,4 +791,46 @@ class LlmSpec extends SparkSpec {
       .map(a => a.asset_id -> a.media_bytes.toSeq).toMap
     assert(resized.forall(a => again(a.asset_id) == a.media_bytes.toSeq))
   }
+
+  test("pii scrub: counts and redacts emails, phones, IPs; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c@sub.example.org or x@y.io ph 415-555-0100 and 415.555.0101 from 192.168.0.1"),
+      (2L, "no pii here, just words and numbers 12345"),
+      (3L, "edge: ip 999.1.1.1 still matches the dotted-quad shape; v6 2001:db8::1 does not")
+    ).toDF("doc_id", "text")
+    val out = PiiScrub.scrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips")), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == ((2L, 2L, 1L)))
+    assert(out(1L)._2 ==
+      "mail <EMAIL> or <EMAIL> ph <PHONE> and <PHONE> from <IP>")
+    assert(out(2L)._1 == ((0L, 0L, 0L)))
+    assert(out(2L)._2 == "no pii here, just words and numbers 12345")
+    assert(out(3L)._1 == ((0L, 0L, 1L)))
+    assert(out(3L)._2.contains("<IP>") && !out(3L)._2.contains("999.1.1.1"))
+  }
+
+  test("stratified sample: k per stratum, deterministic, partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "strat")
+    val a = TextStats.stratifiedSample(docs, "strat", k = 7)
+      .select("strat", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == 21)
+    assert(a.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == (1L to 7L)))
+    // same sample regardless of input partitioning (the whole point)
+    val b = TextStats.stratifiedSample(docs.repartition(13), "strat", k = 7)
+      .select("strat", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    // and it matches the single-phase definition: global md5 order per stratum
+    val want = (0L until 300L).groupBy(i => s"s${i % 3}").flatMap { case (s, ids) =>
+      ids.sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes).map(b => f"$b%02x").mkString, i))
+        .take(7).zipWithIndex.map { case (id, r) => (s, (r + 1).toLong, id) }
+    }.toSet
+    assert(a.toSet == want)
+  }
 }

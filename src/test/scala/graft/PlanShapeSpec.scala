@@ -170,6 +170,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("l27: stratified sample is two-phase — partial window on (stratum, pid)") {
+    val p = plan("l27_stratified_sample")
+    // one stratum can be most of the corpus: the per-stratum rank must
+    // never be single-task (same tournament as m5/l3)
+    assert(p.contains("pid"), p.take(800))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(800)}")
+  }
+
+  test("l28: pii scrub is a pure projection — no mid-plan exchange, no UDF") {
+    val p = SparkEntry.queries("l28_pii_scrub")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"pii scrub grew a shuffle:\n$p") // only the orderBy
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q12: as-of join is the one-shuffle sort-merge shape, no nested loop") {
     val p = plan("q12_asof")
     // the union+running-last formulation must not degenerate into the
