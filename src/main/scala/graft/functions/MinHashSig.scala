@@ -156,13 +156,12 @@ object NGramHashesUtil {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-  /** Sorted n-gram hash sequence WITH duplicates — one hash per gram
-    * occurrence. Sorted so multiplicity consumers (run-length mode,
-    * duplicate-gram fractions) get equal grams adjacent without a second
-    * per-row sort. */
-  def hashesAll(tokens: ArrayData, n: Int): ArrayData = {
+  /** Raw per-occurrence gram hashes in POSITION order (index i = the gram
+    * starting at token i) — the alignment [[hashesPos]] exposes so gram
+    * strings and hashes can be zipped row-side. */
+  private def build(tokens: ArrayData, n: Int): Array[Long] = {
     val m = tokens.numElements()
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    if (m < n) return Array.emptyLongArray
     val th = new Array[Long](m)
     var i = 0
     while (i < m) {
@@ -181,6 +180,21 @@ object NGramHashesUtil {
       out(i) = h
       i += 1
     }
+    out
+  }
+
+  /** Position-ordered n-gram hash sequence WITH duplicates — element i is
+    * the hash of the gram starting at token i, so `zip_with` against the
+    * same row's gram strings aligns exactly. */
+  def hashesPos(tokens: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(build(tokens, n))
+
+  /** Sorted n-gram hash sequence WITH duplicates — one hash per gram
+    * occurrence. Sorted so multiplicity consumers (run-length mode,
+    * duplicate-gram fractions) get equal grams adjacent without a second
+    * per-row sort. */
+  def hashesAll(tokens: ArrayData, n: Int): ArrayData = {
+    val out = build(tokens, n)
     java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
@@ -267,4 +281,38 @@ case class NGramHashesAll(child: Expression, n: Int) extends UnaryExpression {
 object NGramHashesAll {
   def apply(tokens: Column, n: Int): Column =
     GraftBridge.column(NGramHashesAll(GraftBridge.expression(tokens), n))
+}
+
+/** `ngram_hashes_pos(tokens, n)` — position-ordered sibling of
+  * [[NGramHashesAll]] (element i = hash of the gram starting at token i,
+  * same hash chain, no sort): `zip_with` it against the row's gram
+  * strings to carry (gram, hash) pairs without re-hashing strings. */
+case class NGramHashesPos(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes_pos expects ARRAY<STRING> and n > 0, got $t / n=$n")
+    }
+  override def prettyName: String = "ngram_hashes_pos"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NGramHashesUtil.hashesPos(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NGramHashesUtil.hashesPos($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashesPos =
+    copy(child = newChild)
+}
+
+object NGramHashesPos {
+  def apply(tokens: Column, n: Int): Column =
+    GraftBridge.column(NGramHashesPos(GraftBridge.expression(tokens), n))
 }

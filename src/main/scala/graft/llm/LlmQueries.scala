@@ -127,6 +127,11 @@ object LlmQueries {
         .select("lang", "rk", "doc_id")
         .orderBy("lang", "rk") },
 
+    // corpus-wide n-gram heavy hitters: hash-count shuffle + thresholded
+    // string label pass (boilerplate discovery)
+    "l29_top_ngrams" -> { (s, dir) =>
+      TextStats.topNgrams(Tables.documents(s, dir), n = 2, k = 20) },
+
     // PII scrub: the synthetic corpus carries no PII, so each doc gets a
     // deterministic doc_id-derived email/phone/IP tail appended IN THE
     // QUERY (both engines build the identical string) — the oracle then
@@ -708,6 +713,21 @@ object LlmQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    // the oracle counts gram STRINGS directly — the Spark side's
+    // hash-count + label-pass decomposition must land on identical
+    // (gram, count, rank) rows
+    "l29_top_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |        THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |        ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |      FROM toks),
+        |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1)
+        |SELECT CAST(rk AS BIGINT) AS rk, gram, n FROM (
+        |  SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk FROM c)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     // patterns restricted to the Java-regex ∩ RE2 common subset (see
     // PiiScrub doc) so both engines match identically; DuckDB needs the

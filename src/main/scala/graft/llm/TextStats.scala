@@ -122,6 +122,60 @@ object TextStats {
       .drop("__k", "__pid", "__r1")
   }
 
+  /** Corpus-level n-gram heavy hitters — the k most frequent word n-grams
+    * with exact counts (boilerplate discovery: nav bars, cookie banners,
+    * license headers; the corpus-wide sibling of [[repetitionStats]]'s
+    * per-document signals).
+    *
+    * Scale shape: counting shuffles 8-byte gram HASHES (map-side combined
+    * `ngram_hashes_all`), never strings; the k-th count then thresholds a
+    * STRING label pass that keeps only candidate-hash occurrences
+    * (`ngram_hashes_pos` zip-aligns each gram string with its hash, so
+    * strings are never re-hashed), and the final exact rank runs on that
+    * bounded candidate set. Two linear text scans + one 8-byte shuffle
+    * beats one corpus-wide string shuffle at any scale. Boundary ties are
+    * exact: every gram at the threshold count enters the label pass and
+    * the final (count desc, gram) rank matches a direct string count
+    * bit-for-bit (modulo 2^-64 hash collisions, which could only perturb
+    * CANDIDATE selection, never a labeled count). The driver holds only
+    * the ≤ 100·k candidate hash list; a plateau wider than that throws
+    * rather than silently mis-ranking. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = split(col("text"), " ")
+    val counts = docs
+      .select(explode(graft.functions.NGramHashesAll(w, n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val kth = counts.orderBy(col("n").desc, col("h")).limit(k)
+      .agg(min("n")).head().get(0)
+    val threshold = // empty corpus: nothing can qualify
+      if (kth == null) Long.MaxValue else kth.asInstanceOf[Long]
+    val cand = counts.filter(col("n") >= threshold)
+      .select("h").as[Long].take(100 * k + 1)
+    require(cand.length <= 100 * k,
+      s"top-$k boundary tie plateau exceeds ${100 * k} grams — raise k or pre-filter")
+    val candSet = typedLit(cand.toSeq)
+
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))).otherwise(array())
+    val pos = graft.functions.NGramHashesPos(w, n)
+    // final rank: candidate grams only (≤ 100·k rows), exact counts
+    docs
+      .select(explode(filter(
+        zip_with(grams, pos, (g, h) => struct(g.as("g"), h.as("h"))),
+        x => array_contains(candSet, x.getField("h")))).as("x"))
+      .select(col("x.g").as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "gram", "n")
+      .orderBy("rk")
+  }
+
   /** Token-budget corpus selection: within each language, take documents
     * in quality order (lowest stopword ratio first, doc_id ties) until
     * the cumulative token count reaches `budget` — the "best N tokens

@@ -544,6 +544,26 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("topNgrams: exact heavy-hitter counts, boundary ties all kept, rank stable") {
+    import spark.implicits._
+    val golden = Seq(
+      (1L, "the cat sat on the mat"),   // bigrams: the-cat cat-sat sat-on on-the the-mat
+      (2L, "the cat sat again"),        // the-cat cat-sat sat-again
+      (3L, "the cat"),                  // the-cat
+      (4L, "on the mat")                // on-the the-mat
+    ).toDF("doc_id", "text")
+    val top = TextStats.topNgrams(golden, n = 2, k = 3).collect()
+    assert(top.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq == Seq(
+      (1L, "the cat", 3L), (2L, "cat sat", 2L), (3L, "on the", 2L)))
+    // k cutting into a tie plateau: rank is (count desc, gram asc), exact
+    val top5 = TextStats.topNgrams(golden, n = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(top5 == Seq((1L, "the cat", 3L), (2L, "cat sat", 2L), (3L, "on the", 2L),
+      (4L, "the mat", 2L), (5L, "sat again", 1L)))
+    // empty corpus: no rows, no NPE from the null threshold
+    assert(TextStats.topNgrams(golden.filter(lit(false)), n = 2, k = 3).count() == 0L)
+  }
+
   test("tfidf keywords: rare repeated terms beat common ones, ties on word") {
     import spark.implicits._
     val corpus = Seq(

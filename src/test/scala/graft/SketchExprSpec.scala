@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BandHashes, CharNgramHashes, MinHashSig, NGramHashes,
-  NGramHashesAll, SimHashFp, TrigramHashes, WinnowFingerprint}
+  NGramHashesAll, NGramHashesPos, SimHashFp, TrigramHashes, WinnowFingerprint}
 
 /** Edge cases + codegen/interpreted parity for the sketch expressions. */
 class SketchExprSpec extends SparkSpec {
@@ -163,6 +163,27 @@ class SketchExprSpec extends SparkSpec {
     assert(got(1L)._1.distinct == got(1L)._2, "distinct of all == ngram_hashes")
     assert(got(2L)._1.isEmpty)
     assert(got(3L)._1.length == 3 && got(3L)._1.distinct.length == 1)
+    assert(got == noCodegen(run()))
+  }
+
+  test("ngram_hashes_pos: position-aligned; sorted copy equals ngram_hashes_all") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // bigrams at 0..3: ab ba ab ba
+      (2L, Seq("a")),
+      (3L, Seq("x", "x", "x", "x"))
+    ).toDF("id", "toks")
+    def run() = df.select(col("id"),
+      NGramHashesPos(col("toks"), 2).as("pos"),
+      NGramHashesAll(col("toks"), 2).as("all"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val got = run()
+    val (pos1, all1) = got(1L)
+    assert(pos1.length == 4, "one hash per gram position")
+    assert(pos1(0) == pos1(2) && pos1(1) == pos1(3), "equal grams hash equal")
+    assert(pos1(0) != pos1(1), "ab != ba (positional chain)")
+    assert(pos1.sorted == all1, "sorted pos == hashesAll")
+    assert(got(2L)._1.isEmpty, "below-n docs have no grams")
+    assert(got(3L)._1.distinct.length == 1)
     assert(got == noCodegen(run()))
   }
 
