@@ -247,17 +247,29 @@ object TextDedup {
     * already have" primitive, which must NOT re-scan-pair the corpus.
     * Output: kept (doc_id, fingerprint), sorted.
     *
-    * Scale shape: both sides collapse to (fingerprint, doc_id) at the
-    * scan; the corpus side is an anti-join on the fingerprint — one
-    * shuffle of fingerprint-width rows (at 100 TB the corpus fingerprint
-    * set would be a bucketed table, making the anti-join co-located) —
-    * and intra-batch dedup is a min-per-fingerprint aggregate. The
-    * corpus text is never re-paired, only its fingerprints. */
+    * Scale shape — the corpus NEVER shuffles: a crawl batch is small
+    * relative to the standing corpus (GBs vs 100 TB), so its distinct
+    * fingerprint set broadcasts. Pass 1 semi-joins the corpus scan
+    * against that broadcast — corpus rows stream through map-side, and
+    * only the matched fingerprints (≤ the batch's own fingerprint
+    * count) survive to a small distinct. Pass 2 broadcast-anti-joins
+    * those hits back onto the batch. The alternative — anti-joining the
+    * batch against ALL corpus fingerprints — shuffles fingerprint-width
+    * rows for every corpus document ever crawled, per batch; this shape
+    * shuffles only batch-sized frames no matter how large the corpus
+    * grows. (If a batch ever outgrows broadcast, fall back to a bucketed
+    * corpus-fingerprint table and a co-located anti-join.) Intra-batch
+    * dedup is a min-per-fingerprint aggregate. The corpus text is never
+    * re-paired, only its fingerprints. */
   def exactDedupAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame = {
     def fp(df: DataFrame) = df.select(col("doc_id"),
       bagOfWordsFingerprint(col("text")).as("fingerprint"))
-    fp(incoming)
-      .join(fp(corpus).select("fingerprint"), Seq("fingerprint"), "left_anti")
+    val inc = fp(incoming)
+    val dupFps = fp(corpus).select("fingerprint")
+      .join(broadcast(inc.select("fingerprint").distinct()),
+        Seq("fingerprint"), "left_semi")
+      .distinct()
+    inc.join(broadcast(dupFps), Seq("fingerprint"), "left_anti")
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")

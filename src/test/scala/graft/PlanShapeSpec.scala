@@ -188,6 +188,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("l18: incremental dedup never shuffles the corpus — broadcast both passes") {
+    val p = plan("l18_incr_dedup")
+    // corpus side: map-side broadcast semi join; batch side: broadcast
+    // anti join — the only exchanges carry batch-bounded frames
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus fingerprints must not shuffle:\n${p.take(1200)}")
+  }
+
   test("q12: as-of join is the one-shuffle sort-merge shape, no nested loop") {
     val p = plan("q12_asof")
     // the union+running-last formulation must not degenerate into the
