@@ -132,6 +132,17 @@ object LlmQueries {
     "l29_top_ngrams" -> { (s, dir) =>
       TextStats.topNgrams(Tables.documents(s, dir), n = 2, k = 20) },
 
+    // int8 scalar quantization of the embedding column + reconstruction
+    // audit (the compression step before indexing a 100 TB vector corpus)
+    "l30_vec_quantize" -> { (s, dir) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, dir)) },
+
+    // BM25 keyword retrieval: top-5 docs per query term (log-free odds-
+    // ratio idf — identical ranking, engine-exact arithmetic)
+    "l31_bm25" -> { (s, dir) =>
+      TextStats.bm25(Tables.documents(s, dir),
+        Seq("join", "filter", "vector")) },
+
     // PII scrub: the synthetic corpus carries no PII, so each doc gets a
     // deterministic doc_id-derived email/phone/IP tail appended IN THE
     // QUERY (both engines build the identical string) — the oracle then
@@ -728,6 +739,50 @@ object LlmQueries {
         |SELECT CAST(rk AS BIGINT) AS rk, gram, n FROM (
         |  SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk FROM c)
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // quantize → reconstruct → audit, every step the exact IEEE mirror of
+    // Similarity.scalarQuantize: floor(x+0.5) codes (no half-even
+    // ambiguity), order-free max, sequential index-order folds
+    "l30_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+        |c AS (SELECT *, list_transform(v, x -> CAST(
+        |        CASE WHEN scale = 0 THEN 0.0
+        |             ELSE floor((x - vmin) / scale + 0.5) END AS BIGINT)) AS codes
+        |      FROM q),
+        |r AS (SELECT *, list_transform(codes, cd -> vmin + CAST(cd AS DOUBLE) * scale) AS recon
+        |      FROM c),
+        |err AS (SELECT vec_id, vmin, vmax, codes,
+        |          list_transform(list_zip(v, recon), z -> abs(z[1] - z[2])) AS ev
+        |        FROM r)
+        |SELECT vec_id, vmin, vmax,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, b) -> a + b) AS code_sum,
+        |  list_max(ev) AS max_err,
+        |  list_reduce(list_prepend(0.0, list_transform(ev, x -> x * x)),
+        |    (a, b) -> a + b) AS sq_err
+        |FROM err ORDER BY vec_id""".stripMargin,
+
+    // BM25 with the odds-ratio idf; expression tree written identically
+    // to TextStats.bm25 so every double is bit-equal
+    "l31_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dls AS (SELECT doc_id, len(w) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dls),
+        |tf AS (SELECT doc_id, word AS term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+        |       WHERE word IN ('join', 'filter', 'vector') GROUP BY 1, 2),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.term, tf.doc_id, tf.tf, dfs.df, dls.dl,
+        |    ((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * (tf.tf * CAST(2.2 AS DOUBLE)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 *
+        |        (dls.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))) AS score
+        |  FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id
+        |  CROSS JOIN stats s)
+        |SELECT term, rank, doc_id, tf, df, dl, score FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY term
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
 
     // patterns restricted to the Java-regex ∩ RE2 common subset (see
     // PiiScrub doc) so both engines match identically; DuckDB needs the

@@ -481,4 +481,40 @@ object Similarity {
 
     cross.unionByName(intra).orderBy("vec_a", "vec_b")
   }
+
+  /** Per-vector int8 scalar quantization (the faiss-SQ8 shape: uniform
+    * [min, max] grid per vector, 256 levels) with a reconstruction audit —
+    * the embedding-compression step a 100 TB vector corpus applies before
+    * indexing: 64 float32 dims become 64 bytes + two scalars (4× smaller,
+    * and the codes are what a PQ/IVFSQ index would store).
+    *
+    * Pure per-row projection — zero shuffle at any corpus size. Every
+    * output is engine-exact: codes come from one IEEE divide +
+    * `floor(x + 0.5)` (no round-half-even ambiguity), `max_err` is an
+    * order-free max, `sq_err` a sequential index-order fold, `code_sum`
+    * integer arithmetic — all reproduced verbatim by the DuckDB oracle.
+    *
+    * Output: vec_id, vmin, vmax, code_sum, max_err, sq_err. The invariant
+    * a test should hold: max_err ≤ scale/2 + ulp slack (half a grid step).
+    */
+  def scalarQuantize(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val df = embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("codes", transform(col("v"), x =>
+        when(col("scale") === 0, lit(0L))
+          .otherwise(floor((x - col("vmin")) / col("scale") + lit(0.5)))
+          .cast("long")))
+      .withColumn("recon", transform(col("codes"), c =>
+        col("vmin") + c.cast("double") * col("scale")))
+      .withColumn("ev", zip_with(col("v"), col("recon"), (a, b) => abs(a - b)))
+    df.select(
+        col("vec_id"), col("vmin"), col("vmax"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_max(col("ev")).as("max_err"),
+        aggregate(col("ev"), lit(0.0), (acc, e) => acc + e * e).as("sq_err"))
+      .orderBy("vec_id")
+  }
 }

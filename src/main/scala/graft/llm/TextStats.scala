@@ -364,4 +364,50 @@ object TextStats {
       .select("doc_id", "lang", "en_hits", "de_hits", "fr_hits", "es_hits", "predicted")
       .orderBy("doc_id")
   }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones, the Okapi weighting
+    * every lexical search index ships): top-k documents per query term,
+    * scored tf·idf with saturation (k1) and length normalization (b). The
+    * idf factor is the raw odds ratio (N − df + 0.5)/(df + 0.5) rather
+    * than its log: log is monotone, so rankings are identical, and the
+    * ratio keeps every operation a single IEEE divide — bit-reproducible
+    * in any engine, where `ln` would tie the result to one libm's
+    * rounding (the l24 exact-arithmetic principle).
+    *
+    * Scale shape: tf explodes only rows matching the (tiny, broadcast-
+    * literal) term set — the corpus scan stays a filter-then-count, never
+    * a corpus-wide string shuffle; df aggregates the per-doc tf rows; the
+    * per-term top-k is the two-phase tournament (a term matching half the
+    * corpus never sorts in one task — same argument as [[stratifiedSample]]).
+    * Constants (2.2 = k1+1, 0.25 = 1−b, 0.75 = b) are written literally
+    * so both engines parse the identical double. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val dls = toks.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+    val scored = tf
+      .join(broadcast(dfs), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * (col("tf") * lit(2.2)) / denom)
+      .withColumn("__pid", spark_partition_id())
+    val w1 = Window.partitionBy("term", "__pid").orderBy(col("score").desc, col("doc_id"))
+    val w2 = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= k)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("df"),
+        col("dl").cast("long").as("dl"), col("score"))
+      .orderBy("term", "rank")
+  }
 }

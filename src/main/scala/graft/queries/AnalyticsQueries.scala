@@ -182,6 +182,23 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"),
           min("value").as("min_v"), max("value").as("max_v"))
         .orderBy("bucket_id")
+    },
+
+    // Pivot (q14): long→wide reshape — daily event counts, one column per
+    // event type. The value list is EXPLICIT, so Catalyst plans a single
+    // partial-aggregated pivot pass (an inferred list would need an extra
+    // distinct scan and make the schema data-dependent — unusable as a
+    // stable pipeline contract at 100 TB). Missing cells are 0 to match
+    // the oracle's conditional counts.
+    "q14_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .withColumn("day", expr("unix_timestamp(ts) div 86400 * 86400"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("day")
     }
   )
 
@@ -295,6 +312,15 @@ object AnalyticsQueries {
         |        CAST(i * 20.0 + 40.0 AS DOUBLE) AS hi
         |      FROM range(0, 25) t(i)) b
         |  ON e.value >= b.lo AND e.value < b.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_pivot" ->
+      """SELECT (epoch_us(date_trunc('second', ts)) // 1000000) // 86400 * 86400 AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -84,6 +84,46 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("user_id"), col("t"),
           col("pval").as("last_purchase"))
         .orderBy("event_id")
+    },
+
+    // Resample + gap-fill (m11): hourly per-user value sums aligned onto
+    // the dense global hour grid, gaps LOCF-filled — the TSDB
+    // "resample + fill(previous)" (see [[graft.operators.Resample]] for
+    // the 100 TB shape: broadcast grid, distributed series side, one
+    // window per series). Sums go through exact decimals so the filled
+    // doubles carry bit-identically; counts zero-fill (a silent hour has
+    // n = 0, not the carried count). user_id < 20 keeps the series set
+    // fixed across scale factors.
+    "m11_resample" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("h", expr("unix_timestamp(ts) div 3600 * 3600"))
+        .groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("v"))
+      graft.operators.Resample
+        .gridLocf(hourly, Seq("user_id"), "h", Seq("v"), 3600L,
+          zeroCols = Seq("n"))
+        .select("user_id", "h", "n", "v", "filled")
+        .orderBy("user_id", "h")
+    },
+
+    // Per-series derivative (m12): monitoring rate()/delta() over the
+    // (user, event_type) gauge series — change in value/time since the
+    // series' previous observation and the per-second rate. Times are µs
+    // epoch longs (ns div 1000, matching DuckDB epoch_us); value deltas
+    // and the single IEEE multiply/divide are bit-identical engine-free
+    // arithmetic. user_id < 50 bounds output while covering many series.
+    "m12_rate" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("t"), col("value"))
+      graft.operators.Resample
+        .rate(pts, Seq("user_id", "event_type"), "t", "value",
+          tiebreak = "event_id")
+        .select("event_id", "user_id", "event_type", "t", "dv", "dt", "rate")
+        .orderBy("user_id", "event_type", "t", "event_id")
     }
   )
 
@@ -133,6 +173,41 @@ object TimeSeriesQueries {
         |                FROM events WHERE event_type = 'purchase'
         |                GROUP BY 1, 2) p
         |  ON c.user_id = p.user_id AND p.t <= c.t
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // dense grid via generate_series; LOCF via last_value IGNORE NULLS —
+    // v is the exact-decimal hourly sum, so the carried doubles are
+    // bit-identical to Spark's
+    "m11_resample" ->
+      s"""WITH hourly AS (
+        |  SELECT user_id, ($t) // 3600 * 3600 AS h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+        |g AS (SELECT UNNEST(generate_series(lo, hi, 3600)) AS h FROM b),
+        |grid AS (SELECT u.user_id, g.h
+        |         FROM (SELECT DISTINCT user_id FROM hourly) u CROSS JOIN g),
+        |j AS (SELECT grid.user_id, grid.h, hourly.n, hourly.v
+        |      FROM grid LEFT JOIN hourly
+        |        ON grid.user_id = hourly.user_id AND grid.h = hourly.h)
+        |SELECT user_id, h, COALESCE(n, 0) AS n,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS v,
+        |  (n IS NULL) AS filled
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    "m12_rate" ->
+      """WITH pts AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+        |  FROM events WHERE user_id < 50)
+        |SELECT event_id, user_id, event_type, t,
+        |  value - LAG(value) OVER w AS dv,
+        |  t - LAG(t) OVER w AS dt,
+        |  CASE WHEN t - LAG(t) OVER w > 0 THEN
+        |    (value - LAG(value) OVER w) * 1000000.0 / (t - LAG(t) OVER w)
+        |  END AS rate
+        |FROM pts
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id)
+        |ORDER BY user_id, event_type, t, event_id""".stripMargin
   )
 }

@@ -219,4 +219,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(1200))
   }
+
+  test("m11: grid broadcasts; series side never becomes a nested loop") {
+    val p = plan("m11_resample")
+    // keys × grid is a broadcast nested loop ONLY of the 1-row-exploded
+    // grid (that is the design: the corpus-sized series side stays
+    // distributed); the points-to-grid join must be a hash join
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+  }
+
+  test("m12: rate is one window exchange, no join") {
+    val p = plan("m12_rate")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.linesIterator.exists(l => l.contains("Join")),
+      s"rate must not join:\n${p.take(1200)}")
+  }
+
+  test("q14: pivot aggregates partial before the exchange") {
+    val p = plan("q14_pivot")
+    assert(p.contains("partial_pivot") || p.contains("partial_count") ||
+      p.contains("partial_sum"), p.take(1200))
+  }
+
+  test("l30: quantization audit is a pure projection — no mid-plan exchange") {
+    val p = SparkEntry.queries("l30_vec_quantize")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"quantize grew a shuffle:\n$p") // only the orderBy
+  }
+
+  test("l31: bm25 top-k is two-phase; df and stats broadcast") {
+    val p = plan("l31_bm25")
+    assert(p.contains("pid"), p.take(1200))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }

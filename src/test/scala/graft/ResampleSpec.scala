@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Resample
+
+/** Resample.gridLocf / Resample.rate semantics, plus the round-5 scoring
+  * operators (scalar quantization, BM25) on synthetic frames. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // series "a": points at buckets 0 and 20; series "b": single point at 10
+  private def pts = Seq(
+    ("a", 0L, 1.0), ("a", 20L, 3.0),
+    ("b", 10L, 7.0)
+  ).toDF("k", "t", "v")
+
+  test("gridLocf: dense global grid per series, LOCF carry, filled flag") {
+    val out = Resample.gridLocf(pts, Seq("k"), "t", Seq("v"), 10L)
+      .orderBy("k", "t")
+      .select("k", "t", "v", "filled")
+      .as[(String, Long, Option[Double], Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, Some(1.0), false),
+      ("a", 10L, Some(1.0), true),  // gap: carries 1.0
+      ("a", 20L, Some(3.0), false),
+      ("b", 0L, None, true),        // leading gap stays null
+      ("b", 10L, Some(7.0), false),
+      ("b", 20L, Some(7.0), true)))
+  }
+
+  test("gridLocf: zeroCols zero-fill instead of carrying") {
+    val withN = pts.withColumn("n", lit(5L))
+    val out = Resample.gridLocf(withN, Seq("k"), "t", Seq("v"), 10L,
+        zeroCols = Seq("n"))
+      .filter(col("k") === "a").orderBy("t")
+      .select("t", "n").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 5L), (10L, 0L), (20L, 5L)))
+  }
+
+  test("gridLocf: empty input yields empty output") {
+    assert(Resample.gridLocf(pts.filter(lit(false)), Seq("k"), "t",
+      Seq("v"), 10L).count() === 0L)
+  }
+
+  test("rate: per-series deltas, null first point, zero-dt guard") {
+    val obs = Seq(
+      ("a", 100L, 10.0, 1L), ("a", 300L, 11.0, 2L),
+      ("a", 300L, 20.0, 3L), // same timestamp: dt=0 => null rate
+      ("b", 50L, 5.0, 4L)
+    ).toDF("k", "t", "v", "id")
+    val out = Resample.rate(obs, Seq("k"), "t", "v", tiebreak = "id",
+        perSecond = 1e6)
+      .orderBy("k", "t", "id")
+      .select("k", "id", "dv", "dt", "rate")
+      .as[(String, Long, Option[Double], Option[Long], Option[Double])]
+      .collect().toSeq
+    assert(out(0) === (("a", 1L, None, None, None)))
+    assert(out(1) === (("a", 2L, Some(1.0), Some(200L), Some(1.0 * 1e6 / 200))))
+    assert(out(2) === (("a", 3L, Some(9.0), Some(0L), None)))
+    assert(out(3) === (("b", 4L, None, None, None)))
+  }
+
+  test("scalarQuantize: reconstruction error bounded by half a grid step") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val audited = graft.llm.Similarity.scalarQuantize(emb)
+      .join(emb.select(col("vec_id"),
+        (array_max(transform(col("embedding"), x => x.cast("double"))) -
+         array_min(transform(col("embedding"), x => x.cast("double"))))
+          .as("range")), "vec_id")
+      // max_err <= scale/2 (+ double-rounding slack)
+      .filter(col("max_err") > col("range") / 255.0 / 2.0 * 1.000001 + 1e-12)
+    assert(audited.count() === 0L)
+  }
+
+  test("bm25: ranks by tf saturation and length norm; rank contiguous") {
+    val docs = Seq(
+      (1L, "x x x x y"),       // tf(x)=4, short doc
+      (2L, "x y y y y y y y"), // tf(x)=1, longer doc
+      (3L, "z z z z z z")      // no x at all
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextStats.bm25(docs, Seq("x"), k = 5)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 2L))) // doc 1 outranks doc 2; doc 3 absent
+  }
+
+  test("bm25: two-phase result equals a direct single-window top-k") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val terms = Seq("join", "filter")
+    val got = graft.llm.TextStats.bm25(docs, terms, k = 7)
+      .select("term", "rank", "doc_id").as[(String, Long, Long)].collect().toSet
+    // direct: global window only (correct by definition, unscalable shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    val direct = graft.llm.TextStats.bm25(docs, terms, k = Int.MaxValue)
+      .withColumn("rk2", row_number().over(w)).filter(col("rk2") <= 7)
+      .select("term", "rk2", "doc_id").as[(String, Int, Long)].collect()
+      .map { case (t, r, d) => (t, r.toLong, d) }.toSet
+    assert(got === direct)
+  }
+}
