@@ -49,4 +49,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Join interval rows whose half-open spans overlap:
+    * `lLo < rHi && rLo < lHi` (plus `keys` equalities) — concurrency /
+    * co-occurrence joins (overlapping sessions, colliding reservations,
+    * genomic ranges).
+    *
+    * Same binning reduction as [[pointInInterval]], with BOTH sides
+    * exploded; a pair sharing several bins would surface once per shared
+    * bin, so each pair is emitted only in its canonical bin — the bin of
+    * the overlap's own start, `floor(max(lLo, rLo) / binWidth)` — which
+    * every overlapping pair shares by construction. No `distinct`, no
+    * post-hoc dedup shuffle: the equi-join on the bin id is the only
+    * exchange, linear in Σ(span/binWidth), and AQE-skew-splittable. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys.toSet
+    require(clash.isEmpty,
+      s"left/right columns ${clash.mkString(", ")} clash outside the join keys")
+
+    def bins(df: DataFrame, lo: String, hi: String) = df.withColumn("__bin",
+      explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    bins(left, lLo, lHi).join(bins(right, rLo, rHi), keys :+ "__bin")
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col("__bin") ===
+        floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -199,6 +199,34 @@ object AnalyticsQueries {
         .agg(count(lit(1)))
         .na.fill(0L, types)
         .orderBy("day")
+    },
+
+    // Interval-overlap join (q15): which user sessions ran CONCURRENTLY —
+    // sessionize (the m9 30-minute-gap sessions, users < 12), then
+    // overlap-join the session intervals of distinct users via
+    // [[graft.operators.RangeJoin.intervalOverlap]]'s canonical-bin
+    // reduction (one equi-join exchange, no nested loop, no distinct).
+    "q15_interval_overlap" -> { (s, dir) =>
+      val sess = Tables.events(s, dir)
+        .filter(col("user_id") < 12)
+        .groupBy(session_window(timestamp_seconds(tsec(col("ts"))),
+          "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), tsec(col("w.start")).as("lo"),
+          tsec(col("w.end")).as("hi"))
+      val a = sess.select(col("user_id").as("ua"), col("lo").as("a_lo"),
+        col("hi").as("a_hi"))
+      val b = sess.select(col("user_id").as("ub"), col("lo").as("b_lo"),
+        col("hi").as("b_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          binWidth = 1800.0)
+        .filter(col("ua") < col("ub"))
+        .select(col("ua"), col("ub"), col("a_lo").as("sa"),
+          col("b_lo").as("sb"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("ov"))
+        .orderBy("ua", "ub", "sa", "sb")
     }
   )
 
@@ -313,6 +341,26 @@ object AnalyticsQueries {
         |      FROM range(0, 25) t(i)) b
         |  ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_interval_overlap" ->
+      """WITH pts AS (
+        |  SELECT user_id, (epoch_us(date_trunc('second', ts)) // 1000000) AS t
+        |  FROM events WHERE user_id < 12),
+        |marked AS (
+        |  SELECT *, CASE WHEN t - LAG(t) OVER w > 1800 OR
+        |    LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sids AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |sess AS (SELECT user_id, MIN(t) AS lo, MAX(t) + 1800 AS hi
+        |         FROM sids GROUP BY user_id, sid)
+        |SELECT a.user_id AS ua, b.user_id AS ub, a.lo AS sa, b.lo AS sb,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS ov
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi
+        |ORDER BY ua, ub, sa, sb""".stripMargin,
 
     "q14_pivot" ->
       """SELECT (epoch_us(date_trunc('second', ts)) // 1000000) // 86400 * 86400 AS day,

@@ -124,6 +124,45 @@ object TimeSeriesQueries {
           tiebreak = "event_id")
         .select("event_id", "user_id", "event_type", "t", "dv", "dt", "rate")
         .orderBy("user_id", "event_type", "t", "event_id")
+    },
+
+    // Streaming sessionization (m13): the SAME session_window expression
+    // as m9, but actually executed BY Structured Streaming — file source,
+    // complete-mode state, memory sink — and hash-compared against the
+    // batch oracle: the streaming engine itself goes through the
+    // correctness gate, not just its batch twin. Complete mode holds all
+    // sessions in state (fine for the gate; a production continuous run
+    // uses append + watermark, StreamingSpec's shape). user_id < 40
+    // bounds state and output across scale factors.
+    "m13_stream_session" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("user_id") < 40)
+        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val agged = src
+        .groupBy(session_window(col("tsec"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("user_id"), tsec(col("w.start")).as("s_start"),
+          tsec(col("w.end")).as("s_end"), col("n"), col("sum_value"))
+      val q = agged.writeStream.format("memory").queryName("m13_sess")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m13_sess").orderBy("user_id", "s_start")
     }
   )
 
@@ -208,6 +247,24 @@ object TimeSeriesQueries {
         |  END AS rate
         |FROM pts
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id)
-        |ORDER BY user_id, event_type, t, event_id""".stripMargin
+        |ORDER BY user_id, event_type, t, event_id""".stripMargin,
+
+    // identical to m9's sessionization, restricted to user_id < 40 — what
+    // changes on the Spark side is WHO executes (the streaming engine)
+    "m13_stream_session" ->
+      s"""WITH pts AS (
+        |  SELECT user_id, ($t) AS t, value FROM events WHERE user_id < 40),
+        |marked AS (
+        |  SELECT *, CASE WHEN t - LAG(t) OVER w > 1800 OR
+        |    LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(t) AS s_start, MAX(t) + 1800 AS s_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
   )
 }

@@ -91,4 +91,24 @@ class OperatorsSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSeq
     assert(got == Seq(1L)) // y's point matches the range but not the key
   }
+
+  test("interval overlap matches a naive cross-join filter at any bin width") {
+    // long spans (many shared bins — the duplicate hazard), touching
+    // endpoints (half-open: NOT an overlap), nested, and disjoint
+    val as = Seq((1L, 0.0, 100.0), (2L, 10.0, 20.0), (3L, 50.0, 50.5))
+      .toDF("aid", "a_lo", "a_hi")
+    val bs = Seq((1L, 5.0, 95.0), (2L, 20.0, 30.0), (3L, 200.0, 300.0),
+      (4L, 0.0, 1000.0)).toDF("bid", "b_lo", "b_hi")
+    for (w <- Seq(1.0, 7.0, 1000.0)) {
+      val got = RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+          binWidth = w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = as.crossJoin(bs)
+        .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exactly once per overlapping pair — the canonical-bin dedup
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"binWidth=$w")
+      assert(got.length == got.toSet.size, s"duplicate pairs at binWidth=$w")
+    }
+  }
 }

@@ -252,6 +252,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"quantize grew a shuffle:\n$p") // only the orderBy
   }
 
+  test("q15: interval overlap is an equi-join on the bin id — no nested loop, no dedup shuffle") {
+    val p = plan("q15_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // canonical-bin emission replaces distinct(): no aggregate on the
+    // joined pairs may appear
+    assert(!p.contains("partial_first"), p.take(1200))
+  }
+
   test("l31: bm25 top-k is two-phase; df and stats broadcast") {
     val p = plan("l31_bm25")
     assert(p.contains("pid"), p.take(1200))
