@@ -26,9 +26,18 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // warmup: touch the big tables + exercise codegen, unmeasured
+    // warmup: touch the big tables + exercise codegen, unmeasured. The
+    // sf0.001 s1 pass additionally absorbs Structured Streaming + engine
+    // write-path first-touch (checkpoint machinery, foreachBatch codegen,
+    // parquet committer classes) — r4's driver run showed the tail s1/s2
+    // queries paying multi-second one-time costs that belong to the JVM,
+    // not the query.
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
     try run(SparkEntry.queries("q3_join")) catch { case _: Throwable => }
+    try SparkEntry.queries("s1_engine_roundtrip")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    spark.catalog.clearCache()
 
     // optional args = subset of query names (local iteration; the driver
     // passes none and measures everything)
@@ -41,7 +50,12 @@ object Bench {
       try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // leftover cached blocks from one query must not tax the next
+      // (each query's own caching cost is inside its measured time;
+      // the clear itself is untimed bookkeeping)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
