@@ -143,6 +143,42 @@ object LlmQueries {
       TextStats.bm25(Tables.documents(s, dir),
         Seq("join", "filter", "vector")) },
 
+    // temperature (α=0.5) source-mixing weights for training-data sampling
+    "l32_source_mix" -> { (s, dir) =>
+      TextStats.sourceMixWeights(Tables.documents(s, dir)) },
+
+    // per-doc corpus-frequency profile of its bigrams (novelty vs
+    // boilerplate signal; hash-keyed count + lookup, the l29 shape)
+    "l33_bigram_novelty" -> { (s, dir) =>
+      TextStats.bigramNovelty(Tables.documents(s, dir)) },
+
+    // STREAMING exact dedup through the oracle gate: the continuous-crawl
+    // face (dedupStream: watermarked fingerprint state) run by the real
+    // streaming engine over a file source; the surviving fingerprint set
+    // must equal the corpus's distinct fingerprints exactly — one row too
+    // few (over-drop) or too many (under-drop) and the hash gate fails.
+    // The survivor's doc_id is arrival-order-dependent and deliberately
+    // NOT in the output; the fingerprint set is partition-order-free.
+    "m14_stream_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val survivors = TextDedup.dedupStream(src, tsCol = "ts")
+      val q = survivors.select("fingerprint")
+        .writeStream.format("memory").queryName("m14_dedup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m14_dedup").orderBy("fingerprint")
+    },
+
     // PII scrub: the synthetic corpus carries no PII, so each doc gets a
     // deterministic doc_id-derived email/phone/IP tail appended IN THE
     // QUERY (both engines build the identical string) — the oracle then
@@ -762,6 +798,43 @@ object LlmQueries {
         |  list_reduce(list_prepend(0.0, list_transform(ev, x -> x * x)),
         |    (a, b) -> a + b) AS sq_err
         |FROM err ORDER BY vec_id""".stripMargin,
+
+    // sqrt is correctly-rounded IEEE in both engines; max-normalization
+    // keeps every weight a pure function of (n_tokens, max) — no
+    // order-dependent float sum
+    "l32_source_mix" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight,
+        |  (sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE))) /
+        |    (CAST(n_tokens AS DOUBLE) / max_tokens) AS boost
+        |FROM s, m ORDER BY source""".stripMargin,
+
+    // the oracle counts gram STRINGS (hash equality ≡ string equality
+    // absent 2^-64 collisions — the l2/l29 argument); ratios are integer
+    // counts + one IEEE division
+    "l33_bigram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |        THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |        ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |      FROM toks),
+        |c AS (SELECT gram, COUNT(*) AS cf FROM g GROUP BY 1),
+        |j AS (SELECT g.doc_id, c.cf FROM g JOIN c USING (gram))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_cf,
+        |  CAST(COUNT(CASE WHEN cf = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS uniq_frac
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // what streaming dedup must converge to: the corpus's distinct
+    // fingerprint set (same definition as l1's)
+    "m14_stream_dedup" ->
+      """SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY fingerprint""".stripMargin,
 
     // BM25 with the odds-ratio idf; expression tree written identically
     // to TextStats.bm25 so every double is bit-equal

@@ -365,6 +365,60 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based source mixing weights (the multilingual/multi-source
+    * sampling scheme of GPT-3 / XLM-R style training: sample source s with
+    * probability ∝ tokens(s)^α, α < 1 upsampling the tail). α is fixed at
+    * 0.5 so the power is `sqrt` — correctly rounded IEEE in every engine,
+    * where a general `pow` would tie results to one libm. Weights are
+    * reported relative to the LARGEST source (max is order-free; a
+    * sum-normalization would order-depend on the float adds): a sampler
+    * multiplies by any normalizer it likes. `boost` = rel_weight /
+    * rel_share is the tail-upsampling factor α buys each source.
+    *
+    * One partial-aggregated shuffle over (source) — group count is the
+    * source cardinality (dozens), trivially broadcastable downstream. */
+  def sourceMixWeights(docs: DataFrame): DataFrame = {
+    val bySource = docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val mx = bySource.agg(max("n_tokens").as("max_tokens"))
+    bySource.crossJoin(broadcast(mx))
+      .withColumn("rel_weight",
+        sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tokens").cast("double")))
+      .withColumn("rel_share",
+        col("n_tokens").cast("double") / col("max_tokens"))
+      .withColumn("boost", col("rel_weight") / col("rel_share"))
+      .select("source", "n_docs", "n_tokens", "rel_weight", "boost")
+      .orderBy("source")
+  }
+
+  /** Per-document corpus-frequency profile of its word bigrams — the
+    * novelty/commonness signal (a doc whose bigrams are all corpus-unique
+    * is novel prose; one whose bigrams are corpus-wide heavy hitters is
+    * boilerplate): mean corpus frequency of the doc's bigrams and the
+    * fraction unique to this doc.
+    *
+    * Scale shape: both the counting aggregate and the lookup join move
+    * 8-byte gram HASHES (the l29 principle — never a corpus-wide string
+    * shuffle); counts are integer-exact so the two output ratios are
+    * single IEEE divisions. Docs with < 2 tokens have no bigrams and no
+    * output row (inner-join semantics, mirrored by the oracle). */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.NGramHashesAll(split(col("text"), " "), 2)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cf"))
+    grams.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("cf").as("sum_cf"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_uniq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_cf").cast("double") / col("n_bigrams")).as("mean_cf"),
+        (col("n_uniq").cast("double") / col("n_bigrams")).as("uniq_frac"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 keyword retrieval (Robertson/Spärck Jones, the Okapi weighting
     * every lexical search index ships): top-k documents per query term,
     * scored tf·idf with saturation (k1) and length normalization (b). The

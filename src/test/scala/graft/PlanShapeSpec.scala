@@ -268,4 +268,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows >= 2, s"expected two window stages, plan:\n${p.take(1200)}")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("l33: bigram novelty counts partial-aggregate and join on hashes") {
+    val p = plan("l33_bigram_novelty")
+    assert(p.contains("partial_count"), p.take(1200))
+    // the gram lookup joins 8-byte hashes — no string shuffle: the only
+    // string column in any exchange would be `text` itself
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text")), p.take(1600))
+  }
+
+  test("l32: source mix is one partial-aggregated shuffle + broadcast max") {
+    val p = plan("l32_source_mix")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+  }
 }

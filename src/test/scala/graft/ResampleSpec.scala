@@ -84,6 +84,35 @@ class ResampleSpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (2L, 2L))) // doc 1 outranks doc 2; doc 3 absent
   }
 
+  test("sourceMixWeights: sqrt temperature upsamples the tail") {
+    val docs = Seq(
+      (1L, "a b c d", "big"), (2L, "a b c d", "big"),
+      (3L, "a b c d", "big"), (4L, "a b c d", "big"),
+      (5L, "a b c d", "small")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.llm.TextStats.sourceMixWeights(docs)
+      .select("source", "n_tokens", "rel_weight", "boost")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("big") === ((16L, 1.0, 1.0)))
+    // small = 1/4 the tokens: weight sqrt(1/4) = 1/2, boost = 2
+    assert(out("small") === ((4L, 0.5, 2.0)))
+  }
+
+  test("bigramNovelty: shared bigrams raise mean_cf, unique ones uniq_frac") {
+    val docs = Seq(
+      (1L, "x y z"),      // bigrams: "x y", "y z"
+      (2L, "x y q"),      // bigrams: "x y", "y q"
+      (3L, "w")           // no bigrams: no output row
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextStats.bigramNovelty(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2L, 1.5, 0.5))) // "x y" cf=2, "y z" cf=1
+    assert(out(2L) === ((2L, 1.5, 0.5)))
+  }
+
   test("bm25: two-phase result equals a direct single-window top-k") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val terms = Seq("join", "filter")
