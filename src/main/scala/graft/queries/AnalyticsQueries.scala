@@ -201,6 +201,21 @@ object AnalyticsQueries {
         .orderBy("day")
     },
 
+    // Cube (q16): all 2^k grouping combinations in one pass — q8's rollup
+    // sibling, completing the grouping-sets family. Same partial-agg
+    // shape: the expand is map-side, one exchange on the grouping keys.
+    "q16_cube" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .cube(col("event_type"), expr("user_id % 4").as("ub"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("ub").cast("string"), lit("ALL")).as("ub"),
+          col("n"), col("sum_value"))
+        .orderBy("et", "ub")
+    },
+
     // Interval-overlap join (q15): which user sessions ran CONCURRENTLY —
     // sessionize (the m9 30-minute-gap sessions, users < 12), then
     // overlap-join the session intervals of distinct users via
@@ -341,6 +356,14 @@ object AnalyticsQueries {
         |      FROM range(0, 25) t(i)) b
         |  ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS et,
+        |  COALESCE(CAST(ub AS VARCHAR), 'ALL') AS ub,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, user_id % 4 AS ub, value FROM events)
+        |GROUP BY CUBE(event_type, ub) ORDER BY et, ub""".stripMargin,
 
     "q15_interval_overlap" ->
       """WITH pts AS (
