@@ -165,9 +165,7 @@ object LlmQueries {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      val src = graft.queries.QUtil.streamTable(s, schema, dir, "documents")
         .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       val survivors = TextDedup.dedupStream(src, tsCol = "ts")
       val q = survivors.select("fingerprint")

@@ -40,9 +40,7 @@ object EngineQueries {
       val base = Files.createTempDirectory("graft_s1").toString
       val db = UnitDb.open(s, base + "/store")
       // file stream source wants a directory; select just events.parquet
-      val src = s.readStream.schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = streamTable(s, eventsRawSchema, dir, "events")
         .filter(col("event_type") === "click")
         .select(
           concat(lit("ev."), col("event_type"), lit(".u"),
@@ -71,9 +69,7 @@ object EngineQueries {
       val base = Files.createTempDirectory("graft_s2").toString
       val db = UnitDb.open(s, base + "/store",
         encryptionKey = Some("0123456789abcdef".getBytes))
-      val src = s.readStream.schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = streamTable(s, eventsRawSchema, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(
           concat(lit("enc.u"), (col("user_id") % 10).cast("string")).as("topic"),

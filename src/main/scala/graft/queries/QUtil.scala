@@ -35,4 +35,21 @@ object QUtil {
   /** DuckDB-side tsec expression for an ns-precision timestamp column. */
   def duckTsec(col: String): String =
     s"epoch_us(date_trunc('second', $col)) // 1000000"
+
+  /** Streaming source for one testdata table, robust to `<name>.parquet`
+    * being a single FILE (the driver testdata) or a DIRECTORY of part
+    * files (the ScaleData sf1 set). The file stream source insists its
+    * base path be a directory, so a directory table is streamed
+    * directly, while a file table streams its parent filtered by name —
+    * a name filter against a directory table would silently match
+    * nothing and no-op the whole query (BENCH_SCALE.md #1). */
+  def streamTable(s: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      dir: String, name: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    if (java.nio.file.Files.isDirectory(p))
+      s.readStream.schema(schema).parquet(p.toString)
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
 }

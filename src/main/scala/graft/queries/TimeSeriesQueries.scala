@@ -147,9 +147,7 @@ object TimeSeriesQueries {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = streamTable(s, schema, dir, "events")
         .filter(col("user_id") < 40)
         .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
       val agged = src
