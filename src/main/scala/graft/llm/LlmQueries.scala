@@ -266,6 +266,30 @@ object LlmQueries {
           sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
         .orderBy("lang") },
 
+    // Export manifest (c4) — the WRITE tail of the pipeline c3 stops
+    // short of: quality gate → deterministic train/val/test split (l16)
+    // → reproducible shard + training-order assignment (l25) → the
+    // per-(split, shard) manifest a 100 TB export job writes alongside
+    // its `partitionBy(shard)` output (doc/token counts + the position
+    // range proving each shard's order is gap-free from 0). Every
+    // assignment is a pure md5-of-key function — the manifest is
+    // engine- and partitioning-invariant, byte-stable forever.
+    "c4_export_manifest" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val passed = docs
+        .join(TextStats.qualityFilter(docs).select("doc_id", "pass"), "doc_id")
+        .filter(col("pass"))
+        .select("doc_id", "text")
+      val withSplit = TextStats.splitAssign(passed)
+        .select(col("doc_id"), col("split"), col("text"))
+      val sharded = TextStats.shardAssign(passed.select("doc_id"))
+      withSplit.join(sharded, "doc_id")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("pos").as("min_pos"), max("pos").as("max_pos"))
+        .orderBy("split", "shard") },
+
     // Composite curation pipeline — the actual training-data use case,
     // end to end: quality-score → filter → exact-dedup (keep lowest
     // doc_id per fingerprint) → per-language corpus stats. The text is
@@ -956,6 +980,48 @@ object LlmQueries {
         |FROM p
         |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = p.doc_id)
         |GROUP BY 1 ORDER BY p.lang""".stripMargin,
+
+    // the c2 pass rule + the l16 split buckets + the l25 shard/pos
+    // window, grouped into the manifest — each fragment is its
+    // operator's already-hash-proven oracle
+    "c4_export_manifest" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, text, w,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |          ELSE CAST([] AS VARCHAR[]) END AS big,
+        |        greatest(len(w) - 2, 0) AS n3,
+        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
+        |          ELSE 0 END AS d3
+        |      FROM toks),
+        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1),
+        |m AS (SELECT b.doc_id,
+        |        (len(b.w) BETWEEN 50 AND 100000
+        |         AND (length(b.text) - (len(b.w) - 1)) * 1.0 / len(b.w) BETWEEN 3.0 AND 10.0
+        |         AND len(list_filter(b.w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) >= 2
+        |         AND (CASE WHEN len(b.big) = 0 THEN 0.0
+        |              ELSE COALESCE(mx.top, 0) * 1.0 / len(b.big) END) <= 0.2
+        |         AND (CASE WHEN b.n3 = 0 THEN 0.0
+        |              ELSE (b.n3 - b.d3) * 1.0 / b.n3 END) <= 0.3) AS pass
+        |      FROM b LEFT JOIN mx USING (doc_id)),
+        |p AS (SELECT t.doc_id, len(t.w) AS n_tok FROM toks t JOIN m USING (doc_id) WHERE m.pass),
+        |keyed AS (SELECT doc_id, n_tok, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+        |          FROM p),
+        |asg AS (SELECT doc_id, n_tok,
+        |          CASE WHEN bucket < 80 THEN 'train'
+        |               WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |          CAST(CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard, k
+        |        FROM keyed),
+        |wpos AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS pos
+        |         FROM asg)
+        |SELECT split, shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(pos) AS min_pos, MAX(pos) AS max_pos
+        |FROM wpos GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
 
     // the l5/l19 oracle fragments feeding boolean rules; gram mode over
     // strings vs Spark's hashes — the usual ~2^-64 equivalence
