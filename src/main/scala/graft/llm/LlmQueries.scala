@@ -152,6 +152,26 @@ object LlmQueries {
     "l33_bigram_novelty" -> { (s, dir) =>
       TextStats.bigramNovelty(Tables.documents(s, dir)) },
 
+    // the REWRITE face of chunk dedup: duplicated 20-token chunks cut
+    // out, doc reassembled, rewritten-text md5 verified end to end
+    "l34_dup_span_removal" -> { (s, dir) =>
+      TextDedup.dupSpanRemoval(Tables.documents(s, dir)) },
+
+    // sequence-packing manifest: docs laid end-to-end in l25's shard
+    // order, cut into 512-token training sequences
+    "l35_seq_pack" -> { (s, dir) =>
+      TextStats.seqPack(Tables.documents(s, dir)) },
+
+    // sliding context-window chunking (RAG prep): 64-token windows on a
+    // 48-token stride, md5 receipt per window
+    "l36_chunk_windows" -> { (s, dir) =>
+      TextStats.chunkWindows(Tables.documents(s, dir)) },
+
+    // materialize l32's temperature mix: deterministic md5-uniform
+    // Bernoulli thinning per source, kept/expected audit counts
+    "l37_weighted_sample" -> { (s, dir) =>
+      TextStats.weightedSample(Tables.documents(s, dir)) },
+
     // STREAMING exact dedup through the oracle gate: the continuous-crawl
     // face (dedupStream: watermarked fingerprint state) run by the real
     // streaming engine over a file source; the surviving fingerprint set
@@ -834,6 +854,86 @@ object LlmQueries {
         |  (sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE))) /
         |    (CAST(n_tokens AS DOUBLE) / max_tokens) AS boost
         |FROM s, m ORDER BY source""".stripMargin,
+
+    // chunk strings where Spark compares chunk hashes (the l23 argument);
+    // the rewrite itself re-slices each doc's own token array in both
+    // engines, so the kept-text md5 is a byte-level end-to-end receipt
+    "l34_dup_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |cs AS (SELECT doc_id, w, len(w) // 20 AS nc,
+        |         list_transform(range(len(w) // 20),
+        |           i -> array_to_string(w[CAST(i * 20 + 1 AS INTEGER):CAST(i * 20 + 20 AS INTEGER)], ' ')) AS chunks
+        |       FROM toks),
+        |ch AS (SELECT doc_id, unnest(chunks) AS c, generate_subscripts(chunks, 1) - 1 AS i FROM cs),
+        |dup AS (SELECT c FROM ch GROUP BY c HAVING COUNT(DISTINCT doc_id) > 1),
+        |drops AS (SELECT doc_id, list_sort(list(i)) AS drop_is
+        |          FROM ch WHERE c IN (SELECT c FROM dup) GROUP BY doc_id),
+        |r AS (SELECT cs.doc_id, cs.w, cs.nc, COALESCE(d.drop_is, CAST([] AS BIGINT[])) AS drop_is
+        |      FROM cs LEFT JOIN drops d USING (doc_id))
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(len(drop_is) AS BIGINT) AS n_dropped,
+        |  CAST(len(w) - len(drop_is) * 20 AS BIGINT) AS n_tok_after,
+        |  md5(COALESCE(array_to_string(list_concat(
+        |    flatten(list_transform(
+        |      list_filter(range(nc), i -> NOT list_contains(drop_is, i)),
+        |      i -> w[CAST(i * 20 + 1 AS INTEGER):CAST(i * 20 + 20 AS INTEGER)])),
+        |    w[CAST(nc * 20 + 1 AS INTEGER):len(w)]), ' '), '')) AS kept_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // every packing input (shard, order key, token count) is a pure
+    // function of the document (the l16/l25 principle) and every output
+    // an integer — the manifest is engine-invariant by construction
+    "l35_seq_pack" ->
+      """WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |s AS (SELECT doc_id, k, n_tok,
+        |        CAST(CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard
+        |      FROM b),
+        |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+        |      FROM s)
+        |SELECT doc_id, shard, n_tok, start_tok,
+        |  start_tok // 512 AS first_seq,
+        |  (start_tok + n_tok - 1) // 512 AS last_seq,
+        |  start_tok % 512 AS seq_offset,
+        |  (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_seqs_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // window spans are integer grid arithmetic; the md5 digests the
+    // window text byte-for-byte in both engines
+    "l36_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |x AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 64 THEN 1
+        |             ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_win
+        |      FROM t),
+        |e AS (SELECT doc_id, w, unnest(range(n_win)) AS win_id FROM x)
+        |SELECT doc_id, win_id, win_id * 48 AS start_tok,
+        |  CAST(len(w[CAST(win_id * 48 + 1 AS INTEGER):CAST(win_id * 48 + 64 AS INTEGER)]) AS BIGINT) AS n_win_tok,
+        |  md5(array_to_string(w[CAST(win_id * 48 + 1 AS INTEGER):CAST(win_id * 48 + 64 AS INTEGER)], ' ')) AS win_md5
+        |FROM e ORDER BY doc_id, win_id""".stripMargin,
+
+    // the l32 weight chain verbatim, then the md5-uniform keep decision:
+    // u = hex/2^32 is exact in IEEE (mantissa shift), sqrt is correctly
+    // rounded in both engines, so every comparison lands identically
+    "l37_weighted_sample" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s),
+        |w AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+        |      FROM s, m),
+        |k AS (SELECT d.source, d.doc_id,
+        |        CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |      FROM documents d)
+        |SELECT k.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN k.u < w.rel_weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  w.rel_weight,
+        |  COUNT(*) * w.rel_weight AS expected
+        |FROM k JOIN w ON w.source = k.source
+        |GROUP BY k.source, w.rel_weight
+        |ORDER BY k.source""".stripMargin,
 
     // the oracle counts gram STRINGS (hash equality ≡ string equality
     // absent 2^-64 collisions — the l2/l29 argument); ratios are integer

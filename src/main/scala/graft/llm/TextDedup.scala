@@ -450,6 +450,59 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** The REWRITE face of chunk-granularity exact-substring dedup (Lee et
+    * al. 2021 actually *removes* the duplicated span, it does not drop the
+    * document): every chunk whose token sequence appears in more than one
+    * distinct document is cut out, the survivors plus the sub-chunk tail
+    * reassemble in order, and the output row carries the rewritten text's
+    * md5 + before/after token counts — the verifiable receipt of a corpus
+    * rewrite. Intra-document repeats (same chunk twice in ONE doc only)
+    * are kept, matching [[chunkDedup]]'s cross-document rule.
+    *
+    * Scale shape: the text never moves. Chunks collapse to 8-byte hashes
+    * at the scan; the dup set is a hash-keyed aggregate; what returns to
+    * each document is only its list of DROPPED CHUNK INDICES (ints, almost
+    * always empty), and the rewrite itself is a local projection that
+    * re-slices the doc's own token array — a corpus-wide rewrite with two
+    * hash shuffles and zero string movement. */
+  def dupSpanRemoval(docs: DataFrame, c: Int = ChunkTokens): DataFrame = {
+    val withChunks = docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("nc", expr(s"size(w) div $c"))
+      .withColumn("ch",
+        when(col("nc") >= 1, expr(
+          s"""transform(sequence(0, nc - 1),
+             |  i -> xxhash64(concat_ws(' ', slice(w, i * $c + 1, $c))))""".stripMargin))
+          .otherwise(expr("array()")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = withChunks.select(col("doc_id"),
+      posexplode(col("ch")).as(Seq("i", "h")))
+    val dupSet = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("dd"))
+      .filter(col("dd") > 1).select("h")
+    val dropIdx = chunks.join(dupSet, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("drop_is"))
+    withChunks
+      .join(dropIdx, Seq("doc_id"), "left")
+      .withColumn("drop_is", coalesce(col("drop_is"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept_text",
+        when(col("nc") >= 1, expr(
+          s"""concat_ws(' ', concat(
+             |  flatten(transform(
+             |    filter(sequence(0, nc - 1), i -> NOT array_contains(drop_is, i)),
+             |    i -> slice(w, i * $c + 1, $c))),
+             |  slice(w, nc * $c + 1, size(w) - nc * $c)))""".stripMargin))
+          .otherwise(concat_ws(" ", col("w"))))
+      .select(col("doc_id"),
+        col("nc").cast("long").as("n_chunks"),
+        size(col("drop_is")).cast("long").as("n_dropped"),
+        (size(col("w")) - size(col("drop_is")) * c).cast("long").as("n_tok_after"),
+        md5(encode(col("kept_text"), "UTF-8")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Fixpoint-iteration ceiling for [[dedupClusters]]. Min-label
     * propagation converges in O(component diameter) rounds; duplicate
     * clusters are near-cliques (every member pairs with most others), so

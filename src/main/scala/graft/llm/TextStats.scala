@@ -464,4 +464,96 @@ object TextStats {
         col("dl").cast("long").as("dl"), col("score"))
       .orderBy("term", "rank")
   }
+
+  /** GPT-style sequence-packing manifest: documents are laid end-to-end in
+    * the reproducible [[shardAssign]] training order and cut into fixed
+    * `seqLen`-token training sequences; each document's row says exactly
+    * which sequences its tokens landed in (first_seq..last_seq, the offset
+    * of its first token inside first_seq, and how many sequence boundaries
+    * cross it). This is the manifest a packing export writes next to its
+    * token files — byte-stable forever because every input (shard, order
+    * key, token count) is a pure function of the document.
+    *
+    * Scale shape: one shuffle onto (shard); per shard the running token
+    * total is a window with constant state (same note as [[shardAssign]]:
+    * at 100 TB positions come from per-range counts turned into offsets —
+    * the window form states the semantics the oracle mirrors). All outputs
+    * are integers — bit-exact in any engine. */
+  def seqPack(docs: DataFrame, seqLen: Int = 512, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("first_seq", expr(s"start_tok div $seqLen"))
+      .withColumn("last_seq", expr(s"(start_tok + n_tok - 1) div $seqLen"))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_tok"),
+        col("first_seq"), col("last_seq"),
+        (col("start_tok") % seqLen).as("seq_offset"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
+  /** Sliding context-window chunking (the RAG/embedding-prep cut): each
+    * document becomes overlapping `win`-token windows on a `stride`-token
+    * grid (overlap = win − stride), the tail window truncated, every doc
+    * emitting at least one window. Output rows carry the window's token
+    * span and an md5 of its text — the chunk table an embedding pass or
+    * retrieval index consumes.
+    *
+    * Scale shape: a pure per-row projection + explode — zero shuffle, no
+    * state; the chunk count is data-bounded (≈ n_tok/stride per doc).
+    * Integers + md5 strings only → bit-exact in any engine. */
+  def chunkWindows(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("n_win",
+        when(col("n_tok") <= win, lit(1))
+          .otherwise(expr(s"1 + (n_tok - $win + $stride - 1) div $stride")))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, n_win - 1)")).as("win_id"))
+      .withColumn("chunk", expr(s"slice(w, win_id * $stride + 1, $win)"))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        (col("win_id").cast("long") * stride).as("start_tok"),
+        size(col("chunk")).cast("long").as("n_win_tok"),
+        md5(encode(concat_ws(" ", col("chunk")), "UTF-8")).as("win_md5"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  /** Materialize the [[sourceMixWeights]] temperature mix as an actual
+    * corpus sample: each document keeps iff its engine-invariant uniform
+    * key (md5 of the decimal id → first 8 hex digits / 2^32) falls under
+    * its source's relative weight — deterministic Bernoulli thinning whose
+    * acceptance is a pure function of the document, so any engine (and any
+    * re-run, at any partitioning) materializes the identical sampled
+    * corpus. Output: per-source kept/total counts with the weight and the
+    * exact expected count for drift auditing.
+    *
+    * Scale shape: the weights frame is source-cardinality-sized and
+    * broadcast; the corpus side is one hash + compare per row feeding a
+    * partial-aggregated (source) shuffle. The uniform key divides by 2^32
+    * (exact in IEEE — the mantissa just shifts), sqrt is correctly rounded
+    * everywhere (the l32 argument), so keep decisions are bit-identical
+    * across engines. */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val wts = sourceMixWeights(docs).select("source", "rel_weight")
+    docs
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0)).as("u"))
+      .join(broadcast(wts), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") < col("rel_weight"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("rel_weight")).as("rel_weight"))
+      .withColumn("expected", col("n_docs") * col("rel_weight"))
+      .select("source", "n_docs", "n_kept", "rel_weight", "expected")
+      .orderBy("source")
+  }
 }

@@ -216,6 +216,27 @@ object AnalyticsQueries {
         .orderBy("et", "ub")
     },
 
+    // Explicit GROUPING SETS (q17): the two marginals WITHOUT the grand
+    // total or the full cross — the mixed set list neither rollup (q8)
+    // nor cube (q16) can express, in the same one partial-aggregated
+    // pass (Spark expands rows per set before the shuffle, so partial
+    // aggregation still applies map-side).
+    "q17_grouping_sets" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("user_id % 4").as("ub"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("ub")),
+            Seq(col("event_type")), Seq(col("ub"))),
+          col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("ub").cast("string"), lit("ALL")).as("ub"),
+          col("n"), col("sum_value"))
+        .orderBy("et", "ub")
+    },
+
     // Interval-overlap join (q15): which user sessions ran CONCURRENTLY —
     // sessionize (the m9 30-minute-gap sessions, users < 12), then
     // overlap-join the session intervals of distinct users via
@@ -364,6 +385,15 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT event_type, user_id % 4 AS ub, value FROM events)
         |GROUP BY CUBE(event_type, ub) ORDER BY et, ub""".stripMargin,
+
+    "q17_grouping_sets" ->
+      """SELECT COALESCE(event_type, 'ALL') AS et,
+        |  COALESCE(CAST(ub AS VARCHAR), 'ALL') AS ub,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, user_id % 4 AS ub, value FROM events)
+        |GROUP BY GROUPING SETS ((event_type, ub), (event_type), (ub))
+        |ORDER BY et, ub""".stripMargin,
 
     "q15_interval_overlap" ->
       """WITH pts AS (

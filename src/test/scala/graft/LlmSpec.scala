@@ -853,4 +853,88 @@ class LlmSpec extends SparkSpec {
     }.toSet
     assert(a.toSet == want)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("dup-span removal: cross-doc chunks cut, intra-doc repeats kept, rewrite exact") {
+    import spark.implicits._
+    def toks(p: String) = (0 until 20).map(i => s"$p$i")
+    val (a, b, c, d) = (toks("a"), toks("b"), toks("c"), toks("d"))
+    val docs = Seq(
+      (1L, (a ++ b).mkString(" ") + " t1 t2"), // shared A + own B + tail
+      (2L, (a ++ c).mkString(" ")),            // shared A + own C
+      (3L, (d ++ d).mkString(" ")),            // intra-doc repeat only → kept
+      (4L, a.mkString(" "))                    // all tokens are the shared chunk
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dupSpanRemoval(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_tok_after"), r.getAs[String]("kept_md5")))).toMap
+    assert(out(1L) == ((2L, 1L, 22L, md5hex(b.mkString(" ") + " t1 t2"))))
+    assert(out(2L) == ((2L, 1L, 20L, md5hex(c.mkString(" ")))))
+    assert(out(3L) == ((2L, 0L, 40L, md5hex((d ++ d).mkString(" ")))))
+    assert(out(4L) == ((1L, 1L, 0L, md5hex(""))))
+  }
+
+  test("seq pack: per-shard token space is contiguous and seq spans are consistent") {
+    val rows = TextStats.seqPack(docs).collect().map(r =>
+      (r.getAs[Int]("shard"), r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("seq_offset"), r.getAs[Long]("n_seqs_spanned")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous: each doc starts exactly where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(p._2 + p._3 == n._2)
+        case _ =>
+      }
+      assert(sorted.head._2 == 0L)
+    }
+    rows.foreach { case (_, start, n, first, last, off, span) =>
+      assert(first == start / 512 && last == (start + n - 1) / 512)
+      assert(off == start % 512 && span == last - first + 1)
+    }
+  }
+
+  test("chunk windows: stride grid, truncated tail, full token coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, (0 until 100).map(i => s"w$i").mkString(" ")),
+      (2L, "only ten tokens here to stay below the window size")).toDF("doc_id", "text")
+    val out = TextStats.chunkWindows(docs).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("win_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("n_win_tok"), r.getAs[String]("win_md5")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(w => (w._3, w._4)).toSeq == Seq((0L, 64L), (48L, 52L)))
+    assert(d1(0)._5 == md5hex((0 until 64).map(i => s"w$i").mkString(" ")))
+    assert(d1(1)._5 == md5hex((48 until 100).map(i => s"w$i").mkString(" ")))
+    // short doc: exactly one full-doc window
+    assert(out.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 10L, md5hex("only ten tokens here to stay below the window size"))))
+    // coverage: windows tile every token index (win=64 ≥ stride=48)
+    val covered = d1.flatMap(w => w._3 until (w._3 + w._4)).toSet
+    assert(covered == (0L until 100L).toSet)
+  }
+
+  test("weighted sample: max source keeps everything, counts bounded, deterministic") {
+    val out = TextStats.weightedSample(docs).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Double]("rel_weight"), r.getAs[Double]("expected")))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, k, w, e) =>
+      assert(k >= 0 && k <= n)
+      assert(w > 0.0 && w <= 1.0)
+      assert(e == n * w)
+    }
+    // the largest source has rel_weight exactly 1.0 → every u < 1.0 keeps
+    val top = out.filter(_._4 == 1.0)
+    assert(top.nonEmpty && top.forall(r => r._3 == r._2))
+    // invariant to input partitioning (pure key function)
+    val again = TextStats.weightedSample(
+      Tables.documents(spark, sf()).repartition(17)).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_kept"))).toMap
+    assert(out.forall(r => again(r._1) == r._3))
+  }
 }
