@@ -85,6 +85,20 @@ private[engine] object FsUtil {
     } finally walk.close()
   }
 
+  /** Hardlink `src` to `dst` — a metadata-only carry-over for files a
+    * rewrite does not touch (compaction); falls back to a real copy where
+    * the filesystem cannot link. The object-store analogue is a
+    * server-side copy (S3 CopyObject / GCS rewrite — no data transits the
+    * client either way). */
+  def linkOrCopy(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst.getParent)
+    try { Files.createLink(dst, src); () }
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+    }
+  }
+
   /** Write `content` to `target` atomically: temp file + ATOMIC_MOVE. On
     * an object store this whole operation is one PUT (single-object
     * atomicity is the one promise S3/GCS do make). */

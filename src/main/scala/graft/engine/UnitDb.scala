@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicLong
 
@@ -485,6 +485,76 @@ final class UnitDb private (
     val tp = Paths.get(tombsPath)
     if (Files.exists(tp)) FsUtil.deleteTree(tp)
     tombsExist = false
+  }
+
+  /** Small-file compaction — the streaming-ingest pathology at scale:
+    * every micro-batch sync appends one file per touched (contract, wc,
+    * day) partition, so a long-running ingest turns its hot partitions
+    * into thousands of tiny parquet files whose per-file open/footer cost
+    * comes to dominate reads. Rewrites ONLY partitions holding at least
+    * `minFiles` data files — each into a single sorted file — and carries
+    * every untouched partition across by hardlink (metadata-only; an
+    * object-store protocol would server-side copy), so compaction cost is
+    * proportional to the HOT partitions, never the store. At 100 TB that
+    * is the difference between an hourly maintenance task touching
+    * yesterday's ingest and a full-table rewrite.
+    *
+    * Unlike [[vacuum]] this is a pure LAYOUT rewrite: no liveness/TTL
+    * predicate is applied and the `_tombstones` sidecar is preserved, not
+    * consumed — reads return byte-identical results before and after. The
+    * commit rides the same [[StoreCommitProtocol]] swap as vacuum (same
+    * staging names, same crash recovery at open). Single-file-per-
+    * partition is deliberate even for salted stores: compaction is where
+    * the salt's extra files get folded back together. Returns the number
+    * of partitions compacted. */
+  def compact(minFiles: Int = 8): Int = synchronized {
+    ensureOpen()
+    require(minFiles >= 2, s"minFiles must be >= 2, got $minFiles")
+    sync()
+    if (!storeExists) return 0
+    val liveDir = Paths.get(dataPath)
+    val hot = ArrayBuffer[Path]()
+    val walk = Files.walk(liveDir)
+    try walk.forEach { p =>
+      if (Files.isDirectory(p) && p.getFileName.toString.startsWith("day=")) {
+        val fs = p.toFile.listFiles
+        if (fs != null &&
+            fs.count(f => f.isFile && f.getName.endsWith(".parquet")) >= minFiles)
+          hot += p
+      }
+    } finally walk.close()
+    if (hot.isEmpty) return 0
+    val tmp = commitProtocol.rewriteTarget(path)
+    // hot partitions only, partition columns derived via basePath; the
+    // repartition puts each (contract, wc, day) in exactly one writer
+    // task → exactly one compacted file per partition
+    val hotRows = spark.read.option("basePath", liveDir.toString)
+      .schema(UnitDb.storeSchema).parquet(hot.map(_.toString).toSeq: _*)
+    configureWriter(hotRows
+        .repartition(col("contract"), col("wc"), col("day"))
+        .sortWithinPartitions("topic", "ts")
+        .write.mode(SaveMode.Overwrite)).parquet(tmp)
+    // cold data files carry over untouched (never under a `_` sidecar —
+    // those are the commit's preserved set below)
+    val hotSet = hot.map(_.toString).toSet
+    val walk2 = Files.walk(liveDir)
+    try walk2.forEach { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p) && !name.startsWith("_") && !name.startsWith(".") &&
+          !hotSet.contains(p.getParent.toString)) {
+        val rel = liveDir.relativize(p)
+        if (!rel.getName(0).toString.startsWith("_"))
+          FsUtil.linkOrCopy(p, Paths.get(tmp).resolve(rel))
+      }
+    } finally walk2.close()
+    // layout-only rewrite: EVERY sidecar survives, including _tombstones
+    val preserved = Option(Paths.get(path).toFile.listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("_") &&
+        f.getName != "_temporary" && f.getName != "_gen" && f.getName != "_manifest")
+      .map(_.getName).toSeq
+    commitProtocol.commitRewrite(path, tmp, preserved)
+    hot.size
   }
 
   // ------------------------------------------------------------ internals

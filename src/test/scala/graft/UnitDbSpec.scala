@@ -501,6 +501,80 @@ class UnitDbSpec extends SparkSpec {
     assert(db.snapshot().count() == 200, "compaction reclaimed the deleted 100")
   }
 
+  private def dayDirFiles(root: String): Map[String, Set[String]] = {
+    val b = scala.collection.mutable.Map[String, Set[String]]()
+    val walk = Files.walk(java.nio.file.Paths.get(root))
+    try walk.forEach { p =>
+      if (Files.isDirectory(p) && p.getFileName.toString.startsWith("day=")) {
+        val fs = Option(p.toFile.listFiles).getOrElse(Array.empty)
+        b += p.getFileName.toString ->
+          fs.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      }
+    } finally walk.close()
+    b.toMap
+  }
+
+  test("compact: hot partition folds to one file, cold hardlinked, reads identical") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_compact").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    // five separate syncs → five small files in one (contract, wc, day)
+    for (i <- 1 to 5) { db.put("c.hot", s"h$i".getBytes); db.sync() }
+    now += 86400000L // next day: a one-file partition that must NOT rewrite
+    db.put("c.cold", "c1".getBytes)
+    db.sync()
+    val before = dayDirFiles(dir)
+    assert(before.size == 2)
+    val Seq(coldDay, hotDay) = before.toSeq.sortBy(_._2.size).map(_._1)
+    assert(before(hotDay).size == 5 && before(coldDay).size == 1)
+    val hotRows = db.get(Query("c.hot")).map(new String(_)).toSeq
+    // a pending tombstone must survive compaction un-consumed
+    db.delete(1L, "c.hot")
+    assert(db.compact(minFiles = 3) == 1)
+    val after = dayDirFiles(dir)
+    assert(after(hotDay).size == 1, s"hot partition not folded: ${after(hotDay)}")
+    assert(after(coldDay) == before(coldDay), "cold partition files changed")
+    // reads identical (minus the tombstoned row), tombstones still pending
+    assert(db.get(Query("c.hot")).map(new String(_)).toSeq ==
+      hotRows.filterNot(_ == "h1"))
+    assert(new String(db.get(Query("c.cold")).head) == "c1")
+    assert(Files.exists(Paths.get(dir, "_tombstones")))
+    // nothing left above threshold → no-op
+    assert(db.compact(minFiles = 3) == 0)
+    // vacuum still consumes the tombstone afterwards
+    db.vacuum()
+    assert(!Files.exists(Paths.get(dir, "_tombstones")))
+    assert(db.get(Query("c.hot")).length == 4)
+    // reopen: store healthy after the swap
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    assert(db2.get(Query("c.hot")).map(new String(_)).toSeq ==
+      hotRows.filterNot(_ == "h1"))
+  }
+
+  test("compact under the manifest protocol: generation advances, cold files carried") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_compact_m").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit)
+    for (i <- 1 to 4) { db.put("m.hot", s"h$i".getBytes); db.sync() }
+    now += 86400000L
+    db.put("m.cold", "c1".getBytes)
+    db.sync()
+    val gen0 = Paths.get(dir, "_gen", "g00000000").toString
+    val before = dayDirFiles(gen0)
+    val Seq(coldDay, hotDay) = before.toSeq.sortBy(_._2.size).map(_._1)
+    assert(db.compact(minFiles = 3) == 1)
+    assert(ManifestCommit.currentGen(dir) == "g00000001")
+    assert(!Files.exists(Paths.get(gen0)))
+    val after = dayDirFiles(Paths.get(dir, "_gen", "g00000001").toString)
+    assert(after(hotDay).size == 1)
+    assert(after(coldDay) == before(coldDay), "cold files not carried by name")
+    assert(db.get(Query("m.hot")).length == 4)
+    assert(new String(db.get(Query("m.cold")).head) == "c1")
+  }
+
   test("retention vacuum drops rows beyond the horizon (maxRetention 28d)") {
     val (db, _, _) = freshDb()
     val now = 1700000000000L
