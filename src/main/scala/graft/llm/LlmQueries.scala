@@ -172,6 +172,31 @@ object LlmQueries {
     "l37_weighted_sample" -> { (s, dir) =>
       TextStats.weightedSample(Tables.documents(s, dir)) },
 
+    // cluster-balanced sampling: k per k-means cell by md5 key (the
+    // diversity-preserving selection face of the l26 cells)
+    "l38_cluster_sample" -> { (s, dir) =>
+      Similarity.clusterSample(Tables.embeddings(s, dir)) },
+
+    // kNN label vote over the l3 neighbors: majority label, tie → lowest
+    "l39_knn_label" -> { (s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir)) },
+
+    // sampled-pack composite: l37's keep decision materializes the mix,
+    // l35 packs the survivors, per-shard export manifest
+    "c5_sampled_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val kept = docs
+        .join(TextStats.weightedKeep(docs).select("doc_id", "keep"), "doc_id")
+        .filter(col("keep")).select("doc_id", "text")
+      TextStats.seqPack(kept)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum(when(col("n_seqs_spanned") > 1, 1L).otherwise(0L)).as("n_spanning"))
+        .withColumn("n_seqs", expr("(n_tokens + 511) div 512"))
+        .select("shard", "n_docs", "n_tokens", "n_seqs", "n_spanning")
+        .orderBy("shard") },
+
     // STREAMING exact dedup through the oracle gate: the continuous-crawl
     // face (dedupStream: watermarked fingerprint state) run by the real
     // streaming engine over a file source; the surviving fingerprint set
@@ -934,6 +959,66 @@ object LlmQueries {
         |FROM k JOIN w ON w.source = k.source
         |GROUP BY k.source, w.rel_weight
         |ORDER BY k.source""".stripMargin,
+
+    // the shared k-means cell chain, then per-cell md5 top-k — the sample
+    // is a pure function of ids given the (bit-identical) trained cells
+    "l38_cluster_sample" ->
+      s"""WITH $cellChainCtes,
+        |r AS (SELECT CAST(cell AS INTEGER) AS cell, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY cell
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |      FROM cell)
+        |SELECT cell, rk, vec_id FROM r WHERE rk <= 10 ORDER BY cell, rk""".stripMargin,
+
+    // the l3 neighbor chain, then majority label (tie → lowest label);
+    // votes are integer counts — nothing to drift
+    "l39_knn_label" ->
+      s"""WITH $embCte,
+        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM n WHERE vec_id < 20),
+        |s AS (SELECT p.query_id, n.vec_id,
+        |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
+        |      FROM n, p WHERE n.vec_id <> p.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s),
+        |nb AS (SELECT query_id, vec_id FROM r WHERE rank <= 5),
+        |v AS (SELECT nb.query_id, e.label, COUNT(*) AS votes
+        |      FROM nb JOIN embeddings e ON e.vec_id = nb.vec_id GROUP BY 1, 2),
+        |pr AS (SELECT query_id, label, votes,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |      FROM v)
+        |SELECT pr.query_id, t.label AS true_label, pr.label AS predicted, pr.votes
+        |FROM pr JOIN embeddings t ON t.vec_id = pr.query_id
+        |WHERE pr.rn = 1 ORDER BY pr.query_id""".stripMargin,
+
+    // l37's keep chain feeding l35's pack chain, rolled up per shard —
+    // the composition is what's verified (c3/c4 principle)
+    "c5_sampled_pack" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s),
+        |w AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+        |      FROM s, m),
+        |k AS (SELECT d.doc_id, d.source, d.text,
+        |        CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |      FROM documents d),
+        |kept AS (SELECT k.doc_id, k.text FROM k JOIN w ON w.source = k.source
+        |         WHERE k.u < w.rel_weight),
+        |b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM kept),
+        |sh AS (SELECT doc_id, mk, n_tok,
+        |        CAST(CAST(('0x' || substring(mk, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard
+        |      FROM b),
+        |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY mk, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+        |      FROM sh),
+        |x AS (SELECT shard, n_tok,
+        |        (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS span FROM c)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  (CAST(SUM(n_tok) AS BIGINT) + 511) // 512 AS n_seqs,
+        |  CAST(SUM(CASE WHEN span > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        |FROM x GROUP BY shard ORDER BY shard""".stripMargin,
 
     // the oracle counts gram STRINGS (hash equality ≡ string equality
     // absent 2^-64 collisions — the l2/l29 argument); ratios are integer

@@ -390,6 +390,63 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Cluster-balanced sampling: the k vectors per k-means cell with the
+    * smallest md5-of-id key — the diversity-preserving selection step
+    * (sample uniformly WITHIN semantic clusters so no dominant mode
+    * swamps the mix; the selection face of the SemDeDup/DataComp recipe,
+    * where [[clusterProfile]] is the QC face). The sample is a pure
+    * function of the vector ids given the trained centroids — engine-
+    * and partitioning-invariant (the [[TextStats.stratifiedSample]]
+    * argument, with the stratum = the learned cell).
+    *
+    * Scale shape: assignment is per-row against the broadcast-literal
+    * centroid matrix; the per-cell top-k is the two-phase tournament
+    * (phase 1 per (cell, input partition)) so a mega-cell never sorts in
+    * one task. */
+  def clusterSample(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val centroids = trainCentroids(embeddings)
+    val keyed = prepared(embeddings)
+      .withColumn("cell",
+        graft.functions.NearestCells(col("v"), centroids, 1).getItem(0).cast("int"))
+      .select(col("vec_id"), col("cell"),
+        md5(col("vec_id").cast("string")).as("mk"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy("cell", "pid").orderBy(col("mk"), col("vec_id"))
+    val w2 = Window.partitionBy("cell").orderBy(col("mk"), col("vec_id"))
+    keyed
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= k)
+      .select("cell", "rk", "vec_id")
+      .orderBy("cell", "rk")
+  }
+
+  /** kNN label vote — classify each probe by the majority label of its
+    * [[annBrute]] neighbors (ties → lowest label): the embedding-space
+    * classifier every curation stack keeps around (label propagation from
+    * a small annotated seed set, quality-classifier sanity checks,
+    * eval-set leakage hunts). Output: (query_id, true_label, predicted,
+    * votes) — true_label included so the same frame audits accuracy.
+    *
+    * Scale shape: the neighbor list is probes×k rows — every join after
+    * the (already two-phase) brute-force top-k is broadcast-tiny; the
+    * label lookup broadcasts the NEIGHBOR side against the corpus, never
+    * the reverse. */
+  def knnClassify(embeddings: DataFrame, probeMax: Int = 20, k: Int = 5): DataFrame = {
+    val nb = annBrute(embeddings, probeMax, k)
+    val votes = embeddings.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(nb), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
+    val pred = votes
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("predicted"), col("votes"))
+    val truth = embeddings.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    pred.join(truth, "query_id")
+      .select("query_id", "true_label", "predicted", "votes")
+      .orderBy("query_id")
+  }
+
   /** Hot-bucket guard for the near-dup band buckets, same principle as
     * [[TextDedup.MinhashBucketCap]]: nothing else bounds a band bucket's
     * *pair count*, which grows as n² — a viral embedding (the same image

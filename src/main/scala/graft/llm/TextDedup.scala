@@ -459,12 +459,16 @@ object TextDedup {
     * rewrite. Intra-document repeats (same chunk twice in ONE doc only)
     * are kept, matching [[chunkDedup]]'s cross-document rule.
     *
-    * Scale shape: the text never moves. Chunks collapse to 8-byte hashes
-    * at the scan; the dup set is a hash-keyed aggregate; what returns to
-    * each document is only its list of DROPPED CHUNK INDICES (ints, almost
-    * always empty), and the rewrite itself is a local projection that
-    * re-slices the doc's own token array — a corpus-wide rewrite with two
-    * hash shuffles and zero string movement. */
+    * Scale shape: chunks collapse to 8-byte hashes at the scan and the
+    * dup set is a hash-keyed aggregate — the pairing work never touches
+    * strings. What returns to each document is only its list of DROPPED
+    * CHUNK INDICES (ints; rows exist only for docs that lose a chunk), and
+    * the rewrite re-slices the doc's own token array locally. The one
+    * place the corpus itself can move is the doc_id co-location join with
+    * that drop list: AQE broadcasts the usually-small list (making the
+    * corpus side exchange-free), but no broadcast is *assumed* — a
+    * pathologically duplicated corpus degrades to one shuffle, never OOM
+    * (the [[chunkDedup]] principle). */
   def dupSpanRemoval(docs: DataFrame, c: Int = ChunkTokens): DataFrame = {
     val withChunks = docs
       .withColumn("w", split(col("text"), " "))

@@ -541,19 +541,27 @@ object TextStats {
     * (exact in IEEE — the mantissa just shifts), sqrt is correctly rounded
     * everywhere (the l32 argument), so keep decisions are bit-identical
     * across engines. */
-  def weightedSample(docs: DataFrame): DataFrame = {
+  def weightedSample(docs: DataFrame): DataFrame =
+    weightedKeep(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("rel_weight")).as("rel_weight"))
+      .withColumn("expected", col("n_docs") * col("rel_weight"))
+      .select("source", "n_docs", "n_kept", "rel_weight", "expected")
+      .orderBy("source")
+
+  /** The per-document keep decision behind [[weightedSample]] —
+    * (doc_id, source, rel_weight, keep) — for pipelines that materialize
+    * the sampled corpus rather than audit it. */
+  def weightedKeep(docs: DataFrame): DataFrame = {
     val wts = sourceMixWeights(docs).select("source", "rel_weight")
     docs
       .select(col("doc_id"), col("source"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long").cast("double") / lit(4294967296.0)).as("u"))
       .join(broadcast(wts), "source")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("u") < col("rel_weight"), 1L).otherwise(0L)).as("n_kept"),
-        min(col("rel_weight")).as("rel_weight"))
-      .withColumn("expected", col("n_docs") * col("rel_weight"))
-      .select("source", "n_docs", "n_kept", "rel_weight", "expected")
-      .orderBy("source")
+      .select(col("doc_id"), col("source"), col("rel_weight"),
+        (col("u") < col("rel_weight")).as("keep"))
   }
 }

@@ -161,6 +161,41 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m13_sess").orderBy("user_id", "s_start")
+    },
+
+    // STREAMING tumbling windows through the oracle gate: m7's windowed
+    // aggregate executed BY Structured Streaming (file source →
+    // complete-mode window state → memory sink, AvailableNow) and
+    // hash-compared to the DuckDB batch result — completing the
+    // streaming-verified family (m13 session, m14 dedup, s1/s2 ingest).
+    // Complete mode is the gate face; a continuous run uses
+    // append + watermark (StreamingSpec's shape).
+    "m15_stream_tumbling" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val src = streamTable(s, schema, dir, "events")
+        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val agged = src
+        .groupBy(window(col("tsec"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(tsec(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = agged.writeStream.format("memory").queryName("m15_tumb")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m15_tumb").orderBy("w_start", "event_type")
     }
   )
 
@@ -263,6 +298,14 @@ object TimeSeriesQueries {
         |SELECT user_id, MIN(t) AS s_start, MAX(t) + 1800 AS s_end,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // identical to m7's oracle: the streaming engine must land on the
+    // batch answer exactly
+    "m15_stream_tumbling" ->
+      s"""SELECT ($t) // 300 * 300 AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -918,6 +918,45 @@ class LlmSpec extends SparkSpec {
     assert(covered == (0L until 100L).toSet)
   }
 
+  test("cluster sample: k per cell, members drawn from that cell, partitioning-invariant") {
+    val cells = Similarity.semDedup(embs).select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val a = Similarity.clusterSample(embs, k = 7).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("rk"), r.getAs[Long]("vec_id")))
+    assert(a.nonEmpty)
+    // every sampled member really is assigned to the cell it represents
+    a.foreach { case (cell, _, id) => assert(cells(id) == cell) }
+    // ≤ k per cell, ranks dense from 1
+    a.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 7)
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length))
+    }
+    // pure key function: same sample at any input partitioning
+    val b = Similarity.clusterSample(embs.repartition(13), k = 7).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("rk"), r.getAs[Long]("vec_id")))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+  }
+
+  test("knn label vote: majority of brute-force neighbor labels, tie → lowest label") {
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val nb = Similarity.annBrute(embs, probeMax = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val out = Similarity.knnClassify(embs, probeMax = 20, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Int]("true_label"), r.getAs[Int]("predicted"),
+          r.getAs[Long]("votes")))).toMap
+    assert(out.size == 20)
+    nb.groupBy(_._1).foreach { case (q, ns) =>
+      val counts = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length) }
+      val (wantLabel, wantVotes) =
+        counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(out(q) == ((labels(q), wantLabel, wantVotes.toLong)),
+        s"query $q: got ${out(q)}, want ($wantLabel, $wantVotes)")
+    }
+  }
+
   test("weighted sample: max source keeps everything, counts bounded, deterministic") {
     val out = TextStats.weightedSample(docs).collect().map(r =>
       (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),

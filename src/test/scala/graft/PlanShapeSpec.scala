@@ -283,4 +283,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
     assert(p.contains("BroadcastExchange"), p.take(1200))
   }
+
+  test("l36: chunk windows are a projection + explode — no mid-plan exchange") {
+    val p = SparkEntry.queries("l36_chunk_windows")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // only the final orderBy's range partitioning may exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"chunk windows grew a shuffle:\n$p")
+    assert(p.contains("Generate"), "explode must stay a Generate, not a join")
+    assert(!p.contains("Join"), "no join belongs in a per-row chunker")
+  }
+
+  test("l35: seq pack is one shard window — no join in the plan") {
+    val p = SparkEntry.queries("l35_seq_pack")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), s"seq pack must not join:\n$p")
+    // window hash partitioning + final orderBy range partitioning only
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"seq pack grew a shuffle:\n$p")
+  }
+
+  test("l37: weighted sample broadcasts the weights — corpus never sort-merges") {
+    val p = plan("l37_weighted_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the source-cardinality weights frame must broadcast")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
+  }
+
+  test("l34: dup-span rewrite pairs on hashes — partial agg, no nested loop") {
+    val p = plan("l34_dup_span_removal")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // the dup-set aggregate partial-combines map-side on the chunk hash
+    assert(p.contains("partial_count"), p.take(1600))
+  }
+
+  test("q17: grouping sets expand then partial-aggregate before the exchange") {
+    val p = plan("q17_grouping_sets")
+    assert(p.contains("Expand"), p.take(1200))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
+  }
+
+  test("l38: cluster sample is two-phase — partial window on (cell, pid)") {
+    val p = plan("l38_cluster_sample")
+    assert(p.contains("pid"), p.take(1200))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(1200)}")
+  }
+
+  test("l39: knn vote broadcasts the neighbor list — corpus never sort-merges") {
+    val p = plan("l39_knn_label")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the probes×k neighbor frame must broadcast against the corpus")
+  }
 }
