@@ -181,6 +181,30 @@ object LlmQueries {
     "l39_knn_label" -> { (s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir)) },
 
+    // paraphrase mining: embedding near-dup pairs (l9) whose TOKEN sets
+    // barely overlap — semantically-duplicate-but-textually-different
+    // (translations, paraphrases, templated rewrites): the duplication
+    // class lexical dedup (l1/l2/l7/l12) is structurally blind to.
+    // Scale shape: the l9 pair list is tiny next to the corpus, so the
+    // two text lookups are pair-side joins the optimizer can broadcast;
+    // jaccard is computed locally on each joined row (distinct token
+    // arrays, integer intersect + one IEEE division — the l2 pattern).
+    "l40_paraphrase_pairs" -> { (s, dir) =>
+      val pairs = Similarity.embeddingNearDup(Tables.embeddings(s, dir))
+        .select("vec_a", "vec_b")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      pairs
+        .join(toks.select(col("doc_id").as("vec_a"), col("w").as("wa")), "vec_a")
+        .join(toks.select(col("doc_id").as("vec_b"), col("w").as("wb")), "vec_b")
+        .withColumn("i", size(array_intersect(col("wa"), col("wb"))))
+        .withColumn("jaccard",
+          col("i") * lit(1.0) / (size(col("wa")) + size(col("wb")) - col("i")))
+        .filter(col("jaccard") < 0.6)
+        .select(col("vec_a"), col("vec_b"),
+          col("i").cast("long").as("n_shared_tokens"), col("jaccard"))
+        .orderBy("vec_a", "vec_b") },
+
     // sampled-pack composite: l37's keep decision materializes the mix,
     // l35 packs the survivors, per-shard export manifest
     "c5_sampled_pack" -> { (s, dir) =>
@@ -397,6 +421,31 @@ object LlmQueries {
   private val duckCosine =
     "list_reduce(list_transform(list_zip(%s, %s), z -> z[1] * z[2]), (a, b) -> a + b) / (%s * %s)"
 
+  /** CTE chain ending in `epr(vec_a, vec_b)` — the exact SQL mirror of
+    * [[Similarity.embeddingNearDup]]'s banded LSH + cosine verify, shared
+    * by l9 (the pair list itself) and l40 (paraphrase mining over it). */
+  private lazy val embPairCtes: String = {
+    val bands = (0 until Similarity.NumBands).map { b =>
+      val bits = (0 until Similarity.BandPlanes).map { p =>
+        val d = s"""list_reduce(list_transform(list_zip(v, ${
+          Similarity.hyperplaneSql(b * Similarity.BandPlanes + p)}),
+             |          z -> z[1] * z[2]), (a, b) -> a + b)""".stripMargin
+        s"(CASE WHEN $d >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$bits AS band$b"
+    }.mkString(",\n        ")
+    val anyBand = (0 until Similarity.NumBands)
+      .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv,
+      |        $bands
+      |      FROM e),
+      |epr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |        FROM n a JOIN n b ON a.vec_id < b.vec_id AND ($anyBand)
+      |        WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4)""".stripMargin
+  }
+
   /** CTE chain ending in `cell(vec_id, v, nv, cell)` (+ `ranked` for probe
     * cell lists) — the k-means training + assignment shared by l10/l14
     * (IVF ANN) and l21 (SemDeDup). */
@@ -553,28 +602,25 @@ object LlmQueries {
     // (the bucket cap is not mirrored — it is a mass-duplication guard
     // that never fires on organic data; both folds are sequential, so
     // the sign decisions are bit-identical across engines)
-    "l9_embdup_lsh" -> {
-      val bands = (0 until Similarity.NumBands).map { b =>
-        val bits = (0 until Similarity.BandPlanes).map { p =>
-          val d = s"""list_reduce(list_transform(list_zip(v, ${
-            Similarity.hyperplaneSql(b * Similarity.BandPlanes + p)}),
-               |          z -> z[1] * z[2]), (a, b) -> a + b)""".stripMargin
-          s"(CASE WHEN $d >= 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString(" + ")
-        s"$bits AS band$b"
-      }.mkString(",\n        ")
-      val anyBand = (0 until Similarity.NumBands)
-        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv,
-        |        $bands
-        |      FROM e)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id AND ($anyBand)
-        |WHERE ${duckCosine.format("a.v", "b.v", "a.nv", "b.nv")} >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
-    },
+    "l9_embdup_lsh" ->
+      s"""WITH $embPairCtes
+        |SELECT vec_a, vec_b FROM epr ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the l9 pair chain joined to the texts: paraphrase candidates are
+    // embedding near-dups whose token sets barely overlap — integer
+    // intersections + one IEEE division (the l2 jaccard pattern)
+    "l40_paraphrase_pairs" ->
+      s"""WITH $embPairCtes,
+        |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+        |j AS (SELECT epr.vec_a, epr.vec_b,
+        |        len(list_filter(ta.w, x -> list_contains(tb.w, x))) AS i,
+        |        len(ta.w) AS na, len(tb.w) AS nb
+        |      FROM epr JOIN t ta ON ta.doc_id = epr.vec_a
+        |               JOIN t tb ON tb.doc_id = epr.vec_b)
+        |SELECT vec_a, vec_b, CAST(i AS BIGINT) AS n_shared_tokens,
+        |  i * 1.0 / (na + nb - i) AS jaccard
+        |FROM j WHERE i * 1.0 / (na + nb - i) < 0.6
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     // straightforward all-pairs n-gram Jaccard at oracle scale; the Spark
     // side is the banded-LSH scale path (recall argument as l2).

@@ -86,6 +86,38 @@ object StreamIngest {
       .start()
   }
 
+  /** [[start]] plus periodic small-file maintenance: every `compactEvery`
+    * micro-batches, the store's hot partitions are folded by
+    * [[UnitDb.compact]] — the continuous-crawl ingest loop that would
+    * otherwise accrete one file per partition per batch forever runs its
+    * own bounded-file-count upkeep, exactly the way a long-lived 100 TB
+    * ingest must (compaction cost stays proportional to the freshly
+    * written partitions). Runs on the driver between batches, under the
+    * store's writer lock like every other write. A checkpoint replay that
+    * re-fires the maintenance batch is harmless: compaction is idempotent
+    * (a folded partition is below `minFiles` and is skipped). */
+  def startWithMaintenance(
+      db: UnitDb,
+      stream: DataFrame,
+      checkpointDir: String,
+      queryName: String = "graft_ingest",
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 16,
+      compactMinFiles: Int = 8): StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    val fn: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      appendBatch(db, batch.toDF(), batchId, queryName)
+      if (batchId > 0 && batchId % compactEvery == 0)
+        db.compact(compactMinFiles): Unit
+    }
+    stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** Idempotently append one micro-batch: skipped entirely when its commit
     * marker exists (checkpoint replay after restart). Rows whose topic
     * fails to parse are appended to the `_rejects/<query>` dead-letter

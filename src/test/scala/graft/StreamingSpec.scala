@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("S1 ingest with maintenance: file count stays bounded, data complete") {
+    val base = tmp("ingest_maint")
+    val db = UnitDb.open(spark, base + "/store", clock = () => T0)
+    val mem = MemoryStream[(String, Array[Byte], Timestamp)](
+      Encoders.product[(String, Array[Byte], Timestamp)], spark)
+    val stream = mem.toDF().toDF("topic", "payload", "ts")
+    // compact every 3 batches, fold partitions at >= 2 files
+    val q = StreamIngest.startWithMaintenance(db, stream, base + "/ckpt",
+      compactEvery = 3, compactMinFiles = 2)
+    for (i <- 1 to 9) {
+      mem.addData(("unit.m.t", s"v$i".getBytes, ts(T0 + i * 1000)))
+      q.processAllAvailable() // one micro-batch (= one store file) per add
+    }
+    q.stop()
+    // 9 batches wrote 9 files into one (contract, wc, day); maintenance
+    // fired at batches 3 and 6 (batch ids are 0-based: 3 and 6), folding
+    // everything before it — the partition can hold at most the files
+    // appended since the last compaction plus the folded one
+    var nFiles = 0
+    val walk = Files.walk(java.nio.file.Paths.get(db.path))
+    try walk.forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet") &&
+          p.toString.contains("day=")) nFiles += 1
+    } finally walk.close()
+    assert(nFiles <= 4, s"maintenance did not bound the file count: $nFiles")
+    // every row survived every fold
+    assert(db.get(Q("unit.m.t")).map(new String(_)).toSet ==
+      (1 to 9).map(i => s"v$i").toSet)
+    assert(db.count() == 9)
+  }
+
   test("S1 ingest: a replayed micro-batch is idempotent (commit markers)") {
     val base = tmp("replay")
     val db = UnitDb.open(spark, base + "/store", clock = () => T0)
