@@ -181,6 +181,11 @@ object LlmQueries {
     "l39_knn_label" -> { (s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir)) },
 
+    // integer-exact lexical diversity (the log-free entropy substitute):
+    // repeat probability over the doc's tokens, zero-shuffle fold
+    "l41_simpson_diversity" -> { (s, dir) =>
+      TextStats.simpsonDiversity(Tables.documents(s, dir)) },
+
     // paraphrase mining: embedding near-dup pairs (l9) whose TOKEN sets
     // barely overlap — semantically-duplicate-but-textually-different
     // (translations, paraphrases, templated rewrites): the duplication
@@ -605,6 +610,21 @@ object LlmQueries {
     "l9_embdup_lsh" ->
       s"""WITH $embPairCtes
         |SELECT vec_a, vec_b FROM epr ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the oracle counts tokens the straightforward way (explode +
+    // group); the Spark side's run-length fold must land on identical
+    // integers (the l19 decomposition argument), then one IEEE division
+    "l41_simpson_diversity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        COUNT(*) AS n_unique,
+        |        CAST(SUM(c * (c - 1)) AS BIGINT) AS repeat_pairs
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_unique, repeat_pairs,
+        |  CASE WHEN n_tokens < 2 THEN 0.0
+        |       ELSE repeat_pairs * 1.0 / (n_tokens * (n_tokens - 1)) END AS simpson
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

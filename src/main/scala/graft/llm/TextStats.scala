@@ -465,6 +465,37 @@ object TextStats {
       .orderBy("term", "rank")
   }
 
+  /** Simpson lexical diversity — the integer-exact substitute for token
+    * entropy (entropy needs `log`, whose last-bit rounding ties results to
+    * one libm — the l24/l31 principle): the probability two tokens drawn
+    * without replacement are equal, Σ cᵢ(cᵢ−1) / (N(N−1)). 0 = every
+    * token unique, 1 = one token repeated wall-to-wall; quality gates
+    * threshold high values exactly like a high entropy-based repetition
+    * score. Output: (doc_id, n_tokens, n_unique, repeat_pairs, simpson).
+    *
+    * Scale shape: zero shuffle — the per-token counts never materialize;
+    * Σ cᵢ(cᵢ−1) folds over the row's own sorted token array (adding a
+    * token to a run of r raises the sum by 2r), the l19 run-length
+    * pattern. One IEEE division at the end. */
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("repeat_pairs", expr(
+        """aggregate(sort_array(w),
+          |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS acc),
+          |  (s, x) -> IF(x <=> s.prev,
+          |    struct(x AS prev, s.run + 1L AS run, s.acc + 2L * s.run AS acc),
+          |    struct(x AS prev, 1L AS run, s.acc AS acc)),
+          |  s -> s.acc)""".stripMargin))
+      .withColumn("simpson",
+        when(col("n_tokens") < 2, lit(0.0))
+          .otherwise(col("repeat_pairs") * lit(1.0) /
+            (col("n_tokens") * (col("n_tokens") - 1))))
+      .select("doc_id", "n_tokens", "n_unique", "repeat_pairs", "simpson")
+      .orderBy("doc_id")
+
   /** GPT-style sequence-packing manifest: documents are laid end-to-end in
     * the reproducible [[shardAssign]] training order and cut into fixed
     * `seqLen`-token training sequences; each document's row says exactly

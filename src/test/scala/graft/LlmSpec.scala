@@ -918,6 +918,34 @@ class LlmSpec extends SparkSpec {
     assert(covered == (0L until 100L).toSet)
   }
 
+  test("simpson diversity: known counts, run-length fold matches group-count definition") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b"),        // counts a:2 b:1 → rp 2, simpson 2/6
+      (2L, "a a a"),        // rp 6 → 1.0
+      (3L, "x y z"),        // all unique → 0
+      (4L, "t"),            // single token → simpson 0 by convention
+      (5L, "b a b a b")     // a:2 b:3 → rp 2+6=8, n 5 → 8/20
+    ).toDF("doc_id", "text")
+    val out = TextStats.simpsonDiversity(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("repeat_pairs"), r.getAs[Double]("simpson")))).toMap
+    assert(out(1L) == ((3L, 2L, 2L, 2.0 / 6)))
+    assert(out(2L) == ((3L, 1L, 6L, 1.0)))
+    assert(out(3L) == ((3L, 3L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 1L, 0L, 0.0)))
+    assert(out(5L) == ((5L, 2L, 8L, 8.0 / 20)))
+    // corpus sanity: the fold equals the explicit group-count definition
+    val viaGroups = docs.limit(50).select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(sum(col("count") * (col("count") - 1)).as("rp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rp")).toMap
+    TextStats.simpsonDiversity(docs.limit(50)).collect().foreach { r =>
+      assert(r.getAs[Long]("repeat_pairs") == viaGroups(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("cluster sample: k per cell, members drawn from that cell, partitioning-invariant") {
     val cells = Similarity.semDedup(embs).select("vec_id", "cell").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap

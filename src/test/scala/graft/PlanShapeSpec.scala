@@ -340,4 +340,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the probes×k neighbor frame must broadcast against the corpus")
   }
+
+  test("l41: simpson diversity is a pure projection — no mid-plan exchange") {
+    val p = SparkEntry.queries("l41_simpson_diversity")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"simpson diversity grew a shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "the run-length fold must stay per-row")
+  }
 }
