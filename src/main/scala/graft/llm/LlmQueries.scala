@@ -186,6 +186,24 @@ object LlmQueries {
     "l41_simpson_diversity" -> { (s, dir) =>
       TextStats.simpsonDiversity(Tables.documents(s, dir)) },
 
+    // cross-source duplication matrix (c6): which sources copy from
+    // which — the l2 near-dup pairs rolled up by (source, source),
+    // order-normalized so the matrix is one triangle. The view that
+    // decides which crawl to drop when two overlap heavily. The pair
+    // list is tiny next to the corpus, so both source lookups are
+    // pair-side joins the optimizer broadcasts.
+    "c6_source_overlap" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.minhashNearDup(docs).select("doc_a", "doc_b")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y") },
+
     // paraphrase mining: embedding near-dup pairs (l9) whose TOKEN sets
     // barely overlap — semantically-duplicate-but-textually-different
     // (translations, paraphrases, templated rewrites): the duplication
@@ -610,6 +628,25 @@ object LlmQueries {
     "l9_embdup_lsh" ->
       s"""WITH $embPairCtes
         |SELECT vec_a, vec_b FROM epr ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the l2 pair chain rolled up by order-normalized source pair
+    "c6_source_overlap" ->
+      s"""WITH $shingleCte,
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT a_id, b_id
+        |       FROM inter
+        |       JOIN sz sa ON sa.doc_id = a_id
+        |       JOIN sz sb ON sb.doc_id = b_id
+        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8)
+        |SELECT least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  COUNT(*) AS n_pairs
+        |FROM pr JOIN documents da ON da.doc_id = pr.a_id
+        |        JOIN documents db ON db.doc_id = pr.b_id
+        |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
 
     // the oracle counts tokens the straightforward way (explode +
     // group); the Spark side's run-length fold must land on identical
