@@ -196,6 +196,39 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m15_tumb").orderBy("w_start", "event_type")
+    },
+
+    // STREAMING sliding windows through the oracle gate: m8's overlapping
+    // 10-minute/5-minute windows run BY the streaming engine — the state
+    // shape tumbling can't exercise (every event lives in TWO window
+    // states at once).
+    "m16_stream_sliding" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val src = streamTable(s, schema, dir, "events")
+        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val agged = src
+        .groupBy(window(col("tsec"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(tsec(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = agged.writeStream.format("memory").queryName("m16_slide")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m16_slide").orderBy("w_start", "event_type")
     }
   )
 
@@ -306,6 +339,15 @@ object TimeSeriesQueries {
       s"""SELECT ($t) // 300 * 300 AS w_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical to m8's oracle (two overlapping windows per event)
+    "m16_stream_sliding" ->
+      s"""SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT ($t) // 300 * 300 - g.off AS w_start, event_type, value
+        |  FROM events, (VALUES (0), (300)) AS g(off))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -552,6 +552,24 @@ class UnitDbSpec extends SparkSpec {
       hotRows.filterNot(_ == "h1"))
   }
 
+  test("compact folds a salted store's fan-out files back to one per partition") {
+    val dir = Files.createTempDirectory("graftdb_compact_s").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now, writeSaltBuckets = 4)
+    for (i <- 1 to 3) {
+      for (j <- 1 to 8) db.put("s.hot", s"v$i-$j".getBytes)
+      db.sync() // salt spreads each sync across up to 4 files
+    }
+    val before = dayDirFiles(dir)
+    assert(before.values.head.size > 3,
+      s"salt should fan out the writes, got ${before.values.head.size} files")
+    val rows = db.get(Query("s.hot")).map(new String(_)).toSeq
+    assert(db.compact(minFiles = 2) == 1)
+    val after = dayDirFiles(dir)
+    assert(after.values.head.size == 1, s"not folded: ${after.values.head}")
+    assert(db.get(Query("s.hot")).map(new String(_)).toSeq == rows)
+  }
+
   test("compact under the manifest protocol: generation advances, cold files carried") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graftdb_compact_m").toString + "/store"
