@@ -494,10 +494,16 @@ final class UnitDb private (
     * comes to dominate reads. Rewrites ONLY partitions holding at least
     * `minFiles` data files — each into a single sorted file — and carries
     * every untouched partition across by hardlink (metadata-only; an
-    * object-store protocol would server-side copy), so compaction cost is
-    * proportional to the HOT partitions, never the store. At 100 TB that
-    * is the difference between an hourly maintenance task touching
-    * yesterday's ingest and a full-table rewrite.
+    * object-store protocol would server-side copy), so compaction DATA
+    * I/O is proportional to the HOT partitions, never the store. At
+    * 100 TB that is the difference between an hourly maintenance task
+    * touching yesterday's ingest and a full-table rewrite. The carry-over
+    * itself is still one metadata operation (link/copy-object) per cold
+    * FILE — store-proportional metadata, hot-proportional bytes; a store
+    * whose cold file count makes even that pass expensive wants a
+    * manifest protocol extension that lists cold files by reference
+    * instead of materializing them into the new generation (the designed
+    * seam: [[StoreCommitProtocol]]).
     *
     * Unlike [[vacuum]] this is a pure LAYOUT rewrite: no liveness/TTL
     * predicate is applied and the `_tombstones` sidecar is preserved, not

@@ -444,6 +444,34 @@ object LlmQueries {
   private val duckCosine =
     "list_reduce(list_transform(list_zip(%s, %s), z -> z[1] * z[2]), (a, b) -> a + b) / (%s * %s)"
 
+  /** CTE chain ending in `w(source, rel_weight)` + `k(doc_id, source,
+    * text, u)` — the l32 temperature-weight derivation plus the
+    * md5-uniform keep key, shared by l37 (the audit face) and c5 (the
+    * materializing composite) so a formula tweak can never diverge them. */
+  private val weightCtes: String =
+    """s AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s),
+      |w AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+      |      FROM s, m),
+      |k AS (SELECT d.doc_id, d.source, d.text,
+      |        CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+      |      FROM documents d)""".stripMargin
+
+  /** CTE chain ending in `c(doc_id, mk, n_tok, shard, start_tok)` — the
+    * l25-shard-order sequence-packing layout over `src`, shared by l35
+    * (whole corpus) and c5 (the sampled survivors). */
+  private def packCtes(src: String): String =
+    s"""b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM $src),
+      |sh AS (SELECT doc_id, mk, n_tok,
+      |        CAST(CAST(('0x' || substring(mk, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard
+      |      FROM b),
+      |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY mk, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+      |      FROM sh)""".stripMargin
+
   /** CTE chain ending in `epr(vec_a, vec_b)` — the exact SQL mirror of
     * [[Similarity.embeddingNearDup]]'s banded LSH + cosine verify, shared
     * by l9 (the pair list itself) and l40 (paraphrase mining over it). */
@@ -1012,15 +1040,7 @@ object LlmQueries {
     // function of the document (the l16/l25 principle) and every output
     // an integer — the manifest is engine-invariant by construction
     "l35_seq_pack" ->
-      """WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        |           FROM documents),
-        |s AS (SELECT doc_id, k, n_tok,
-        |        CAST(CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard
-        |      FROM b),
-        |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
-        |      FROM s)
+      s"""WITH ${packCtes("documents")}
         |SELECT doc_id, shard, n_tok, start_tok,
         |  start_tok // 512 AS first_seq,
         |  (start_tok + n_tok - 1) // 512 AS last_seq,
@@ -1042,19 +1062,12 @@ object LlmQueries {
         |  md5(array_to_string(w[CAST(win_id * 48 + 1 AS INTEGER):CAST(win_id * 48 + 64 AS INTEGER)], ' ')) AS win_md5
         |FROM e ORDER BY doc_id, win_id""".stripMargin,
 
-    // the l32 weight chain verbatim, then the md5-uniform keep decision:
-    // u = hex/2^32 is exact in IEEE (mantissa shift), sqrt is correctly
-    // rounded in both engines, so every comparison lands identically
+    // the l32 weight chain verbatim (shared weightCtes), then the
+    // md5-uniform keep decision: u = hex/2^32 is exact in IEEE (mantissa
+    // shift), sqrt is correctly rounded in both engines, so every
+    // comparison lands identically
     "l37_weighted_sample" ->
-      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s),
-        |w AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
-        |      FROM s, m),
-        |k AS (SELECT d.source, d.doc_id,
-        |        CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
-        |      FROM documents d)
+      s"""WITH $weightCtes
         |SELECT k.source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN k.u < w.rel_weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  w.rel_weight,
@@ -1094,28 +1107,15 @@ object LlmQueries {
         |FROM pr JOIN embeddings t ON t.vec_id = pr.query_id
         |WHERE pr.rn = 1 ORDER BY pr.query_id""".stripMargin,
 
-    // l37's keep chain feeding l35's pack chain, rolled up per shard —
-    // the composition is what's verified (c3/c4 principle)
+    // l37's keep chain (shared weightCtes) feeding l35's pack chain
+    // (shared packCtes) rolled up per shard — the composition is what's
+    // verified (c3/c4 principle), and sharing the fragments means a
+    // formula tweak to either stage cannot silently diverge the composite
     "c5_sampled_pack" ->
-      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s),
-        |w AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
-        |      FROM s, m),
-        |k AS (SELECT d.doc_id, d.source, d.text,
-        |        CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
-        |      FROM documents d),
+      s"""WITH $weightCtes,
         |kept AS (SELECT k.doc_id, k.text FROM k JOIN w ON w.source = k.source
         |         WHERE k.u < w.rel_weight),
-        |b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM kept),
-        |sh AS (SELECT doc_id, mk, n_tok,
-        |        CAST(CAST(('0x' || substring(mk, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard
-        |      FROM b),
-        |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY mk, doc_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
-        |      FROM sh),
+        |${packCtes("kept")},
         |x AS (SELECT shard, n_tok,
         |        (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS span FROM c)
         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,

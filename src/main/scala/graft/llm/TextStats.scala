@@ -81,13 +81,20 @@ object TextStats {
     * per-range counts into offsets (the two-phase running-total trick,
     * same note as [[tokenBudget]]); the window form states the
     * semantics the oracle mirrors. */
+  /** THE shard derivation — md5-of-decimal-id order key `k` plus its
+    * 4-hex-digit-prefix shard. [[shardAssign]] and [[seqPack]] (and
+    * through it the c5 composite) must stay bit-identical on these two
+    * columns, so they share this one projection. */
+  private def keyedShard(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .withColumn("k", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % nShards).cast("int"))
+
   def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("k"), col("doc_id"))
-    docs
-      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
-      .withColumn("shard",
-        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % nShards).cast("int"))
+    keyedShard(docs.select("doc_id"), nShards)
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
@@ -513,11 +520,8 @@ object TextStats {
   def seqPack(docs: DataFrame, seqLen: Int = 512, nShards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("k"), col("doc_id"))
-    docs
-      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("shard",
-        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % nShards).cast("int"))
+    keyedShard(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), nShards)
       .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
       .withColumn("first_seq", expr(s"start_tok div $seqLen"))
       .withColumn("last_seq", expr(s"(start_tok + n_tok - 1) div $seqLen"))

@@ -28,6 +28,20 @@ import graft.queries.QUtil._
   */
 object TimeSeriesQueries {
 
+  /** Streaming-source schema for the events table (ts as raw BIGINT nanos
+    * under `nanosAsLong`) — shared by every streaming-gate query
+    * (m13/m15/m16): an explicit schema never infers, so a missed column
+    * here would silently read null — keep it in ONE place. */
+  private val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+
   /** Second-granularity event time on both engines (see QUtil doc). */
   private def tsSec = timestamp_seconds(tsec(col("ts")))
 
@@ -136,18 +150,7 @@ object TimeSeriesQueries {
     // bounds state and output across scale factors.
     "m13_stream_session" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
-      val src = streamTable(s, schema, dir, "events")
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
         .filter(col("user_id") < 40)
         .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
       val agged = src
@@ -172,18 +175,7 @@ object TimeSeriesQueries {
     // append + watermark (StreamingSpec's shape).
     "m15_stream_tumbling" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
-      val src = streamTable(s, schema, dir, "events")
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
         .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
       val agged = src
         .groupBy(window(col("tsec"), "5 minutes").as("w"), col("event_type"))
@@ -204,18 +196,7 @@ object TimeSeriesQueries {
     // states at once).
     "m16_stream_sliding" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
-      val src = streamTable(s, schema, dir, "events")
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
         .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
       val agged = src
         .groupBy(window(col("tsec"), "10 minutes", "5 minutes").as("w"),

@@ -105,6 +105,9 @@ object StreamIngest {
       compactEvery: Int = 16,
       compactMinFiles: Int = 8): StreamingQuery = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    // fail at start(), not at the first maintenance batch deep into the run
+    require(compactMinFiles >= 2,
+      s"compactMinFiles must be >= 2, got $compactMinFiles")
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       appendBatch(db, batch.toDF(), batchId, queryName)
       if (batchId > 0 && batchId % compactEvery == 0)
