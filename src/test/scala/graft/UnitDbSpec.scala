@@ -570,6 +570,25 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("s.hot")).map(new String(_)).toSeq == rows)
   }
 
+  test("open cleans a compact crash leftover (staged tmp, commit never ran)") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_compact_c").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    for (i <- 1 to 3) { db.put("cc.t", s"v$i".getBytes); db.sync() }
+    // simulate a crash after compact staged its rewrite but before
+    // commitRewrite's first move: tmp exists, live store untouched
+    val tmp = Paths.get(dir + ".compact.tmp")
+    Files.createDirectories(tmp.resolve("contract=0"))
+    Files.write(tmp.resolve("junk.parquet"), "x".getBytes)
+    val db2 = UnitDb.open(spark, dir, clock = () => now)
+    assert(!Files.exists(tmp), "recover must clear the stranded staging dir")
+    assert(db2.get(Query("cc.t")).length == 3)
+    // a fresh compaction starts clean and succeeds
+    assert(db2.compact(minFiles = 2) == 1)
+    assert(db2.get(Query("cc.t")).length == 3)
+  }
+
   test("compact under the manifest protocol: generation advances, cold files carried") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graftdb_compact_m").toString + "/store"
