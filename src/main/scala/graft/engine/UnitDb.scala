@@ -522,7 +522,13 @@ final class UnitDb private (
     val hot = ArrayBuffer[Path]()
     val walk = Files.walk(liveDir)
     try walk.forEach { p =>
-      if (Files.isDirectory(p) && p.getFileName.toString.startsWith("day=")) {
+      // `_` sidecar subtrees (e.g. _tombstones) are commit-preserved, not
+      // store data: skip them here like the cold carry-over walk does, so
+      // a future day-partitioned sidecar can't be folded into the table
+      val underSidecar = p != liveDir &&
+        liveDir.relativize(p).getName(0).toString.startsWith("_")
+      if (!underSidecar &&
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("day=")) {
         val fs = p.toFile.listFiles
         if (fs != null &&
             fs.count(f => f.isFile && f.getName.endsWith(".parquet")) >= minFiles)

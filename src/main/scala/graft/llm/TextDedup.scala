@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Cache lifecycle: several operators here persist an intermediate frame
+    * (MEMORY_AND_DISK) that the returned plan reads more than once — the
+    * chunked corpus, the gram-set scan, the posting lists. The persist is
+    * part of the returned plan's lineage, so it cannot be dropped before
+    * the caller's action runs: CALLERS own the cache lifecycle — after
+    * materializing the result, `spark.catalog.clearCache()` (what Bench
+    * does between queries) or unpersist via the frame's own reference in a
+    * long-lived session. Internal-only caches whose lifetime ends inside a
+    * function (labelPropagation's per-round edges) are unpersisted here. */
+
   /** Word-trigram shingle set, matching the oracle's self-join construction:
     * shingle_i = w(i) + " " + w(i+1) + " " + w(i+2), 1-based, distinct.
     * Documents with fewer than 3 tokens have no shingles (and so can never
@@ -468,7 +478,11 @@ object TextDedup {
     * that drop list: AQE broadcasts the usually-small list (making the
     * corpus side exchange-free), but no broadcast is *assumed* — a
     * pathologically duplicated corpus degrades to one shuffle, never OOM
-    * (the [[chunkDedup]] principle). */
+    * (the [[chunkDedup]] principle).
+    *
+    * The chunked corpus persists MEMORY_AND_DISK inside the returned plan
+    * (read by the dup set, the drop list, and the rewrite) — see the cache
+    * lifecycle note at the top of [[TextDedup]]. */
   def dupSpanRemoval(docs: DataFrame, c: Int = ChunkTokens): DataFrame = {
     val withChunks = docs
       .withColumn("w", split(col("text"), " "))
