@@ -210,8 +210,118 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m16_slide").orderBy("w_start", "event_type")
+    },
+
+    // STREAM-STREAM interval join through the oracle gate: each click
+    // pairs with the same user's purchases in the preceding 2 hours —
+    // two live streams joined BY the streaming engine (watermarked state
+    // both sides, append mode), hash-compared to the batch join. This is
+    // the join state machine none of the windowed gates exercise: each
+    // side buffers rows in keyed state until the other side's watermark
+    // passes the interval bound. Inner joins emit on match, so results
+    // are batch-split-invariant (a match never waits for eviction);
+    // user_id < 30 bounds the pair volume across scale factors.
+    "m17_stream_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
+        .filter(col("user_id") < 30)
+        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("c_tsec"))
+        .withWatermark("c_tsec", "4 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("tsec").as("p_tsec"),
+          col("value").as("purchase_value"))
+        .withWatermark("p_tsec", "4 hours")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+          col("p_tsec") <= col("c_tsec"))
+        .select(col("click_id"), col("user_id"),
+          tsec(col("c_tsec")).as("click_t"), col("purchase_id"),
+          tsec(col("p_tsec")).as("purchase_t"), col("purchase_value"))
+      val q = joined.writeStream.format("memory").queryName("m17_join")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m17_join").orderBy("click_id", "purchase_id")
+    },
+
+    // CUSTOM keyed state through the oracle gate: per-user running
+    // profile (count, first/last seen, exact-decimal value sum) kept in
+    // `flatMapGroupsWithState` — the arbitrary-state API every
+    // reference-style stateful consumer (dedupe caches, per-key
+    // counters, flow control) builds on, executed by the streaming
+    // engine and hash-compared to the batch aggregate. Every fold is
+    // commutative (count, min, max, exact BigDecimal sum), so the group
+    // iterator's arbitrary order cannot change the answer; each batch
+    // emits the running state and the batch-land max-n pick keeps the
+    // final one, so the result is batch-split-invariant.
+    "m18_stream_state" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"),
+          tsec(timestamp_seconds(expr("ts div 1000000000"))).as("t"),
+          dec2(col("value")).as("v"))
+        .as[UserEvent]
+      val q = userProfileStream(src).toDF().writeStream.format("memory")
+        .queryName("m18_state")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      latestProfiles(s.table("m18_state")).orderBy("user_id")
     }
   )
+
+  /** Typed rows for the m18 custom-state gate (second-granularity time,
+    * exact-decimal value so the running sum is order-free). */
+  case class UserEvent(user_id: Long, t: Long, v: BigDecimal)
+  case class UserProfile(user_id: Long, n: Long, min_t: Long, max_t: Long,
+      sum_value: BigDecimal)
+
+  /** Per-user running profile in `flatMapGroupsWithState` keyed state —
+    * the m18 transform, shared with StreamingSpec's cross-batch test.
+    * Each invocation folds the group's new rows into the stored profile
+    * (count, first/last seen, exact BigDecimal sum — all commutative, so
+    * the iterator's arbitrary order cannot change the answer) and emits
+    * the updated running state. */
+  def userProfileStream(src: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val pEnc = org.apache.spark.sql.Encoders.product[UserProfile]
+    src.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            UserProfile(user, 0L, Long.MaxValue, Long.MinValue, BigDecimal(0)))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserProfile(user, acc.n + 1, math.min(acc.min_t, r.t),
+              math.max(acc.max_t, r.t), acc.sum_value + r.v)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Collapse m18's emitted running profiles (one per user per touching
+    * batch) to the final state: n grows monotonically, so max-by-n picks
+    * it — the result is batch-split-invariant. */
+  def latestProfiles(profiles: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    profiles
+      .groupBy("user_id")
+      .agg(max(struct(col("n"), col("min_t"), col("max_t"),
+        col("sum_value"))).as("st"))
+      .select(col("user_id"), col("st.n").as("n"),
+        col("st.min_t").as("min_t"), col("st.max_t").as("max_t"),
+        asDouble(col("st.sum_value")).as("sum_value"))
 
   private val t = duckTsec("ts")
 
@@ -329,6 +439,32 @@ object TimeSeriesQueries {
         |FROM (
         |  SELECT ($t) // 300 * 300 - g.off AS w_start, event_type, value
         |  FROM events, (VALUES (0), (300)) AS g(off))
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the batch form of the stream-stream interval join: purchases in
+    // the click's preceding 2 hours, per user (second granularity on
+    // both engines; the window is sized to the synthetic data's event
+    // sparsity — 10k events / 30 days at sf0.01 — so the gate carries
+    // real pairs, 18 at sf0.01, not a vacuous 0-row pass)
+    "m17_stream_join" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, ($t) AS t, event_type, value
+        |  FROM events WHERE user_id < 30)
+        |SELECT c.event_id AS click_id, c.user_id, c.t AS click_t,
+        |  p.event_id AS purchase_id, p.t AS purchase_t,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.t >= c.t - 7200 AND p.t <= c.t
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the batch form of the m18 per-user running profile: the custom
+    // flatMapGroupsWithState fold must land on the plain aggregate
+    "m18_stream_state" ->
+      s"""SELECT user_id, COUNT(*) AS n, MIN($t) AS min_t, MAX($t) AS max_t,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id < 40
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

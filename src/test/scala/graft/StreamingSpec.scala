@@ -649,4 +649,74 @@ class StreamingSpec extends SparkSpec {
       assert(kept == Set(1L, 3L, 6L), s"got $kept")
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs rows across micro-batches (m17 shape)") {
+    val clicksMem = MemoryStream[(Long, Long, Timestamp)](
+      Encoders.product[(Long, Long, Timestamp)], spark)
+    val purchMem = MemoryStream[(Long, Long, Timestamp, Double)](
+      Encoders.product[(Long, Long, Timestamp, Double)], spark)
+    val clicks = clicksMem.toDF().toDF("click_id", "user_id", "c_tsec")
+      .withWatermark("c_tsec", "4 hours")
+    val purchases = purchMem.toDF()
+      .toDF("purchase_id", "p_user", "p_tsec", "purchase_value")
+      .withWatermark("p_tsec", "4 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+      col("p_tsec") <= col("c_tsec"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a click, and a purchase for ANOTHER user
+      clicksMem.addData((100L, 1L, ts(T0 + 3600000)))
+      purchMem.addData((200L, 2L, ts(T0 + 3000000), 9.0))
+      q.processAllAvailable()
+      // batch 2: user 1's purchase arrives LATER than its click (inside
+      // the 2h bound — join state must still hold the click), plus one
+      // outside the bound and one for user 2 pairing batch-1's purchase...
+      // no click for user 2 exists, so only one pair may emerge
+      purchMem.addData(
+        (201L, 1L, ts(T0 + 3500000), 5.0),  // 100s before click: pairs
+        (202L, 1L, ts(T0 - 7200000), 7.0))  // 3h before click: outside
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin_out")
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 201L)), s"got $pairs")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running profile across batches = batch aggregate (m18)") {
+    import graft.queries.TimeSeriesQueries.{UserEvent, latestProfiles, userProfileStream}
+    val mem = MemoryStream[UserEvent](Encoders.product[UserEvent], spark)
+    val q = userProfileStream(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("profile_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        UserEvent(1L, 100L, BigDecimal("1.25")),
+        UserEvent(1L, 90L, BigDecimal("2.50")),
+        UserEvent(2L, 50L, BigDecimal("4.00")))
+      q.processAllAvailable()
+      // batch 2 reopens user 1's state and creates user 3
+      mem.addData(
+        UserEvent(1L, 200L, BigDecimal("0.25")),
+        UserEvent(3L, 10L, BigDecimal("8.00")))
+      q.processAllAvailable()
+      val got = latestProfiles(spark.table("profile_out"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      // vs the plain batch aggregate over all five rows
+      assert(got == Seq(
+        (1L, 3L, 90L, 200L, 4.0),
+        (2L, 1L, 50L, 50L, 4.0),
+        (3L, 1L, 10L, 10L, 8.0)), s"got $got")
+      // and the per-batch emissions really were running totals (user 1
+      // emitted twice: n=2 after batch 1, n=3 after batch 2)
+      val user1Ns = spark.table("profile_out").filter(col("user_id") === 1)
+        .select("n").collect().map(_.getLong(0)).toSet
+      assert(user1Ns == Set(2L, 3L), s"got $user1Ns")
+    } finally q.stop()
+  }
 }
