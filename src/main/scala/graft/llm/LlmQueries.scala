@@ -186,6 +186,16 @@ object LlmQueries {
     "l41_simpson_diversity" -> { (s, dir) =>
       TextStats.simpsonDiversity(Tables.documents(s, dir)) },
 
+    // KMV distinct-count sketch: per-source distinct trigram cardinality
+    // estimated from the k smallest md5 values, exact count alongside
+    "l42_kmv_distinct" -> { (s, dir) =>
+      TextStats.kmvDistinct(Tables.documents(s, dir)) },
+
+    // asymmetric containment pairs: quote/boilerplate-inclusion geometry
+    // (high containment, low jaccard) the symmetric families can't see
+    "l43_containment" -> { (s, dir) =>
+      TextDedup.containmentPairs(Tables.documents(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -690,6 +700,53 @@ object LlmQueries {
         |  CASE WHEN n_tokens < 2 THEN 0.0
         |       ELSE repeat_pairs * 1.0 / (n_tokens * (n_tokens - 1)) END AS simpson
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // KMV sketch mirror: distinct (source, md5(trigram)), k-th smallest
+    // per source by plain window rank (the oracle has no scale problem),
+    // and the same double-exact (k-1)·2^60 numerator / one IEEE division
+    "l42_kmv_distinct" ->
+      """WITH sh3 AS (
+        |  SELECT source, [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                  for i in range(1, len(s) - 1)] AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)
+        |  WHERE len(s) >= 3),
+        |d AS (SELECT DISTINCT source, md5(gram) AS h
+        |      FROM (SELECT source, unnest(g) AS gram FROM sh3)),
+        |ex AS (SELECT source, COUNT(*) AS n_exact FROM d GROUP BY 1),
+        |r AS (SELECT source, h,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        |      FROM d),
+        |kth AS (SELECT source, h AS kth_h FROM r WHERE rk = 256)
+        |SELECT ex.source, ex.n_exact,
+        |  CASE WHEN kth_h IS NULL THEN CAST(n_exact AS DOUBLE)
+        |       ELSE 255.0 * 1152921504606846976.0 /
+        |            CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
+        |  END AS kmv_est
+        |FROM ex LEFT JOIN kth ON ex.source = kth.source
+        |ORDER BY ex.source""".stripMargin,
+
+    // containment mirror: df-capped posting self-join on 60-bit gram
+    // hashes, full-set denominators, both containment directions
+    "l43_containment" ->
+      s"""WITH $shingleCte,
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |e AS (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
+        |      FROM sh),
+        |dfok AS (SELECT h FROM e GROUP BY h
+        |         HAVING COUNT(*) <= ${TextDedup.ContainmentDfCap}),
+        |ce AS (SELECT e.doc_id, e.h FROM e JOIN dfok USING (h)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         COUNT(*) AS shared
+        |       FROM ce a JOIN ce b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+        |  shared * 1.0 / sa.n AS cont_a, shared * 1.0 / sb.n AS cont_b,
+        |  shared * 1.0 / (sa.n + sb.n - shared) AS jaccard
+        |FROM pr JOIN sz sa ON doc_a = sa.doc_id
+        |        JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE greatest(shared * 1.0 / sa.n, shared * 1.0 / sb.n) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

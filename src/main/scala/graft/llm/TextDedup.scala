@@ -680,4 +680,67 @@ object TextDedup {
 
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
+
+  /** Document frequency above which a shingle is excluded from containment
+    * pairing — a gram in more documents than this is boilerplate, not
+    * evidence of copying, and df-capping is what keeps the posting
+    * self-join's pair volume ≤ Σ df² linear-ish at corpus scale. */
+  val ContainmentDfCap = 64
+
+  /** Asymmetric containment detection — the duplication geometry every
+    * symmetric family here is blind to: a short document quoted wholesale
+    * inside a long one has containment(short→long) ≈ 1 but Jaccard ≈
+    * |short|/|long| ≈ 0, so minhash/simhash/jaccard gates (l2/l7/l12) never
+    * fire. Broder's containment C(A→B) = |A∩B|/|A| over the word-trigram
+    * shingle sets catches quotes, boilerplate inclusion, and page-in-page
+    * syndication.
+    *
+    * Candidates come from a document-frequency-capped posting self-join on
+    * 60-bit gram hashes: grams in more than [[ContainmentDfCap]] documents
+    * are dropped BEFORE pairing (`shared` is therefore a lower bound
+    * counted over discriminative grams only — a pair sharing nothing but
+    * boilerplate is exactly the pair this operator should not emit), while
+    * the containment denominators stay the FULL per-document distinct gram
+    * counts. Both containment directions and the Jaccard are emitted so a
+    * consumer separates subset-inclusion (high max-containment, low
+    * Jaccard) from near-identity (both high).
+    *
+    * Scale shape: postings shuffle 8-byte hashes, never strings; the df
+    * cap bounds every posting list, so pair volume is ≤ Σ df² with df ≤
+    * the cap — no quadratic bucket. The pair aggregate shuffles on the
+    * (doc_a, doc_b) key, and the two size joins are plain co-partitioned
+    * equi-joins. 2⁻⁶⁰ hash collisions could only inflate `shared` by
+    * colliding grams inside one document pair — negligible against the
+    * gram counts involved. */
+  def containmentPairs(docs: DataFrame, minShared: Int = 3,
+      minContainment: Double = 0.2): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n"))
+    val posts = sh
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val dfOk = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainmentDfCap).select("h")
+    val capped = posts.join(dfOk, Seq("h"))
+    val pairs = capped.select(col("h"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("cont_a", col("shared") * lit(1.0) / col("n_a"))
+      .withColumn("cont_b", col("shared") * lit(1.0) / col("n_b"))
+      .withColumn("jaccard",
+        col("shared") * lit(1.0) / (col("n_a") + col("n_b") - col("shared")))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b",
+        "cont_a", "cont_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -1004,4 +1004,52 @@ class LlmSpec extends SparkSpec {
       (r.getAs[String]("source"), r.getAs[Long]("n_kept"))).toMap
     assert(out.forall(r => again(r._1) == r._3))
   }
+
+  test("kmv sketch: within theory error when n >> k, exact path when n < k") {
+    import spark.implicits._
+    // one source with a known large gram cardinality: w0..w599 in a line
+    // gives 598 distinct trigrams per doc block; ten shifted blocks ≈ 5980
+    val big = (0 until 10).map { b =>
+      (b.toLong, (0 until 600).map(i => s"w${b * 600 + i}").mkString(" "), "big")
+    }
+    // and one tiny source whose distinct grams stay under k
+    val small = Seq((100L, "x0 x1 x2 x3 x4 x5", "small"))
+    val df = (big ++ small).toDF("doc_id", "text", "source")
+    val out = TextStats.kmvDistinct(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (nBig, estBig) = out("big")
+    assert(nBig > 1000, s"test corpus too small: $nBig")
+    // KMV relative error is ~1/sqrt(k); allow 5 sigma (k=256 → ±31%)
+    assert(math.abs(estBig - nBig) <= 5.0 / math.sqrt(256) * nBig,
+      s"estimate $estBig vs exact $nBig out of theoretical range")
+    val (nSmall, estSmall) = out("small")
+    assert(nSmall == 4 && estSmall == 4.0,
+      s"sub-k source must take the exact path, got ($nSmall, $estSmall)")
+    // partitioning invariance: pure function of the data
+    val again = TextStats.kmvDistinct(df.repartition(13)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again("big") == estBig)
+  }
+
+  test("containment: verbatim quote scores 1.0 with low jaccard; df cap kills boilerplate pairs") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = ("intro words here " + quote + " " +
+      (0 until 80).map(i => s"filler$i").mkString(" ")).trim
+    // 70 docs sharing ONE common trigram (df 70 > cap 64): must not pair
+    val boiler = (10L until 80L).map(i =>
+      (i, s"common gram here unique$i tail$i bit$i"))
+    val df = (Seq((1L, quote), (2L, long)) ++ boiler).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // the quote is wholly inside the long doc
+    val (contA, contB, jacc) = out((1L, 2L))
+    assert(contA == 1.0, s"quote containment must be exact 1.0, got $contA")
+    assert(contB < 0.1 && jacc < 0.1,
+      s"asymmetric pair must have low reverse containment/jaccard: $contB, $jacc")
+    // no pair among the boilerplate docs: their only shared gram is capped
+    assert(out.keys.forall { case (a, b) => a == 1L && b == 2L },
+      s"df cap failed, got pairs: ${out.keys}")
+  }
 }

@@ -350,4 +350,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"),
       "the run-length fold must stay per-row")
   }
+
+  test("l42: kmv k-smallest is two-phase — partial window on (source, pid)") {
+    val p = plan("l42_kmv_distinct")
+    // a source's whole gram-hash set must never sort in one task
+    assert(p.contains("pid"), p.take(1200))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(1200)}")
+  }
+
+  test("l43: containment pairs on hashed postings — no nested loop, partial aggs") {
+    val p = plan("l43_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // df cap and pair counting both partial-combine map-side
+    assert(p.contains("partial_count"), p.take(1600))
+  }
 }
