@@ -196,6 +196,11 @@ object LlmQueries {
     "l43_containment" -> { (s, dir) =>
       TextDedup.containmentPairs(Tables.documents(s, dir)) },
 
+    // collocation mining: top bigrams by lift (log-free PMI) — phrase
+    // discovery for tokenizer vocab / multi-word entities
+    "l44_collocations" -> { (s, dir) =>
+      TextStats.collocations(Tables.documents(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -747,6 +752,32 @@ object LlmQueries {
         |        JOIN sz sb ON doc_b = sb.doc_id
         |WHERE greatest(shared * 1.0 / sa.n, shared * 1.0 / sb.n) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // collocation mirror: bigram counts, marginals from the aggregated
+    // table, the identical double-division chain, deterministic total
+    // order (lift desc, w1, w2) so the top-k has no tie ambiguity
+    "l44_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(w) AS word,
+        |          generate_subscripts(w, 1) AS i FROM toks),
+        |bg AS (SELECT a.word AS w1, b.word AS w2
+        |       FROM pos a JOIN pos b
+        |         ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |c AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM c GROUP BY 1),
+        |cy AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM c GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS nb FROM c),
+        |l AS (SELECT c.w1, c.w2, c_xy, c_x, c_y,
+        |        CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) /
+        |          CAST(c_y AS DOUBLE) * CAST(nb AS DOUBLE) AS lift
+        |      FROM c JOIN cx USING (w1) JOIN cy USING (w2), nt
+        |      WHERE c_xy >= 5)
+        |SELECT * FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER
+        |      (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rk,
+        |    w1, w2, c_xy, c_x, c_y, lift
+        |  FROM l)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

@@ -657,4 +657,51 @@ object TextStats {
           .otherwise(est).as("kmv_est"))
       .orderBy("source")
   }
+
+  /** Collocation mining — the top-k bigrams by LIFT, the log-free PMI:
+    * lift(x,y) = P(xy) / (P(x·)·P(·y)) = c_xy·N / (c_x·c_y), where c_x /
+    * c_y count x as a bigram head / y as a tail and N is the corpus bigram
+    * total. Lift ≫ 1 marks words that co-occur far above chance — the
+    * phrase-mining primitive behind tokenizer-vocabulary construction and
+    * multi-word-entity discovery (Manning & Schütze ch. 5). Log-free for
+    * the same reason as BM25's odds-ratio idf (l31): identical top-k,
+    * engine-exact IEEE arithmetic. `minCount` suppresses the
+    * one-observation noise that dominates raw lift rankings.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the partial-aggregated bigram
+    * count); the marginals c_x, c_y and the total N all derive from that
+    * already-aggregated vocab²-bounded table and broadcast back onto it.
+    * The ratio is computed double ÷ double ÷ double × double — no integer
+    * product that could overflow at corpus scale — and the final top-k is
+    * a TakeOrderedAndProject, never a global sort. The bigram-count table
+    * persists MEMORY_AND_DISK (read by the marginals, the total, and the
+    * join base) — see [[TextDedup]]'s cache-lifecycle note. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val bigrams = docs
+      .select(explode(when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => struct(element_at(w, i + 1).as("w1"),
+            element_at(w, i + 2).as("w2"))))
+        .otherwise(array())).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cx = counts.groupBy("w1").agg(sum("c_xy").as("c_x"))
+    val cy = counts.groupBy("w2").agg(sum("c_xy").as("c_y"))
+    val n = counts.agg(sum("c_xy").as("nb"))
+    val scored = counts.filter(col("c_xy") >= minCount)
+      .join(broadcast(cx), "w1")
+      .join(broadcast(cy), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        col("c_xy").cast("double") / col("c_x").cast("double") /
+          col("c_y").cast("double") * col("nb").cast("double"))
+    val ord = Seq(col("lift").desc, col("w1"), col("w2"))
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rk", "w1", "w2", "c_xy", "c_x", "c_y", "lift")
+      .orderBy("rk")
+  }
 }

@@ -263,6 +263,24 @@ object AnalyticsQueries {
           (least(col("a_hi"), col("b_hi")) -
             greatest(col("a_lo"), col("b_lo"))).as("ov"))
         .orderBy("ua", "ub", "sa", "sb")
+    },
+
+    // Histogram-quantile sketch (q18): per-event-type value quantiles
+    // from a 128-cell fixed grid — the mergeable, bounded-state scale
+    // path q7's exact percentile (full per-group sort) is not. Exact
+    // p50 rides along as the audit column (the l42 principle: the
+    // output carries its own error evidence; q7 proved percentile
+    // parity with DuckDB's quantile_cont).
+    "q18_hist_quantile" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches
+        .histQuantile(ev, "event_type", "value")
+        .join(ev.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("exact_p50")),
+          "event_type")
+        .select("event_type", "n", "lo", "hi",
+          "est_p50", "est_p90", "est_p99", "exact_p50")
+        .orderBy("event_type")
     }
   )
 
@@ -422,6 +440,41 @@ object AnalyticsQueries {
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirror of Sketches.histQuantile: identical IEEE bin/boundary
+    // arithmetic, upper-boundary pick at ceil(q*n)
+    "q18_hist_quantile" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN st.hi = st.lo THEN 0
+        |         ELSE least(CAST(floor((e.value - st.lo) /
+        |                ((st.hi - st.lo) / 128.0)) AS BIGINT), 127)
+        |    END AS bin
+        |  FROM events e JOIN st USING (event_type)),
+        |bc AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cm AS (SELECT event_type, bin,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM bc),
+        |est AS (
+        |  SELECT st.event_type, st.n, st.lo, st.hi,
+        |    MIN(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE))
+        |      THEN st.lo + (bin + 1) * ((st.hi - st.lo) / 128.0) END) AS est_p50,
+        |    MIN(CASE WHEN cum >= ceil(0.9 * CAST(n AS DOUBLE))
+        |      THEN st.lo + (bin + 1) * ((st.hi - st.lo) / 128.0) END) AS est_p90,
+        |    MIN(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE))
+        |      THEN st.lo + (bin + 1) * ((st.hi - st.lo) / 128.0) END) AS est_p99
+        |  FROM cm JOIN st USING (event_type)
+        |  GROUP BY st.event_type, st.n, st.lo, st.hi)
+        |SELECT est.event_type, n, lo, hi, est_p50, est_p90, est_p99,
+        |  x.exact_p50
+        |FROM est JOIN (SELECT event_type,
+        |                 round(quantile_cont(value, 0.5), 6) AS exact_p50
+        |               FROM events GROUP BY 1) x USING (event_type)
+        |ORDER BY est.event_type""".stripMargin
   )
 }

@@ -111,4 +111,48 @@ class OperatorsSpec extends SparkSpec {
       assert(got.length == got.toSet.size, s"duplicate pairs at binWidth=$w")
     }
   }
+
+  test("hist quantile: estimates within one bin width above the order stat") {
+    import spark.implicits._
+    val bins = 128
+    // group g1: 0..999 uniform; g2: a single repeated value (degenerate)
+    val rows = (0 until 1000).map(i => ("g1", i.toDouble)) ++
+      Seq.fill(10)(("g2", 42.0))
+    val out = graft.operators.Sketches
+      .histQuantile(rows.toDF("grp", "v"), "grp", "v", Seq(0.5, 0.9, 0.99), bins)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val (n1, lo1, hi1, ests) = out("g1")
+    assert(n1 == 1000 && lo1 == 0.0 && hi1 == 999.0)
+    val width = (hi1 - lo1) / bins
+    for ((q, est) <- Seq(0.5, 0.9, 0.99).zip(ests)) {
+      // the ceil(q*n)-th order statistic lies inside the chosen bin, so
+      // the reported upper boundary exceeds it by at most one bin width
+      val orderStat = math.ceil(q * n1).toLong - 1 // value == its index
+      assert(est >= orderStat && est <= orderStat + width + 1e-9,
+        s"q=$q: est $est vs order stat $orderStat (width $width)")
+    }
+    val (n2, lo2, _, ests2) = out("g2")
+    assert(n2 == 10 && ests2.forall(_ == lo2),
+      s"degenerate group must report lo for every quantile: $ests2")
+  }
+
+  test("collocations: planted adjacent pair tops lift; frequent-independent ranks below") {
+    import spark.implicits._
+    // 'new york' always adjacent (30x); 'the'/'cat' frequent but paired
+    // with many different neighbors → lift near 1
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"the cat$i sat on new york mat$i the dog$i")
+    }.toDF("doc_id", "text")
+    val out = graft.llm.TextStats.collocations(docs, minCount = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(6)))
+    assert(out.nonEmpty)
+    val top = out.minBy(_._1)
+    assert(top._2 == "new" && top._3 == "york", s"top collocation: $top")
+    // lift of the always-adjacent pair: c_xy=c_x=c_y=30 → lift = N/30
+    val n = 30L * 8 // bigrams per doc = tokens - 1 = 8
+    assert(math.abs(top._4 - n.toDouble / 30.0) < 1e-9, s"lift ${top._4}")
+  }
 }

@@ -366,4 +366,19 @@ class PlanShapeSpec extends SparkSpec {
     // df cap and pair counting both partial-combine map-side
     assert(p.contains("partial_count"), p.take(1600))
   }
+
+  test("q18: hist-quantile stats broadcast onto the scan; bin counts partial") {
+    val p = plan("q18_hist_quantile")
+    // the group-count-sized stats frame must broadcast, never shuffle the
+    // corpus side; bin counting partial-combines map-side
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("l44: collocation top-k is TakeOrdered; marginals broadcast") {
+    val p = plan("l44_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must never be a global sort")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
