@@ -730,20 +730,19 @@ object LlmQueries {
         |FROM ex LEFT JOIN kth ON ex.source = kth.source
         |ORDER BY ex.source""".stripMargin,
 
-    // containment mirror: df-capped posting self-join on 60-bit gram
-    // hashes, full-set denominators, both containment directions
+    // containment mirror: df-capped posting self-join, full-set
+    // denominators, both containment directions. The oracle pairs on gram
+    // STRINGS where Spark pairs on the codegen'd XXH64 gram hashes —
+    // identical modulo 2^-64 collisions (the l29 caveat)
     "l43_containment" ->
       s"""WITH $shingleCte,
         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-        |e AS (SELECT doc_id,
-        |        CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
-        |      FROM sh),
-        |dfok AS (SELECT h FROM e GROUP BY h
+        |dfok AS (SELECT s FROM sh GROUP BY s
         |         HAVING COUNT(*) <= ${TextDedup.ContainmentDfCap}),
-        |ce AS (SELECT e.doc_id, e.h FROM e JOIN dfok USING (h)),
+        |ce AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         COUNT(*) AS shared
-        |       FROM ce a JOIN ce b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       FROM ce a JOIN ce b ON a.s = b.s AND a.doc_id < b.doc_id
         |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
         |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
         |  shared * 1.0 / sa.n AS cont_a, shared * 1.0 / sb.n AS cont_b,

@@ -705,22 +705,28 @@ object TextDedup {
     * consumer separates subset-inclusion (high max-containment, low
     * Jaccard) from near-identity (both high).
     *
-    * Scale shape: postings shuffle 8-byte hashes, never strings; the df
-    * cap bounds every posting list, so pair volume is ≤ Σ df² with df ≤
-    * the cap — no quadratic bucket. The pair aggregate shuffles on the
-    * (doc_a, doc_b) key, and the two size joins are plain co-partitioned
-    * equi-joins. 2⁻⁶⁰ hash collisions could only inflate `shared` by
-    * colliding grams inside one document pair — negligible against the
-    * gram counts involved. */
+    * Scale shape: the gram sets come from the codegen'd [[NGramHashes]]
+    * kernel (the HOF string-shingle form costs ~50 µs/row — the l2/l29
+    * lesson, re-measured here), so postings shuffle 8-byte hashes and
+    * strings are never materialized; the df cap bounds every posting
+    * list, so pair volume is ≤ Σ df² with df ≤ the cap — no quadratic
+    * bucket. The pair aggregate shuffles on the (doc_a, doc_b) key, and
+    * the two size joins are plain co-partitioned equi-joins. The oracle
+    * groups on gram STRINGS — agreement is modulo 2⁻⁶⁴ XXH64 collisions
+    * (the [[graft.llm.TextStats.topNgrams]] caveat), which could only
+    * perturb `shared`/`n` by colliding grams inside one document. */
   def containmentPairs(docs: DataFrame, minShared: Int = 3,
       minContainment: Double = 0.2): DataFrame = {
-    val sh = shingled(docs)
-    val sizes = sh.select(col("doc_id"),
-      size(col("shingles")).cast("long").as("n"))
-    val posts = sh
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val hsets = docs.select(col("doc_id"),
+      graft.functions.NGramHashes(split(col("text"), " "), 3).as("hs"))
+    val sizes = hsets.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n"))
+    // persisted so the df aggregate and both self-join sides read 8-byte
+    // rows from cache instead of re-running the corpus scan (the l20
+    // postings pattern; see the cache-lifecycle note above)
+    val posts = hsets
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfOk = posts.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainmentDfCap).select("h")
     val capped = posts.join(dfOk, Seq("h"))

@@ -28,6 +28,18 @@ object TextStats {
   private def countIn(w: Column, words: Seq[String]): Column =
     size(filter(w, t => words.map(t === _).reduce(_ || _)))
 
+  /** Spread a narrow input across the cluster before a CPU-heavy per-row
+    * kernel. A small parquet table arrives as one scan partition
+    * (maxPartitionBytes ≫ file size), which serializes the kernel on one
+    * task; at real scale the scan already has thousands of partitions and
+    * this is a no-op — the repartition only fires when the input's
+    * parallelism is below the cluster's, so the 100 TB plan never pays a
+    * gratuitous corpus shuffle. */
+  private[llm] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** doc_id, n_tokens, n_unique, ttr, avg_token_len, stop_ratio, bpe_est. */
   def textStats(docs: DataFrame): DataFrame =
     docs
@@ -633,7 +645,11 @@ object TextStats {
     val grams = when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", slice(w, i + 1, lit(3))))).otherwise(array())
-    val dist = docs
+    // the gram-string + md5 kernel must stay md5 (the oracle derives the
+    // estimate from the k-th md5), so unlike l43's XXH64 postings it can't
+    // ride a codegen'd hash kernel — spread the corpus instead so the
+    // per-row work parallelizes even from a one-partition scan
+    val dist = spread(docs)
       .select(col("source"), explode(grams).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
@@ -679,7 +695,7 @@ object TextStats {
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = split(col("text"), " ")
-    val bigrams = docs
+    val bigrams = spread(docs)
       .select(explode(when(size(w) >= 2,
         transform(sequence(lit(0), size(w) - 2),
           i => struct(element_at(w, i + 1).as("w1"),
