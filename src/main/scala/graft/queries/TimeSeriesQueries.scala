@@ -276,6 +276,38 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       latestProfiles(s.table("m18_state")).orderBy("user_id")
+    },
+
+    // STREAM-STATIC enrichment join through the oracle gate: the live
+    // event stream joins a STATIC dimension (each user's all-time
+    // purchase profile, read as a plain batch frame) — the production
+    // "enrich the stream with the dim table" shape. The static side is
+    // group-count-sized, so the streaming engine broadcasts it into
+    // every micro-batch; no stream state at all (unlike m17), which is
+    // why results are trivially batch-split-invariant. Left join keeps
+    // users who never purchased (profile columns null) so the gate
+    // checks the outer semantics too. user_id < 25 bounds output.
+    "m19_stream_enrich" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dim = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          asDouble(sum(dec2(col("value")))).as("purchase_total"))
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
+        .filter(col("user_id") < 25 && col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          tsec(timestamp_seconds(expr("ts div 1000000000"))).as("t"))
+      val enriched = src.join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("t"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          col("purchase_total"))
+      val q = enriched.writeStream.format("memory").queryName("m19_enrich")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m19_enrich").orderBy("event_id")
     }
   )
 
@@ -465,6 +497,19 @@ object TimeSeriesQueries {
       s"""SELECT user_id, COUNT(*) AS n, MIN($t) AS min_t, MAX($t) AS max_t,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE user_id < 40
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the batch form of the stream-static enrichment: clicks left-join
+    // the per-user purchase profile
+    "m19_stream_enrich" ->
+      s"""WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS n_purchases,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT e.event_id, e.user_id, ($t) AS t,
+        |  COALESCE(dim.n_purchases, 0) AS n_purchases, dim.purchase_total
+        |FROM events e LEFT JOIN dim USING (user_id)
+        |WHERE e.user_id < 25 AND e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -686,6 +686,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static left join enriches every micro-batch from the dim (m19 shape)") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)](Encoders.product[(Long, Long)], spark)
+    val dim = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "total")
+    val enriched = mem.toDF().toDF("event_id", "user_id")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, 1L), (101L, 3L)) // user 3 has no dim row
+      q.processAllAvailable()
+      mem.addData((102L, 2L)) // a later batch still sees the static dim
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "user_id", "total")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == Set((100L, 1L, Some(10.0)), (101L, 3L, None),
+        (102L, 2L, Some(20.0))), s"got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running profile across batches = batch aggregate (m18)") {
     import graft.queries.TimeSeriesQueries.{UserEvent, latestProfiles, userProfileStream}
     val mem = MemoryStream[UserEvent](Encoders.product[UserEvent], spark)
