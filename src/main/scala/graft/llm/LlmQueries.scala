@@ -373,6 +373,48 @@ object LlmQueries {
           sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
         .orderBy("lang") },
 
+    // Incremental admission composite (c7) — the accounting view a
+    // CONTINUOUS ingestion service emits per crawl batch: arrivals run
+    // the staged gauntlet (exact-dup vs the standing corpus AND within
+    // the batch → benchmark decontamination → Gopher quality rules) and
+    // the per-source report says where each document fell out. Composes
+    // three verified fragments (l18's fingerprint anti-join, l15's
+    // 8-gram benchmark hits, c2's rule chain) — the c3/c4 principle:
+    // the COMPOSITION is the verified object, so a drift in any staged
+    // decision breaks this gate even if each piece stays green. Scale
+    // shape: the flag frames are batch-sized or smaller (AQE broadcasts
+    // them), quality is the zero-shuffle projection, and the report is
+    // one partial-aggregated shuffle on source.
+    "c7_incremental_admit" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+      val fresh = TextDedup.exactDedupAgainst(corpus, batch)
+        .select(col("doc_id"), lit(true).as("fresh"))
+      // benchmark = docs < 50 (wider than l15's < 20: the batch must
+      // contain REAL contamination hits — 5 at sf0.01 — so this stage of
+      // the gate is never vacuously zero)
+      val contam = TextDedup
+        .decontaminate(batch, d.filter(col("doc_id") < 50))
+        .select(col("doc_id"), lit(true).as("contam"))
+      val quality = TextStats.qualityFilter(batch).select("doc_id", "pass")
+      batch.select(col("doc_id"), col("source"))
+        .join(fresh, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(quality, Seq("doc_id"))
+        .withColumn("fresh", coalesce(col("fresh"), lit(false)))
+        .withColumn("contam", coalesce(col("contam"), lit(false)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(when(!col("fresh"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("fresh") && col("contam"), 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(col("fresh") && !col("contam") && !col("pass"), 1L)
+            .otherwise(0L)).as("n_quality_fail"),
+          sum(when(col("fresh") && !col("contam") && col("pass"), 1L)
+            .otherwise(0L)).as("n_admitted"))
+        .orderBy("source") },
+
     // Export manifest (c4) — the WRITE tail of the pipeline c3 stops
     // short of: quality gate → deterministic train/val/test split (l16)
     // → reproducible shard + training-order assignment (l25) → the
@@ -1427,6 +1469,65 @@ object LlmQueries {
         |  (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |   AND stop_hits >= 2 AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.3) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the staged admission gauntlet: l18's fingerprint anti-join, l15's
+    // benchmark 8-gram hits, c2's rule chain, one per-source rollup
+    "c7_incremental_admit" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents),
+        |fresh AS (SELECT MIN(i.doc_id) AS doc_id
+        |          FROM fp i
+        |          WHERE i.doc_id >= 250
+        |            AND NOT EXISTS (SELECT 1 FROM fp c
+        |                            WHERE c.doc_id < 250
+        |                              AND c.fingerprint = i.fingerprint)
+        |          GROUP BY i.fingerprint),
+        |toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(len(w) - 7),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 8 AS INTEGER)], ' ')))) AS s
+        |      FROM toks WHERE len(w) >= 8),
+        |bench AS (SELECT DISTINCT s FROM g8 WHERE doc_id < 50),
+        |contam AS (SELECT DISTINCT t.doc_id FROM g8 t JOIN bench b USING (s)
+        |           WHERE t.doc_id >= 250),
+        |b AS (SELECT doc_id, text, w,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |          ELSE CAST([] AS VARCHAR[]) END AS big,
+        |        greatest(len(w) - 2, 0) AS n3,
+        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
+        |          ELSE 0 END AS d3
+        |      FROM toks WHERE doc_id >= 250),
+        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1),
+        |q AS (SELECT b.doc_id,
+        |        (len(b.w) BETWEEN 50 AND 100000
+        |         AND (length(b.text) - (len(b.w) - 1)) * 1.0 / len(b.w) BETWEEN 3.0 AND 10.0
+        |         AND len(list_filter(b.w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) >= 2
+        |         AND (CASE WHEN len(b.big) = 0 THEN 0.0
+        |              ELSE COALESCE(mx.top, 0) * 1.0 / len(b.big) END) <= 0.2
+        |         AND (CASE WHEN b.n3 = 0 THEN 0.0
+        |              ELSE (b.n3 - b.d3) * 1.0 / b.n3 END) <= 0.3) AS pass
+        |      FROM b LEFT JOIN mx USING (doc_id)),
+        |flags AS (
+        |  SELECT d.source,
+        |    (fresh.doc_id IS NOT NULL) AS is_fresh,
+        |    (contam.doc_id IS NOT NULL) AS is_contam,
+        |    q.pass
+        |  FROM documents d
+        |  LEFT JOIN fresh ON d.doc_id = fresh.doc_id
+        |  LEFT JOIN contam ON d.doc_id = contam.doc_id
+        |  JOIN q ON d.doc_id = q.doc_id
+        |  WHERE d.doc_id >= 250)
+        |SELECT source, COUNT(*) AS n_arrived,
+        |  CAST(SUM(CASE WHEN NOT is_fresh THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN is_fresh AND is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN is_fresh AND NOT is_contam AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+        |  CAST(SUM(CASE WHEN is_fresh AND NOT is_contam AND pass THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
 
     "c1_curate" ->
       """WITH sc AS (
