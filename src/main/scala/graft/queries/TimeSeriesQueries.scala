@@ -308,6 +308,33 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m19_enrich").orderBy("event_id")
+    },
+
+    // Rolling-window aggregates (m20): the TSDB moving average/min/max —
+    // per (user, event_type) series, a trailing 7-observation frame.
+    // Constant per-row state (the frame is row-count-bounded), ONE window
+    // shuffle on the series key, zero joins (plan-pinned, the m12 shape).
+    // The mean divides an exact-decimal frame sum by the frame count, so
+    // the double is bit-identical on both engines even though the frame's
+    // membership is position-dependent.
+    "m20_moving_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("t"), col("value"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("t"), col("event_id")).rowsBetween(-6, 0)
+      pts
+        .withColumn("mov_avg",
+          asDouble(sum(dec2(col("value"))).over(w)) /
+            count(lit(1)).over(w))
+        .withColumn("mov_min", min("value").over(w))
+        .withColumn("mov_max", max("value").over(w))
+        .select("event_id", "user_id", "event_type", "t",
+          "mov_avg", "mov_min", "mov_max")
+        .orderBy("user_id", "event_type", "t", "event_id")
     }
   )
 
@@ -510,6 +537,21 @@ object TimeSeriesQueries {
         |  COALESCE(dim.n_purchases, 0) AS n_purchases, dim.purchase_total
         |FROM events e LEFT JOIN dim USING (user_id)
         |WHERE e.user_id < 25 AND e.event_type = 'click'
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // identical trailing frame; the mean is exact-decimal-sum / count
+    "m20_moving_avg" ->
+      """WITH pts AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+        |  FROM events WHERE user_id < 50)
+        |SELECT event_id, user_id, event_type, t,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS mov_avg,
+        |  MIN(value) OVER w AS mov_min,
+        |  MAX(value) OVER w AS mov_max
+        |FROM pts
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_type, t, event_id""".stripMargin
   )
 }

@@ -375,6 +375,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
+  test("m20: rolling aggregates are one window exchange, no join") {
+    val p = plan("m20_moving_avg")
+    // one Window node (all three frames share it), no join anywhere
+    assert(p.linesIterator.count(_.startsWith("(")) == 0 ||
+      p.contains("Window"), p.take(800))
+    val windowNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(windowNodes == 1, s"expected ONE shared window stage:\n${p.take(1200)}")
+    assert(!p.linesIterator.exists(_.contains("Join")),
+      s"a trailing frame needs no join:\n${p.take(1200)}")
+  }
+
   test("l44: collocation top-k is TakeOrdered; marginals broadcast") {
     val p = plan("l44_collocations")
     assert(p.contains("TakeOrderedAndProject"),
