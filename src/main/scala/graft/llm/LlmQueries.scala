@@ -201,6 +201,13 @@ object LlmQueries {
     "l44_collocations" -> { (s, dir) =>
       TextStats.collocations(Tables.documents(s, dir)) },
 
+    // product quantization: per-subspace k-means codebooks, 4-byte codes,
+    // reconstruction audit — the faiss-PQ compression face next to l30's
+    // SQ8 (the codebook training is the l10 bit-reproducible Lloyd's,
+    // once per subspace)
+    "l45_pq_quantize" -> { (s, dir) =>
+      Similarity.pqQuantize(Tables.embeddings(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -500,6 +507,55 @@ object LlmQueries {
 
   private val duckCosine =
     "list_reduce(list_transform(list_zip(%s, %s), z -> z[1] * z[2]), (a, b) -> a + b) / (%s * %s)"
+
+  /** CTE chain for l45: per-subspace Lloyd's training (the cellChainCtes
+    * template, once per subspace on the sliced sample), code assignment
+    * for every vector, and the reconstruction-error folds — ending in
+    * `m<i>err(vec_id, code<i>, sq<i>, mx<i>)` per subspace. Testdata
+    * embeddings are 64-dim (TESTDATA.md), so each of the PqM=4 subspaces
+    * is a 16-dim slice. */
+  private lazy val pqCtes: String = {
+    val d2 = "list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)" +
+      " - 2.0 * list_reduce(list_transform(list_zip(%s, cv), z -> z[1] * z[2]), (a, b) -> a + b)"
+    val sub = 64 / Similarity.PqM
+    val chains = (0 until Similarity.PqM).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      val iters = (1 to Similarity.IvfIters).map { i =>
+        val prev = s"m${m}cent${i - 1}"
+        s"""m${m}sc$i AS (SELECT s.vec_id, s.v, c.cid, ${d2.format("s.v")} AS d
+           |       FROM m${m}samp s, $prev c),
+           |m${m}asg$i AS (SELECT vec_id, v, cid FROM (
+           |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |         FROM m${m}sc$i) WHERE rn = 1),
+           |m${m}agg$i AS (SELECT cid, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cnt
+           |        FROM m${m}asg$i GROUP BY cid),
+           |m${m}cent$i AS (SELECT c.cid, COALESCE(list_transform(
+           |           list_reduce(a.vs, (x, y) -> list_transform(list_zip(x, y), z -> z[1] + z[2])),
+           |           x -> x / a.cnt), c.cv) AS cv
+           |         FROM $prev c LEFT JOIN m${m}agg$i a ON a.cid = c.cid)""".stripMargin
+      }.mkString(",\n")
+      val centF = s"m${m}cent${Similarity.IvfIters}"
+      s"""m${m}samp AS (SELECT vec_id, v[$lo:$hi] AS v FROM pe
+         |        WHERE vec_id < ${Similarity.IvfTrainSample}),
+         |m${m}cent0 AS (SELECT vec_id AS cid, v AS cv FROM m${m}samp
+         |        WHERE vec_id < ${Similarity.PqK}),
+         |$iters,
+         |m${m}sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM pe),
+         |m${m}scf AS (SELECT s.vec_id, s.v, c.cid, c.cv, ${d2.format("s.v")} AS d
+         |       FROM m${m}sub s, $centF c),
+         |m${m}pick AS (SELECT vec_id, CAST(cid AS INTEGER) AS code$m,
+         |         list_transform(list_zip(v, cv), z -> abs(z[1] - z[2])) AS ev
+         |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |             FROM m${m}scf) WHERE rn = 1),
+         |m${m}err AS (SELECT vec_id, code$m,
+         |         list_reduce(list_transform(ev, x -> x * x), (a, b) -> a + b) AS sq$m,
+         |         list_max(ev) AS mx$m
+         |       FROM m${m}pick)""".stripMargin
+    }.mkString(",\n")
+    s"""pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$chains""".stripMargin
+  }
 
   /** CTE chain ending in `w(source, rel_weight)` + `k(doc_id, source,
     * text, u)` — the l32 temperature-weight derivation plus the
@@ -819,6 +875,20 @@ object LlmQueries {
         |    w1, w2, c_xy, c_x, c_y, lift
         |  FROM l)
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // per-subspace Lloyd's mirror + code assignment + error folds; the
+    // fixed-order subspace sum and greatest() match the Spark side
+    "l45_pq_quantize" ->
+      s"""WITH $pqCtes
+        |SELECT pe.vec_id, m0err.code0, m1err.code1, m2err.code2, m3err.code3,
+        |  ((m0err.sq0 + m1err.sq1) + m2err.sq2) + m3err.sq3 AS sq_err,
+        |  greatest(m0err.mx0, m1err.mx1, m2err.mx2, m3err.mx3) AS max_err
+        |FROM pe
+        |JOIN m0err ON pe.vec_id = m0err.vec_id
+        |JOIN m1err ON pe.vec_id = m1err.vec_id
+        |JOIN m2err ON pe.vec_id = m2err.vec_id
+        |JOIN m3err ON pe.vec_id = m3err.vec_id
+        |ORDER BY pe.vec_id""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

@@ -1031,6 +1031,22 @@ class LlmSpec extends SparkSpec {
     assert(again("big") == estBig)
   }
 
+  test("pq: codes in range, codebook non-degenerate, partitioning-invariant") {
+    val out = Similarity.pqQuantize(embs).collect()
+    assert(out.length > 0)
+    val codes = out.map(r => (0 until Similarity.PqM).map(m => r.getInt(1 + m)))
+    assert(codes.flatten.forall(c => c >= 0 && c < Similarity.PqK))
+    // a trained codebook spreads vectors over many codes per subspace
+    (0 until Similarity.PqM).foreach { m =>
+      val used = codes.map(_(m)).distinct.length
+      assert(used > Similarity.PqK / 2, s"subspace $m uses only $used codes")
+    }
+    assert(out.forall(r => r.getDouble(1 + Similarity.PqM) >= 0.0))
+    // pure function of the data: invariant to input partitioning
+    val again = Similarity.pqQuantize(embs.repartition(7)).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("containment: verbatim quote scores 1.0 with low jaccard; df cap kills boilerplate pairs") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta"
