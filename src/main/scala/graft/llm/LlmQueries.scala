@@ -208,6 +208,11 @@ object LlmQueries {
     "l45_pq_quantize" -> { (s, dir) =>
       Similarity.pqQuantize(Tables.embeddings(s, dir)) },
 
+    // ADC search over the PQ codes: probe-side lookup tables, corpus
+    // comparisons are 4 array lookups + a sum — PQ as a SEARCH path
+    "l46_ann_pq" -> { (s, dir) =>
+      Similarity.annPq(Tables.embeddings(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -889,6 +894,44 @@ object LlmQueries {
         |JOIN m2err ON pe.vec_id = m2err.vec_id
         |JOIN m3err ON pe.vec_id = m3err.vec_id
         |ORDER BY pe.vec_id""".stripMargin,
+
+    // ADC mirror: per-(query, centroid) subspace distances join the code
+    // table; the probe-minus-centroid fold and the fixed-order subspace
+    // sum match the Spark side
+    "l46_ann_pq" -> {
+      val it = Similarity.IvfIters
+      val sub = 64 / Similarity.PqM
+      val dms = (0 until Similarity.PqM).map { m =>
+        val lo = m * sub + 1
+        val hi = (m + 1) * sub
+        s"""d$m AS (SELECT p.query_id, c.cid,
+           |        list_reduce(list_transform(list_zip(p.v[$lo:$hi], c.cv),
+           |          z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) AS dm
+           |      FROM p, m${m}cent$it c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $pqCtes,
+        |codes AS (SELECT pe.vec_id, m0err.code0, m1err.code1, m2err.code2, m3err.code3
+        |          FROM pe
+        |          JOIN m0err ON pe.vec_id = m0err.vec_id
+        |          JOIN m1err ON pe.vec_id = m1err.vec_id
+        |          JOIN m2err ON pe.vec_id = m2err.vec_id
+        |          JOIN m3err ON pe.vec_id = m3err.vec_id),
+        |p AS (SELECT vec_id AS query_id, v FROM pe WHERE vec_id < 20),
+        |$dms,
+        |adc AS (SELECT d0.query_id, x.vec_id,
+        |          (((d0.dm + d1.dm) + d2.dm) + d3.dm) AS dist
+        |        FROM codes x
+        |        JOIN d0 ON d0.cid = x.code0
+        |        JOIN d1 ON d1.query_id = d0.query_id AND d1.cid = x.code1
+        |        JOIN d2 ON d2.query_id = d0.query_id AND d2.cid = x.code2
+        |        JOIN d3 ON d3.query_id = d0.query_id AND d3.cid = x.code3
+        |        WHERE x.vec_id <> d0.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

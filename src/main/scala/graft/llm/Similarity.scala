@@ -644,4 +644,51 @@ object Similarity {
         Seq(sqErr.as("sq_err"), maxErr.as("max_err")): _*)
       .orderBy("vec_id")
   }
+
+  /** ADC search over the PQ codes — the asymmetric-distance scan that
+    * makes [[pqQuantize]] a SEARCH path, not just compression (Jégou et
+    * al. §III): each probe precomputes one [[PqK]]-entry lookup table per
+    * subspace (‖q_m − centroid‖², a probe-side constant), and every
+    * corpus comparison is then PqM array lookups + a fixed-order sum —
+    * no float vector is ever read at scan time. Approximation contract:
+    * distances are exact to the QUANTIZED corpus vector; recall vs the
+    * float-exact l3 ranking is the codebook-quality question the l45
+    * audit column measures.
+    *
+    * Scale shape: the probes (with their tables) broadcast, the corpus
+    * side scans 4-byte codes, and the per-probe top-k is the annBrute
+    * two-phase tournament. Output: (query_id, rank, neighbor_id). */
+  def annPq(embeddings: DataFrame, probeMax: Int = 20, k: Int = 5): DataFrame = {
+    val books = trainPqCodebooks(embeddings)
+    val sub = books.head.head.length
+    val codes = pqQuantize(embeddings)
+      .select(Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"code$m")): _*)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val luts = (0 until PqM).map { m =>
+      val qm = slice(col("qv"), m * sub + 1, sub)
+      val book = typedLit(books(m).map(_.toSeq).toSeq)
+      transform(book, c =>
+        aggregate(zip_with(qm, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e)).as(s"lut$m")
+    }
+    val probes = embeddings.filter(col("vec_id") < probeMax)
+      .select(Seq(col("vec_id").as("query_id"), v.as("qv")) : _*)
+      .select(Seq(col("query_id")) ++ luts: _*)
+    val dist = (0 until PqM)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .reduceLeft(_ + _)
+    val w1 = Window.partitionBy("query_id", "pid")
+      .orderBy(col("dist"), col("vec_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
 }

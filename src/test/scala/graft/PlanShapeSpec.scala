@@ -386,6 +386,15 @@ class PlanShapeSpec extends SparkSpec {
       s"a trailing frame needs no join:\n${p.take(1200)}")
   }
 
+  test("l46: ADC top-k is two-phase; probe tables broadcast") {
+    val p = plan("l46_ann_pq")
+    assert(p.contains("pid"), p.take(1200))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange"),
+      "probes with their lookup tables must broadcast")
+  }
+
   test("l44: collocation top-k is TakeOrdered; marginals broadcast") {
     val p = plan("l44_collocations")
     assert(p.contains("TakeOrderedAndProject"),
