@@ -16,6 +16,25 @@ import graft.queries.QUtil._
   * db.go:480-482) — they come free from Catalyst, and the judge's coverage
   * check expects them demonstrated and oracle-verified.
   */
+/** SQL shared verbatim between Spark (`spark.sql`) and the DuckDB oracle —
+  * staying inside the ANSI ∩ {Spark, DuckDB} dialect subset (explicit
+  * decimal casts, no engine-specific functions) is what makes one string
+  * serve as both the query and its own oracle. */
+object SharedSql {
+  /** TPC-H Q5-style revenue-by-region over finished orders. */
+  val q19: String =
+    """SELECT r_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY r_name
+      |ORDER BY revenue DESC, r_name""".stripMargin
+}
+
 object AnalyticsQueries {
 
   val queries: Map[String, QFn] = Map(
@@ -265,6 +284,18 @@ object AnalyticsQueries {
         .orderBy("ua", "ub", "sa", "sb")
     },
 
+    // The spark.sql entry point (q19): the SAME ANSI string runs on both
+    // engines — Spark executes it over registered temp views, DuckDB
+    // executes it as the oracle verbatim. Proves the SQL face of the
+    // library (a reference user can bring raw SQL, not just the
+    // DataFrame API) and that Catalyst plans it like the q3 DataFrame
+    // twin: dims broadcast, partial aggs, pushed filter.
+    "q19_sql" -> { (s, dir) =>
+      Seq("region", "nation", "customer", "orders", "lineitem")
+        .foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SharedSql.q19)
+    },
+
     // Histogram-quantile sketch (q18): per-event-type value quantiles
     // from a 128-cell fixed grid — the mergeable, bounded-state scale
     // path q7's exact percentile (full per-group sort) is not. Exact
@@ -441,6 +472,9 @@ object AnalyticsQueries {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the SAME string spark.sql executes — one SQL, two engines
+    "q19_sql" -> SharedSql.q19,
 
     // mirror of Sketches.histQuantile: identical IEEE bin/boundary
     // arithmetic, upper-boundary pick at ceil(q*n)

@@ -367,6 +367,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1600))
   }
 
+  test("q19: raw SQL plans like its DataFrame twin — broadcast dims, partial agg, pushed filter") {
+    val p = plan("q19_sql")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "the fact table must not pre-shuffle")
+    assert(p.contains("partial_sum"), p.take(800))
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p.take(1600))
+  }
+
   test("q18: hist-quantile stats broadcast onto the scan; bin counts partial") {
     val p = plan("q18_hist_quantile")
     // the group-count-sized stats frame must broadcast, never shuffle the
