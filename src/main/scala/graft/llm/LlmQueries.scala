@@ -213,6 +213,11 @@ object LlmQueries {
     "l46_ann_pq" -> { (s, dir) =>
       Similarity.annPq(Tables.embeddings(s, dir)) },
 
+    // IVFADC (faiss IndexIVFPQ): the l10 coarse quantizer composed with
+    // the l46 ADC scan — nprobe inverted lists, 4-byte codes inside them
+    "l47_ann_ivfpq" -> { (s, dir) =>
+      Similarity.annIvfPq(Tables.embeddings(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -926,6 +931,50 @@ object LlmQueries {
         |        JOIN d2 ON d2.query_id = d0.query_id AND d2.cid = x.code2
         |        JOIN d3 ON d3.query_id = d0.query_id AND d3.cid = x.code3
         |        WHERE x.vec_id <> d0.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVFADC mirror: the l10 cell chain restricts candidates to each
+    // probe's nprobe cells; inside them the l46 ADC join scores 4-byte
+    // codes. Same fixed-order subspace sum, same (dist, vec_id) ties.
+    "l47_ann_ivfpq" -> {
+      val it = Similarity.IvfIters
+      val sub = 64 / Similarity.PqM
+      val dms = (0 until Similarity.PqM).map { m =>
+        val lo = m * sub + 1
+        val hi = (m + 1) * sub
+        s"""d$m AS (SELECT p.query_id, c.cid,
+           |        list_reduce(list_transform(list_zip(p.v[$lo:$hi], c.cv),
+           |          z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) AS dm
+           |      FROM p, m${m}cent$it c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cellChainCtes,
+        |$pqCtes,
+        |codes AS (SELECT m0err.vec_id, m0err.code0, m1err.code1, m2err.code2, m3err.code3
+        |          FROM m0err
+        |          JOIN m1err ON m0err.vec_id = m1err.vec_id
+        |          JOIN m2err ON m0err.vec_id = m2err.vec_id
+        |          JOIN m3err ON m0err.vec_id = m3err.vec_id),
+        |xc AS (SELECT cell.vec_id, cell.cell, codes.code0, codes.code1,
+        |         codes.code2, codes.code3
+        |       FROM cell JOIN codes ON cell.vec_id = codes.vec_id),
+        |pcells AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+        |           WHERE vec_id < 20 AND rn <= ${Similarity.IvfProbes}),
+        |p AS (SELECT vec_id AS query_id, v FROM pe WHERE vec_id < 20),
+        |$dms,
+        |adc AS (SELECT pc.query_id, x.vec_id,
+        |          (((d0.dm + d1.dm) + d2.dm) + d3.dm) AS dist
+        |        FROM pcells pc
+        |        JOIN xc x ON x.cell = pc.cell
+        |        JOIN d0 ON d0.query_id = pc.query_id AND d0.cid = x.code0
+        |        JOIN d1 ON d1.query_id = pc.query_id AND d1.cid = x.code1
+        |        JOIN d2 ON d2.query_id = pc.query_id AND d2.cid = x.code2
+        |        JOIN d3 ON d3.query_id = pc.query_id AND d3.cid = x.code3
+        |        WHERE x.vec_id <> pc.query_id),
         |r AS (SELECT query_id, vec_id,
         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
         |      FROM adc)

@@ -691,4 +691,72 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
+
+  /** IVFADC (Jégou et al. 2011 §IV): the [[annIvf]] coarse quantizer
+    * composed with the [[annPq]] asymmetric-distance scan — each probe
+    * searches only its [[IvfProbes]] nearest inverted lists, and inside
+    * those lists reads 4-byte PQ codes, never float vectors. This is the
+    * composition FAISS ships as `IndexIVFPQ`: the cell restriction bounds
+    * the scan to nprobe/cells of the corpus, the code scan bounds the
+    * per-candidate cost to PqM array lookups. (Codes quantize the raw
+    * vector, not the cell residual — the residual refinement is a
+    * documented simplification; recall is still measured against the
+    * float-exact l3 ranking via the l45 audit columns.)
+    *
+    * Scale shape: the corpus side is ONE projection (cell id + PqM codes,
+    * all from broadcast reference matrices — no join, no shuffle to
+    * build); at 100 TB it would be written `partitionBy(cell)` exactly as
+    * [[buildIvfIndex]] does, making every probe batch a DPP-pruned scan
+    * of nprobe/cells of the code table. Probes (with their per-subspace
+    * LUTs) broadcast; the re-rank is the annBrute two-phase tournament.
+    * Output: (query_id, rank, neighbor_id). */
+  def annIvfPq(embeddings: DataFrame, probeMax: Int = 20, k: Int = 5): DataFrame = {
+    val centroids = trainCentroids(embeddings)
+    val books = trainPqCodebooks(embeddings)
+    val sub = books.head.head.length
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val base = embeddings.select(col("vec_id"), v.as("v"))
+
+    // corpus side: one pass assigns the coarse cell + the PqM codes
+    val listed = (0 until PqM).foldLeft(
+        base.withColumn("cell",
+          graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))) {
+      (df, m) =>
+        df.withColumn(s"code$m",
+          element_at(
+            graft.functions.NearestCells(
+              slice(col("v"), m * sub + 1, sub), books(m), 1), 1))
+    }.drop("v")
+
+    // probe side: nprobe nearest cells + one PqK-entry ADC table per subspace
+    val luts = (0 until PqM).map { m =>
+      val qm = slice(col("qv"), m * sub + 1, sub)
+      val book = typedLit(books(m).map(_.toSeq).toSeq)
+      transform(book, c =>
+        aggregate(zip_with(qm, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e)).as(s"lut$m")
+    }
+    val probes = base.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(graft.functions.NearestCells(col("v"), centroids, IvfProbes))
+          .as("cell"))
+      .select(Seq(col("query_id"), col("cell")) ++ luts: _*)
+
+    val dist = (0 until PqM)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .reduceLeft(_ + _)
+    val w1 = Window.partitionBy("query_id", "pid")
+      .orderBy(col("dist"), col("vec_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    listed.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -1081,6 +1081,21 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.12, s"mean recall@5 vs exact L2 too low: $mean")
   }
 
+  test("ivfpq ADC search: valid ranks, no self-match, invariant to input partitioning") {
+    val out = Similarity.annIvfPq(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, _, n) => q != n })
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 20, s"every probe must find candidates: ${byQ.size}")
+    assert(byQ.values.forall(_.map(_._2).sorted.toSeq == (1 to 5)))
+    // pure function of the data (training sample is vec_id-bounded, the
+    // two-phase tournament is order-free): partitioning cannot move it
+    val again = Similarity.annIvfPq(embs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("containment: verbatim quote scores 1.0 with low jaccard; df cap kills boilerplate pairs") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta"

@@ -403,6 +403,17 @@ class PlanShapeSpec extends SparkSpec {
       "probes with their lookup tables must broadcast")
   }
 
+  test("l47: IVFADC candidates come from a cell equi-join, not a cross join; two-phase top-k") {
+    val p = plan("l47_ann_ivfpq")
+    assert(p.contains("pid"), p.take(1200))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2, s"expected two window stages:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "probes join their nprobe cells as a broadcast equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the cell restriction must bound the scan — no all-pairs join:\n${p.take(1200)}")
+  }
+
   test("l44: collocation top-k is TakeOrdered; marginals broadcast") {
     val p = plan("l44_collocations")
     assert(p.contains("TakeOrderedAndProject"),
