@@ -335,6 +335,55 @@ object TimeSeriesQueries {
         .select("event_id", "user_id", "event_type", "t",
           "mov_avg", "mov_min", "mov_max")
         .orderBy("user_id", "event_type", "t", "event_id")
+    },
+
+    // LEFT-OUTER stream-stream interval join through the oracle gate:
+    // m17's click↔purchase pairing, but clicks with NO purchase in their
+    // preceding 2 hours must ALSO emit (null purchase columns) — the
+    // state-EVICTION face of the join state machine, which the inner
+    // gate never exercises (inner emits on match; outer null rows emit
+    // only when the watermark proves no future match can arrive and the
+    // engine evicts the buffered click). Determinism: a null row for a
+    // click near the end of the stream would depend on exactly where
+    // the final watermark lands, so the gate keeps only clicks ≥ 12 h
+    // older than the watermark source (least of the two sides' max
+    // event times) — far below any eviction boundary (watermark delay
+    // 4 h + join interval 2 h), so every kept click has provably
+    // emitted, matched or null. The oracle mirrors the cutoff in SQL.
+    "m21_stream_outer" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = streamTable(s, eventsStreamSchema, dir, "events")
+        .filter(col("user_id") < 30)
+        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("c_tsec"))
+        .withWatermark("c_tsec", "4 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("tsec").as("p_tsec"),
+          col("value").as("purchase_value"))
+        .withWatermark("p_tsec", "4 hours")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+          col("p_tsec") <= col("c_tsec"), "left_outer")
+        .select(col("click_id"), col("user_id"),
+          tsec(col("c_tsec")).as("click_t"), col("purchase_id"),
+          tsec(col("p_tsec")).as("purchase_t"), col("purchase_value"))
+      val q = joined.writeStream.format("memory").queryName("m21_outer")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // watermark-safe cutoff from the batch table (one agg row)
+      val b = Tables.events(s, dir).filter(col("user_id") < 30)
+        .agg(max(when(col("event_type") === "click", tsec(col("ts")))),
+          max(when(col("event_type") === "purchase", tsec(col("ts")))))
+        .head()
+      val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
+      s.table("m21_outer").filter(col("click_t") <= cutoff)
+        .orderBy("click_id", "purchase_id")
     }
   )
 
@@ -538,6 +587,26 @@ object TimeSeriesQueries {
         |FROM events e LEFT JOIN dim USING (user_id)
         |WHERE e.user_id < 25 AND e.event_type = 'click'
         |ORDER BY e.event_id""".stripMargin,
+
+    // the batch form of the left-outer interval join, restricted to the
+    // watermark-safe click set (12 h below the least per-side max event
+    // time — the Spark side's eviction-determinism cutoff)
+    "m21_stream_outer" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, ($t) AS t, event_type, value
+        |  FROM events WHERE user_id < 30),
+        |cut AS (SELECT least(
+        |    (SELECT max(t) FROM ev WHERE event_type = 'click'),
+        |    (SELECT max(t) FROM ev WHERE event_type = 'purchase')) - 43200 AS c)
+        |SELECT c.event_id AS click_id, c.user_id, c.t AS click_t,
+        |  p.event_id AS purchase_id, p.t AS purchase_t,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.t >= c.t - 7200 AND p.t <= c.t
+        |WHERE c.t <= (SELECT c FROM cut)
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // identical trailing frame; the mean is exact-decimal-sum / count
     "m20_moving_avg" ->

@@ -686,6 +686,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null rows emit ONLY after watermark eviction (m21 shape)") {
+    val clicksMem = MemoryStream[(Long, Long, Timestamp)](
+      Encoders.product[(Long, Long, Timestamp)], spark)
+    val purchMem = MemoryStream[(Long, Long, Timestamp, Double)](
+      Encoders.product[(Long, Long, Timestamp, Double)], spark)
+    val clicks = clicksMem.toDF().toDF("click_id", "user_id", "c_tsec")
+      .withWatermark("c_tsec", "4 hours")
+    val purchases = purchMem.toDF()
+      .toDF("purchase_id", "p_user", "p_tsec", "purchase_value")
+      .withWatermark("p_tsec", "4 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+      col("p_tsec") <= col("c_tsec"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").start()
+    try {
+      def nullRows = spark.table("ssoj_out")
+        .filter(col("purchase_id").isNull)
+        .select("click_id").collect().map(_.getLong(0)).toSet
+      val H = 3600000L
+      // batch 1: an unmatched click; the engine cannot yet prove no
+      // purchase will arrive, so nothing emits
+      clicksMem.addData((100L, 1L, ts(T0)))
+      purchMem.addData((900L, 9L, ts(T0), 1.0))
+      q.processAllAvailable()
+      assert(nullRows.isEmpty, "no eviction before the watermark moves")
+      // batches 2-4: both sides' event time advances 12-14 h, carrying
+      // the global watermark past click 100's no-match horizon — its
+      // null row must emit; the newer clicks stay in state (watermark
+      // T0+10h < their event times) so they must NOT emit null rows
+      clicksMem.addData((101L, 1L, ts(T0 + 12 * H)))
+      purchMem.addData((901L, 9L, ts(T0 + 12 * H), 2.0))
+      q.processAllAvailable()
+      clicksMem.addData((102L, 3L, ts(T0 + 13 * H)))
+      purchMem.addData((902L, 9L, ts(T0 + 13 * H), 3.0))
+      q.processAllAvailable()
+      clicksMem.addData((103L, 3L, ts(T0 + 14 * H)))
+      purchMem.addData((903L, 9L, ts(T0 + 14 * H), 4.0))
+      q.processAllAvailable()
+      assert(nullRows == Set(100L),
+        s"exactly the evicted click emits a null row: got $nullRows")
+    } finally q.stop()
+  }
+
   test("stream-static left join enriches every micro-batch from the dim (m19 shape)") {
     import spark.implicits._
     val mem = MemoryStream[(Long, Long)](Encoders.product[(Long, Long)], spark)
