@@ -66,11 +66,14 @@ object Bench {
     // passes none and measures everything)
     val wanted = if (args.isEmpty) SparkEntry.queries
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE — a swallowed failure reads as a
-      // fast query and quietly corrupts the trend line
+      // fast query and quietly corrupts the trend line (a killed run's
+      // tail shows as a block of near-zero "stopped SparkContext" times)
       try run(fn) catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -81,6 +84,7 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val cpuSec = if (cpu0 >= 0) procCpuSec - cpu0 else -1.0
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val load1m = osBean.getSystemLoadAverage
@@ -88,7 +92,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -98,7 +102,7 @@ object Bench {
     def fmt(v: Double) = f"$v%.2f"
     val budget = 1800
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"detail":"$detail","queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"detail":"$detail","failed":$failedJson,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {

@@ -218,6 +218,12 @@ object LlmQueries {
     "l47_ann_ivfpq" -> { (s, dir) =>
       Similarity.annIvfPq(Tables.embeddings(s, dir)) },
 
+    // Matryoshka truncation audit: per-probe top-k overlap between
+    // full-dim and first-16-dim cosine rankings — the is-a-cheaper-
+    // index-good-enough measurement
+    "l48_trunc_recall" -> { (s, dir) =>
+      Similarity.truncationRecall(Tables.embeddings(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -981,6 +987,39 @@ object LlmQueries {
         |SELECT query_id, rank, vec_id AS neighbor_id FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // truncation-audit mirror: the l3 rank chain twice (full v and
+    // v[1:16]), per-probe list intersection, one IEEE division
+    "l48_trunc_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv,
+        |        v[1:16] AS vt,
+        |        sqrt(list_reduce(list_transform(v[1:16], x -> x * x), (a, b) -> a + b)) AS nvt
+        |      FROM e),
+        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq, vt AS qt, nvt AS nqt
+        |      FROM n WHERE vec_id < 20),
+        |sf AS (SELECT p.query_id, n.vec_id,
+        |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
+        |      FROM n, p WHERE n.vec_id <> p.query_id),
+        |rf AS (SELECT query_id, vec_id FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, vec_id) AS rank FROM sf)
+        |      WHERE rank <= 5),
+        |st AS (SELECT p.query_id, n.vec_id,
+        |        ${duckCosine.format("n.vt", "p.qt", "n.nvt", "p.nqt")} AS cosine
+        |      FROM n, p WHERE n.vec_id <> p.query_id AND n.nvt > 0 AND p.nqt > 0),
+        |rt AS (SELECT query_id, vec_id FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, vec_id) AS rank FROM st)
+        |      WHERE rank <= 5),
+        |ff AS (SELECT query_id, list(vec_id) AS nf FROM rf GROUP BY 1),
+        |tt AS (SELECT query_id, list(vec_id) AS nt FROM rt GROUP BY 1)
+        |SELECT ff.query_id,
+        |  CAST(len(list_filter(ff.nf, x -> list_contains(tt.nt, x))) AS BIGINT) AS n_overlap,
+        |  len(list_filter(ff.nf, x -> list_contains(tt.nt, x))) / 5.0 AS recall
+        |FROM ff JOIN tt ON ff.query_id = tt.query_id
+        |ORDER BY ff.query_id""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

@@ -759,4 +759,51 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
+
+  /** Dimension-truncation recall audit (the Matryoshka-representation
+    * question, Kusupati et al. 2022): how much of the float-exact top-k
+    * survives when the index stores only the first `dims` dimensions?
+    * Ranks every probe twice — full-dim cosine and prefix-truncated
+    * cosine — and reports the per-probe overlap. This is the measurement
+    * that decides whether a 4× cheaper truncated index is acceptable,
+    * the same decide-with-evidence face as l45's reconstruction audit.
+    *
+    * Scale shape: both rankings are the annBrute broadcast-probe scan
+    * (ONE pass over the corpus computes both cosines; no second read),
+    * each re-ranked by the two-phase tournament; the per-probe set
+    * compare touches ≤ 2k ids per probe. Zero-norm truncated prefixes
+    * are excluded structurally on both engines (the l9 NaN rule).
+    * Output: (query_id, n_overlap, recall). */
+  def truncationRecall(embeddings: DataFrame, probeMax: Int = 20, k: Int = 5,
+      dims: Int = 16): DataFrame = {
+    val e = prepared(embeddings)
+      .withColumn("vt", slice(col("v"), 1, dims))
+      .withColumn("nvt", sqrt(dot(col("vt"), col("vt"))))
+    val probes = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nv").as("nq"),
+        col("vt").as("qt"), col("nvt").as("nqt"))
+    val cand = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+
+    def topk(c: DataFrame, score: Column): DataFrame = {
+      val w1 = Window.partitionBy("query_id", "pid")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      c.withColumn("cosine", score)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+        .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    }
+    val full = topk(cand, cosine(col("v"), col("nv"), col("q"), col("nq")))
+      .groupBy("query_id").agg(collect_set(col("vec_id")).as("nf"))
+    val trunc = topk(cand.filter(col("nvt") > 0 && col("nqt") > 0),
+        cosine(col("vt"), col("nvt"), col("qt"), col("nqt")))
+      .groupBy("query_id").agg(collect_set(col("vec_id")).as("nt"))
+    full.join(trunc, "query_id")
+      .select(col("query_id"),
+        size(array_intersect(col("nf"), col("nt"))).cast("long").as("n_overlap"),
+        (size(array_intersect(col("nf"), col("nt"))) / lit(k.toDouble)).as("recall"))
+      .orderBy("query_id")
+  }
 }

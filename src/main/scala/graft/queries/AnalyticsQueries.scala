@@ -312,6 +312,28 @@ object AnalyticsQueries {
         .select("event_type", "n", "lo", "hi",
           "est_p50", "est_p90", "est_p99", "exact_p50")
         .orderBy("event_type")
+    },
+
+    // Unpivot/melt (q20): wide → long — the reshaping face every
+    // metrics pipeline needs (N measure columns become (metric, value)
+    // rows). `Dataset.unpivot` is a zero-shuffle Expand (each input row
+    // emits N rows map-side); the per-metric rollup is then ONE
+    // partial-aggregated shuffle on a 4-value key. The oracle states the
+    // same reshape as a UNION ALL chain — semantically identical, and
+    // DuckDB-portable without its UNPIVOT extension syntax.
+    "q20_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("metric")
     }
   )
 
@@ -475,6 +497,19 @@ object AnalyticsQueries {
 
     // the SAME string spark.sql executes — one SQL, two engines
     "q19_sql" -> SharedSql.q19,
+
+    // the UNION ALL statement of the q20 reshape (metric labels are the
+    // source column names, as Dataset.unpivot emits them)
+    "q20_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
 
     // mirror of Sketches.histQuantile: identical IEEE bin/boundary
     // arithmetic, upper-boundary pick at ceil(q*n)

@@ -83,6 +83,42 @@ object EngineQueries {
         .select(col("topic"), tsec(col("ts")).as("t"),
           col("payload").cast("string").as("eid"))
         .orderBy(desc("t"), desc("eid"))
+    },
+
+    // The store and the curation pipeline as ONE system (s3): documents
+    // are ingested into a fresh UnitDb as messages (topic encodes
+    // source + shard, payload carries id|text), read back through the
+    // wildcard scan path, and the l1 bag-of-words exact dedup runs on
+    // the PAYLOADS — so the oracle (the same dedup stated over the
+    // source table) re-proves payload integrity end-to-end: any byte
+    // the store loses or mangles changes a fingerprint and fails the
+    // hash compare. This is the reference's actual usage shape: the
+    // store is where the corpus lives; the pipeline reads FROM it.
+    "s3_store_curate" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_s3").toString
+      val db = UnitDb.open(s, base + "/store")
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = streamTable(s, docsSchema, dir, "documents")
+        .select(
+          concat(lit("doc."), col("source"), lit("."),
+            (col("doc_id") % 10).cast("string")).as("topic"),
+          concat(col("doc_id").cast("string"), lit("|"), col("text"))
+            .cast("binary").as("payload"))
+      val q = StreamIngest.start(db, src, base + "/ckpt",
+        queryName = "s3", trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      val back = db.scanFrame(Query("doc..."))
+        .select(col("payload").cast("string").as("p"))
+        .select(
+          substring_index(col("p"), "|", 1).cast("long").as("doc_id"),
+          expr("substring(p, length(substring_index(p, '|', 1)) + 2)")
+            .as("text"))
+      graft.llm.TextDedup.exactDedup(back)
     }
   )
 
@@ -97,6 +133,13 @@ object EngineQueries {
       s"""SELECT 'enc.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
         |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY t DESC, eid DESC""".stripMargin
+        |ORDER BY t DESC, eid DESC""".stripMargin,
+
+    // the l1 dedup stated over the SOURCE table: equality proves the
+    // store round-trip preserved every payload byte
+    "s3_store_curate" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin
   )
 }
