@@ -224,6 +224,11 @@ object LlmQueries {
     "l48_trunc_recall" -> { (s, dir) =>
       Similarity.truncationRecall(Tables.embeddings(s, dir)) },
 
+    // token-rarity profile: the log-free surprisal quality signal —
+    // per-doc mean/min corpus df + hapax count over distinct tokens
+    "l49_token_rarity" -> { (s, dir) =>
+      TextStats.tokenRarity(Tables.documents(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -1020,6 +1025,21 @@ object LlmQueries {
         |  len(list_filter(ff.nf, x -> list_contains(tt.nt, x))) / 5.0 AS recall
         |FROM ff JOIN tt ON ff.query_id = tt.query_id
         |ORDER BY ff.query_id""".stripMargin,
+
+    // distinct (doc, token) explode → df table → per-doc integer rollup;
+    // the mean is the single IEEE division
+    "l49_token_rarity" ->
+      """WITH toks AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS word FROM documents),
+        |df AS (SELECT word, COUNT(*) AS df FROM toks GROUP BY 1)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(df) AS BIGINT) AS sum_df,
+        |  MIN(df) AS min_df,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+        |FROM toks JOIN df USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

@@ -720,4 +720,37 @@ object TextStats {
       .select("rk", "w1", "w2", "c_xy", "c_x", "c_y", "lift")
       .orderBy("rk")
   }
+
+  /** Token-rarity profile — the LOG-FREE surprisal family: per document,
+    * how rare are its distinct tokens in the corpus? Perplexity-style
+    * quality scoring (a KenLM pass in CCNet/RedPajama) needs log
+    * probabilities, whose libm dependence would tie results to one math
+    * library; document frequency is the same monotone signal stated in
+    * integers — mean df (low = specialized/rare vocabulary, high =
+    * boilerplate), the rarest token's df, and the hapax count (tokens
+    * appearing in no other document: high hapax marks OCR noise and
+    * gibberish, the classic junk signal). Everything is integer-exact
+    * except one final IEEE division (the QUtil contract).
+    *
+    * Scale shape: the distinct (doc, token) explode is one
+    * partial-aggregated shuffle; the df table derives from it (no second
+    * corpus scan) and joins back on the token key, where AQE broadcasts
+    * it when the vocabulary is small; the per-doc rollup is the second
+    * and last corpus-sized shuffle. No window, no funnel — per-task work
+    * is bounded by token frequency, not corpus size. */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+    val df = toks.groupBy("word").agg(count(lit(1)).as("df"))
+    toks.join(df, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum("df").as("sum_df"),
+        min("df").as("min_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_distinct"))
+      .select("doc_id", "n_distinct", "sum_df", "min_df", "n_hapax", "mean_df")
+      .orderBy("doc_id")
+  }
 }

@@ -21,6 +21,23 @@ import graft.queries.QUtil._
   * decimal casts, no engine-specific functions) is what makes one string
   * serve as both the query and its own oracle. */
 object SharedSql {
+  /** Correlated scalar subqueries (q21): orders more than 2× their own
+    * customer's average price. Catalyst decorrelates both subqueries into
+    * aggregate-then-join (RewriteCorrelatedScalarSubquery) — no per-row
+    * re-execution, one aggregation pass over orders reused for every
+    * outer row. Float parity: the average is stated as exact-decimal
+    * SUM cast to double, divided by an exact COUNT — one IEEE division
+    * per customer, bit-identical on both engines (the QUtil contract);
+    * a raw AVG(double) would be summation-order-dependent. */
+  val q21: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (
+      |  CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+      |        WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+      |  / (SELECT COUNT(*) FROM orders o3 WHERE o3.o_custkey = o.o_custkey))
+      |ORDER BY o_orderkey""".stripMargin
+
   /** TPC-H Q5-style revenue-by-region over finished orders. */
   val q19: String =
     """SELECT r_name,
@@ -334,6 +351,68 @@ object AnalyticsQueries {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy("metric")
+    },
+
+    // Correlated scalar subqueries (q21): the SAME ANSI string on both
+    // engines (the q19 principle); what it proves is Catalyst's
+    // DECORRELATION — the per-customer average never re-executes per
+    // outer row, it becomes one aggregate joined back.
+    "q21_correlated" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(SharedSql.q21)
+    },
+
+    // Funnel analysis (q22): strictly-ordered stage progression per user
+    // (first view → first click after it → first purchase after that),
+    // rolled up to per-stage user counts + mean seconds from the stage-1
+    // anchor. Each stage is one partial-aggregated groupBy on user_id
+    // and one broadcast-sized join (stage frames only shrink: users ≤
+    // stage N-1 survivors), so the funnel is |stages| cheap passes over
+    // an already-filtered frame, never a self-join of the event log.
+    // All times are epoch-second integers; the mean is an exact integer
+    // sum over one IEEE division (the QUtil contract).
+    "q22_funnel" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), tsec(col("ts")).as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id").filter(col("t") > col("tv"))
+        .groupBy("user_id").agg(min("t").as("tc"), min("tv").as("tv"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c.select("user_id", "tc", "tv")), "user_id")
+        .filter(col("t") > col("tc"))
+        .groupBy("user_id").agg(min("t").as("tp"), min("tv").as("tv"))
+      def stage(df: DataFrame, name: String, tcol: String): DataFrame =
+        df.agg(count(lit(1)).as("users"),
+          (sum(col(tcol) - col("tv")).cast("double") / count(lit(1)))
+            .as("mean_secs_from_view"))
+          .select(lit(name).as("stage"), col("users"),
+            col("mean_secs_from_view"))
+      stage(v.withColumn("tv2", col("tv")), "1_view", "tv2")
+        .unionByName(stage(c, "2_click", "tc"))
+        .unionByName(stage(p, "3_purchase", "tp"))
+        .orderBy("stage")
+    },
+
+    // Cohort retention (q23): users grouped by first-signup day, counted
+    // on each later active day as an offset from their cohort — the
+    // product-analytics retention matrix. Two partial-aggregated
+    // shuffles (first-signup per user; distinct active days) + one
+    // broadcast join on the user dimension; the matrix itself is
+    // cohort×offset-bounded, never event-log-sized.
+    "q23_cohort" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+      val f = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("day").as("cohort"))
+      val a = e.select("user_id", "day").distinct()
+      a.join(broadcast(f), "user_id")
+        .filter(col("day") >= col("cohort"))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort", "day_offset")
     }
   )
 
@@ -497,6 +576,43 @@ object AnalyticsQueries {
 
     // the SAME string spark.sql executes — one SQL, two engines
     "q19_sql" -> SharedSql.q19,
+
+    // one SQL, two engines (decorrelation happens inside each)
+    "q21_correlated" -> SharedSql.q21,
+
+    // ordered-stage funnel: each stage's first-time is a conditional
+    // min over the previous stage's survivors
+    "q22_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, ${duckTsec("ts")} AS t FROM events),
+        |v AS (SELECT user_id, MIN(t) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.t) AS tc, MIN(v.tv) AS tv
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.t > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.t) AS tp, MIN(c.tv) AS tv
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.t > c.tc GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS users,
+        |  CAST(SUM(tv - tv) AS DOUBLE) / COUNT(*) AS mean_secs_from_view FROM v
+        |UNION ALL
+        |SELECT '2_click', COUNT(*),
+        |  CAST(SUM(tc - tv) AS DOUBLE) / COUNT(*) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', COUNT(*),
+        |  CAST(SUM(tp - tv) AS DOUBLE) / COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    // signup-day cohorts × active-day offsets, integer-exact
+    "q23_cohort" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+        |    (${duckTsec("ts")}) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT f.cohort, a.day - f.cohort AS day_offset, COUNT(*) AS users
+        |FROM a JOIN f USING (user_id)
+        |WHERE a.day >= f.cohort
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the UNION ALL statement of the q20 reshape (metric labels are the
     // source column names, as Dataset.unpivot emits them)

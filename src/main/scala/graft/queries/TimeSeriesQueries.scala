@@ -337,6 +337,28 @@ object TimeSeriesQueries {
         .orderBy("user_id", "event_type", "t", "event_id")
     },
 
+    // Time-RANGE window frame (m22): trailing 10-minute count/sum per
+    // user keyed by event TIME, not row position — m20's sibling for
+    // irregular series where "last 7 rows" and "last 10 minutes" differ.
+    // The frame is a value predicate (t ∈ [t−600, t]), so tied
+    // timestamps share one well-defined frame regardless of row order —
+    // RANGE is deterministic where a ROWS frame over ties would not be.
+    // Same scale shape as m20: ONE window shuffle on the series key,
+    // state bounded by the densest 10 minutes of one user, zero joins.
+    "m22_range_frame" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), tsec(col("ts")).as("t"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"))
+        .rangeBetween(-600, 0)
+      pts
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m", asDouble(sum(dec2(col("value"))).over(w)))
+        .select("event_id", "user_id", "t", "n_10m", "sum_10m")
+        .orderBy("user_id", "t", "event_id")
+    },
+
     // LEFT-OUTER stream-stream interval join through the oracle gate:
     // m17's click↔purchase pairing, but clicks with NO purchase in their
     // preceding 2 hours must ALSO emit (null purchase columns) — the
@@ -607,6 +629,18 @@ object TimeSeriesQueries {
         |  AND p.t >= c.t - 7200 AND p.t <= c.t
         |WHERE c.t <= (SELECT c FROM cut)
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // identical value-range frame over epoch seconds
+    "m22_range_frame" ->
+      s"""WITH pts AS (
+        |  SELECT event_id, user_id, ${duckTsec("ts")} AS t, value FROM events)
+        |SELECT event_id, user_id, t,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM pts
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t, event_id""".stripMargin,
 
     // identical trailing frame; the mean is exact-decimal-sum / count
     "m20_moving_avg" ->
