@@ -259,6 +259,65 @@ final class UnitDb private (
     }
   }
 
+  /** The store as a STREAMING SOURCE — the continuous face of S3 RELAY
+    * (reference hdl_conn.go:349-381 replays history, then follows live):
+    * a Structured Streaming DataFrame over the live data directory that
+    * discovers each newly synced parquet file as it lands. A downstream
+    * pipeline (curation, fan-out, export) tails a store WRITTEN BY
+    * ANOTHER PROCESS with no coupling to its ingest stream —
+    * change-data-capture over the store layout itself.
+    *
+    * Read-path parity: the same pattern match, contract scope, `?last=`
+    * duration cutoff, and at-rest decrypt as [[scanFrame]]. Liveness
+    * necessarily differs in two ways: TTL expiry is evaluated at each
+    * micro-batch's processing instant (`current_timestamp`), and the
+    * tombstone anti-join binds the sidecar at PLAN time — deletes issued
+    * after the stream starts do not retract rows already emitted (an
+    * append-only stream cannot un-emit; the reference's live SUBSCRIBE
+    * has the same semantics — a delete never recalls a delivered
+    * message). A `?last=N` COUNT is rejected: global top-N has no
+    * meaning over an unbounded stream.
+    *
+    * Scale: file-source discovery cost is proportional to the directory
+    * listing — pair a long-running tail with [[compact]]'s bounded file
+    * counts (see `StreamIngest.startWithMaintenance`); `maxFilesPerTrigger`
+    * bounds each micro-batch for backfill-sized stores. Partition-dir
+    * pruning on `(contract, wc, day)` applies as in the batch scan. */
+  def tail(q: Query, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    ensureOpen()
+    nGets.incrementAndGet()
+    val t = Topic.parse(q.topic)
+    val cutoffMs = t.last match {
+      case Some(Right(durMs)) => Some(clock() - durMs)
+      case Some(Left(_)) =>
+        throw new IllegalArgumentException(
+          s"?last=<count> is not streamable (no global top-N over an unbounded stream): ${q.topic}")
+      case None => None
+    }
+    var reader = spark.readStream.schema(storeSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    val src = decrypt(reader.option("basePath", dataPath).parquet(dataPath))
+    var pred: Column = col("contract") === q.contract &&
+      (col("expires_at").isNull || col("expires_at") > current_timestamp())
+    cutoffMs.foreach { c =>
+      pred = pred && col("ts") >= lit(new Timestamp(c)) &&
+        col("day") >= lit(dayOf(c, sessionZone))
+    }
+    val matched =
+      if (!t.isWildcard)
+        src.filter(col("wc") === 0 && col("topic") === t.key && pred)
+          .unionByName(
+            src.filter(col("wc") === 1 &&
+              TopicPartsMatches(col("topic_parts"), col("is_multi"), t.key) && pred))
+      else
+        src.filter(
+          TopicPartsMatches(col("topic_parts"), col("is_multi"), t.key) && pred)
+    matched
+      .join(broadcast(tombstonesFor(q.contract)), Seq("seq", "topic"), "left_anti")
+      .select("seq", "topic", "ts", "payload")
+  }
+
   /** Shared core of [[getFrame]]/[[scanFrame]]: the pattern-matched,
     * contract-scoped, live (not expired, not tombstoned) row set plus the
     * clamped result limit for the interactive path. */

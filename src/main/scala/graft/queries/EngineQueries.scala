@@ -119,6 +119,38 @@ object EngineQueries {
           expr("substring(p, length(substring_index(p, '|', 1)) + 2)")
             .as("text"))
       graft.llm.TextDedup.exactDedup(back)
+    },
+
+    // The store as a streaming SOURCE (s4): the 'view' subset is ingested
+    // into a fresh store, then read OUT through `UnitDb.tail` — a
+    // Structured Streaming query over the store directory itself (the
+    // CDC / live-relay face: a second process follows a store it does
+    // not write). The oracle over the source table proves the tailed
+    // stream delivers exactly the store's live content — same topic
+    // match, decrypt, and payload bytes as the batch scan path.
+    "s4_store_tail" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = Files.createTempDirectory("graft_s4").toString
+      val db = UnitDb.open(s, base + "/store")
+      val src = streamTable(s, eventsRawSchema, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(
+          concat(lit("tl.u"), (col("user_id") % 10).cast("string")).as("topic"),
+          col("event_id").cast("string").cast("binary").as("payload"),
+          expr("timestamp_micros(ts div 1000)").as("ts"))
+      val in = StreamIngest.start(db, src, base + "/ckpt_in",
+        queryName = "s4in", trigger = Trigger.AvailableNow())
+      in.awaitTermination()
+      val out = db.tail(Query("tl..."))
+        .select(col("topic"), tsec(col("ts")).as("t"),
+          col("payload").cast("string").as("eid"))
+        .writeStream.format("memory").queryName("s4_tail")
+        .outputMode("append")
+        .option("checkpointLocation", base + "/ckpt_tail")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      out.awaitTermination()
+      s.table("s4_tail").orderBy(desc("t"), desc("eid"))
     }
   )
 
@@ -140,6 +172,13 @@ object EngineQueries {
     "s3_store_curate" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    // the tailed stream must deliver exactly the live store content
+    "s4_store_tail" ->
+      s"""SELECT 'tl.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
+        |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY t DESC, eid DESC""".stripMargin
   )
 }

@@ -591,6 +591,42 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map("rel3.ch0" -> 10L, "rel3.ch1" -> 10L, "rel3.ch2" -> 10L))
   }
 
+  test("S3 tail: store-as-source follows syncs that happen AFTER the stream starts") {
+    val base = tmp("tail3")
+    var now = T0
+    val db = UnitDb.open(spark, base + "/store", clock = () => now)
+    for (i <- 1 to 6) { db.put(s"tail3.a.m$i", s"t.$i".getBytes); now += 1000 }
+    db.sync()
+
+    val q = db.tail(Q("tail3.a.*"))
+      .select(col("topic"), col("payload").cast("string").as("p"))
+      .writeStream.format("memory").queryName("tail3_out")
+      .outputMode("append")
+      .option("checkpointLocation", base + "/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail3_out").count() == 6)
+
+      // live continuation: a sync AFTER the stream started is discovered
+      for (i <- 7 to 9) { db.put(s"tail3.a.m$i", s"t.$i".getBytes); now += 1000 }
+      db.sync()
+      q.processAllAvailable()
+      val got = spark.table("tail3_out").collect()
+        .map(r => r.getString(1)).toSet
+      assert(got == (1 to 9).map(i => s"t.$i").toSet)
+
+      // pattern scope holds on the stream: an off-pattern publish is
+      // invisible to this tail
+      db.put("other.topic", "x".getBytes); db.sync()
+      q.processAllAvailable()
+      assert(spark.table("tail3_out").count() == 9)
+    } finally q.stop()
+
+    // ?last=<count> has no streaming meaning — rejected loudly
+    intercept[IllegalArgumentException](db.tail(Q("tail3.a.*?last=5")))
+  }
+
   test("streaming tumbling window agg (with watermark) matches the batch result") {
     val mem = MemoryStream[(Timestamp, String, Double)](
       Encoders.product[(Timestamp, String, Double)], spark)
