@@ -229,6 +229,11 @@ object LlmQueries {
     "l49_token_rarity" -> { (s, dir) =>
       TextStats.tokenRarity(Tables.documents(s, dir)) },
 
+    // content-defined chunking dedup: boundaries picked by content
+    // (md5 mask), robust to insertions where l23's fixed grid is not
+    "l50_cdc_chunks" -> { (s, dir) =>
+      TextDedup.cdcChunks(Tables.documents(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -1040,6 +1045,30 @@ object LlmQueries {
         |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
         |FROM toks JOIN df USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical boundary rule (md5-of-window mask), chunk strings, and
+    // fingerprints — DuckDB picks the same cuts because the hash is md5
+    "l50_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |    CASE WHEN n >= 2 THEN list_filter(range(1, n),
+        |      j -> md5(array_to_string(list_slice(w, greatest(j - 3, 1), j), ' '))[1:1] = '0')
+        |    ELSE [] END AS cuts FROM t),
+        |b AS (SELECT doc_id, w,
+        |    list_prepend(1, list_transform(cuts, j -> j + 1)) AS starts,
+        |    list_append(cuts, n) AS ends FROM c),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+        |    k -> md5(array_to_string(list_slice(w, starts[k], ends[k]), ' ')))) AS fp
+        |  FROM b),
+        |share AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |SELECT ch.doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS shared_ratio
+        |FROM ch JOIN share USING (fp)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

@@ -715,6 +715,56 @@ object TextDedup {
     * groups on gram STRINGS — agreement is modulo 2⁻⁶⁴ XXH64 collisions
     * (the [[graft.llm.TextStats.topNgrams]] caveat), which could only
     * perturb `shared`/`n` by colliding grams inside one document. */
+  /** Content-defined chunking dedup — the rsync/FastCDC face of chunk
+    * dedup: boundaries are picked by the CONTENT (a rolling window's hash
+    * hitting a mask), not by fixed offsets, so inserting one token shifts
+    * at most the chunk it lands in — where [[chunkDedup]]'s fixed
+    * 20-token grid re-aligns every chunk after the edit and misses all of
+    * them. A cut lands after token i iff the md5 of the ≤4-token window
+    * ending at i starts with hex '0' (p = 1/16 → mean chunk ≈ 16
+    * tokens). md5, not xxhash64, *because the decision must be the
+    * oracle's too*: DuckDB reproduces the identical boundaries, chunk
+    * strings, and fingerprints (the l37 md5-as-uniform principle —
+    * engine-invariant randomness).
+    *
+    * Output per doc: chunk count, how many of its chunks also appear in
+    * another document, and the shared fraction — the per-doc duplication
+    * exposure that decides rewrite-vs-drop.
+    *
+    * Scale shape: boundary selection and chunk assembly are one per-row
+    * projection (array HOFs over the token array — zero shuffle);
+    * the dup-set lookup is the [[chunkDedup]] pair of fingerprint-keyed
+    * partial-aggregated shuffles, AQE-broadcast when the shared set is
+    * small. Per-task work is bounded by row size; no window, no funnel. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("cuts", expr(
+        """CASE WHEN size(w) >= 2 THEN
+          |  filter(sequence(0, size(w) - 2),
+          |    i -> substring(md5(concat_ws(' ',
+          |           slice(w, greatest(i - 2, 1), least(i + 1, 4)))), 1, 1) = '0')
+          |ELSE array() END""".stripMargin))
+      .withColumn("starts", expr(
+        "concat(array(0), transform(cuts, p -> p + 1))"))
+      .withColumn("ends", expr(
+        "concat(cuts, array(size(w) - 1))"))
+      .withColumn("chunk", explode(expr(
+        "zip_with(starts, ends, (s, e) -> concat_ws(' ', slice(w, s + 1, e - s + 1)))")))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache lifecycle: caller-owned, as for the sibling dedup functions
+    val share = ex.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+    ex.join(share, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_chunks"))
+      .select("doc_id", "n_chunks", "n_shared", "shared_ratio")
+      .orderBy("doc_id")
+  }
+
   def containmentPairs(docs: DataFrame, minShared: Int = 3,
       minContainment: Double = 0.2): DataFrame = {
     val hsets = docs.select(col("doc_id"),
