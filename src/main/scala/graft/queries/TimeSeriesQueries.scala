@@ -353,9 +353,9 @@ object TimeSeriesQueries {
       val w = Window.partitionBy("user_id").orderBy(col("t"))
         .rangeBetween(-600, 0)
       pts
-        .withColumn("n_10m", count(lit(1)).over(w))
-        .withColumn("sum_10m", asDouble(sum(dec2(col("value"))).over(w)))
-        .select("event_id", "user_id", "t", "n_10m", "sum_10m")
+        .select(col("event_id"), col("user_id"), col("t"),
+          count(lit(1)).over(w).as("n_10m"),
+          asDouble(sum(dec2(col("value"))).over(w)).as("sum_10m"))
         .orderBy("user_id", "t", "event_id")
     },
 

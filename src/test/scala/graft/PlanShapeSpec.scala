@@ -420,4 +420,66 @@ class PlanShapeSpec extends SparkSpec {
       "top-k must never be a global sort")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("q21: correlated subqueries decorrelate — aggregate-then-join, no per-row re-execution") {
+    val p = plan("q21_correlated")
+    // decorrelation rewrites the scalar subqueries into aggregates joined
+    // back on o_custkey; a lingering nested-loop/cartesian means the
+    // subquery would re-execute per outer row
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the per-customer aggregate must partial-combine:\n${p.take(1200)}")
+  }
+
+  test("q22: funnel stages join broadcast — the event log never sort-merges") {
+    val p = plan("q22_funnel")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"stage frames are user-bounded and must broadcast:\n${p.take(1200)}")
+  }
+
+  test("q23: cohort join broadcasts the user dimension; aggs partial") {
+    val p = plan("q23_cohort")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      p.take(1200))
+  }
+
+  test("m22: range frame is one window shuffle, no join") {
+    val p = plan("m22_range_frame")
+    // both frame aggregates ride ONE series-keyed exchange (the only
+    // hash shuffle; the trailing range exchange is the output orderBy)
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(hashEx == 1, s"expected ONE series-keyed exchange:\n${p.take(1500)}")
+    assert(!p.linesIterator.exists(_.contains("Join")),
+      s"a range frame needs no join:\n${p.take(1200)}")
+  }
+
+  test("l48: truncation audit re-ranks two-phase; probes broadcast; one corpus scan") {
+    val p = plan("l48_trunc_recall")
+    assert(p.contains("pid"), p.take(1200))
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows >= 4, s"both rankings must be two-phase:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange"), "probes must broadcast")
+  }
+
+  test("l49: token rarity aggregates partial — no window, no nested loop") {
+    val p = plan("l49_token_rarity")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("Window"),
+      "per-task work must be bounded by token frequency, not corpus size")
+  }
+
+  test("l50: cdc chunks assemble per-row; dup lookup partial-aggregates on fingerprints") {
+    val p = plan("l50_cdc_chunks")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("partial_count"), p.take(1600))
+    assert(!p.contains("Window"),
+      "chunk assembly is a projection — no per-doc window stage")
+  }
 }
