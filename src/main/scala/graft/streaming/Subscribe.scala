@@ -209,6 +209,36 @@ object Subscribe {
   def relay(db: UnitDb, pattern: String, contract: Long = Message.MasterContract,
       limit: Int = 0): DataFrame =
     db.getFrame(Query(pattern, contract, limit))
+
+  /** The full reference server loop with NO server in the path:
+    * subscribers follow a STORE — [[UnitDb.tail]]'s change stream fanned
+    * out by the same subscription join the ingest-side [[start]] plans.
+    * Where [[start]] requires the subscriber to sit inside the publisher's
+    * ingest topology, this decouples them completely: the publisher is
+    * any process appending to the store (embedded puts, a StreamIngest
+    * query, another cluster), the subscriber is any process that can read
+    * it — the reference's broker becomes the storage layout itself.
+    * Replay-then-live composes as in the reference: [[relay]] for
+    * history, this from the replay instant.
+    *
+    * `pattern` pre-filters the tail server-side (partition pruning +
+    * pushed topic equality); each subscription's own pattern then routes
+    * within that stream, so a broad tail (`"..."`) with many
+    * subscriptions is one streaming scan, not one per subscriber. */
+  def followStore(
+      db: UnitDb,
+      pattern: String,
+      subscriptions: DataFrame,
+      checkpointDir: String,
+      deliver: (DataFrame, Long) => Unit,
+      queryName: String = "graft_follow",
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      contract: Long = Message.MasterContract,
+      mode: Int = Express): StreamingQuery = {
+    val msgs = db.tail(Query(pattern, contract))
+      .withColumn("contract", lit(contract))
+    start(msgs, subscriptions, checkpointDir, deliver, queryName, trigger, mode)
+  }
 }
 
 /** S4 delivery-mode flow control (reference docs/utp.md §Delivery-Mode,

@@ -627,6 +627,41 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](db.tail(Q("tail3.a.*?last=5")))
   }
 
+  test("S2 followStore: subscribers follow a store they do not write (tail + fanout)") {
+    val base = tmp("follow")
+    var now = T0
+    val db = UnitDb.open(spark, base + "/store", clock = () => now)
+    db.put("fw.a.m1", "f.1".getBytes); db.put("fw.b.m1", "f.2".getBytes)
+    db.sync()
+
+    val subs = spark.createDataFrame(Seq(
+      Subscription(1L, "fw.a.*"),
+      Subscription(2L, "fw..."),
+      Subscription(3L, "other.*")))
+    val got = ArrayBuffer[(Long, String, String)]()
+    val q = Subscribe.followStore(db, "fw...", subs, base + "/ckpt",
+      (batch, _) => got.synchronized {
+        got ++= batch.collect().map(r =>
+          (r.getAs[Long]("sub_id"), r.getAs[String]("topic"),
+            new String(r.getAs[Array[Byte]]("payload"))))
+      })
+    try {
+      q.processAllAvailable()
+      // history at subscribe time: sub1 sees only fw.a.*, sub2 sees all,
+      // sub3 (off-pattern) sees nothing
+      assert(got.synchronized(got.toSet) == Set(
+        (1L, "fw.a.m1", "f.1"), (2L, "fw.a.m1", "f.1"), (2L, "fw.b.m1", "f.2")))
+
+      // live: a publish from "another process" (a direct store append
+      // this query does not know about) reaches subscribers on sync
+      db.put("fw.a.m2", "f.3".getBytes); db.sync()
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet).contains((1L, "fw.a.m2", "f.3")) &&
+        got.synchronized(got.toSet).contains((2L, "fw.a.m2", "f.3")))
+      assert(!got.synchronized(got.exists(_._1 == 3L)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling window agg (with watermark) matches the batch result") {
     val mem = MemoryStream[(Timestamp, String, Double)](
       Encoders.product[(Timestamp, String, Double)], spark)
