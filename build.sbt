@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a fresh class per query plan; a long
+  // multi-query run (Bench walks 100+ queries) fills the JVM's default
+  // 240 MB code cache, after which HotSpot PERMANENTLY disables the JIT
+  // ("CodeCache is full. Compiler has been disabled.") and every later
+  // query runs interpreted — measured 10-30x slowdowns that masquerade
+  // as data-scale regressions. Reserve enough that the compiler never
+  // turns off (virtual reservation; committed on demand).
+  "-XX:ReservedCodeCacheSize=1g",
 )

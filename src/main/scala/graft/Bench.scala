@@ -25,6 +25,13 @@ import org.apache.spark.sql.SparkSession
   * numbers: r5's driver run measured q1_agg at 23.3 s where an identical
   * local run measures 1.4 s — external load, not a regression. wall ≫
   * cpu_sec/cpus proves contention from the artifact alone.
+  *
+  * `code_cache_mb` guards against the round-6 root cause of that r5
+  * anomaly: whole-stage codegen emits a class per plan, a 100+-query run
+  * overflows HotSpot's default 240 MB code cache, and the JVM then
+  * disables the JIT for good — every later query runs interpreted
+  * (measured: the same aggregation 6.4 s → 232 s within one JVM).
+  * build.sbt reserves 1g; this field proves per-run headroom.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,6 +66,18 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
       case _ => -1.0
     }
+    // machine-wide counters (USER_HZ jiffies → seconds): steal = CPU the
+    // hypervisor gave another tenant; busy = all non-idle. A query with
+    // wall ≫ its own cpu AND host busy/steal high is the machine's fault;
+    // both low means WE blocked (lock, disk, scheduler) — distinguishable
+    // per query from the artifact alone.
+    def hostStat(): (Double, Double) = try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toDouble)
+      val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
+      val steal = if (f.length > 7) f(7) else 0.0
+      (steal / 100.0, (f.sum - idle) / 100.0)
+    } catch { case _: Throwable => (-1.0, -1.0) }
     val cpu0 = procCpuSec
     val wall0 = System.nanoTime()
 
@@ -67,8 +86,11 @@ object Bench {
     val wanted = if (args.isEmpty) SparkEntry.queries
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val perQ = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val qc0 = procCpuSec
+      val (st0, bz0) = hostStat()
       // a failed query must be VISIBLE — a swallowed failure reads as a
       // fast query and quietly corrupts the trend line (a killed run's
       // tail shows as a block of near-zero "stopped SparkContext" times)
@@ -77,6 +99,8 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (st1, bz1) = hostStat()
+      perQ(name) = (dt, procCpuSec - qc0, st1 - st0, bz1 - bz0)
       // leftover cached blocks from one query must not tax the next
       // (each query's own caching cost is inside its measured time;
       // the clear itself is untimed bookkeeping)
@@ -88,11 +112,21 @@ object Bench {
     val cpuSec = if (cpu0 >= 0) procCpuSec - cpu0 else -1.0
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val load1m = osBean.getSystemLoadAverage
+    // JIT-health telemetry: if the code cache fills, HotSpot disables the
+    // compiler for the rest of the JVM's life and every later query runs
+    // interpreted (10-30x slower) — build.sbt reserves 1g to prevent it,
+    // and this records how much a full run actually needs.
+    import scala.jdk.CollectionConverters._
+    val codeCacheMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed / (1024.0 * 1024.0)).sum
 
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def qmap(pick: ((Double, Double, Double, Double)) => Double): String =
+      perQ.map { case (k, t) => f""""$k":${pick(t)}%.2f""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_._2)},"host_steal_q":${qmap(_._3)},"host_busy_q":${qmap(_._4)},"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -102,7 +136,7 @@ object Bench {
     def fmt(v: Double) = f"$v%.2f"
     val budget = 1800
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"detail":"$detail","failed":$failedJson,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge induction — the first step of training the
+  * tokenizer every LLM pipeline needs (Sennrich et al., ACL 2016; the
+  * architecture HuggingFace `tokenizers` uses for its BPE trainer).
+  *
+  * The classic formulation looks corpus-sequential (count adjacent symbol
+  * pairs, merge the most frequent, repeat), but the standard trick makes
+  * it Spark-shaped: pair statistics depend only on the WORD-FREQUENCY
+  * table, not the corpus — so the corpus is touched exactly once (one
+  * partial-aggregated `groupBy(word)` shuffle, the same linear pass at
+  * 100 TB), and every merge round then runs on the vocabulary table,
+  * which is bounded by distinct-word count (about 10^7 for web corpora —
+  * a comfortable distributed frame). Each round collects exactly ONE row
+  * (the argmax pair) to the driver — the same bounded-collect precedent
+  * as IVF centroid training.
+  *
+  * Symbol sequences are represented as marker-delimited strings — word
+  * `key` is segmented as `(1)k(2)(1)e(2)(1)y(2)` where (1)/(2) are the
+  * control characters U+0001/U+0002 — because applying merge (a,b) is
+  * then a plain `replace("(1)a(2)(1)b(2)" -> "(1)ab(2)")`, and both
+  * Spark's and DuckDB's `replace` scan left-to-right over
+  * non-overlapping occurrences: exactly BPE's greedy merge-application
+  * semantics, so the oracle reproduces every round bit-for-bit with no
+  * list-fold machinery. The markers make cross-token false matches
+  * impossible (a token ending in `a` followed by a token starting with
+  * `b` never spells `(1)a(2)(1)b(2)`; words are `[a-z]+`, so token text
+  * cannot contain the markers themselves).
+  *
+  * Tie-break: pair count desc, then (left, right) lexicographic — fully
+  * deterministic on both engines.
+  */
+object Bpe {
+
+  private val M1 = "\u0001" // token-start marker
+  private val M2 = "\u0002" // token-end marker
+
+  /** First `k` BPE merges over `[a-z]+` words of `documents.text`.
+    * Output: (merge_rank, left_sym, right_sym, merged, pair_count). */
+  def bpeMerges(documents: DataFrame, k: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    // ONE corpus pass: word frequencies. Everything after is vocab-sized.
+    val words = documents
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("marked", regexp_replace(col("word"), "(.)", s"$M1$$1$M2"))
+      .select("marked", "cnt")
+      .cache()
+
+    // pairs of adjacent symbols in the current segmentation
+    def pairCounts(seg: DataFrame): DataFrame = seg
+      .withColumn("toks",
+        split(expr("substring(marked, 2, length(marked) - 2)"), s"$M2$M1"))
+      // single-token words carry no pairs (and sequence(1, 0) would count
+      // DOWN in Spark — [1,0] — not produce an empty list)
+      .filter(size(col("toks")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
+        .as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum("cnt").as("pair_count"))
+
+    var seg: DataFrame = words
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    while (rank <= k && {
+      // bounded collect: the single argmax pair of this round (empty when
+      // every word is a single token — corpus exhausted before k merges)
+      val top = pairCounts(seg)
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1).collect()
+      top.nonEmpty && {
+        val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        seg = seg.withColumn("marked",
+          replace(col("marked"), lit(s"$M1$a$M2$M1$b$M2"), lit(s"$M1$a$b$M2")))
+        merges += ((rank, a, b, a + b, pc))
+        true
+      }
+    }) rank += 1
+    words.unpersist()
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** DuckDB oracle: the same k rounds as a CTE chain. `replace` has the
+    * same greedy non-overlapping left-to-right semantics there, and the
+    * marker encoding makes each round one `replace` + one pair-explode. */
+  def bpeMergesSql(k: Int = 4): String = {
+    val m1 = "chr(1)"
+    val m2 = "chr(2)"
+    def segCte(i: Int): String =
+      if (i == 0)
+        s"""seg0 AS (
+           |  SELECT regexp_replace(word, '(.)', $m1 || '\\1' || $m2, 'g') AS marked, cnt
+           |  FROM (SELECT w AS word, count(*)::BIGINT AS cnt
+           |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           |              FROM documents) u
+           |        GROUP BY 1) w0)""".stripMargin
+      else
+        s"""seg$i AS (
+           |  SELECT replace(s.marked,
+           |                 $m1 || m.a || $m2 || $m1 || m.b || $m2,
+           |                 $m1 || m.a || m.b || $m2) AS marked, s.cnt
+           |  FROM seg${i - 1} s CROSS JOIN top$i m)""".stripMargin
+    def topCte(i: Int): String =
+      s"""toks$i AS (
+         |  SELECT cnt,
+         |         string_split(substr(marked, 2, length(marked) - 2), $m2 || $m1) AS toks
+         |  FROM seg${i - 1}),
+         |pairs$i AS (
+         |  SELECT toks[i] AS a, toks[i + 1] AS b, sum(cnt)::BIGINT AS pair_count
+         |  FROM (SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM toks$i) t
+         |  GROUP BY 1, 2),
+         |top$i AS (SELECT a, b, pair_count FROM pairs$i
+         |          ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
+    val ctes = (segCte(0) +: (1 to k).flatMap(i =>
+      Seq(topCte(i)) ++ (if (i < k) Seq(segCte(i)) else Nil))).mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, pair_count FROM top$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$out\nORDER BY merge_rank"
+  }
+}

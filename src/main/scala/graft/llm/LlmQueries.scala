@@ -234,6 +234,16 @@ object LlmQueries {
     "l50_cdc_chunks" -> { (s, dir) =>
       TextDedup.cdcChunks(Tables.documents(s, dir)) },
 
+    // BPE merge induction: first-4 tokenizer merges — one corpus pass
+    // for word counts, then vocab-sized rounds (see llm/Bpe.scala)
+    "l51_bpe_merges" -> { (s, dir) =>
+      Bpe.bpeMerges(Tables.documents(s, dir)) },
+
+    // hard-negative mining: top-k most-similar DIFFERENT-label vectors
+    // per probe — the contrastive-training pair miner (annBrute shape)
+    "l52_hard_negatives" -> { (s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir)) },
+
     // cross-source duplication matrix (c6): which sources copy from
     // which — the l2 near-dup pairs rolled up by (source, source),
     // order-normalized so the matrix is one triangle. The view that
@@ -1069,6 +1079,32 @@ object LlmQueries {
         |    AS shared_ratio
         |FROM ch JOIN share USING (fp)
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    // the same 4 BPE rounds as a CTE chain; replace() shares Spark's
+    // greedy non-overlapping left-to-right semantics, so every round's
+    // merge choice and application reproduce bit-for-bit
+    "l51_bpe_merges" -> Bpe.bpeMergesSql(),
+
+    // l3's brute-force CTE with a label inequality instead of the
+    // self-exclusion (a probe shares its own label, so self is out)
+    "l52_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv
+        |      FROM e),
+        |p AS (SELECT vec_id AS query_id, label AS qlabel, v AS q, nv AS nq
+        |      FROM n WHERE vec_id < 20),
+        |s AS (SELECT p.query_id, n.vec_id, n.label,
+        |        list_reduce(list_transform(list_zip(n.v, p.q), z -> z[1] * z[2]),
+        |          (a, b) -> a + b) / (n.nv * p.nq) AS cosine
+        |      FROM n, p WHERE n.label <> p.qlabel),
+        |r AS (SELECT query_id, vec_id, label,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // the l9 pair chain joined to the texts: paraphrase candidates are
     // embedding near-dups whose token sets barely overlap — integer

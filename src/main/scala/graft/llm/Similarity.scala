@@ -448,6 +448,43 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Hard-negative mining for contrastive / metric-learning training
+    * sets: for each probe, the top-k most-similar vectors carrying a
+    * DIFFERENT label — the pairs that sit just across the decision
+    * boundary and teach an embedding model the most (the standard
+    * in-batch-negatives upgrade: mine them offline from the corpus).
+    * Self-pairs need no explicit exclusion — a probe shares its own
+    * label. Output: (query_id, rank, neighbor_id, neighbor_label).
+    *
+    * Scale shape: identical to [[annBrute]] — probes broadcast, the
+    * corpus scans once, and the per-probe top-k is the two-phase
+    * tournament (per-(probe, input-partition) partial top-k, then the
+    * ≤ k·P survivors), so no single task ever sees a probe's full
+    * candidate list. The label predicate rides the scan. */
+  def hardNegatives(embeddings: DataFrame, probeMax: Int = 20, k: Int = 5): DataFrame = {
+    val e = embeddings
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .select("vec_id", "label", "v", "nv")
+    val probes = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("q"), col("nv").as("nq"))
+    val w1 = Window.partitionBy("query_id", "pid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine", cosine(col("v"), col("nv"), col("q"), col("nq")))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hot-bucket guard for the near-dup band buckets, same principle as
     * [[TextDedup.MinhashBucketCap]]: nothing else bounds a band bucket's
     * *pair count*, which grows as n² — a viral embedding (the same image

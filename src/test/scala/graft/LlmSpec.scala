@@ -1117,4 +1117,46 @@ class LlmSpec extends SparkSpec {
     assert(out.keys.forall { case (a, b) => a == 1L && b == 2L },
       s"df cap failed, got pairs: ${out.keys}")
   }
+
+  test("bpe: learns the textbook merges on the Sennrich corpus") {
+    import spark.implicits._
+    // word frequencies low:5 lower:2 newest:6 widest:3 — the worked
+    // example from the BPE paper; merges are hand-computable:
+    // (e,s):9 → (es,t):9 → (l,o):7 → (lo,w):7
+    val df = Seq(
+      (1L, List.fill(5)("low").mkString(" ")),
+      (2L, List.fill(2)("lower").mkString(" ")),
+      (3L, List.fill(6)("newest").mkString(" ")),
+      (4L, List.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val out = Bpe.bpeMerges(df, k = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)), out.mkString(", "))
+  }
+
+  test("bpe: stops early when the corpus exhausts before k merges") {
+    import spark.implicits._
+    // 'ab' fully merges in one round; round 2 has no adjacent pairs left
+    val df = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = Bpe.bpeMerges(df, k = 4).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(3) == "ab" && out(0).getLong(4) == 2L)
+  }
+
+  test("hard negatives: every neighbor crosses the label boundary, ranks dense") {
+    val probeLabels = embs.filter(col("vec_id") < 20)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    // the mined negative must differ in label from its probe — that IS
+    // the operator's contract (self-exclusion falls out for free)
+    assert(out.forall { case (q, _, _, nl) => probeLabels(q) != nl })
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._2).sorted.toSeq == (1 to 5)))
+  }
 }

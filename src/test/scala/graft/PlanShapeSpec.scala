@@ -76,6 +76,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows >= 2, s"expected two window stages, plan:\n${p.take(800)}")
   }
 
+  test("l52: hardNegatives top-K is two-phase — partial window on (query_id, pid)") {
+    val p = plan("l52_hard_negatives")
+    // same contract as l3: the label filter must not cost the plan its
+    // two-phase tournament (no task sorts a probe's full candidate set)
+    assert(p.contains("pid"), p.take(800))
+    val windows = p.linesIterator.filter(_.contains("Window")).size
+    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(800)}")
+    assert(p.contains("BroadcastExchange"), "probes must broadcast")
+  }
+
   test("l12: near-dup pipeline reads the gram sets from cache, not re-derived") {
     val p = plan("l12_ngram_jaccard")
     // the persisted hash-set frame must serve every stage (sig, bands,
