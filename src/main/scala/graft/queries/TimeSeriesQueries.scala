@@ -359,6 +359,51 @@ object TimeSeriesQueries {
         .orderBy("user_id", "t", "event_id")
     },
 
+    // Robust outlier detection (m23): per-series median + MAD (median
+    // absolute deviation) — the monitoring face mean/stddev can't give
+    // (one spike drags a mean; the median shrugs). Flags |x - med| >
+    // 3 * 1.4826 * mad (the normal-consistency constant). Exactness:
+    // percentile parity with quantile_cont is q7-proven only to ~1e-6
+    // interpolation agreement, so BOTH engines round med/mad to 6
+    // places BEFORE the threshold compare — the predicate then compares
+    // bit-identical doubles and no boundary point can flip. Plan: three
+    // linear partial-aggregated passes over events (med; mad given med;
+    // flags given both), the type-count-sized stats broadcast onto each
+    // scan — no window, no sort; exact MAD is inherently multi-pass.
+    "m23_mad_outliers" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+      val stats = broadcast(med.join(mad, "event_type"))
+      ev.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // Windowed exact distinct (m24): distinct users per hour per event
+    // type — the distinct-aggregation face (Spark's two-shuffle
+    // distinct-agg plan: partial on (window, type, user), then the
+    // distinct count map-side-combines). l42's KMV is the approximate
+    // scale path; this is the exact one, and at 100 TB the same plan
+    // holds because the first shuffle key includes the user.
+    "m24_window_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .select(tsec(col("w.start")).as("w_start"), col("event_type"),
+          col("n_users"), col("n"))
+        .orderBy("w_start", "event_type")
+    },
+
     // LEFT-OUTER stream-stream interval join through the oracle gate:
     // m17's click↔purchase pairing, but clicks with NO purchase in their
     // preceding 2 hours must ALSO emit (null purchase columns) — the
@@ -641,6 +686,32 @@ object TimeSeriesQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY t
         |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, t, event_id""".stripMargin,
+
+    // med/mad rounded to 6 in BOTH engines before the threshold compare
+    // (see the Spark-side note: q7 proved percentile parity only to the
+    // rounded form, and the outlier predicate must not sit on a seam)
+    "m23_mad_outliers" ->
+      s"""WITH med AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  MAX(m.med) AS med, MAX(d.mad) AS mad,
+        |  SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM events e JOIN med m USING (event_type)
+        |              JOIN mad d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hour windows align to the epoch origin in both engines
+    "m24_window_distinct" ->
+      s"""SELECT ($t) // 3600 * 3600 AS w_start, event_type,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical trailing frame; the mean is exact-decimal-sum / count
     "m20_moving_avg" ->

@@ -86,6 +86,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "probes must broadcast")
   }
 
+  test("m23: MAD stats broadcast onto the event scan; percentiles partial") {
+    val p = plan("m23_mad_outliers")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the 5-row stats must broadcast, never shuffle the events")
+    assert(p.contains("partial_percentile"), "percentiles must map-side combine")
+  }
+
+  test("m24: exact windowed distinct is the two-phase distinct-agg plan") {
+    val p = plan("m24_window_distinct")
+    // phase 1 aggregates on (window, type, user) so the distinct count
+    // map-side-combines — the key property that holds at 100 TB
+    assert(p.contains("partial_count"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("l12: near-dup pipeline reads the gram sets from cache, not re-derived") {
     val p = plan("l12_ngram_jaccard")
     // the persisted hash-set frame must serve every stage (sig, bands,
