@@ -377,7 +377,9 @@ object TimeSeriesQueries {
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
-      val stats = broadcast(med.join(mad, "event_type"))
+      // inner hint too: med's size estimate derives from the events
+      // child, so an unhinted med-mad join could sort-merge at scale
+      val stats = broadcast(broadcast(med).join(mad, "event_type"))
       ev.join(stats, "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

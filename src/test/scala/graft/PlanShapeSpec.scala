@@ -95,8 +95,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("m24: exact windowed distinct is the two-phase distinct-agg plan") {
     val p = plan("m24_window_distinct")
-    // phase 1 aggregates on (window, type, user) so the distinct count
-    // map-side-combines — the key property that holds at 100 TB
+    // phase 1 must AGGREGATE ON (window, type, user) so the distinct
+    // count map-side-combines — the key property that holds at 100 TB.
+    // partial_count alone would pass via the plain count(1); pin the
+    // aggregate keys instead.
+    assert(p.linesIterator.exists(l =>
+      l.contains("Keys") && l.contains("user_id")), p.take(1200))
     assert(p.contains("partial_count"), p.take(800))
     assert(!p.contains("SortMergeJoin"))
   }
