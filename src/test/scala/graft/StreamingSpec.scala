@@ -721,6 +721,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup on the RocksDB state store: identical survivors") {
+    // the at-scale provider (spillable, incremental changelog — see
+    // dedupStream's scaladoc) must be a pure swap: same state semantics,
+    // same survivors, across batches and bag-of-words normalization
+    import org.apache.spark.sql.streaming.OutputMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Timestamp)](
+        Encoders.product[(Long, String, Timestamp)], spark)
+      val out = graft.llm.TextDedup.dedupStream(
+        mem.toDF().toDF("doc_id", "text", "ts"), horizon = "10 minutes")
+      val q = out.writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(
+          (1L, "alpha beta gamma", ts(T0)),
+          (2L, "alpha beta gamma", ts(T0 + 1000)),
+          (3L, "something else entirely", ts(T0 + 2000)))
+        q.processAllAvailable()
+        mem.addData(
+          (4L, "alpha beta gamma", ts(T0 + 3000)),
+          (5L, "gamma beta alpha alpha", ts(T0 + 4000)),
+          (6L, "brand new text", ts(T0 + 5000)))
+        q.processAllAvailable()
+        val kept = spark.table("dedup_rocks").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 3L, 6L), s"got $kept")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join pairs rows across micro-batches (m17 shape)") {
     val clicksMem = MemoryStream[(Long, Long, Timestamp)](
       Encoders.product[(Long, Long, Timestamp)], spark)
