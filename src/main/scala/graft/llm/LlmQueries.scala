@@ -239,6 +239,12 @@ object LlmQueries {
     "l51_bpe_merges" -> { (s, dir) =>
       Bpe.bpeMerges(Tables.documents(s, dir)) },
 
+    // dataset card: the per-source corpus report (volume, language
+    // spread, cross-source duplicate exposure, stopword ratio, token
+    // share) — the capstone composite over the shared fingerprint
+    "c8_dataset_card" -> { (s, dir) =>
+      TextStats.datasetCard(Tables.documents(s, dir)) },
+
     // hard-negative mining: top-k most-similar DIFFERENT-label vectors
     // per probe — the contrastive-training pair miner (annBrute shape)
     "l52_hard_negatives" -> { (s, dir) =>
@@ -1079,6 +1085,27 @@ object LlmQueries {
         |    AS shared_ratio
         |FROM ch JOIN share USING (fp)
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    // same fingerprint fragment as l1/c1; ratios are integer sums with
+    // one trailing division (the l5 idiom)
+    "c8_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, len(w)::BIGINT AS n_tok,
+        |    len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))::BIGINT AS n_stop,
+        |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+        |  FROM (SELECT source, lang, string_split(text, ' ') AS w FROM documents) t),
+        |fp AS (SELECT fingerprint, COUNT(*) AS nfp FROM base GROUP BY 1),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |    SUM(n_stop)::BIGINT AS n_stop
+        |  FROM base JOIN fp USING (fingerprint) GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM per)
+        |SELECT source, n_docs, n_tokens, n_langs, n_dup_docs,
+        |  n_stop * 1.0 / n_tokens AS stop_ratio,
+        |  n_tokens * 1.0 / tot_tokens AS token_share
+        |FROM per, tot ORDER BY source""".stripMargin,
 
     // the same 4 BPE rounds as a CTE chain; replace() shares Spark's
     // greedy non-overlapping left-to-right semantics, so every round's

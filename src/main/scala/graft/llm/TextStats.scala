@@ -58,6 +58,43 @@ object TextStats {
         "stop_ratio", "bpe_est")
       .orderBy("doc_id")
 
+  /** Per-source dataset card — the one-page corpus report a training run
+    * starts from: volume (docs, tokens, share of corpus), language
+    * spread, cross-source exact-duplicate exposure (docs whose
+    * bag-of-words fingerprint appears anywhere else in the corpus —
+    * [[TextDedup.bagOfWordsFingerprint]], the ONE shared definition),
+    * and aggregate stopword ratio. Ratios are integer-sums-then-one-
+    * division so they hash-match across engines.
+    *
+    * Scale shape: one corpus scan computes tokens/stopwords/fingerprint
+    * per row; the duplicate flag is one fingerprint-keyed shuffle join
+    * (the l1 exact-dedup shuffle); the per-source rollup partial-
+    * aggregates; the corpus total broadcasts back onto the source-count-
+    * sized frame. Nothing scales worse than exact dedup itself. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"), col("lang"),
+        size(col("w")).cast("long").as("n_tok"),
+        countIn(col("w"), Stopwords).cast("long").as("n_stop"),
+        TextDedup.bagOfWordsFingerprintFromTokens(col("w")).as("fingerprint"))
+    val fpCounts = base.groupBy("fingerprint").agg(count(lit(1)).as("nfp"))
+    val per = base.join(fpCounts, "fingerprint")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum("n_stop").as("n_stop"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_dup_docs"),
+        (col("n_stop") * lit(1.0) / col("n_tokens")).as("stop_ratio"),
+        (col("n_tokens") * lit(1.0) / col("tot_tokens")).as("token_share"))
+      .orderBy("source")
+  }
+
   /** Deterministic, engine-independent train/val/test assignment: the
     * split is a pure function of the stable document key (md5 of its
     * decimal id → first 4 hex digits → mod 100), so ANY engine — Spark
