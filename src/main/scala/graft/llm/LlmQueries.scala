@@ -245,6 +245,16 @@ object LlmQueries {
     "c8_dataset_card" -> { (s, dir) =>
       TextStats.datasetCard(Tables.documents(s, dir)) },
 
+    // model-based quality filtering: fixed-weight linear scorer over the
+    // l5 features (no sigmoid — both engines compute identical doubles)
+    "l53_quality_score" -> { (s, dir) =>
+      TextStats.qualityScore(Tables.documents(s, dir)) },
+
+    // keep-longest dedup policy: partial-aggregable struct-max argmax,
+    // no window — a million-copy group map-side-combines
+    "l54_keep_longest" -> { (s, dir) =>
+      TextDedup.dedupKeepLongest(Tables.documents(s, dir)) },
+
     // hard-negative mining: top-k most-similar DIFFERENT-label vectors
     // per probe — the contrastive-training pair miner (annBrute shape)
     "l52_hard_negatives" -> { (s, dir) =>
@@ -1106,6 +1116,38 @@ object LlmQueries {
         |  n_stop * 1.0 / n_tokens AS stop_ratio,
         |  n_tokens * 1.0 / tot_tokens AS token_share
         |FROM per, tot ORDER BY source""".stripMargin,
+
+    // identical l5 feature expressions; the linear combo is written in
+    // the same left-to-right order so every double matches bit-for-bit
+    "l53_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_tokens,
+        |    len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+        |    (length(text) - (len(w) - 1)) * 1.0 / len(w) AS avg_token_len,
+        |    len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) * 1.0 / len(w) AS stop_ratio
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t)
+        |SELECT doc_id,
+        |  0.5 + 2.0 * ttr - 3.0 * stop_ratio + 0.15 * avg_token_len
+        |    - 0.002 * CAST(abs(n_tokens - 200) AS DOUBLE) AS score,
+        |  CASE WHEN 0.5 + 2.0 * ttr - 3.0 * stop_ratio + 0.15 * avg_token_len
+        |    - 0.002 * CAST(abs(n_tokens - 200) AS DOUBLE) > 1.3 THEN 1 ELSE 0 END AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // lexicographic struct max = the same argmax in both engines
+    "l54_keep_longest" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_tok,
+        |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |g AS (
+        |  SELECT fingerprint, COUNT(*) AS n_copies,
+        |    max({'nt': n_tok, 'nid': -doc_id}) AS st,
+        |    SUM(n_tok)::BIGINT AS tot_tok
+        |  FROM base GROUP BY 1)
+        |SELECT fingerprint, n_copies, st.nt AS keep_n_tok, -st.nid AS keep_id,
+        |  tot_tok - st.nt AS n_tok_dropped
+        |FROM g WHERE n_copies > 1 ORDER BY fingerprint""".stripMargin,
 
     // the same 4 BPE rounds as a CTE chain; replace() shares Spark's
     // greedy non-overlapping left-to-right semantics, so every round's

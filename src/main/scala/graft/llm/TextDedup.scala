@@ -65,6 +65,30 @@ object TextDedup {
   def bagOfWordsFingerprintFromTokens(tokens: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens))))
 
+  /** Exact-dedup KEEP POLICY: per duplicate group, keep the longest copy
+    * (raw token count; doc_id breaks ties low) — the RefinedWeb-style
+    * upgrade over [[exactDedup]]'s keep-min-id: bag-of-words duplicates
+    * differ in raw length, and the longest usually carries the least
+    * truncation. The argmax is a partial-aggregable `max(struct(n_tok,
+    * -doc_id))` — lexicographic struct max in BOTH engines — so an
+    * adversarial million-copy group map-side-combines instead of
+    * funneling through one window task. Output per duplicate group:
+    * (fingerprint, n_copies, keep_n_tok, keep_id, n_tok_dropped). */
+  def dedupKeepLongest(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        bagOfWordsFingerprintFromTokens(col("w")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("n_tok").as("nt"), (-col("doc_id")).as("nid"))).as("st"),
+        sum("n_tok").as("tot_tok"))
+      .filter(col("n_copies") > 1)
+      .select(col("fingerprint"), col("n_copies"),
+        col("st.nt").as("keep_n_tok"), (-col("st.nid")).as("keep_id"),
+        (col("tot_tok") - col("st.nt")).as("n_tok_dropped"))
+      .orderBy("fingerprint")
+
   /** Exact dedup after bag-of-words normalization: fingerprint = md5 of the
     * sorted distinct token set. Returns one row per duplicate group with the
     * kept (minimum) doc_id and the copy count. */

@@ -58,6 +58,25 @@ object TextStats {
         "stop_ratio", "bpe_est")
       .orderBy("doc_id")
 
+  /** Model-based quality filtering: a fixed-weight linear scorer over
+    * the [[textStats]] features — the shape of the fastText/logistic
+    * quality classifiers every web-corpus pipeline runs (CCNet, GPT-3's
+    * WebText similarity filter), with the model reduced to its scoring
+    * arithmetic (weights are deployment inputs; these constants are the
+    * documented defaults). The score stays LINEAR — no sigmoid — so both
+    * engines compute bit-identical doubles left-to-right and the keep
+    * threshold can never sit on a rounding seam. Zero shuffle: one
+    * per-row projection over the corpus. */
+  def qualityScore(docs: DataFrame, threshold: Double = 1.3): DataFrame =
+    textStats(docs)
+      .withColumn("score",
+        lit(0.5) + lit(2.0) * col("ttr") - lit(3.0) * col("stop_ratio") +
+          lit(0.15) * col("avg_token_len") -
+          lit(0.002) * abs(col("n_tokens") - lit(200)))
+      .withColumn("keep", (col("score") > lit(threshold)).cast("int"))
+      .select("doc_id", "score", "keep")
+      .orderBy("doc_id")
+
   /** Per-source dataset card — the one-page corpus report a training run
     * starts from: volume (docs, tokens, share of corpus), language
     * spread, cross-source exact-duplicate exposure (docs whose
