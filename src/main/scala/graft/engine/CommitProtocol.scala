@@ -205,7 +205,9 @@ object PosixSwapCommit extends StoreCommitProtocol {
   * discover by listing it — sound on modern S3/GCS (strong list-after-write
   * consistency since 2020). The `.list` manifests exist for audit and for
   * clients that prefer explicit file sets over listing. */
-object ManifestCommit extends StoreCommitProtocol {
+class ManifestCommitRetain private[engine] (val retainGenerations: Int)
+    extends StoreCommitProtocol {
+  require(retainGenerations >= 1, "must retain at least the live generation")
 
   private val GenPrefix = "g"
 
@@ -249,18 +251,67 @@ object ManifestCommit extends StoreCommitProtocol {
     collectGarbage(path, keep = next)
   }
 
-  /** Delete every generation directory (and audit listing) other than
-    * `keep` — all are unreferenced by the pointer and safe to drop. */
+  private def genNum(name: String): Option[Int] =
+    scala.util.Try(name.stripPrefix(GenPrefix).toInt).toOption
+
+  /** A generation (or its audit listing) survives garbage collection iff
+    * it is one of the newest [[retainGenerations]] at or below `keep`.
+    * Anything above `keep` is a crashed commit's orphan; anything below
+    * the retention window is an expired snapshot; unparseable names are
+    * stray garbage. The default protocol retains 1 — exactly the
+    * pre-retention behavior; [[ManifestCommit.retained]] widens the
+    * window, which is what makes [[graft.engine.UnitDb.scanAsOf]] time
+    * travel possible (a snapshot can only be read while its generation
+    * directory still exists). */
+  private def retainedName(name: String, keep: String): Boolean = {
+    val kn = genNum(keep).get
+    genNum(name).exists(g => g <= kn && g > kn - retainGenerations)
+  }
+
   private def collectGarbage(path: String, keep: String): Unit = {
     val gens = Paths.get(path, "_gen").toFile.listFiles
     if (gens != null)
-      gens.filter(d => d.isDirectory && d.getName != keep)
+      gens.filter(d => d.isDirectory && !retainedName(d.getName, keep))
         .foreach(d => FsUtil.deleteTree(d.toPath))
     val lists = Paths.get(path, "_manifest").toFile.listFiles
     if (lists != null)
-      lists.filter(f => f.getName.endsWith(".list") && f.getName != s"$keep.list")
+      lists.filter(f => f.getName.endsWith(".list") &&
+          !retainedName(f.getName.stripSuffix(".list"), keep))
         .foreach(f => FsUtil.deleteTree(f.toPath))
   }
+
+  /** Committed snapshots still on disk, oldest first: generations that
+    * have BOTH an audit listing (written at commit) and their data
+    * directory (not yet garbage-collected). The initial `g00000000` is
+    * never a snapshot — it has no commit. */
+  def generations(path: String): Seq[String] = {
+    val lists = Paths.get(path, "_manifest").toFile.listFiles
+    if (lists == null) Seq.empty
+    else lists.toSeq
+      .filter(_.getName.endsWith(".list"))
+      .map(_.getName.stripSuffix(".list"))
+      .filter(g => Files.isDirectory(genDir(path, g)))
+      .sortBy(g => genNum(g).getOrElse(Int.MaxValue))
+  }
+
+  /** The exact data-file set of snapshot `gen`, as absolute paths — read
+    * from the commit-time audit listing, NOT a directory listing, so rows
+    * appended to the live generation after its commit are excluded: this
+    * is what makes the read a point-in-time snapshot. */
+  def snapshotFiles(path: String, gen: String): Seq[String] = {
+    val list = Paths.get(path, "_manifest", s"$gen.list")
+    require(Files.exists(list),
+      s"$gen is not a committed snapshot of $path (no audit listing)")
+    require(Files.isDirectory(genDir(path, gen)),
+      s"snapshot $gen has been garbage-collected (retention $retainGenerations)")
+    new String(Files.readAllBytes(list), UTF_8).linesIterator
+      .filter(_.endsWith(".parquet"))
+      .map(rel => genDir(path, gen).resolve(rel).toString).toSeq
+  }
+
+  /** The data directory of generation `gen` (for partition-aware reads). */
+  def generationDir(path: String, gen: String): String =
+    genDir(path, gen).toString
 
   /** Crash repair: a commit interrupted between the pointer write and
     * garbage collection leaves whole generations orphaned forever (no
@@ -270,4 +321,13 @@ object ManifestCommit extends StoreCommitProtocol {
   override def recover(path: String): Unit =
     if (Files.exists(Paths.get(path, "_gen")))
       collectGarbage(path, keep = currentGen(path))
+}
+
+/** The default manifest protocol: retention 1 (a commit immediately
+  * garbage-collects the superseded generation). [[retained]] keeps the
+  * last `n` generations on disk, each readable as a point-in-time
+  * snapshot via [[graft.engine.UnitDb.scanAsOf]] — the "dataset as of
+  * the training run" reproducibility face. */
+object ManifestCommit extends ManifestCommitRetain(1) {
+  def retained(n: Int): ManifestCommitRetain = new ManifestCommitRetain(n)
 }

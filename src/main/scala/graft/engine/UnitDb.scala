@@ -819,6 +819,41 @@ final class UnitDb private (
     * is exactly what a manifest store exists to prevent. */
   private def dataPath: String = commitProtocol.resolveLive(path)
 
+  /** Committed point-in-time snapshots readable by [[scanAsOf]], oldest
+    * first. Empty unless the store runs a [[ManifestCommitRetain]]
+    * protocol with retention > 1 (the default manifest protocol collects
+    * a superseded generation at commit; the swap protocol has no
+    * generations at all). */
+  def snapshots: Seq[String] = commitProtocol match {
+    case m: ManifestCommitRetain => m.generations(path)
+    case _                       => Seq.empty
+  }
+
+  /** Time travel: the store's rows exactly as committed in generation
+    * `gen` — the reproducibility face a training pipeline needs ("the
+    * dataset as of the run that trained this model"). The file set comes
+    * from the generation's commit-time audit manifest, so rows appended
+    * to the live generation afterwards are excluded; payloads decrypt
+    * with the open key. Liveness is a read-time predicate in this engine
+    * (reference isExpired evaluates at read, time_window.go:63-65), so
+    * `expires_at`/tombstones are the CALLER's to apply if wanted — the
+    * snapshot returns what was committed, judgment-free. Requires a
+    * retained manifest snapshot ([[ManifestCommit.retained]]). */
+  def scanAsOf(gen: String): DataFrame = commitProtocol match {
+    case m: ManifestCommitRetain =>
+      val files = m.snapshotFiles(path, gen)
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+      else
+        decrypt(spark.read.schema(storeSchema)
+          .option("basePath", m.generationDir(path, gen))
+          .parquet(files: _*))
+    case _ => throw new IllegalArgumentException(
+      "time travel requires a ManifestCommit protocol (snapshots live in " +
+        "retained generations; the POSIX swap protocol keeps only the live tree)")
+  }
+
   private def readStoreRaw(): DataFrame =
     spark.read.schema(storeSchema).parquet(dataPath)
 

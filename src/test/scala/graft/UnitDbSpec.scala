@@ -284,6 +284,58 @@ class UnitDbSpec extends SparkSpec {
     assert(new String(db2.get(Query("m.t?last=1")).head) == "after-reopen")
   }
 
+  test("time travel: retained generations read back as point-in-time snapshots") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_tt").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit.retained(3))
+    for (i <- 1 to 5) { db.put("tt.a", s"v$i".getBytes); now += 1000 }
+    db.sync()
+    db.delete(1L, "tt.a")
+    db.vacuum() // -> g1: v2..v5
+    for (i <- 6 to 8) { db.put("tt.a", s"v$i".getBytes); now += 1000 }
+    db.sync()
+    db.vacuum() // -> g2: v2..v8
+    assert(db.snapshots == Seq("g00000001", "g00000002"))
+
+    def payloads(gen: String): Set[String] =
+      db.scanAsOf(gen).select("payload").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+    assert(payloads("g00000001") == (2 to 5).map(i => s"v$i").toSet)
+    assert(payloads("g00000002") == (2 to 8).map(i => s"v$i").toSet)
+
+    // appends after a commit are NOT in its snapshot — the file set is
+    // the commit-time manifest, not a directory listing
+    db.put("tt.a", "after".getBytes); db.sync()
+    assert(db.get(Query("tt.a")).length == 8)
+    assert(payloads("g00000002") == (2 to 8).map(i => s"v$i").toSet)
+    db.close()
+  }
+
+  test("time travel: retention expires the oldest snapshot; swap protocol refuses") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graftdb_ttr").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now,
+      commitProtocol = ManifestCommit.retained(2))
+    db.put("tt.b", "one".getBytes); db.sync(); db.vacuum()   // g1
+    db.put("tt.b", "two".getBytes); db.sync(); db.vacuum()   // g2
+    db.put("tt.b", "three".getBytes); db.sync(); db.vacuum() // g3, g1 expires
+    assert(db.snapshots == Seq("g00000002", "g00000003"))
+    assert(!Files.exists(Paths.get(dir, "_gen", "g00000001")))
+    intercept[IllegalArgumentException](db.scanAsOf("g00000001"))
+    db.close()
+
+    val swapDb = UnitDb.open(spark,
+      Files.createTempDirectory("graftdb_tts").toString + "/store",
+      clock = () => now)
+    swapDb.put("tt.c", "x".getBytes); swapDb.sync()
+    assert(swapDb.snapshots.isEmpty)
+    intercept[IllegalArgumentException](swapDb.scanAsOf("g00000001"))
+    swapDb.close()
+  }
+
   test("minted IDs survive a reopen without colliding (ADVICE r3 seq hwm)") {
     val dir = Files.createTempDirectory("graftdb_hwm").toString + "/store"
     val now = 1700000000000L
