@@ -61,6 +61,54 @@ object Resample {
       .drop("__obs")
   }
 
+  /** Dense (series × grid) frame with LINEAR interpolation — the
+    * "fill(linear)" sibling of [[gridLocf]]: each gap bucket gets the
+    * straight-line value between the nearest observation before and after
+    * it; leading/trailing gaps (no surrounding pair) stay null.
+    *
+    * Same scale shape as [[gridLocf]] (broadcast grid, one shuffle on the
+    * series key). Both directional windows share the one (series, bucket)
+    * sort, so the whole fill is a single exchange + window stage.
+    *
+    * Determinism: the interpolation is written as
+    * `vp + (vn - vp) * (CAST(h - hp AS DOUBLE) / (hn - hp))` — integer
+    * bucket deltas, one IEEE divide, one multiply, one add, in that
+    * exact association on both engines, so the oracle reproduces every
+    * bit. Observation rows pass their value through untouched (the
+    * directional windows both anchor on the row itself there, which
+    * would make the fraction 0/0). */
+  def gridInterp(
+      points: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      valCol: String,
+      stepSec: Long): DataFrame = {
+    val bounds = points.agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
+    val grid = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(stepSec))).as(timeCol))
+    val series = points.select(keys.map(col): _*).distinct()
+    val dense = series.crossJoin(broadcast(grid))
+    val joined = dense.join(points, keys :+ timeCol, "left")
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col(valCol).isNotNull, col(timeCol))
+    joined
+      .withColumn("__vp", last(col(valCol), ignoreNulls = true).over(wPrev))
+      .withColumn("__hp", last(obsT, ignoreNulls = true).over(wPrev))
+      .withColumn("__vn", first(col(valCol), ignoreNulls = true).over(wNext))
+      .withColumn("__hn", first(obsT, ignoreNulls = true).over(wNext))
+      .withColumn("filled", col(valCol).isNull)
+      .withColumn(valCol,
+        when(col(valCol).isNotNull, col(valCol))
+          .when(col("__vp").isNotNull && col("__vn").isNotNull,
+            col("__vp") + (col("__vn") - col("__vp")) *
+              ((col(timeCol) - col("__hp")).cast("double") /
+                (col("__hn") - col("__hp")))))
+      .drop("__vp", "__hp", "__vn", "__hn")
+  }
+
   /** Per-series discrete derivative — the monitoring `rate()`/`delta()`
     * over a gauge: for each observation, the change in value and time
     * since the previous observation of the SAME series, and the implied

@@ -413,6 +413,48 @@ object AnalyticsQueries {
         .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
         .agg(count(lit(1)).as("users"))
         .orderBy("cohort", "day_offset")
+    },
+
+    // CDC merge apply (q24): MERGE INTO semantics on immutable files —
+    // a change batch (two images for each updated key, deletes, inserts)
+    // is latest-image-compacted then applied to orders, emitting the
+    // next table version. The base is never shuffled (broadcast hash
+    // anti-join on the change keys + union, operators/Merge.scala); the
+    // feed deliberately carries a stale first image per updated key so
+    // compactLatest's partial-aggregable argmax is exercised.
+    "q24_merge_upsert" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updStale = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("S"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      val upd = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0d))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(2L))
+      val del = o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("delete")).withColumn("seq", lit(1L))
+      val ins = o.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      val feed = updStale.unionByName(upd).unionByName(del).unionByName(ins)
+      val changes = graft.operators.Merge
+        .compactLatest(feed, "o_orderkey", "seq").drop("seq")
+      graft.operators.Merge.applyChanges(o, changes, "o_orderkey")
+        .filter(col("o_custkey") % 5 === 0)
+        .orderBy("o_orderkey")
+    },
+
+    // Skew-hardened distinct count (q25): COUNT(DISTINCT user_id) per
+    // event_type through the explicit two-level plan (operators/
+    // SkewAgg): dedupe within (key, hash-bucket of user_id) — no task
+    // ever holds more than ~1/32 of a hot key's distinct values — then
+    // sum the disjoint bucket counts. Bit-equal to single-level.
+    "q25_salted_distinct" -> { (s, dir) =>
+      graft.operators.SkewAgg.saltedDistinctCount(
+          Tables.events(s, dir), Seq("event_type"), "user_id", 32, "n_users")
+        .orderBy("event_type")
     }
   )
 
@@ -660,6 +702,39 @@ object AnalyticsQueries {
         |FROM est JOIN (SELECT event_type,
         |                 round(quantile_cont(value, 0.5), 6) AS exact_p50
         |               FROM events GROUP BY 1) x USING (event_type)
-        |ORDER BY est.event_type""".stripMargin
+        |ORDER BY est.event_type""".stripMargin,
+
+    // the same merge, stated relationally: latest image per key
+    // (QUALIFY row_number), base ∖ changed-keys, union the upserts
+    "q24_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT o_orderkey, o_custkey, 'S' AS o_orderstatus, o_totalprice,
+        |         'upsert' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'X', o_totalprice + CAST(1.0 AS DOUBLE),
+        |         'upsert', 2
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', 1
+        |  FROM base WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, 'upsert', 1
+        |  FROM base WHERE o_orderkey % 10 = 1),
+        |changes AS (
+        |  SELECT * FROM feed
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
+        |merged AS (
+        |  SELECT b.* FROM base b ANTI JOIN changes c USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM changes WHERE op = 'upsert')
+        |SELECT * FROM merged WHERE o_custkey % 5 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q25_salted_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

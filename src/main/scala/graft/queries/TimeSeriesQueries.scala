@@ -453,6 +453,24 @@ object TimeSeriesQueries {
       val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
       s.table("m21_outer").filter(col("click_t") <= cutoff)
         .orderBy("click_id", "purchase_id")
+    },
+
+    // Linear-interpolation gap fill (m25): m11's grid, but gaps take the
+    // straight line between the surrounding observations instead of
+    // carrying the last one — fill(linear) to m11's fill(previous).
+    // Both directional windows ride ONE (user, hour) exchange; the
+    // interpolation is integer bucket deltas + one IEEE divide/multiply/
+    // add in fixed association, so DuckDB reproduces every bit.
+    "m25_interp" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("h", expr("unix_timestamp(ts) div 3600 * 3600"))
+        .groupBy("user_id", "h")
+        .agg(asDouble(sum(dec2(col("value")))).as("v"))
+      graft.operators.Resample
+        .gridInterp(hourly, Seq("user_id"), "h", "v", 3600L)
+        .select("user_id", "h", "v", "filled")
+        .orderBy("user_id", "h")
     }
   )
 
@@ -728,6 +746,40 @@ object TimeSeriesQueries {
         |FROM pts
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_type, t, event_id""".stripMargin
+        |ORDER BY user_id, event_type, t, event_id""".stripMargin,
+
+    // m11's grid skeleton + directional windows; the interpolation
+    // expression matches the Spark side token-for-token
+    "m25_interp" ->
+      s"""WITH hourly AS (
+        |  SELECT user_id, ($t) // 3600 * 3600 AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+        |g AS (SELECT UNNEST(generate_series(lo, hi, 3600)) AS h FROM b),
+        |grid AS (SELECT u.user_id, g.h
+        |         FROM (SELECT DISTINCT user_id FROM hourly) u CROSS JOIN g),
+        |j AS (SELECT grid.user_id, grid.h, hourly.v
+        |      FROM grid LEFT JOIN hourly
+        |        ON grid.user_id = hourly.user_id AND grid.h = hourly.h),
+        |k AS (SELECT user_id, h, v,
+        |        last_value(v IGNORE NULLS) OVER wp AS vp,
+        |        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |          OVER wp AS hp,
+        |        first_value(v IGNORE NULLS) OVER wn AS vn,
+        |        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |          OVER wn AS hn
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+        |                    ROWS UNBOUNDED PRECEDING),
+        |             wn AS (PARTITION BY user_id ORDER BY h
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN vp IS NOT NULL AND vn IS NOT NULL
+        |       THEN vp + (vn - vp) * (CAST(h - hp AS DOUBLE) / (hn - hp))
+        |  END AS v,
+        |  (v IS NULL) AS filled
+        |FROM k ORDER BY user_id, h""".stripMargin
   )
 }
