@@ -86,10 +86,72 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
-  /** DuckDB oracle: the same k rounds as a CTE chain. `replace` has the
-    * same greedy non-overlapping left-to-right semantics there, and the
-    * marker encoding makes each round one `replace` + one pair-explode. */
-  def bpeMergesSql(k: Int = 4): String = {
+  /** Tokenizer APPLICATION: encode the corpus with the first-`k` learned
+    * merges and account the result per document — the pass that turns a
+    * trained tokenizer into the pipeline's token counts (budgeting,
+    * packing, billing all key off it).
+    *
+    * Scale shape: training ([[bpeMerges]]) collects k argmax rows; the
+    * merge table is then a DRIVER-SIDE literal, so encoding is one
+    * zero-shuffle projection over the corpus — per row: extract words,
+    * mark, fold the k merges as a chain of literal `replace`s inside a
+    * `transform` lambda, sum token counts with `aggregate`. No explode,
+    * no groupBy: the corpus is touched once and never shuffled (the
+    * oracle, which must re-derive the merges in SQL, uses an
+    * explode+regroup instead — same rows, different plan).
+    * Output: (doc_id, n_words, n_bpe_tokens). */
+  def bpeEncode(documents: DataFrame, k: Int = 4): DataFrame = {
+    val merges = bpeMerges(documents, k)
+      .select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def applyMerges(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      merges.foldLeft(m) { case (c, (a, b)) =>
+        replace(c, lit(s"$M1$a$M2$M1$b$M2"), lit(s"$M1$a$b$M2"))
+      }
+    documents
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        aggregate(
+          transform(col("ws"), w => size(split(
+            applyMerges(regexp_replace(w, "(.)", s"$M1$$1$M2")), s"$M2$M1"))),
+          lit(0L), (acc, n) => acc + n).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: re-derives the k merges with the
+    * [[bpeMergesSql]] CTE chain, then applies them word-by-word
+    * (explode words → chained `replace` against the CROSS JOINed top-i
+    * rows → regroup per doc). Wordless documents come back via the
+    * left join with zero counts. */
+  def bpeEncodeSql(k: Int = 4): String = {
+    val m1 = "chr(1)"
+    val m2 = "chr(2)"
+    val applied = (1 to k).foldLeft("mw.m") { (acc, i) =>
+      s"replace($acc, $m1 || t$i.a || $m2 || $m1 || t$i.b || $m2, $m1 || t$i.a || t$i.b || $m2)"
+    }
+    val crosses = (1 to k).map(i => s"CROSS JOIN top$i t$i").mkString(" ")
+    s"""WITH ${trainingCtes(k)},
+       |docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |         FROM documents),
+       |uw AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+       |mw AS (SELECT doc_id,
+       |         regexp_replace(w, '(.)', $m1 || '\\1' || $m2, 'g') AS m
+       |       FROM uw),
+       |ew AS (SELECT mw.doc_id, $applied AS e FROM mw $crosses),
+       |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       |          SUM(len(string_split(substr(e, 2, length(e) - 2),
+       |                               $m2 || $m1)))::BIGINT AS n_bpe_tokens
+       |        FROM ew GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(cnt.n_words, 0) AS n_words,
+       |  COALESCE(cnt.n_bpe_tokens, 0) AS n_bpe_tokens
+       |FROM docs d LEFT JOIN cnt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The training CTE chain shared by both oracles: seg0 → top1 → seg1
+    * → … → top`k` (each top$i = that round's argmax pair). */
+  private def trainingCtes(k: Int): String = {
     val m1 = "chr(1)"
     val m2 = "chr(2)"
     def segCte(i: Int): String =
@@ -117,11 +179,17 @@ object Bpe {
          |  GROUP BY 1, 2),
          |top$i AS (SELECT a, b, pair_count FROM pairs$i
          |          ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
-    val ctes = (segCte(0) +: (1 to k).flatMap(i =>
+    (segCte(0) +: (1 to k).flatMap(i =>
       Seq(topCte(i)) ++ (if (i < k) Seq(segCte(i)) else Nil))).mkString(",\n")
+  }
+
+  /** DuckDB oracle: the same k rounds as a CTE chain. `replace` has the
+    * same greedy non-overlapping left-to-right semantics there, and the
+    * marker encoding makes each round one `replace` + one pair-explode. */
+  def bpeMergesSql(k: Int = 4): String = {
     val out = (1 to k)
       .map(i => s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, pair_count FROM top$i")
       .mkString("\nUNION ALL\n")
-    s"WITH $ctes\n$out\nORDER BY merge_rank"
+    s"WITH ${trainingCtes(k)}\n$out\nORDER BY merge_rank"
   }
 }

@@ -239,6 +239,30 @@ object LlmQueries {
     "l51_bpe_merges" -> { (s, dir) =>
       Bpe.bpeMerges(Tables.documents(s, dir)) },
 
+    // BPE application: encode the corpus with the learned merges —
+    // driver-literal merge table, one zero-shuffle projection pass
+    "l56_bpe_encode" -> { (s, dir) =>
+      Bpe.bpeEncode(Tables.documents(s, dir)) },
+
+    // multimodal near-dup: Hamming-banded pairs over 60-bit media
+    // fingerprints (collapse → pigeonhole band join → verify → expand).
+    // The gate's corpus is the sha fingerprints of every asset PLUS a
+    // planted single-bit-flipped "re-encode variant" per 50th asset —
+    // sha maps distinct payloads to far-apart fingerprints, so without
+    // the variants a 0-row result would prove nothing about the
+    // Hamming path (a perceptual fp, where near payloads give near
+    // bits, is the production provider behind the same column).
+    "l57_media_neardup" -> { (s, dir) =>
+      val fps = Multimodal.assetsFromDocuments(s, Tables.documents(s, dir))
+        .toDF()
+        .select(col("asset_id"),
+          Multimodal.mediaFingerprint(col("media_bytes")).as("fp"))
+      val variants = fps.filter(col("asset_id") % 50 === 0)
+        .select((col("asset_id") + 1000000L).as("asset_id"),
+          col("fp").bitwiseXOR(
+            expr("shiftleft(cast(1 as bigint), cast(asset_id % 60 as int))")).as("fp"))
+      Multimodal.fingerprintNearDup(fps.unionByName(variants)) },
+
     // dataset card: the per-source corpus report (volume, language
     // spread, cross-source duplicate exposure, stopword ratio, token
     // share) — the capstone composite over the shared fingerprint
@@ -1153,6 +1177,26 @@ object LlmQueries {
     // greedy non-overlapping left-to-right semantics, so every round's
     // merge choice and application reproduce bit-for-bit
     "l51_bpe_merges" -> Bpe.bpeMergesSql(),
+    "l56_bpe_encode" -> Bpe.bpeEncodeSql(),
+
+    // all-pairs statement of the banded plan (the l7 oracle idiom):
+    // Hamming over the same 60-bit sha-prefix fingerprint, with the
+    // same planted single-bit variants
+    "l57_media_neardup" ->
+      s"""WITH base AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(('0x' || substr(sha256(text), 1, ${Multimodal.MediaFpHex})) AS BIGINT) AS fp
+        |  FROM documents),
+        |fp AS (
+        |  SELECT asset_id, fp FROM base
+        |  UNION ALL
+        |  SELECT asset_id + 1000000, xor(fp, 1::BIGINT << CAST(asset_id % 60 AS INTEGER))
+        |  FROM base WHERE asset_id % 50 = 0)
+        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |       bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= ${Multimodal.MediaMaxHamming}
+        |ORDER BY asset_a, asset_b""".stripMargin,
 
     // l3's brute-force CTE with a label inequality instead of the
     // self-exclusion (a probe shares its own label, so self is out)

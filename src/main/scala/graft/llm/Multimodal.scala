@@ -2,7 +2,7 @@ package graft.llm
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns as opaque binary + typed metadata.
@@ -393,5 +393,74 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("declared_width"),
       (col("n_chars") % 480).cast("int").as("declared_height"))
       .as[MediaAsset]
+  }
+
+  /** 60-bit payload fingerprint (first 15 hex chars of sha256). The
+    * banding/verify machinery below only needs "a 64-or-fewer-bit
+    * fingerprint whose bit distance means similarity"; a production
+    * deployment derives it perceptually (pHash of [[decodeImage]]'s
+    * luminance grid, chromaprint for audio) behind the same column,
+    * while the byte-hash form makes the pipeline engine-reproducible
+    * here (near = exact for it, by construction). */
+  def mediaFingerprint(bytes: Column): Column =
+    conv(substring(sha2(bytes, 256), 1, MediaFpHex), 16, 10).cast("long")
+
+  val MediaFpHex = 15      // 15 hex chars = 60 fingerprint bits
+  val MediaBands = 4       // 4 × 15-bit bands
+  val MediaMaxHamming = 3  // pigeonhole: ≤3 differing bits ⇒ one band equal
+
+  /** Hamming-banded near-duplicate pairs over media fingerprints — the
+    * multimodal face of simhash dedup (the l7 idiom applied to the
+    * asset table): exact-fingerprint duplicates collapse to one
+    * representative BEFORE banding (d copies cost d, not d²), the 4
+    * pigeonhole bands turn candidate generation into an equi-join, and
+    * verified pairs expand back across the collapsed groups. Output:
+    * every asset pair (asset_a < asset_b) within Hamming ≤
+    * [[MediaMaxHamming]], with the distance. */
+  def mediaNearDup(assets: Dataset[MediaAsset]): DataFrame =
+    fingerprintNearDup(assets.toDF()
+      .select(col("asset_id"), mediaFingerprint(col("media_bytes")).as("fp")))
+
+  /** The banding/verify core over any (asset_id, fp) frame — fp from
+    * [[mediaFingerprint]], a perceptual hasher, or an upstream catalog. */
+  def fingerprintNearDup(fps: DataFrame): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val withRep = fps
+      .withColumn("rep", min("asset_id").over(wg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = withRep.filter(col("asset_id") === col("rep"))
+      .select("asset_id", "fp")
+    val bands = uniq.select(col("asset_id"), col("fp"),
+      explode(expr(s"""transform(sequence(0, ${MediaBands - 1}),
+        | j -> struct(j AS idx, shiftright(fp, j * 15) & 32767 AS v))""".stripMargin))
+        .as("band"))
+      .select(col("asset_id"), col("fp"),
+        col("band.idx").as("band_idx"), col("band.v").as("band_val"))
+
+    // aliased self-join → one band shuffle + ReusedExchange (l7 idiom)
+    val vpairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MediaMaxHamming)
+
+    val ma = withRep.select(col("rep").as("a"), col("asset_id").as("m_a"))
+    val mb = withRep.select(col("rep").as("b"), col("asset_id").as("m_b"))
+    val cross = vpairs
+      .join(ma, "a").join(mb, "b")
+      .select(least(col("m_a"), col("m_b")).as("asset_a"),
+        greatest(col("m_a"), col("m_b")).as("asset_b"), col("hamming"))
+    val im = withRep.select(col("rep"), col("asset_id"))
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.rep") === col("y.rep") && col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+        lit(0).cast("int").as("hamming"))
+
+    cross.unionByName(intra).orderBy("asset_a", "asset_b")
   }
 }

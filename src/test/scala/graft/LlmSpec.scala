@@ -1159,4 +1159,25 @@ class LlmSpec extends SparkSpec {
     val byQ = out.groupBy(_._1)
     assert(byQ.values.forall(_.map(_._2).sorted.toSeq == (1 to 5)))
   }
+
+  test("media fingerprint near-dup: bands catch every pair within hamming 3, none beyond") {
+    import spark.implicits._
+    // hand-built 60-bit fingerprints: the sha gate only ever produces
+    // hamming-0/planted-1 pairs, so the interesting radii are pinned here
+    val base = 0x0123456789ABCDL
+    val fps = Seq(
+      (1L, base),                                  // reference
+      (2L, base),                                  // exact dup (hamming 0)
+      (3L, base ^ (1L << 59)),                     // 1 bit, top band
+      (4L, base ^ (1L << 0) ^ (1L << 15) ^ (1L << 30)), // 3 bits across 3 bands
+      (5L, base ^ 0xFL),                           // 4 bits: beyond radius
+      (6L, ~base & 0xFFFFFFFFFFFFFFFL)             // far
+    ).toDF("asset_id", "fp")
+    val got = Multimodal.fingerprintNearDup(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (3,4) is hamming 4, (5,*) ≥ 4, (6,*) far — none may appear; the
+    // exact-dup collapse must still expand (2,3)/(2,4) via 2's rep 1
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1),
+      (1L, 4L, 3), (2L, 4L, 3)))
+  }
 }
