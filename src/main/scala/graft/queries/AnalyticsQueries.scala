@@ -455,6 +455,26 @@ object AnalyticsQueries {
       graft.operators.SkewAgg.saltedDistinctCount(
           Tables.events(s, dir), Seq("event_type"), "user_id", 32, "n_users")
         .orderBy("event_type")
+    },
+
+    // bucketed co-located join: both sides written bucketBy(custkey) once,
+    // then sort-merge joined bucket-to-bucket with zero Exchange on either
+    // scan (BucketJoinSpec pins the plan) — the pay-the-shuffle-once
+    // layout for repeatedly-joined fact tables at 100 TB
+    "q26_bucket_join" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_q26").toString
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey"),
+        "graft_q26", "orders_b", "custkey", 8, base + "/db")
+      graft.operators.Bucketing.writeBucketed(
+        Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey"),
+        "graft_q26", "customer_b", "custkey", 8, base + "/db")
+      graft.operators.Bucketing
+        .bucketJoin(s, "graft_q26.orders_b", "graft_q26.customer_b", "custkey")
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("total_price"))
+        .orderBy("mktsegment")
     }
   )
 
@@ -735,6 +755,13 @@ object AnalyticsQueries {
 
     "q25_salted_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the layout is Spark-side mechanics; the RESULT is a plain join+agg
+    "q26_bucket_join" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -471,6 +471,32 @@ object TimeSeriesQueries {
         .gridInterp(hourly, Seq("user_id"), "h", "v", 3600L)
         .select("user_id", "h", "v", "filled")
         .orderBy("user_id", "h")
+    },
+
+    // Per-series OLS trend (m26): least-squares slope of value vs time
+    // per event_type, in ONE partial-aggregated shuffle — the five
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) map-side-combine, so a
+    // billion-row series costs the same exchange as a count. Exactness:
+    // x = whole hours since the corpus epoch, y = exact cents
+    // (dec2·100), so every statistic and both slope terms
+    // (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are INTEGERS — bit-identical in
+    // both engines; slope itself is then one IEEE division of two
+    // exactly-converted longs (< 2^53 at oracle scale), rounded at 9.
+    "m26_trend" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("(unix_timestamp(ts) - 1704067200L) div 3600").as("x"),
+        (dec2(col("value")) * 100).cast("long").as("y"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_n"))
+        .withColumn("slope_cents_per_hour",
+          round(col("cov_n").cast("double") / col("var_n").cast("double"), 9))
+        .orderBy("event_type")
     }
   )
 
@@ -780,6 +806,24 @@ object TimeSeriesQueries {
         |       THEN vp + (vn - vp) * (CAST(h - hp AS DOUBLE) / (hn - hp))
         |  END AS v,
         |  (v IS NULL) AS filled
-        |FROM k ORDER BY user_id, h""".stripMargin
+        |FROM k ORDER BY user_id, h""".stripMargin,
+
+    // integer sufficient statistics; slope = one IEEE division of two
+    // exactly-double-convertible longs, rounded at 9 in both engines
+    "m26_trend" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    (${duckTsec("ts")} - 1704067200) // 3600 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+        |        SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+        |        SUM(x*x)::BIGINT AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  (n*sxy - sx*sy) AS cov_n, (n*sxx - sx*sx) AS var_n,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE),
+        |        9) AS slope_cents_per_hour
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }

@@ -511,4 +511,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "chunk assembly is a projection — no per-doc window stage")
   }
+
+  test("q26: bucketed join sort-merges with ZERO exchange on either side") {
+    // the gate body eagerly writes both bucketed tables as a side effect
+    SparkEntry.queries("q26_bucket_join")(spark, sf())
+    val j = graft.operators.Bucketing
+      .bucketJoin(spark, "graft_q26.orders_b", "graft_q26.customer_b", "custkey")
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.linesIterator.exists(_.contains("Exchange")),
+      s"bucket co-location must eliminate both exchanges:\n${p.take(1600)}")
+    assert(p.contains("SelectedBucketsCount"),
+      s"both scans must be bucket-aware:\n${p.take(1600)}")
+  }
+
+  test("m26: trend statistics partial-aggregate in one shuffle, no window") {
+    val p = plan("m26_trend")
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(1200))
+    // one hash-agg exchange + the output sort's range exchange, no more
+    // (formatted explain names each node twice: tree line + detail header)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"expected 2 exchange nodes, got $exchanges lines:\n${p.take(1200)}")
+  }
 }
