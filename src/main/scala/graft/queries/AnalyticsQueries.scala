@@ -475,6 +475,18 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_orders"),
           asDouble(sum(dec2(col("o_totalprice")))).as("total_price"))
         .orderBy("mktsegment")
+    },
+
+    // z-order (Morton) codes over (user_id, hour): the interleaved sort
+    // key behind multi-dimensional file skipping — ZOrder.clusterWrite
+    // range-partitions on this value so BOTH dimensions' file min/max
+    // stay tight (ZOrderSpec proves the skip on real footer stats); the
+    // gate pins the bit-interleave kernel itself per row
+    "q27_zorder" -> { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        graft.operators.ZOrder.zValue16(col("user_id"),
+          expr("(unix_timestamp(ts) - 1704067200L) div 3600")).as("z"))
+        .orderBy("event_id")
     }
   )
 
@@ -762,6 +774,13 @@ object AnalyticsQueries {
       """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the SAME spread-bits chain, stated in SQL
+    "q27_zorder" ->
+      s"""SELECT event_id,
+        |  ${graft.operators.ZOrder.zValue16Sql("user_id",
+             s"(${QUtil.duckTsec("ts")} - 1704067200) // 3600")} AS z
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
