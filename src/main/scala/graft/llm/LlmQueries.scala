@@ -263,6 +263,21 @@ object LlmQueries {
             expr("shiftleft(cast(1 as bigint), cast(asset_id % 60 as int))")).as("fp"))
       Multimodal.fingerprintNearDup(fps.unionByName(variants)) },
 
+    // Unicode-canonical dedup: the corpus is ASCII, so the gate plants a
+    // composed-form ("café", U+00E9) and a decomposed-form ("cafe" +
+    // U+0301) copy of every 100th document — byte-distinct, one document
+    // after NFC. Exercises the codegen'd nfc_normalize end to end (the
+    // oracle's nfc_normalize() must agree with java.text.Normalizer).
+    "l58_nfc_canon" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val seed = docs.filter(col("doc_id") % 100 === 0)
+      val composed = seed.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val decomposed = seed.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("text"))
+      TextDedup.canonDedup(
+        docs.unionByName(composed).unionByName(decomposed)) },
+
     // dataset card: the per-source corpus report (volume, language
     // spread, cross-source duplicate exposure, stopword ratio, token
     // share) — the capstone composite over the shared fingerprint
@@ -1197,6 +1212,29 @@ object LlmQueries {
         |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= ${Multimodal.MediaMaxHamming}
         |ORDER BY asset_a, asset_b""".stripMargin,
+
+    // DuckDB's nfc_normalize (utf8proc) against the engine's
+    // java.text.Normalizer — same canonical composition by spec; the
+    // planted chr(233) composed / chr(769) combining-acute pairs only
+    // group if both engines agree
+    "l58_nfc_canon" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' caf' || chr(233)
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' cafe' || chr(769)
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |        '\s+', ' ', 'g'))) AS cfp
+        |  FROM aug),
+        |g AS (SELECT cfp, MIN(doc_id) AS rep_doc, COUNT(*) AS n_members
+        |      FROM c GROUP BY 1 HAVING COUNT(*) > 1)
+        |SELECT c.doc_id, g.rep_doc, g.n_members
+        |FROM c JOIN g USING (cfp) ORDER BY c.doc_id""".stripMargin,
 
     // l3's brute-force CTE with a label inequality instead of the
     // self-exclusion (a probe shares its own label, so self is out)

@@ -831,4 +831,30 @@ object TextDedup {
         "cont_a", "cont_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Unicode-canonical text form: NFC compose (the custom codegen'd
+    * [[graft.functions.NfcNormalize]]), THEN lowercase (NFC first —
+    * lowercasing can itself denormalize, e.g. İ → i + U+0307), then
+    * whitespace-collapse and trim. The canonicalization layer every
+    * byte-keyed dedup stage should share: composed "café" and decomposed
+    * "cafe&#x301;" are one document to it. */
+  def canonText(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.NfcNormalize(text)),
+      "\\s+", " "))
+
+  /** Canonical-form exact dedup: md5 over [[canonText]], groups with >1
+    * member expanded back to (doc_id, rep_doc, n_members). Same
+    * one-fingerprint-shuffle shape as [[exactDedup]]; the group table is
+    * duplicate-group-sized, so the member join broadcasts at any corpus
+    * scale with a bounded duplicate population. */
+  def canonDedup(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("doc_id"),
+      md5(canonText(col("text"))).as("cfp"))
+    val g = c.groupBy("cfp")
+      .agg(min("doc_id").as("rep_doc"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    c.join(g, "cfp")
+      .select("doc_id", "rep_doc", "n_members")
+      .orderBy("doc_id")
+  }
 }

@@ -1180,4 +1180,23 @@ class LlmSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1),
       (1L, 4L, 3), (2L, 4L, 3)))
   }
+
+  test("nfc_normalize: composes decomposed forms, passes ASCII through, codegen path") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize
+    val df = Seq(
+      ("plain ascii", "plain ascii"),
+      ("caf\u00e9", "caf\u00e9"),       // already composed: unchanged
+      ("cafe\u0301", "caf\u00e9"),      // e + combining acute composes
+      ("A\u030angstro\u0308m", "\u00c5ngstr\u00f6m")) // A-ring and o-umlaut compose
+      .toDF("raw", "want")
+    val bad = df.filter(NfcNormalize(col("raw")) =!= col("want")).count()
+    assert(bad == 0)
+    // canonical dedup groups a composed/decomposed pair
+    val docs = Seq((1L, "the caf\u00e9 menu"), (2L, "the cafe\u0301 menu"),
+      (3L, "unrelated")).toDF("doc_id", "text")
+    val got = graft.llm.TextDedup.canonDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L)))
+  }
 }
