@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incrementally-maintained aggregates (materialized-view maintenance).
+  *
+  * At 100 TB the standing corpus is never re-aggregated per batch: the
+  * rollup lives as a STATE table of mergeable statistics, and each
+  * arriving batch contributes a batch-sized delta that merges in state ∪
+  * delta time — the full history is touched exactly once, ever. The
+  * statistics here (count, exact-decimal sum, min, max) are chosen
+  * associative+commutative so merge order and batch boundaries cannot
+  * change the result ([[merge]](…[[merge]](s, d₁)…, dₙ) ≡ one global
+  * aggregation — the m27 gate proves it against a full-recompute oracle).
+  * The same algebra is why Spark's own partial aggregation works; this
+  * operator lifts it across BATCHES instead of partitions. Average and
+  * friends derive from (sum, n) at read time; non-decomposable stats
+  * (exact median) need the sketch path (q18) instead.
+  *
+  * The sum is carried as DECIMAL(38,2) — exact at any merge depth, and a
+  * fixed type so state written in round N unions cleanly with deltas
+  * written in round N+1 (Spark would otherwise widen the precision per
+  * merge and drift the state schema).
+  */
+object IncrementalAgg {
+
+  private val SumType = DecimalType(38, 2)
+
+  /** Aggregate one batch into state rows: (keys…, n, sum_dec, min_v,
+    * max_v). One partial-aggregated shuffle of the batch only. */
+  def delta(batch: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast(DecimalType(18, 2))).cast(SumType).as("sum_dec"),
+        min(value).as("min_v"), max(value).as("max_v"))
+
+  /** Merge two state tables (state ∪ delta → state). Cost is bounded by
+    * the GROUP cardinality, never the row history. */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_dec")).cast(SumType).as("sum_dec"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+}

@@ -497,6 +497,28 @@ object TimeSeriesQueries {
         .withColumn("slope_cents_per_hour",
           round(col("cov_n").cast("double") / col("var_n").cast("double"), 9))
         .orderBy("event_type")
+    },
+
+    // Incremental rollup maintenance (m27): the (day, type) daily rollup
+    // built as three batch-delta merges over a standing state table —
+    // proving merge(merge(merge(∅,d₀),d₁),d₂) equals the oracle's one-shot
+    // recompute. The batches split on event_id % 3, so each delta sees an
+    // arbitrary interleaving of every group (the hostile case for any
+    // order-dependent statistic).
+    "m27_incr_rollup" -> { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), expr("unix_timestamp(ts) div 86400").as("d"),
+        col("value"))
+      val keys = Seq("d", "event_type")
+      val deltas = (0 until 3).map(i =>
+        IncrementalAgg.delta(ev.filter(col("event_id") % 3 === i),
+          keys, col("value")))
+      deltas.tail.foldLeft(deltas.head)(IncrementalAgg.merge(_, _, keys))
+        .select(col("d"), col("event_type"), col("n"),
+          asDouble(col("sum_dec")).as("sum_value"),
+          col("min_v").as("min_value"), col("max_v").as("max_value"))
+        .orderBy("d", "event_type")
     }
   )
 
@@ -824,6 +846,15 @@ object TimeSeriesQueries {
         |  (n*sxy - sx*sy) AS cov_n, (n*sxx - sx*sx) AS var_n,
         |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE),
         |        9) AS slope_cents_per_hour
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // the oracle recomputes from scratch — equality IS the maintenance
+    // correctness statement
+    "m27_incr_rollup" ->
+      s"""SELECT (${duckTsec("ts")}) // 86400 AS d, event_type,
+        |  COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -155,4 +155,25 @@ class OperatorsSpec extends SparkSpec {
     val n = 30L * 8 // bigrams per doc = tokens - 1 = 8
     assert(math.abs(top._4 - n.toDouble / 30.0) < 1e-9, s"lift ${top._4}")
   }
+
+  test("incremental agg: any batch split and merge order yields the one-shot state") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val rows = (0 until 60).map(i =>
+      (i.toLong, s"g${i % 3}", (i % 7) + 0.25)).toDF("id", "k", "v")
+    val keys = Seq("k")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDouble(3), r.getDouble(4))).toSeq
+    val oneShot = IncrementalAgg.delta(rows, keys, col("v"))
+    // split 2 ways and 5 ways, merge left-to-right and right-to-left
+    for (parts <- Seq(2, 5)) {
+      val deltas = (0 until parts).map(i =>
+        IncrementalAgg.delta(rows.filter(col("id") % parts === i), keys, col("v")))
+      val ltr = deltas.reduceLeft(IncrementalAgg.merge(_, _, keys))
+      val rtl = deltas.reduceRight(IncrementalAgg.merge(_, _, keys))
+      assert(snap(ltr) == snap(oneShot), s"$parts-way LTR diverged")
+      assert(snap(rtl) == snap(oneShot), s"$parts-way RTL diverged")
+    }
+  }
 }
