@@ -487,6 +487,28 @@ object AnalyticsQueries {
         graft.operators.ZOrder.zValue16(col("user_id"),
           expr("(unix_timestamp(ts) - 1704067200L) div 3600")).as("z"))
         .orderBy("event_id")
+    },
+
+    // dynamic partition pruning: the fact table is written day-partitioned
+    // (the store's own layout); the dim side's filter is only known at
+    // run time, so Catalyst injects the dim subquery INTO the fact scan's
+    // PartitionFilters — at 100 TB the scan opens 2/7 of the partitions
+    // instead of all of them (plan-pinned: `dynamicpruning` reaches the
+    // scan). The result is partition-layout-invariant, which is exactly
+    // what the oracle states.
+    "q28_dpp" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_q28").toString
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"),
+        expr("unix_timestamp(ts) div 86400").as("d"))
+      ev.write.mode("overwrite").partitionBy("d").parquet(s"$base/fact")
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = ev.select("d").distinct().filter(col("d") % 7 < 2)
+      fact.join(broadcast(dim), "d")
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy("d")
     }
   )
 
@@ -781,6 +803,14 @@ object AnalyticsQueries {
       s"""SELECT event_id,
         |  ${graft.operators.ZOrder.zValue16Sql("user_id",
              s"(${QUtil.duckTsec("ts")} - 1704067200) // 3600")} AS z
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // layout-invariant statement of the pruned join
+    "q28_dpp" ->
+      s"""SELECT (${QUtil.duckTsec("ts")}) // 86400 AS d, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ((${QUtil.duckTsec("ts")}) // 86400) % 7 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -526,6 +526,12 @@ class PlanShapeSpec extends SparkSpec {
       s"both scans must be bucket-aware:\n${p.take(1600)}")
   }
 
+  test("q28: the dim filter dynamically prunes the fact scan's partitions") {
+    val p = plan("q28_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"fact PartitionFilters must carry the dim subquery:\n${p.take(2000)}")
+  }
+
   test("m26: trend statistics partial-aggregate in one shuffle, no window") {
     val p = plan("m26_trend")
     assert(p.contains("partial_sum"), p.take(1200))
