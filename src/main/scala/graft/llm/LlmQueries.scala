@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -283,6 +284,53 @@ object LlmQueries {
     // share) — the capstone composite over the shared fingerprint
     "c8_dataset_card" -> { (s, dir) =>
       TextStats.datasetCard(Tables.documents(s, dir)) },
+
+    // data-expectation audit (c9): the pre-training admission checklist —
+    // domain, completeness, range, metadata-consistency, and referential
+    // checks across all six ingest tables, one report row per check.
+    // Scale shape: every predicate check is a single partial-aggregated
+    // scan of its table; the two referential checks are key anti-joins
+    // (the parent side broadcasts while it fits, AQE picks the shuffle
+    // form when both sides are fact-sized — no driver-side sets).
+    "c9_expectations" -> { (s, dir) =>
+      def chk(name: String, df: DataFrame, bad: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_checked"),
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      def refChk(name: String, child: DataFrame, childKey: String,
+                 parent: DataFrame, parentKey: String): DataFrame =
+        child.agg(count(lit(1)).as("n_checked")).crossJoin(
+          child.join(parent.select(col(parentKey).as(childKey)),
+              Seq(childKey), "left_anti")
+            .agg(count(lit(1)).as("n_violations")))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val ev = Tables.events(s, dir)
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      Seq(
+        chk("customer_mktsegment_domain", cust,
+          !col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")),
+        chk("documents_nchars_consistent", docs,
+          col("n_chars") =!= length(col("text"))),
+        chk("documents_nonempty", docs, length(col("text")) === 0),
+        chk("embeddings_dim_64", emb, size(col("embedding")) =!= 64),
+        chk("events_amount_completeness", ev,
+          !col("props").contains("\"amount\"")),
+        chk("events_ts_in_range", ev,
+          tsec(col("ts")) < 1704067200L || tsec(col("ts")) >= 1706745600L),
+        chk("events_value_nonneg", ev, col("value") < 0),
+        refChk("lineitem_orderkey_resolves", li, "l_orderkey",
+          ord, "o_orderkey"),
+        chk("lineitem_qty_positive", li, col("l_quantity") <= 0),
+        refChk("orders_custkey_resolves", ord, "o_custkey",
+          cust, "c_custkey")
+      ).reduce(_ unionByName _).orderBy("check_name") },
 
     // model-based quality filtering: fixed-weight linear scorer over the
     // l5 features (no sigmoid — both engines compute identical doubles)
@@ -1137,6 +1185,53 @@ object LlmQueries {
 
     // same fingerprint fragment as l1/c1; ratios are integer sums with
     // one trailing division (the l5 idiom)
+    // each check restated as scalar subqueries; the referential checks
+    // use LEFT JOIN … IS NULL to match anti-join null semantics exactly
+    "c9_expectations" ->
+      s"""WITH checks AS (
+        |  SELECT 'customer_mktsegment_domain' AS check_name,
+        |    (SELECT COUNT(*) FROM customer)::BIGINT AS n_checked,
+        |    (SELECT COUNT(*) FROM customer WHERE c_mktsegment NOT IN
+        |      ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+        |    )::BIGINT AS n_violations
+        |  UNION ALL SELECT 'documents_nchars_consistent',
+        |    (SELECT COUNT(*) FROM documents)::BIGINT,
+        |    (SELECT COUNT(*) FROM documents
+        |     WHERE n_chars != length(text))::BIGINT
+        |  UNION ALL SELECT 'documents_nonempty',
+        |    (SELECT COUNT(*) FROM documents)::BIGINT,
+        |    (SELECT COUNT(*) FROM documents WHERE length(text) = 0)::BIGINT
+        |  UNION ALL SELECT 'embeddings_dim_64',
+        |    (SELECT COUNT(*) FROM embeddings)::BIGINT,
+        |    (SELECT COUNT(*) FROM embeddings WHERE len(embedding) != 64)::BIGINT
+        |  UNION ALL SELECT 'events_amount_completeness',
+        |    (SELECT COUNT(*) FROM events)::BIGINT,
+        |    (SELECT COUNT(*) FROM events
+        |     WHERE props NOT LIKE '%"amount"%')::BIGINT
+        |  UNION ALL SELECT 'events_ts_in_range',
+        |    (SELECT COUNT(*) FROM events)::BIGINT,
+        |    (SELECT COUNT(*) FROM events
+        |     WHERE (${duckTsec("ts")}) < 1704067200
+        |        OR (${duckTsec("ts")}) >= 1706745600)::BIGINT
+        |  UNION ALL SELECT 'events_value_nonneg',
+        |    (SELECT COUNT(*) FROM events)::BIGINT,
+        |    (SELECT COUNT(*) FROM events WHERE value < 0)::BIGINT
+        |  UNION ALL SELECT 'lineitem_orderkey_resolves',
+        |    (SELECT COUNT(*) FROM lineitem)::BIGINT,
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL)::BIGINT
+        |  UNION ALL SELECT 'lineitem_qty_positive',
+        |    (SELECT COUNT(*) FROM lineitem)::BIGINT,
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)::BIGINT
+        |  UNION ALL SELECT 'orders_custkey_resolves',
+        |    (SELECT COUNT(*) FROM orders)::BIGINT,
+        |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)::BIGINT)
+        |SELECT check_name, n_checked, n_violations
+        |FROM checks ORDER BY check_name""".stripMargin,
+
     "c8_dataset_card" ->
       """WITH base AS (
         |  SELECT source, lang, len(w)::BIGINT AS n_tok,
