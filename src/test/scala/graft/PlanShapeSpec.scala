@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.queries.AnalyticsQueries
 
 /** Pins the physical-plan shapes the 100 TB story depends on — a conf or
@@ -524,6 +526,38 @@ class PlanShapeSpec extends SparkSpec {
       s"bucket co-location must eliminate both exchanges:\n${p.take(1600)}")
     assert(p.contains("SelectedBucketsCount"),
       s"both scans must be bucket-aware:\n${p.take(1600)}")
+  }
+
+  test("runtime bloom filter: a selective dim side seeds a might_contain on the fact scan") {
+    // the row-level sibling of q28's partition-level pruning: when the
+    // join key is NOT the partition column, Spark can still build a bloom
+    // filter from the filtered dim side and apply it before the fact
+    // side's shuffle — at 100 TB that turns a full-fact exchange into a
+    // selectivity-sized one. Threshold confs exist for real clusters;
+    // pinned here at test scale so a conf regression can't silently drop
+    // the rewrite.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf())
+      val dim = Tables.orders(spark, sf())
+        .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+      val p = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   test("q28: the dim filter dynamically prunes the fact scan's partitions") {
