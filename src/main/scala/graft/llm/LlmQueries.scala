@@ -332,6 +332,22 @@ object LlmQueries {
           cust, "c_custkey")
       ).reduce(_ unionByName _).orderBy("check_name") },
 
+    // physical shard export round-trip (c10): l25 assigns, this WRITES —
+    // shard=N/ directories in deterministic training order — and the
+    // gate re-reads the exported layout and accounts it against an
+    // oracle that derives the same partition from the md5 key alone
+    // (proving the filesystem round-trip preserved rows, shard
+    // membership, and nothing else crept in)
+    "c10_export_shards" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_c10").toString
+      TextStats.exportShards(Tables.documents(s, dir), 8, s"$base/shards")
+      s.read.parquet(s"$base/shards")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard") },
+
     // model-based quality filtering: fixed-weight linear scorer over the
     // l5 features (no sigmoid — both engines compute identical doubles)
     "l53_quality_score" -> { (s, dir) =>
@@ -1185,6 +1201,17 @@ object LlmQueries {
 
     // same fingerprint fragment as l1/c1; ratios are integer sums with
     // one trailing division (the l5 idiom)
+    // the exported layout must equal the md5-derived assignment
+    "c10_export_shards" ->
+      """WITH b AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // each check restated as scalar subqueries; the referential checks
     // use LEFT JOIN … IS NULL to match anti-join null semantics exactly
     "c9_expectations" ->

@@ -168,6 +168,19 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Materialize [[shardAssign]]'s layout: one `shard=N/` directory per
+    * shard, rows in the deterministic (k, doc_id) training order. The
+    * shard-keyed repartition bounds writer state (each task streams one
+    * shard — at 100 TB the shard count, not the corpus, sets task
+    * memory); `partitionBy` keeps the directory layout self-describing
+    * so a trainer (or the c10 gate) reads any shard without a manifest. */
+  def exportShards(docs: DataFrame, nShards: Int, path: String): Unit =
+    keyedShard(docs, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
+      .drop("k")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Deterministic stratified sample: the k documents per stratum with
     * the smallest md5-of-id key, ranked in key order — a reproducible
     * uniform sample per stratum (language, source, quality band, k-means
