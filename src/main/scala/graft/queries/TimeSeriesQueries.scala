@@ -519,6 +519,32 @@ object TimeSeriesQueries {
           asDouble(col("sum_dec")).as("sum_value"),
           col("min_v").as("min_value"), col("max_v").as("max_value"))
         .orderBy("d", "event_type")
+    },
+
+    // m27's maintenance loop under Structured Streaming (m28): four
+    // source files drive four REAL micro-batch merges (maxFilesPerTrigger
+    // = 1), each committing a state generation behind a marker — the
+    // crash-safe continuously-maintained rollup, read back from the
+    // final committed generation and compared to the one-shot oracle.
+    "m28_stream_rollup" -> { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val base = java.nio.file.Files.createTempDirectory("graft_m28").toString
+      Tables.events(s, dir).select("event_type", "ts", "value")
+        .repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("d"), col("value"))
+      val q = IncrementalAgg.maintain(src, Seq("d", "event_type"),
+        col("value"), s"$base/state", s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      IncrementalAgg.readState(s, s"$base/state")
+        .select(col("d"), col("event_type"), col("n"),
+          asDouble(col("sum_dec")).as("sum_value"),
+          col("min_v").as("min_value"), col("max_v").as("max_value"))
+        .orderBy("d", "event_type")
     }
   )
 
@@ -851,6 +877,15 @@ object TimeSeriesQueries {
     // the oracle recomputes from scratch — equality IS the maintenance
     // correctness statement
     "m27_incr_rollup" ->
+      s"""SELECT (${duckTsec("ts")}) // 86400 AS d, event_type,
+        |  COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical recompute: the streaming maintenance must land exactly
+    // where the batch fold (m27) and the one-shot aggregation do
+    "m28_stream_rollup" ->
       s"""SELECT (${duckTsec("ts")}) // 86400 AS d, event_type,
         |  COUNT(*)::BIGINT AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -176,4 +176,31 @@ class OperatorsSpec extends SparkSpec {
       assert(snap(rtl) == snap(oneShot), s"$parts-way RTL diverged")
     }
   }
+
+  test("incremental agg maintenance: batch replay and crash-mid-write cannot double-count") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val state = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val keys = Seq("k")
+    def b(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 2}", i.toDouble)).toDF("k", "v")
+    def snap() = IncrementalAgg.readState(spark, state)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    val apply_ = IncrementalAgg.maintainBatch(state, keys, col("v")) _
+    apply_(b(0, 10), 0L)
+    apply_(b(10, 20), 1L)
+    val afterTwo = snap()
+    // checkpoint replay of an already-committed batch: marker short-circuits
+    apply_(b(10, 20), 1L)
+    assert(snap() == afterTwo, "replay of a committed batch changed state")
+    // crash mid-write: gen-2 exists, marker does not → replay must rewrite
+    b(20, 25).groupBy("k").count().write.mode("overwrite")
+      .parquet(s"$state/gen-2") // garbage partial write, wrong schema even
+    apply_(b(20, 30), 2L)
+    val expect = IncrementalAgg.delta(b(0, 30), keys, col("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(snap() == expect, "crash-replay state diverged from one-shot")
+  }
 }
