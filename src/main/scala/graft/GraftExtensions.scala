@@ -70,7 +70,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CharNgramHashes(exprs(0), litInt(exprs(1), "n"))),
     ("winnow_fp",
       "winnow_fp(tokens) - winnowing (rolling-hash) document fingerprint of a token array",
-      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0))))
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0))),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode canonical composition (NFC) of a string",
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
 
   /** Register every graft function in one live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -17,6 +17,8 @@ class GraftExtensionsSpec extends SparkSpec {
       "simhash is order-insensitive")
     assert(spark.sql("SELECT size(trigram_hashes(array('a','b','c','d')))")
       .head().getInt(0) == 2)
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301') = 'caf\u00e9'")
+      .head().getBoolean(0), "NFC must compose e + combining acute")
   }
 
   test("GraftExtensions injects the functions into a fresh session") {
