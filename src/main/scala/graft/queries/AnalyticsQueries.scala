@@ -38,6 +38,51 @@ object SharedSql {
       |  / (SELECT COUNT(*) FROM orders o3 WHERE o3.o_custkey = o.o_custkey))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Lateral top-N-per-row join (q29): each customer pairs with its own
+    * two most expensive orders. The lateral subquery is the SQL face of
+    * "per-key top-K as a join" — Catalyst plans the correlated LIMIT as a
+    * per-key window (DomainJoin → rank filter), so no per-outer-row
+    * re-execution happens; DuckDB executes the same string natively.
+    * Ties break on o_orderkey, so the result is total-order determined. */
+  val q29: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  /** Higher central moments (q31): per-flag skewness and excess-free
+    * kurtosis from exact-decimal power sums (n, Σq, Σq², Σq³, Σq⁴). The
+    * float contract: every power sum aggregates exactly as DECIMAL (order-
+    * free), converts once to DOUBLE, and the moment formulas below are the
+    * IDENTICAL IEEE expression tree on both engines — divisions, products
+    * and one correctly-rounded sqrt. `power(x, 1.5)` would NOT be safe
+    * (libm pow is not correctly rounded and differs across engines);
+    * var·sqrt(var) is. Scale 0 on the sums matters: quantities are
+    * integral, so scale-0 sums are integers whose DOUBLE conversion is a
+    * single correctly-rounded step in both engines — a scaled decimal
+    * (e.g. DECIMAL(38,8)) converts via significand/10^scale, which
+    * double-rounds DIFFERENTLY per engine once the significand passes
+    * 2^53 (observed: kurtosis off by 3 ulps at sf0.01). */
+  val q31: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,0))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(32,0))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  s1 / n AS mean_q,
+      |  (s2 / n) - (s1 / n) * (s1 / n) AS var_q,
+      |  ((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+      |    / (((s2 / n) - (s1 / n) * (s1 / n)) * sqrt((s2 / n) - (s1 / n) * (s1 / n))) AS skew_q,
+      |  ((s4 / n) - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+      |    / (((s2 / n) - (s1 / n) * (s1 / n)) * ((s2 / n) - (s1 / n) * (s1 / n))) AS kurt_q
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q5-style revenue-by-region over finished orders. */
   val q19: String =
     """SELECT r_name,
@@ -509,6 +554,49 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           asDouble(sum(dec2(col("value")))).as("sum_value"))
         .orderBy("d")
+    },
+
+    // Lateral join (q29): the SAME string on both engines (the q19/q21
+    // principle). What it proves on the Spark side is that the correlated
+    // ORDER BY … LIMIT never executes per outer row — Catalyst rewrites
+    // the lateral relation into a window rank over one orders scan joined
+    // back on the key.
+    "q29_lateral" -> { (s, dir) =>
+      Seq("customer", "orders")
+        .foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SharedSql.q29)
+    },
+
+    // Ordered string aggregation (q30): per nation, the top-5 customers
+    // by balance concatenated in rank order — LISTAGG semantics with a
+    // deterministic ORDER BY. The rank filter runs as the m5 two-phase
+    // top-K (partial top-5 inside each scan partition, then the global
+    // window), so no task ever sorts a whole nation's customers; the
+    // concat state is then 5-bounded per group — collect_list over an
+    // UNBOUNDED group would be the scale bug this shape avoids.
+    "q30_listagg" -> { (s, dir) =>
+      val ord = Seq(desc("c_acctbal"), col("c_name"))
+      val partial = Window.partitionBy(col("c_nationkey"), spark_partition_id())
+        .orderBy(ord: _*)
+      val global = Window.partitionBy(col("c_nationkey")).orderBy(ord: _*)
+      val top = Tables.customer(s, dir)
+        .withColumn("prk", row_number().over(partial)).filter(col("prk") <= 5)
+        .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= 5)
+      top.join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_top"),
+          expr("array_join(transform(array_sort(collect_list(struct(rnk, c_name))), x -> x.c_name), ',')")
+            .as("top_names"))
+        .orderBy("n_name")
+    },
+
+    // Higher moments (q31): shared-SQL skewness/kurtosis from decimal-
+    // exact power sums — one partial-aggregated shuffle carries all five
+    // statistics; the moment algebra is a 6-row projection afterwards.
+    "q31_moments" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SharedSql.q31)
     }
   )
 
@@ -811,6 +899,23 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ((${QUtil.duckTsec("ts")}) // 86400) % 7 < 2
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q29_lateral" -> SharedSql.q29,
+
+    // window-rank restatement of the two-phase top-5; string_agg's ORDER
+    // BY rnk mirrors the Spark side's sort-by-struct concat order
+    "q30_listagg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_name) AS rnk
+        |  FROM customer)
+        |SELECT n_name, COUNT(*) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY rnk) AS top_names
+        |FROM r JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rnk <= 5 GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q31_moments" -> SharedSql.q31
   )
 }
