@@ -279,6 +279,22 @@ object LlmQueries {
       TextDedup.canonDedup(
         docs.unionByName(composed).unionByName(decomposed)) },
 
+    // per-source distribution drift: integer-exact total-variation
+    // distance vs the corpus unigram distribution (the log-free stand-in
+    // for KL/JS monitoring — same alarm, engine-exact arithmetic)
+    "l59_source_tvd" -> { (s, dir) =>
+      TextStats.sourceDrift(Tables.documents(s, dir)) },
+
+    // weighted term-blocklist gate: the wordlist-screening face of
+    // corpus safety filtering, compiled into the scan as a CASE chain
+    "l60_blocklist" -> { (s, dir) =>
+      TextStats.blocklistScore(Tables.documents(s, dir)) },
+
+    // tokenizer-coverage audit: OOV fraction vs the corpus' own top-25
+    // vocabulary (vocab-bounded driver collect, the BPE-merges idiom)
+    "l61_oov_rate" -> { (s, dir) =>
+      TextStats.oovRate(Tables.documents(s, dir)) },
+
     // dataset card: the per-source corpus report (volume, language
     // spread, cross-source duplicate exposure, stopword ratio, token
     // share) — the capstone composite over the shared fingerprint
@@ -1357,6 +1373,62 @@ object LlmQueries {
         |      FROM c GROUP BY 1 HAVING COUNT(*) > 1)
         |SELECT c.doc_id, g.rep_doc, g.n_members
         |FROM c JOIN g USING (cfp) ORDER BY c.doc_id""".stripMargin,
+
+    // the TV identity with HUGEINT exact arithmetic (the Spark side
+    // carries DECIMAL(38,0) — both are exact integers, so the single
+    // final division is the only float op on either engine)
+    "l59_source_tvd" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |csw AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2),
+        |cw  AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+        |ts  AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s,
+        |               COUNT(*) AS n_distinct FROM csw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t_all FROM cw),
+        |agg AS (
+        |  SELECT source,
+        |    SUM(ABS(CAST(c_sw AS HUGEINT) * t_all - CAST(c_w AS HUGEINT) * t_s))
+        |      AS a_num,
+        |    CAST(SUM(c_w) AS BIGINT) AS b_cov,
+        |    MAX(t_s) AS n_tokens, MAX(n_distinct) AS n_distinct,
+        |    MAX(t_all) AS t_all
+        |  FROM csw JOIN cw USING (w) JOIN ts USING (source), tot
+        |  GROUP BY source)
+        |SELECT source, n_tokens, n_distinct,
+        |  CAST(a_num + CAST(t_all - b_cov AS HUGEINT) * n_tokens AS DOUBLE) /
+        |    (2 * CAST(n_tokens AS DOUBLE) * CAST(t_all AS DOUBLE)) AS tv_dist
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // the same CASE chain folded over the token list (l30's
+    // list_prepend-seeded list_reduce idiom for possibly-empty lists)
+    "l60_blocklist" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      x -> CAST(CASE x WHEN 'slow' THEN 4 WHEN 'dup' THEN 7
+        |                       WHEN 'big' THEN 2 ELSE 0 END AS BIGINT))),
+        |    (a, b) -> a + b) AS block_score,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      x -> CAST(CASE x WHEN 'slow' THEN 4 WHEN 'dup' THEN 7
+        |                       WHEN 'big' THEN 2 ELSE 0 END AS BIGINT))),
+        |    (a, b) -> a + b) * 25 >= len(string_split(text, ' ')) AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vocabulary = deterministic top-25 (count desc, token asc); the
+    // per-doc pass is membership against that 25-entry list
+    "l61_oov_rate" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT list(w) AS vocab FROM (
+        |        SELECT w, COUNT(*) AS n FROM c GROUP BY 1
+        |        ORDER BY n DESC, w LIMIT 25)),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens,
+        |  len(list_filter(w, x -> NOT list_contains(vocab, x))) AS n_oov,
+        |  CAST(len(list_filter(w, x -> NOT list_contains(vocab, x))) AS DOUBLE)
+        |    / len(w) AS oov_rate
+        |FROM d, v ORDER BY doc_id""".stripMargin,
 
     // l3's brute-force CTE with a label inequality instead of the
     // self-exclusion (a probe shares its own label, so self is out)

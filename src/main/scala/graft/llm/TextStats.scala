@@ -830,4 +830,100 @@ object TextStats {
       .select("doc_id", "n_distinct", "sum_df", "min_df", "n_hapax", "mean_df")
       .orderBy("doc_id")
   }
+
+  /** Per-source distribution drift: total-variation distance between each
+    * source's unigram distribution and the whole corpus — the monitoring
+    * signal behind "did this crawl batch / provider shift under us?"
+    * (KL/JS need per-term logs whose libm rounding differs across
+    * engines; TV = ½·Σ|p_s − p| carries the same alarm and stays exact).
+    *
+    * Integer-exact core: with c_sw = count of word w in source s, T_s =
+    * source tokens, c_w/T corpus-wide,
+    *   TV(s) = [ Σ_{w∈V_s} |c_sw·T − c_w·T_s|  +  (T − Σ_{w∈V_s} c_w)·T_s ]
+    *           / (2·T_s·T)
+    * — the second term folds every word ABSENT from the source without
+    * materializing the source×vocab cross product. The numerator
+    * aggregates as DECIMAL(38,0) (HUGEINT on the oracle side), the
+    * denominator is two exact-integer→double casts and one division.
+    *
+    * Scale shape: one (source, word) count shuffle over the token scan;
+    * the word-total re-aggregation and the word-keyed join reuse that
+    * frame (word-keyed shuffle, AQE broadcasts the vocab side when
+    * small); per-source totals and the corpus total ride as broadcast
+    * one-row frames. Work is linear in distinct (source, word) pairs —
+    * never quadratic, no window. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val csw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cw  = csw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val ts  = csw.groupBy("source")
+      .agg(sum("c_sw").as("t_s"), count(lit(1)).as("n_distinct"))
+    val tot = cw.agg(sum("c_w").as("t_all"))
+    csw.join(cw, "w")
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        sum(abs(col("c_sw").cast(dec38) * col("t_all") -
+          col("c_w").cast(dec38) * col("t_s"))).as("a_num"),
+        sum("c_w").as("b_cov"),
+        max("t_s").as("n_tokens"),
+        max("n_distinct").as("n_distinct"),
+        max("t_all").as("t_all"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        ((col("a_num") + (col("t_all") - col("b_cov")).cast(dec38) * col("n_tokens"))
+          .cast("double") /
+          (lit(2) * col("n_tokens").cast("double") * col("t_all").cast("double")))
+          .as("tv_dist"))
+      .orderBy("source")
+  }
+
+  /** Default blocklist for [[blocklistScore]]: (term, weight). */
+  val Blocklist: Seq[(String, Int)] = Seq("slow" -> 4, "dup" -> 7, "big" -> 2)
+
+  /** Weighted term-blocklist gate (the wordlist-filtering face of corpus
+    * safety/quality screens, RefinedWeb §3.1-style): per document, the
+    * weight-summed count of blocklisted terms and a density flag
+    * (score·25 ≥ tokens ⇔ weighted density ≥ 4 %). Integer arithmetic
+    * only; one zero-shuffle projection over the token split — the list
+    * compiles into the scan as a CASE chain, so screening 100 TB costs
+    * exactly one read of it. */
+  def blocklistScore(docs: DataFrame,
+      terms: Seq[(String, Int)] = Blocklist): DataFrame = {
+    val cases = terms.map { case (t, wt) =>
+      s"WHEN '${t.replace("'", "''")}' THEN ${wt}L" }.mkString(" ")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr(s"aggregate(w, 0L, (acc, x) -> acc + CASE x $cases ELSE 0L END)")
+          .as("block_score"))
+      .withColumn("flagged", col("block_score") * 25 >= col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Out-of-vocabulary rate vs the corpus' own top-`k` token vocabulary —
+    * the tokenizer-coverage audit run before committing a vocab size
+    * (pairs with the l51/l56 BPE path: how much of the corpus would fall
+    * outside a k-entry vocabulary?). The vocabulary is deterministic
+    * (count desc, token asc) and k-bounded, so the driver collect is
+    * vocab-sized (the BPE-merges/IVF-centroids idiom) and the per-doc
+    * pass compiles it into the scan as a literal array — one count
+    * shuffle to build the vocab, then a zero-shuffle projection. */
+  def oovRate(docs: DataFrame, k: Int = 25): DataFrame = {
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val vocab = counts.orderBy(desc("n"), col("w")).limit(k)
+      .collect().map(_.getString(0))
+    val vocabLit = array(vocab.map(lit(_)).toIndexedSeq: _*)
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), x => !array_contains(vocabLit, x)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
 }
