@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Generation-directory state with commit markers — the shared persistence
+  * protocol under the incrementally-maintained operators ([[IncrementalAgg]]
+  * rollups, [[KeyedUpsert]] CDC tables).
+  *
+  * foreachBatch gives at-least-once batch delivery: after a crash the
+  * checkpoint REPLAYS the last batch, and a bare state update would apply
+  * it twice. State therefore lives as `gen-<batchId>/` directories plus
+  * commit markers (the StreamIngest idiom): the generation is written
+  * first (overwrite-idempotent), the marker is created only after the
+  * write completes, and readers resolve the highest MARKED generation.
+  * Every crash window replays into a rewrite or a skip — never a double
+  * apply. The previous generation survives one commit for in-flight
+  * readers; everything older is pruned.
+  */
+private[operators] object GenState {
+
+  private def commitsDir(statePath: String) =
+    java.nio.file.Paths.get(statePath, "_commits")
+
+  def committedGens(statePath: String): Seq[Long] = {
+    val d = commitsDir(statePath)
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString.toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** The current committed state (error if no batch ever committed). */
+  def readState(spark: org.apache.spark.sql.SparkSession,
+                statePath: String): DataFrame = {
+    val gens = committedGens(statePath)
+    require(gens.nonEmpty, s"no committed state under $statePath")
+    spark.read.parquet(s"$statePath/gen-${gens.last}")
+  }
+
+  /** Apply one micro-batch: `next(previousStateOrNone)` produces the new
+    * state frame, which is written as gen-`batchId` and marked. Skips
+    * batches whose marker already exists (replay after a successful
+    * commit); rewrites the generation wholesale otherwise (replay after a
+    * crash mid-write lands on `overwrite`). */
+  def applyBatch(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                 batchId: Long)(next: Option[DataFrame] => DataFrame): Unit = {
+    import java.nio.file.Files
+    val marker = commitsDir(statePath).resolve(batchId.toString)
+    if (Files.exists(marker)) return
+    val prev = committedGens(statePath).filter(_ < batchId)
+    val merged = next(prev.lastOption.map(g =>
+      spark.read.parquet(s"$statePath/gen-$g")))
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$statePath/gen-$batchId")
+    Files.createDirectories(commitsDir(statePath))
+    Files.createFile(marker)
+    prev.dropRight(1).foreach { g =>
+      deleteTree(java.nio.file.Paths.get(s"$statePath/gen-$g"))
+      Files.deleteIfExists(commitsDir(statePath).resolve(g.toString))
+    }
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(root)) return
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+}

@@ -47,71 +47,25 @@ object IncrementalAgg {
 
   // ---- streaming maintenance --------------------------------------------
   //
-  // foreachBatch gives at-least-once batch delivery: after a crash the
-  // checkpoint REPLAYS the last batch, and a bare merge would double-count
-  // it. State therefore lives as generation directories plus commit
-  // markers (the StreamIngest idiom): gen-<batchId>/ is written first
-  // (overwrite-idempotent), the marker is created only after the write
-  // completes, and readers resolve the highest MARKED generation. Every
-  // crash window replays into a rewrite or a skip — never a double merge.
-
-  private def commitsDir(statePath: String) =
-    java.nio.file.Paths.get(statePath, "_commits")
-
-  private def committedGens(statePath: String): Seq[Long] = {
-    val d = commitsDir(statePath)
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.list(d)
-      try s.iterator().asScala.map(_.getFileName.toString.toLong).toSeq.sorted
-      finally s.close()
-    }
-  }
+  // Persistence (generation directories + commit markers, exactly-once
+  // under foreachBatch replay) is [[GenState]]'s, shared with KeyedUpsert.
 
   /** The current maintained state (empty-schema error if never run). */
   def readState(spark: org.apache.spark.sql.SparkSession,
-                statePath: String): DataFrame = {
-    val gens = committedGens(statePath)
-    require(gens.nonEmpty, s"no committed state under $statePath")
-    spark.read.parquet(s"$statePath/gen-${gens.last}")
-  }
+                statePath: String): DataFrame =
+    GenState.readState(spark, statePath)
 
   /** Apply one micro-batch to the state — the foreachBatch body, public
-    * so tests can drive replay/crash scenarios directly. Skips batches
-    * whose marker already exists (checkpoint replay after a successful
-    * commit); rewrites the generation wholesale otherwise (replay after
-    * a crash mid-write lands on `overwrite`). Keeps the previous
-    * generation for in-flight readers, prunes everything older. */
+    * so tests can drive replay/crash scenarios directly. */
   def maintainBatch(statePath: String, keys: Seq[String], value: Column)
-                   (batch: DataFrame, batchId: Long): Unit = {
-    import java.nio.file.Files
-    val marker = commitsDir(statePath).resolve(batchId.toString)
-    if (Files.exists(marker)) return
-    val prev = committedGens(statePath).filter(_ < batchId)
-    val d = delta(batch, keys, value)
-    val merged = prev.lastOption match {
-      case Some(g) => merge(
-        batch.sparkSession.read.parquet(s"$statePath/gen-$g"), d, keys)
-      case None => d
+                   (batch: DataFrame, batchId: Long): Unit =
+    GenState.applyBatch(batch.sparkSession, statePath, batchId) { prev =>
+      val d = delta(batch, keys, value)
+      prev match {
+        case Some(st) => merge(st, d, keys)
+        case None     => d
+      }
     }
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(s"$statePath/gen-$batchId")
-    Files.createDirectories(commitsDir(statePath))
-    Files.createFile(marker)
-    prev.dropRight(1).foreach { g =>
-      deleteTree(java.nio.file.Paths.get(s"$statePath/gen-$g"))
-      Files.deleteIfExists(commitsDir(statePath).resolve(g.toString))
-    }
-  }
-
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(root)) return
-    val walk = java.nio.file.Files.walk(root)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-  }
 
   /** Wire [[maintainBatch]] under a streaming source: the continuously-
     * maintained rollup (m28 runs it AvailableNow over the file stream;

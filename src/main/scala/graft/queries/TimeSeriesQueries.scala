@@ -545,6 +545,34 @@ object TimeSeriesQueries {
           asDouble(col("sum_dec")).as("sum_value"),
           col("min_v").as("min_value"), col("max_v").as("max_value"))
         .orderBy("d", "event_type")
+    },
+
+    // Streaming CDC apply (m29): the event stream as change images —
+    // purchases are tombstones, everything else upserts — maintained as a
+    // keyed latest-row table across four REAL micro-batch merges. The
+    // version-argmax state algebra (KeyedUpsert doc) makes the final
+    // table identical under ANY batch split, which is exactly what the
+    // full-recompute oracle states.
+    "m29_stream_upsert" -> { (s, dir) =>
+      import graft.operators.KeyedUpsert
+      val base = java.nio.file.Files.createTempDirectory("graft_m29").toString
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .select(col("user_id"), tsec(col("ts")).as("t"),
+          col("event_id").as("eid"), col("event_type"), col("value"),
+          when(col("event_type") === "purchase", "delete")
+            .otherwise("upsert").as("op"))
+      val q = KeyedUpsert.maintain(src, "user_id", Seq("t", "eid"),
+        s"$base/state", s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      KeyedUpsert.current(KeyedUpsert.readState(s, s"$base/state"))
+        .select("user_id", "t", "eid", "event_type", "value")
+        .orderBy("user_id")
     }
   )
 
@@ -890,6 +918,19 @@ object TimeSeriesQueries {
         |  COUNT(*)::BIGINT AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  MIN(value) AS min_value, MAX(value) AS max_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // full recompute of last-writer-wins: per user the (t, event_id)-max
+    // image, surviving only if it is not a tombstone — the maintained
+    // table must land here regardless of how the stream was batched
+    "m29_stream_upsert" ->
+      s"""WITH img AS (
+        |  SELECT user_id, ($t) AS t, event_id AS eid, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ($t) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, t, eid, event_type, value
+        |FROM img WHERE rn = 1 AND event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -203,4 +203,41 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
     assert(snap() == expect, "crash-replay state diverged from one-shot")
   }
+
+  test("keyed upsert: version-argmax survives any batch split, order, and replay") {
+    import spark.implicits._
+    import graft.operators.KeyedUpsert
+    // images: (key, version, payload, op) — key 1 is upserted then
+    // deleted then upserted-at-an-OLDER-version (must stay deleted);
+    // key 2 ends on a delete; key 3 is plain upserts
+    val imgs = Seq(
+      (1L, 10L, "a", "upsert"), (1L, 30L, "x", "delete"), (1L, 20L, "b", "upsert"),
+      (2L, 11L, "c", "upsert"), (2L, 40L, "x", "delete"),
+      (3L, 12L, "d", "upsert"), (3L, 25L, "e", "upsert")
+    ).toDF("k", "v", "p", "op")
+    def live(df: org.apache.spark.sql.DataFrame) =
+      KeyedUpsert.current(df).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val oneShot = live(KeyedUpsert.delta(imgs, "k", Seq("v")))
+    assert(oneShot == Seq((3L, 25L, "e")),
+      s"late-but-older upsert resurrected a deleted key: $oneShot")
+    // every 2-way and 3-way split, merged in both directions
+    for (parts <- Seq(2, 3); flip <- Seq(false, true)) {
+      val deltas0 = (0 until parts).map(i =>
+        KeyedUpsert.delta(imgs.filter(col("v") % parts === i), "k", Seq("v")))
+      val deltas = if (flip) deltas0.reverse else deltas0
+      val merged = deltas.reduceLeft(KeyedUpsert.merge(_, _, "k", Seq("v")))
+      assert(live(merged) == oneShot, s"$parts-way flip=$flip diverged")
+    }
+    // maintenance face: replay of a committed batch is a no-op
+    val state = java.nio.file.Files.createTempDirectory("graft_ku").toString
+    val apply_ = KeyedUpsert.applyBatch(state, "k", Seq("v")) _
+    apply_(imgs.filter(col("v") < 20), 0L)
+    apply_(imgs.filter(col("v") >= 20), 1L)
+    val afterTwo = live(KeyedUpsert.readState(spark, state))
+    assert(afterTwo == oneShot, "maintained state diverged from one-shot")
+    apply_(imgs.filter(col("v") >= 20), 1L) // checkpoint replay
+    assert(live(KeyedUpsert.readState(spark, state)) == afterTwo,
+      "replay of a committed batch changed state")
+  }
 }
