@@ -151,6 +151,40 @@ object EngineQueries {
         .start()
       out.awaitTermination()
       s.table("s4_tail").orderBy(desc("t"), desc("eid"))
+    },
+
+    // Time travel through the oracle gate (s5): clicks are ingested and
+    // vacuum() commits them as a retained manifest generation; views are
+    // then appended to the LIVE generation. `scanAsOf` the committed
+    // snapshot must return exactly the clicks — the file set comes from
+    // the commit-time audit manifest, so the later appends are invisible
+    // even though they share the generation directory. A snapshot read
+    // that leaked live files would surface the views and fail the hash.
+    "s5_snapshot_read" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = Files.createTempDirectory("graft_s5").toString
+      val db = UnitDb.open(s, base + "/store",
+        commitProtocol = graft.engine.ManifestCommit.retained(3))
+      def ingest(kind: String, ckpt: String) = {
+        val src = streamTable(s, eventsRawSchema, dir, "events")
+          .filter(col("event_type") === kind)
+          .select(
+            concat(lit("sn."), col("event_type"), lit(".u"),
+              (col("user_id") % 10).cast("string")).as("topic"),
+            col("event_id").cast("string").cast("binary").as("payload"),
+            expr("timestamp_micros(ts div 1000)").as("ts"))
+        StreamIngest.start(db, src, base + ckpt,
+          queryName = s"s5$kind", trigger = Trigger.AvailableNow())
+          .awaitTermination()
+      }
+      ingest("click", "/ckpt1")
+      db.vacuum() // commit: the click set becomes snapshot g00000001
+      ingest("view", "/ckpt2") // appended to the LIVE generation only
+      val snap = db.snapshots.head
+      db.scanAsOf(snap)
+        .select(col("topic"), tsec(col("ts")).as("t"),
+          col("payload").cast("string").as("eid"))
+        .orderBy(desc("t"), desc("eid"))
     }
   )
 
@@ -179,6 +213,15 @@ object EngineQueries {
       s"""SELECT 'tl.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
         |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
         |FROM events WHERE event_type = 'view'
+        |ORDER BY t DESC, eid DESC""".stripMargin,
+
+    // the snapshot is the click commit — the views appended to the live
+    // generation afterwards must NOT appear
+    "s5_snapshot_read" ->
+      s"""SELECT 'sn.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR)
+        |    AS topic,
+        |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
+        |FROM events WHERE event_type = 'click'
         |ORDER BY t DESC, eid DESC""".stripMargin
   )
 }
