@@ -17,7 +17,74 @@ import graft.queries.QUtil._
   * all-pairs) SQL at sf0.01; the Spark side is the scale path — banded
   * LSH shuffles, broadcast probes, never an N×N product.
   */
+/** The c3 curation pipeline's DuckDB CTE chain (quality gate -> shingle
+  * Jaccard pairs -> recursive-CTE connected components -> drops), shared
+  * verbatim by the c3 composite and the c11 lineage audit so both gates
+  * verify the SAME dataflow. */
+private[llm] object CurateSql {
+  val ctes: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, text, w,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |          ELSE CAST([] AS VARCHAR[]) END AS big,
+        |        greatest(len(w) - 2, 0) AS n3,
+        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
+        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
+        |          ELSE 0 END AS d3
+        |      FROM toks),
+        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1),
+        |m AS (SELECT b.doc_id,
+        |        (len(b.w) BETWEEN 50 AND 100000
+        |         AND (length(b.text) - (len(b.w) - 1)) * 1.0 / len(b.w) BETWEEN 3.0 AND 10.0
+        |         AND len(list_filter(b.w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) >= 2
+        |         AND (CASE WHEN len(b.big) = 0 THEN 0.0
+        |              ELSE COALESCE(mx.top, 0) * 1.0 / len(b.big) END) <= 0.2
+        |         AND (CASE WHEN b.n3 = 0 THEN 0.0
+        |              ELSE (b.n3 - b.d3) * 1.0 / b.n3 END) <= 0.3) AS pass
+        |      FROM b LEFT JOIN mx USING (doc_id)),
+        |p AS (SELECT t.doc_id, t.lang, t.w FROM toks t JOIN m USING (doc_id) WHERE m.pass),
+        |pos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM p),
+        |sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+        |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |                  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT a_id AS doc_a, b_id AS doc_b
+        |       FROM inter
+        |       JOIN sz sa ON sa.doc_id = a_id
+        |       JOIN sz sb ON sb.doc_id = b_id
+        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.v = e.d),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        |drops AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin
+}
+
 object LlmQueries {
+
+  /** The c3 curation dataflow's two stage frames, shared by the pipeline
+    * composite (c3) and its lineage audit (c11): (quality-passed docs,
+    * near-dup cluster non-representatives to drop). */
+  private def curateStages(docs: DataFrame): (DataFrame, DataFrame) = {
+    val passed = docs
+      .join(TextStats.qualityFilter(docs).select("doc_id", "pass"), "doc_id")
+      .filter(col("pass"))
+      .select("doc_id", "lang", "text")
+    val pairs = TextDedup.minhashNearDup(passed).select("doc_a", "doc_b")
+    val drops = TextDedup.dedupClusters(pairs)
+      .filter(!col("keep")).select(col("doc_id"))
+    (passed, drops)
+  }
 
   val queries: Map[String, QFn] = Map(
     "l1_exact_dedup" -> { (s, dir) =>
@@ -537,19 +604,35 @@ object LlmQueries {
     // you keep, not the garbage you dropped).
     "c3_curate_full" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val passed = docs
-        .join(TextStats.qualityFilter(docs).select("doc_id", "pass"), "doc_id")
-        .filter(col("pass"))
-        .select("doc_id", "lang", "text")
-      val pairs = TextDedup.minhashNearDup(passed).select("doc_a", "doc_b")
-      val drops = TextDedup.dedupClusters(pairs)
-        .filter(!col("keep")).select(col("doc_id"))
+      val (passed, drops) = curateStages(docs)
       passed
         .join(drops, Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
         .orderBy("lang") },
+
+    // Pipeline lineage (c11): the c3 dataflow reported as per-stage
+    // in/out/dropped counts — the provenance record a curation run ships
+    // with its dataset (what was cut, and at which gate). Every count is
+    // a one-row aggregate over an already-proven fragment; the stage
+    // table is their 3-row union, so the audit costs three tiny aggs on
+    // top of the pipeline it describes.
+    "c11_lineage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (passed, drops) = curateStages(docs)
+      val kept = passed.join(drops, Seq("doc_id"), "left_anti")
+      val one = docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(passed.agg(count(lit(1)).as("n_pass")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      one.select(lit("00_ingest").as("stage"),
+          col("n_raw").as("rows_in"), col("n_raw").as("rows_out"))
+        .unionByName(one.select(lit("01_quality").as("stage"),
+          col("n_raw").as("rows_in"), col("n_pass").as("rows_out")))
+        .unionByName(one.select(lit("02_neardup").as("stage"),
+          col("n_pass").as("rows_in"), col("n_kept").as("rows_out")))
+        .withColumn("rows_dropped", col("rows_in") - col("rows_out"))
+        .orderBy("stage") },
 
     // Incremental admission composite (c7) — the accounting view a
     // CONTINUOUS ingestion service emits per crawl batch: arrivals run
@@ -1978,56 +2061,28 @@ object LlmQueries {
     // the c2 rules + the l2 pair chain ON the survivors + the l22
     // recursive closure, assembled into one statement — every fragment
     // is the already-hash-proven oracle of its operator
-    "c3_curate_full" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
-        |b AS (SELECT doc_id, text, w,
-        |        CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1),
-        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
-        |          ELSE CAST([] AS VARCHAR[]) END AS big,
-        |        greatest(len(w) - 2, 0) AS n3,
-        |        CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(len(w) - 2),
-        |          i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))))
-        |          ELSE 0 END AS d3
-        |      FROM toks),
-        |bg AS (SELECT doc_id, unnest(big) AS g FROM b),
-        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-        |mx AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1),
-        |m AS (SELECT b.doc_id,
-        |        (len(b.w) BETWEEN 50 AND 100000
-        |         AND (length(b.text) - (len(b.w) - 1)) * 1.0 / len(b.w) BETWEEN 3.0 AND 10.0
-        |         AND len(list_filter(b.w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) >= 2
-        |         AND (CASE WHEN len(b.big) = 0 THEN 0.0
-        |              ELSE COALESCE(mx.top, 0) * 1.0 / len(b.big) END) <= 0.2
-        |         AND (CASE WHEN b.n3 = 0 THEN 0.0
-        |              ELSE (b.n3 - b.d3) * 1.0 / b.n3 END) <= 0.3) AS pass
-        |      FROM b LEFT JOIN mx USING (doc_id)),
-        |p AS (SELECT t.doc_id, t.lang, t.w FROM toks t JOIN m USING (doc_id) WHERE m.pass),
-        |pos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM p),
-        |sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
-        |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        |                  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pr AS (SELECT a_id AS doc_a, b_id AS doc_b
-        |       FROM inter
-        |       JOIN sz sa ON sa.doc_id = a_id
-        |       JOIN sz sb ON sb.doc_id = b_id
-        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
-        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
-        |          UNION ALL SELECT doc_b, doc_a FROM pr),
-        |reach(v, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.v = e.d),
-        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
-        |drops AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+    "c3_curate_full" -> (CurateSql.ctes +
+      """
         |SELECT p.lang, COUNT(*) AS n_kept, CAST(SUM(len(p.w)) AS BIGINT) AS sum_tokens
         |FROM p
         |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = p.doc_id)
-        |GROUP BY 1 ORDER BY p.lang""".stripMargin,
+        |GROUP BY 1 ORDER BY p.lang""".stripMargin),
+
+    // the same proven CTE chain, with stage-count tails: each lineage row
+    // is a COUNT over a frame the c3 gate already hash-verified
+    "c11_lineage" -> (CurateSql.ctes +
+      """,
+        |nr AS (SELECT COUNT(*) AS n_raw FROM documents),
+        |np AS (SELECT COUNT(*) AS n_pass FROM p),
+        |nk AS (SELECT COUNT(*) AS n_kept FROM p
+        |       WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = p.doc_id)),
+        |st AS (
+        |  SELECT '00_ingest' AS stage, n_raw AS rows_in, n_raw AS rows_out FROM nr
+        |  UNION ALL SELECT '01_quality', n_raw, n_pass FROM nr, np
+        |  UNION ALL SELECT '02_neardup', n_pass, n_kept FROM np, nk)
+        |SELECT stage, rows_in, rows_out, rows_in - rows_out AS rows_dropped
+        |FROM st ORDER BY stage""".stripMargin),
+
 
     // the c2 pass rule + the l16 split buckets + the l25 shard/pos
     // window, grouped into the manifest — each fragment is its
