@@ -569,18 +569,18 @@ object AnalyticsQueries {
 
     // Ordered string aggregation (q30): per nation, the top-5 customers
     // by balance concatenated in rank order — LISTAGG semantics with a
-    // deterministic ORDER BY. The rank filter runs as the m5 two-phase
-    // top-K (partial top-5 inside each scan partition, then the global
-    // window), so no task ever sorts a whole nation's customers; the
-    // concat state is then 5-bounded per group — collect_list over an
-    // UNBOUNDED group would be the scale bug this shape avoids.
+    // deterministic ORDER BY. The rank-≤-5 filter compiles to Spark 4's
+    // WindowGroupLimit pushdown: a PARTIAL per-scan-partition top-5 runs
+    // BEFORE the window exchange (plan-pinned), so no task ever sorts a
+    // whole nation's customers and the shuffle carries ≤5 rows per
+    // (nation, input partition) — the m5 two-phase top-K, inserted by
+    // the optimizer. The concat state is then 5-bounded per group —
+    // collect_list over an UNBOUNDED group would be the scale bug this
+    // shape avoids.
     "q30_listagg" -> { (s, dir) =>
-      val ord = Seq(desc("c_acctbal"), col("c_name"))
-      val partial = Window.partitionBy(col("c_nationkey"), spark_partition_id())
-        .orderBy(ord: _*)
-      val global = Window.partitionBy(col("c_nationkey")).orderBy(ord: _*)
+      val global = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_name"))
       val top = Tables.customer(s, dir)
-        .withColumn("prk", row_number().over(partial)).filter(col("prk") <= 5)
         .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= 5)
       top.join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))

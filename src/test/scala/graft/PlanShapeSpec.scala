@@ -566,6 +566,35 @@ class PlanShapeSpec extends SparkSpec {
       s"fact PartitionFilters must carry the dim subquery:\n${p.take(2000)}")
   }
 
+  test("q29: lateral LIMIT decorrelates — partial group-limit before the exchange") {
+    val p = plan("q29_lateral")
+    // the correlated ORDER BY…LIMIT must compile to WindowGroupLimit with
+    // a PARTIAL stage ahead of the window exchange (the optimizer's
+    // two-phase top-K) — never a per-outer-row loop join
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"lateral must not plan as a loop join:\n${p.take(1200)}")
+  }
+
+  test("q30: rank pushdown bounds the listagg shuffle; nation broadcasts") {
+    val p = plan("q30_listagg")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "25-row nation must broadcast")
+    // the ordered-concat aggregate map-side combines its 5-bounded groups
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("l59: drift numerator partial-aggregates; totals ride as broadcasts") {
+    val p = plan("l59_source_tvd")
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(p.contains("BroadcastExchange"),
+      "per-source totals and the corpus total must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocab join must not shuffle the counts at this size:\n${p.take(1200)}")
+  }
+
   test("m26: trend statistics partial-aggregate in one shuffle, no window") {
     val p = plan("m26_trend")
     assert(p.contains("partial_sum"), p.take(1200))
