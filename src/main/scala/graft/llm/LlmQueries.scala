@@ -346,6 +346,13 @@ object LlmQueries {
       TextDedup.canonDedup(
         docs.unionByName(composed).unionByName(decomposed)) },
 
+    // ANN recall audit: exact top-3 (brute) vs what LSH and IVF actually
+    // returned, per probe — the measured-recall gate an index build ships
+    // with (all three rankings already hash-proven individually; the
+    // audit verifies their COMPOSITION)
+    "l62_ann_recall" -> { (s, dir) =>
+      Similarity.annRecallAudit(Tables.embeddings(s, dir)) },
+
     // per-source distribution drift: integer-exact total-variation
     // distance vs the corpus unigram distribution (the log-free stand-in
     // for KL/JS monitoring — same alarm, engine-exact arithmetic)
@@ -900,6 +907,33 @@ object LlmQueries {
       |cell AS (SELECT vec_id, v, nv, cid AS cell FROM ranked WHERE rn = 1)""".stripMargin
   }
 
+  /** Brute-force exact top-k oracle — l3 at k=5, the l62 ground truth
+    * at k=3 (same CTE chain, one rank bound). */
+  private def bruteOracleSql(k: Int): String =
+    s"""WITH $embCte,
+      |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM n WHERE vec_id < 20),
+      |s AS (SELECT p.query_id, n.vec_id,
+      |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
+      |      FROM n, p WHERE n.vec_id <> p.query_id),
+      |r AS (SELECT query_id, vec_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+      |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by l4 and the l62 recall audit. */
+  private lazy val lshOracleSql: String =
+    s"""WITH $embCte,
+      |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq, bucket FROM n WHERE vec_id < 20),
+      |s AS (SELECT p.query_id, n.vec_id,
+      |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
+      |      FROM n JOIN p ON n.bucket = p.bucket AND n.vec_id <> p.query_id),
+      |r AS (SELECT query_id, vec_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, vec_id AS neighbor_id FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Shared by l10 (inline IVF) and l14 (persisted index) — identical
     * semantics, one oracle. */
   private lazy val ivfOracleSql: String = {
@@ -939,29 +973,9 @@ object LlmQueries {
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "l3_ann_brute" ->
-      s"""WITH $embCte,
-        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM n WHERE vec_id < 20),
-        |s AS (SELECT p.query_id, n.vec_id,
-        |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
-        |      FROM n, p WHERE n.vec_id <> p.query_id),
-        |r AS (SELECT query_id, vec_id,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "l3_ann_brute" -> bruteOracleSql(5),
 
-    "l4_ann_lsh" ->
-      s"""WITH $embCte,
-        |p AS (SELECT vec_id AS query_id, v AS q, nv AS nq, bucket FROM n WHERE vec_id < 20),
-        |s AS (SELECT p.query_id, n.vec_id,
-        |        ${duckCosine.format("n.v", "p.q", "n.nv", "p.nq")} AS cosine
-        |      FROM n JOIN p ON n.bucket = p.bucket AND n.vec_id <> p.query_id),
-        |r AS (SELECT query_id, vec_id,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, vec_id AS neighbor_id FROM r
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "l4_ann_lsh" -> lshOracleSql,
 
     "l5_textstats" ->
       """SELECT doc_id,
@@ -1512,6 +1526,28 @@ object LlmQueries {
         |  CAST(len(list_filter(w, x -> NOT list_contains(vocab, x))) AS DOUBLE)
         |    / len(w) AS oov_rate
         |FROM d, v ORDER BY doc_id""".stripMargin,
+
+    // the three rankings are this file's own proven chains (brute at
+    // k=3, the l4 LSH chain, the l10 IVF chain), composed as scoped
+    // subqueries; the audit tail is integer hit counts + one division
+    "l62_ann_recall" ->
+      s"""WITH gt AS (SELECT query_id, neighbor_id FROM (${bruteOracleSql(3)})),
+        |ap AS (
+        |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($lshOracleSql)
+        |  UNION ALL
+        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($ivfOracleSql)),
+        |q AS (SELECT DISTINCT query_id FROM gt),
+        |m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+        |hits AS (SELECT g.query_id, ap.method, COUNT(*) AS n_hits
+        |         FROM gt g JOIN ap ON ap.query_id = g.query_id
+        |                          AND ap.neighbor_id = g.neighbor_id
+        |         GROUP BY 1, 2)
+        |SELECT q.query_id, m.method,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall
+        |FROM q CROSS JOIN m
+        |LEFT JOIN hits h ON h.query_id = q.query_id AND h.method = m.method
+        |ORDER BY m.method, q.query_id""".stripMargin,
 
     // l3's brute-force CTE with a label inequality instead of the
     // self-exclusion (a probe shares its own label, so self is out)

@@ -843,4 +843,35 @@ object Similarity {
         (size(array_intersect(col("nf"), col("nt"))) / lit(k.toDouble)).as("recall"))
       .orderBy("query_id")
   }
+
+  /** ANN recall audit: per probe, how many of the exact top-k (brute
+    * force, [[annBrute]]) each approximate path ([[annLsh]], [[annIvf]])
+    * actually returned — the completeness critic for the whole ANN
+    * family. Shipping an approximate index without its measured recall is
+    * how silent retrieval regressions happen; this is the query a
+    * pipeline runs (on a probe sample) after every index build.
+    *
+    * Scale shape: the three rankings are the already-bounded ANN queries
+    * (two-phase top-k each); the audit itself joins k-bounded result sets
+    * on (query_id, neighbor_id) — probes·k rows, broadcast-sized by
+    * construction, so the audit's own cost is the ground truth's one
+    * brute-force pass over the probe sample. */
+  def annRecallAudit(embeddings: DataFrame, probeMax: Int = 20,
+      k: Int = 3): DataFrame = {
+    val gt = annBrute(embeddings, probeMax, k)
+      .select("query_id", "neighbor_id")
+    val gtq = gt.select("query_id").distinct()
+    def one(method: String, res: DataFrame): DataFrame =
+      gtq.join(
+        gt.join(res.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+        Seq("query_id"), "left")
+        .select(col("query_id"), lit(method).as("method"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    one("ivf", annIvf(embeddings, probeMax, k))
+      .unionByName(one("lsh", annLsh(embeddings, probeMax, k)))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+      .orderBy("method", "query_id")
+  }
 }
