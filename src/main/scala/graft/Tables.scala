@@ -2,14 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver testdata (`TESTDATA.md`).
   *
-  * `events.parquet` is written with Parquet TIMESTAMP(NANOS), which Spark
-  * does not accept as a timestamp type (PARQUET_TYPE_ILLEGAL). We read it
-  * with `spark.sql.legacy.parquet.nanosAsLong` and truncate to microsecond
-  * timestamps — every derived computation then works on second-or-coarser
-  * granularity so the DuckDB oracle (which keeps nanos) agrees.
+  * `events.parquet` has been observed under TWO physical encodings across
+  * testdata generations:
+  *
+  *  - Parquet TIMESTAMP(NANOS), which Spark cannot read as a timestamp
+  *    (PARQUET_TYPE_ILLEGAL) — readable only as BIGINT nanos under
+  *    `spark.sql.legacy.parquet.nanosAsLong`;
+  *  - Parquet TIMESTAMP(MICROS) without timezone, which Spark reads
+  *    natively (TIMESTAMP_NTZ under the default NTZ inference).
+  *
+  * Nothing downstream may assume either: [[events]] inspects the file's
+  * actual footer schema and normalizes `ts` to a microsecond-precision
+  * TIMESTAMP in all cases (sessions run UTC, so the NTZ→TZ cast is a
+  * bit-identity on the stored micros). [[eventsStream]] is the streaming
+  * face with the same adaptivity — the file source needs an explicit
+  * schema, which it takes from the batch footer read, so the two faces
+  * can never disagree. All events reads MUST go through these two
+  * loaders; `nanosAsLong` is owned here (set to the same constant before
+  * every footer inspection — idempotent, so safe under concurrency) and
+  * nowhere else.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -18,11 +33,36 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** events with `ts` as a proper TIMESTAMP (nanos → micros, truncating). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw batch read of events with the legacy-nanos escape hatch on, so
+    * BOTH encodings load (ns files arrive as BIGINT, µs files as a real
+    * timestamp type). Single owner of the `nanosAsLong` conf. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Normalize whatever physical `ts` encoding the file had to a
+    * microsecond TIMESTAMP (truncating ns → µs; NTZ reinterpreted in the
+    * UTC session; native TIMESTAMP passes through). */
+  private def canonTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+
+  /** events with `ts` as a proper microsecond TIMESTAMP, whatever the
+    * file's physical encoding. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    canonTs(eventsRaw(spark, dir))
+
+  /** Streaming face of [[events]]: a file-source stream over the same
+    * data with the same canonical `ts` TIMESTAMP column. The explicit
+    * schema the file source requires is the batch footer schema, so the
+    * physical-encoding decision is made in exactly one place. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = eventsRaw(spark, dir).schema
+    canonTs(graft.queries.QUtil.streamTable(spark, fileSchema, dir, "events"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -28,20 +28,6 @@ import graft.queries.QUtil._
   */
 object TimeSeriesQueries {
 
-  /** Streaming-source schema for the events table (ts as raw BIGINT nanos
-    * under `nanosAsLong`) — shared by every streaming-gate query
-    * (m13/m15/m16): an explicit schema never infers, so a missed column
-    * here would silently read null — keep it in ONE place. */
-  private val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-  }
-
   /** Second-granularity event time on both engines (see QUtil doc). */
   private def tsSec = timestamp_seconds(tsec(col("ts")))
 
@@ -79,15 +65,14 @@ object TimeSeriesQueries {
     // As-of join (q12): each click picks up the latest prior purchase
     // value of the same user — the canonical temporal enrichment (quotes
     // to trades, config to metrics). Times are microsecond epoch longs on
-    // both sides: DuckDB reads the TIMESTAMP(NANOS) parquet truncated to
-    // µs, so Spark's raw ns longs are divided down to match. The purchase
-    // side is pre-aggregated per (user, t) because as-of semantics need a
-    // unique right row per instant (see AsOfJoin contract). Plan shape
-    // pinned: one exchange on user_id, no nested-loop join.
+    // both sides: unix_micros over the canonical ts matches DuckDB's
+    // epoch_us exactly. The purchase side is pre-aggregated per (user, t)
+    // because as-of semantics need a unique right row per instant (see
+    // AsOfJoin contract). Plan shape pinned: one exchange on user_id, no
+    // nested-loop join.
     "q12_asof" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("t", expr("ts div 1000")) // ns → µs (integer division)
+      val ev = Tables.events(s, dir)
+        .withColumn("t", unix_micros(col("ts")))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "t")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -128,11 +113,10 @@ object TimeSeriesQueries {
     // and the single IEEE multiply/divide are bit-identical engine-free
     // arithmetic. user_id < 50 bounds output while covering many series.
     "m12_rate" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val pts = s.read.parquet(s"$dir/events.parquet")
+      val pts = Tables.events(s, dir)
         .filter(col("user_id") < 50)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("t"), col("value"))
+          unix_micros(col("ts")).as("t"), col("value"))
       graft.operators.Resample
         .rate(pts, Seq("user_id", "event_type"), "t", "value",
           tiebreak = "event_id")
