@@ -24,29 +24,19 @@ import graft.streaming.StreamIngest
   */
 object EngineQueries {
 
-  /** events.parquet raw schema — ts is Parquet TIMESTAMP(NANOS), read as
-    * BIGINT nanos under `nanosAsLong` (see graft.Tables doc). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   val queries: Map[String, QFn] = Map(
     "s1_engine_roundtrip" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = Files.createTempDirectory("graft_s1").toString
       val db = UnitDb.open(s, base + "/store")
-      // file stream source wants a directory; select just events.parquet
-      val src = streamTable(s, eventsRawSchema, dir, "events")
+      // eventsStream adapts to the file's physical ts encoding (ns or µs
+      // — see graft.Tables) and hands us a canonical µs TIMESTAMP
+      val src = graft.Tables.eventsStream(s, dir)
         .filter(col("event_type") === "click")
         .select(
           concat(lit("ev."), col("event_type"), lit(".u"),
             (col("user_id") % 10).cast("string")).as("topic"),
           col("event_id").cast("string").cast("binary").as("payload"),
-          expr("timestamp_micros(ts div 1000)").as("ts"))
+          col("ts"))
       val q = StreamIngest.start(db, src, base + "/ckpt",
         queryName = "s1", trigger = Trigger.AvailableNow())
       q.awaitTermination()
@@ -65,16 +55,15 @@ object EngineQueries {
     // the decrypting read path; the decrypted payloads must reproduce the
     // source rows bit-for-bit.
     "s2_engine_encrypted" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = Files.createTempDirectory("graft_s2").toString
       val db = UnitDb.open(s, base + "/store",
         encryptionKey = Some("0123456789abcdef".getBytes))
-      val src = streamTable(s, eventsRawSchema, dir, "events")
+      val src = graft.Tables.eventsStream(s, dir)
         .filter(col("event_type") === "purchase")
         .select(
           concat(lit("enc.u"), (col("user_id") % 10).cast("string")).as("topic"),
           col("event_id").cast("string").cast("binary").as("payload"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts"),
           lit(true).as("encrypt"))
       val q = StreamIngest.start(db, src, base + "/ckpt",
         queryName = "s2", trigger = Trigger.AvailableNow())
@@ -129,15 +118,14 @@ object EngineQueries {
     // stream delivers exactly the store's live content — same topic
     // match, decrypt, and payload bytes as the batch scan path.
     "s4_store_tail" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = Files.createTempDirectory("graft_s4").toString
       val db = UnitDb.open(s, base + "/store")
-      val src = streamTable(s, eventsRawSchema, dir, "events")
+      val src = graft.Tables.eventsStream(s, dir)
         .filter(col("event_type") === "view")
         .select(
           concat(lit("tl.u"), (col("user_id") % 10).cast("string")).as("topic"),
           col("event_id").cast("string").cast("binary").as("payload"),
-          expr("timestamp_micros(ts div 1000)").as("ts"))
+          col("ts"))
       val in = StreamIngest.start(db, src, base + "/ckpt_in",
         queryName = "s4in", trigger = Trigger.AvailableNow())
       in.awaitTermination()
@@ -161,18 +149,17 @@ object EngineQueries {
     // even though they share the generation directory. A snapshot read
     // that leaked live files would surface the views and fail the hash.
     "s5_snapshot_read" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = Files.createTempDirectory("graft_s5").toString
       val db = UnitDb.open(s, base + "/store",
         commitProtocol = graft.engine.ManifestCommit.retained(3))
       def ingest(kind: String, ckpt: String) = {
-        val src = streamTable(s, eventsRawSchema, dir, "events")
+        val src = graft.Tables.eventsStream(s, dir)
           .filter(col("event_type") === kind)
           .select(
             concat(lit("sn."), col("event_type"), lit(".u"),
               (col("user_id") % 10).cast("string")).as("topic"),
             col("event_id").cast("string").cast("binary").as("payload"),
-            expr("timestamp_micros(ts div 1000)").as("ts"))
+            col("ts"))
         StreamIngest.start(db, src, base + ckpt,
           queryName = s"s5$kind", trigger = Trigger.AvailableNow())
           .awaitTermination()

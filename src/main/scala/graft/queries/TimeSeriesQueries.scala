@@ -133,10 +133,9 @@ object TimeSeriesQueries {
     // uses append + watermark, StreamingSpec's shape). user_id < 40
     // bounds state and output across scale factors.
     "m13_stream_session" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
+      val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 40)
-        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val agged = src
         .groupBy(session_window(col("tsec"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("sum_value"))
@@ -158,9 +157,8 @@ object TimeSeriesQueries {
     // Complete mode is the gate face; a continuous run uses
     // append + watermark (StreamingSpec's shape).
     "m15_stream_tumbling" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
-        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val src = Tables.eventsStream(s, dir)
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val agged = src
         .groupBy(window(col("tsec"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("sum_value"))
@@ -179,9 +177,8 @@ object TimeSeriesQueries {
     // shape tumbling can't exercise (every event lives in TWO window
     // states at once).
     "m16_stream_sliding" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
-        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+      val src = Tables.eventsStream(s, dir)
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val agged = src
         .groupBy(window(col("tsec"), "10 minutes", "5 minutes").as("w"),
           col("event_type"))
@@ -206,10 +203,9 @@ object TimeSeriesQueries {
     // are batch-split-invariant (a match never waits for eviction);
     // user_id < 30 bounds the pair volume across scale factors.
     "m17_stream_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
+      val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
-        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("tsec").as("c_tsec"))
@@ -245,12 +241,10 @@ object TimeSeriesQueries {
     // emits the running state and the batch-land max-n pick keeps the
     // final one, so the result is batch-split-invariant.
     "m18_stream_state" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import s.implicits._
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
+      val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 40)
-        .select(col("user_id"),
-          tsec(timestamp_seconds(expr("ts div 1000000000"))).as("t"),
+        .select(col("user_id"), tsec(col("ts")).as("t"),
           dec2(col("value")).as("v"))
         .as[UserEvent]
       val q = userProfileStream(src).toDF().writeStream.format("memory")
@@ -272,16 +266,14 @@ object TimeSeriesQueries {
     // users who never purchased (profile columns null) so the gate
     // checks the outer semantics too. user_id < 25 bounds output.
     "m19_stream_enrich" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dim = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_purchases"),
           asDouble(sum(dec2(col("value")))).as("purchase_total"))
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
+      val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 25 && col("event_type") === "click")
-        .select(col("event_id"), col("user_id"),
-          tsec(timestamp_seconds(expr("ts div 1000000000"))).as("t"))
+        .select(col("event_id"), col("user_id"), tsec(col("ts")).as("t"))
       val enriched = src.join(broadcast(dim), Seq("user_id"), "left")
         .select(col("event_id"), col("user_id"), col("t"),
           coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
@@ -303,11 +295,10 @@ object TimeSeriesQueries {
     // membership is position-dependent.
     "m20_moving_avg" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val pts = s.read.parquet(s"$dir/events.parquet")
+      val pts = Tables.events(s, dir)
         .filter(col("user_id") < 50)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("t"), col("value"))
+          unix_micros(col("ts")).as("t"), col("value"))
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("t"), col("event_id")).rowsBetween(-6, 0)
       pts
@@ -404,10 +395,9 @@ object TimeSeriesQueries {
     // 4 h + join interval 2 h), so every kept click has provably
     // emitted, matched or null. The oracle mirrors the cutoff in SQL.
     "m21_stream_outer" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = streamTable(s, eventsStreamSchema, dir, "events")
+      val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
-        .withColumn("tsec", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("tsec").as("c_tsec"))
