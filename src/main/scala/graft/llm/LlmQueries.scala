@@ -621,25 +621,28 @@ object LlmQueries {
 
     // Pipeline lineage (c11): the c3 dataflow reported as per-stage
     // in/out/dropped counts — the provenance record a curation run ships
-    // with its dataset (what was cut, and at which gate). Every count is
-    // a one-row aggregate over an already-proven fragment; the stage
-    // table is their 3-row union, so the audit costs three tiny aggs on
-    // top of the pipeline it describes.
+    // with its dataset (what was cut, and at which gate). The counts are
+    // three driver longs (a justified collect — the report IS
+    // driver-sized), taken off ONE execution of the chain: `passed` is
+    // persisted so the quality gate computes once and the near-dup stage
+    // reads it from cache, instead of the r6 shape where every
+    // `unionByName` consumer re-ran the whole quality+LSH chain
+    // (119.9 s vs c3's 10.5 s for the same work done once).
     "c11_lineage" -> { (s, dir) =>
+      import s.implicits._
       val docs = Tables.documents(s, dir)
       val (passed, drops) = curateStages(docs)
-      val kept = passed.join(drops, Seq("doc_id"), "left_anti")
-      val one = docs.agg(count(lit(1)).as("n_raw"))
-        .crossJoin(passed.agg(count(lit(1)).as("n_pass")))
-        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-      one.select(lit("00_ingest").as("stage"),
-          col("n_raw").as("rows_in"), col("n_raw").as("rows_out"))
-        .unionByName(one.select(lit("01_quality").as("stage"),
-          col("n_raw").as("rows_in"), col("n_pass").as("rows_out")))
-        .unionByName(one.select(lit("02_neardup").as("stage"),
-          col("n_pass").as("rows_in"), col("n_kept").as("rows_out")))
-        .withColumn("rows_dropped", col("rows_in") - col("rows_out"))
-        .orderBy("stage") },
+      val passedP = passed.persist()
+      try {
+        val nPass = passedP.count()
+        val nKept = passedP.join(drops, Seq("doc_id"), "left_anti").count()
+        val nRaw = docs.count()
+        Seq(("00_ingest", nRaw, nRaw), ("01_quality", nRaw, nPass),
+            ("02_neardup", nPass, nKept))
+          .toDF("stage", "rows_in", "rows_out")
+          .withColumn("rows_dropped", col("rows_in") - col("rows_out"))
+          .orderBy("stage")
+      } finally { passedP.unpersist(): Unit } },
 
     // Incremental admission composite (c7) — the accounting view a
     // CONTINUOUS ingestion service emits per crawl batch: arrivals run

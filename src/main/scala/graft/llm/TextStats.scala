@@ -761,38 +761,75 @@ object TextStats {
     * engine-exact IEEE arithmetic. `minCount` suppresses the
     * one-observation noise that dominates raw lift rankings.
     *
-    * Scale shape: ONE corpus-sized shuffle (the partial-aggregated bigram
-    * count); the marginals c_x, c_y and the total N all derive from that
+    * Scale shape: counting shuffles 8-byte word-hash PAIRS (the l29
+    * principle — never a corpus-wide string shuffle; r6 shipped raw
+    * bigram strings through the exchange and paid 80 s at sf0.1 for it);
+    * the marginals c_x, c_y and the total N all derive from that
     * already-aggregated vocab²-bounded table and broadcast back onto it.
+    * The lift threshold then picks the top-k PLATEAU (every bigram tied
+    * at the k-th lift enters, bounded by 100·k as in l29), and a second
+    * string pass labels only candidate-hash occurrences via a broadcast
+    * hash join — exact final ranking on the bounded labeled set, so the
+    * result matches a direct string count bit-for-bit (modulo 2^-64
+    * hash collisions, which could only perturb candidate selection).
     * The ratio is computed double ÷ double ÷ double × double — no integer
     * product that could overflow at corpus scale — and the final top-k is
-    * a TakeOrderedAndProject, never a global sort. The bigram-count table
+    * a TakeOrderedAndProject, never a global sort. The hash-count table
     * persists MEMORY_AND_DISK (read by the marginals, the total, and the
     * join base) — see [[TextDedup]]'s cache-lifecycle note. */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = split(col("text"), " ")
-    val bigrams = spread(docs)
-      .select(explode(when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2),
-          i => struct(element_at(w, i + 1).as("w1"),
-            element_at(w, i + 2).as("w2"))))
-        .otherwise(array())).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val hashPairs = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => struct(xxhash64(element_at(w, i + 1)).as("h1"),
+          xxhash64(element_at(w, i + 2)).as("h2"))))
+      .otherwise(array())
+    val counts = spread(docs)
+      .select(explode(hashPairs).as("p"))
+      .groupBy(col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .agg(count(lit(1)).as("c_xy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cx = counts.groupBy("w1").agg(sum("c_xy").as("c_x"))
-    val cy = counts.groupBy("w2").agg(sum("c_xy").as("c_y"))
+    val cx = counts.groupBy("h1").agg(sum("c_xy").as("c_x"))
+    val cy = counts.groupBy("h2").agg(sum("c_xy").as("c_y"))
     val n = counts.agg(sum("c_xy").as("nb"))
     val scored = counts.filter(col("c_xy") >= minCount)
-      .join(broadcast(cx), "w1")
-      .join(broadcast(cy), "w2")
+      .join(broadcast(cx), "h1")
+      .join(broadcast(cy), "h2")
       .crossJoin(broadcast(n))
       .withColumn("lift",
         col("c_xy").cast("double") / col("c_x").cast("double") /
           col("c_y").cast("double") * col("nb").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // k-th lift threshold; ALL boundary-tied bigrams enter the label pass
+    val kthRow = scored.orderBy(col("lift").desc).limit(k)
+      .agg(min("lift")).head().get(0)
+    val cand =
+      if (kthRow == null) scored.limit(0)
+      else scored.filter(col("lift") >= kthRow.asInstanceOf[Double])
+    require(cand.count() <= 100 * k,
+      s"top-$k lift boundary plateau exceeds ${100 * k} bigrams — raise k or minCount")
+    // label pass: zip each candidate occurrence's strings with its hash
+    // pair; broadcast-join membership, collapse to one row per bigram
+    // type via a map-side-combined min (hash pair determines the pair)
+    val labeled = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("w1"),
+          element_at(w, i + 2).as("w2"),
+          xxhash64(element_at(w, i + 1)).as("h1"),
+          xxhash64(element_at(w, i + 2)).as("h2"))))
+      .otherwise(array())
+    val labels = spread(docs)
+      .select(explode(labeled).as("b"))
+      .select(col("b.h1").as("h1"), col("b.h2").as("h2"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(broadcast(cand.select("h1", "h2")), Seq("h1", "h2"))
+      .groupBy("h1", "h2")
+      .agg(min(struct(col("w1"), col("w2"))).as("s"))
+      .select(col("h1"), col("h2"), col("s.w1").as("w1"), col("s.w2").as("w2"))
     val ord = Seq(col("lift").desc, col("w1"), col("w2"))
-    scored.orderBy(ord: _*).limit(k)
+    cand.join(labels, Seq("h1", "h2"))
+      .orderBy(ord: _*).limit(k)
       .withColumn("rk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .select("rk", "w1", "w2", "c_xy", "c_x", "c_y", "lift")
       .orderBy("rk")
