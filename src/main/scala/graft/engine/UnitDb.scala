@@ -10,7 +10,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, SaveMode, SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopicMatches, TopicPartsMatches}
-import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, Varz}
+import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, TopicKey, Varz}
 
 /** Embedded message-store facade — the Spark-native re-expression of the
   * reference `DB` API (db.go:50-482).
@@ -59,9 +59,35 @@ final class UnitDb private (
     autoFlushRows: Int,
     encryptionKey: Option[Array[Byte]],
     commitProtocol: StoreCommitProtocol,
-    writeSaltBuckets: Int) {
+    writeSaltBuckets: Int,
+    val secureMode: Boolean) {
 
   import UnitDb._
+
+  // ------------------------------------------------------------- security
+
+  /** Mint a topic key for this store (S5 keygen, reference
+    * hdl_conn.go:558-594; see [[graft.model.TopicKey]]). Works in either
+    * mode — keys minted on an insecure store are simply not required. */
+  def keyGen(topic: String, permissions: Int,
+      contract: Long = Message.MasterContract): String =
+    TopicKey.generate(topic, permissions, contract)
+
+  /** In secure mode, require a `key/topic` prefix carrying `flag` and
+    * return the bare topic; insecure mode passes the topic through
+    * (docs/utp.md:175,229 — the reference's secure/insecure connection
+    * modes, enforced per operation, hdl_conn.go:489-507). */
+  private def authorize(topicStr: String, flag: Int, contract: Long): String = {
+    if (!secureMode) return topicStr
+    val (key, bare) = TopicKey.split(topicStr)
+    if (key.isEmpty)
+      throw new SecurityException(
+        s"secure store requires a key/topic prefix: $topicStr")
+    if (!TopicKey.validate(key, bare, flag, contract))
+      throw new SecurityException(
+        s"key does not authorize ${if (flag == TopicKey.AllowWrite) "write" else "read"} on topic: $bare")
+    bare
+  }
 
   private val pending = ArrayBuffer[Message]()
   private val pendingTombs = ArrayBuffer[Tombstone]()
@@ -116,7 +142,8 @@ final class UnitDb private (
     * @return the entry's 16-byte ID, usable with [[delete(id*]]. */
   def putEntry(e: Entry): Array[Byte] = synchronized {
     ensureOpen()
-    val m = toMessage(e)
+    val m = toMessage(
+      e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract)))
     pending += m
     nPuts.incrementAndGet()
     nBytesWritten.addAndGet(if (m.payload == null) 0 else m.payload.length.toLong)
@@ -129,7 +156,7 @@ final class UnitDb private (
   def delete(seq: Long, topic: String, contract: Long = Message.MasterContract): Unit =
     synchronized {
       ensureOpen()
-      val t = Topic.parse(topic)
+      val t = Topic.parse(authorize(topic, TopicKey.AllowWrite, contract))
       pendingTombs += Tombstone(seq, contract, t.key, new Timestamp(clock()))
       nDeletes.incrementAndGet(): Unit
     }
@@ -187,7 +214,9 @@ final class UnitDb private (
   /** Build (without buffering) a tombstone — the [[BatchWriter]] delete
     * hook, sharing the store clock and topic normalization. */
   private[engine] def mkTombstone(seq: Long, topic: String, contract: Long): Tombstone =
-    Tombstone(seq, contract, Topic.parse(topic).key, new Timestamp(clock()))
+    Tombstone(seq, contract,
+      Topic.parse(authorize(topic, TopicKey.AllowWrite, contract)).key,
+      new Timestamp(clock()))
 
   /** Flush the pending buffers as atomic Parquet appends (reference
     * DB.Sync, db.go:452-472): entries to the main table, delete markers to
@@ -233,7 +262,8 @@ final class UnitDb private (
     * composable with further Spark ops. Newest-first, clamped at the
     * reference's Default/MaxLimit (options.go:169-174). */
   def getFrame(q: Query): DataFrame = {
-    val (matched, limit) = matchedLive(q)
+    val (matched, limit) = matchedLive(
+      q.copy(topic = authorize(q.topic, TopicKey.AllowRead, q.contract)))
     matched
       .orderBy(col("ts").desc, col("seq").desc)
       .limit(limit)
@@ -248,7 +278,8 @@ final class UnitDb private (
     * not be silently truncated at 100k rows (r3 VERDICT #4). A `?last=N`
     * count in the pattern is still honored — that is an explicit request
     * — via the newest-first top-N. */
-  def scanFrame(q: Query): DataFrame = {
+  def scanFrame(q0: Query): DataFrame = {
+    val q = q0.copy(topic = authorize(q0.topic, TopicKey.AllowRead, q0.contract))
     val (matched, _) = matchedLive(q)
     Topic.parse(q.topic).last match {
       case Some(Left(count)) =>
@@ -283,9 +314,10 @@ final class UnitDb private (
     * counts (see `StreamIngest.startWithMaintenance`); `maxFilesPerTrigger`
     * bounds each micro-batch for backfill-sized stores. Partition-dir
     * pruning on `(contract, wc, day)` applies as in the batch scan. */
-  def tail(q: Query, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+  def tail(q0: Query, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     ensureOpen()
     nGets.incrementAndGet()
+    val q = q0.copy(topic = authorize(q0.topic, TopicKey.AllowRead, q0.contract))
     val t = Topic.parse(q.topic)
     val cutoffMs = t.last match {
       case Some(Right(durMs)) => Some(clock() - durMs)
@@ -701,7 +733,8 @@ final class UnitDb private (
     nSyncs.incrementAndGet(): Unit
   }
 
-  private[engine] def mkMessage(e: Entry): Message = toMessage(e)
+  private[engine] def mkMessage(e: Entry): Message =
+    toMessage(e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract)))
 
   private def toMessage(e: Entry): Message = {
     require(e.topic.nonEmpty, "empty topic")
@@ -926,7 +959,8 @@ object UnitDb {
       autoFlushRows: Int = 100000,
       encryptionKey: Option[Array[Byte]] = None,
       commitProtocol: StoreCommitProtocol = PosixSwapCommit,
-      writeSaltBuckets: Int = 1): UnitDb = {
+      writeSaltBuckets: Int = 1,
+      secureMode: Boolean = false): UnitDb = {
     encryptionKey.foreach(k => require(Set(16, 24, 32)(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
     require(writeSaltBuckets >= 1, s"writeSaltBuckets must be >= 1")
@@ -938,7 +972,7 @@ object UnitDb {
     commitProtocol.recover(path)
     Files.createDirectories(Paths.get(path))
     new UnitDb(spark, path, clock, autoFlushRows, encryptionKey, commitProtocol,
-      writeSaltBuckets)
+      writeSaltBuckets, secureMode)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

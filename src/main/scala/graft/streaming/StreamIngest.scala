@@ -276,6 +276,12 @@ object StreamIngest {
     val cols = batch.columns.toSet
     require(cols("topic") && cols("payload"),
       s"ingest stream needs (topic, payload); got ${batch.columns.mkString(",")}")
+    // S5 secure mode: each row's topic must carry a write-authorizing
+    // key prefix (reference hdl_conn.go:489-507 rejects an unauthorized
+    // PUBLISH per message); an unauthorized row dead-letters below like
+    // any malformed topic. Validation is pure arithmetic on the closure-
+    // captured flag — no driver round-trip, no state, scan-speed safe.
+    val secure = db.secureMode
     var df = batch
     if (!cols("ts")) df = df.withColumn("ts", lit(new Timestamp(db.nowMs())))
     if (!cols("contract")) df = df.withColumn("contract", lit(Message.MasterContract))
@@ -288,7 +294,17 @@ object StreamIngest {
       .as(Encoders.product[IngestRow])
       .map { r =>
         try {
-          val t = Topic.parse(r.topic)
+          val bare =
+            if (!secure) r.topic
+            else {
+              val (key, b) = graft.model.TopicKey.split(r.topic)
+              if (!graft.model.TopicKey.validate(key, b,
+                  graft.model.TopicKey.AllowWrite, r.contract))
+                throw new IllegalArgumentException(
+                  s"unauthorized publish (no valid write key): ${r.topic}")
+              b
+            }
+          val t = Topic.parse(bare)
           val ttl = r.ttl_ms.orElse(t.ttlMillis)
           ParsedRow(Some(Message(
             seq = 0L, // assigned in appendBatch from the reserved range
