@@ -769,7 +769,10 @@ object TextDedup {
     * partial-aggregated shuffles, AQE-broadcast when the shared set is
     * small. Per-task work is bounded by row size; no window, no funnel. */
   def cdcChunks(docs: DataFrame): DataFrame = {
-    val ex = docs
+    // the per-token rolling md5 is the most expensive per-row kernel in
+    // the module (~30 s serialized on a one-partition scan at sf0.1) —
+    // spread first; no-op at real scan parallelism
+    val ex = TextStats.spread(docs)
       .withColumn("w", split(col("text"), " "))
       .withColumn("cuts", expr(
         """CASE WHEN size(w) >= 2 THEN

@@ -28,17 +28,10 @@ object TextStats {
   private def countIn(w: Column, words: Seq[String]): Column =
     size(filter(w, t => words.map(t === _).reduce(_ || _)))
 
-  /** Spread a narrow input across the cluster before a CPU-heavy per-row
-    * kernel. A small parquet table arrives as one scan partition
-    * (maxPartitionBytes ≫ file size), which serializes the kernel on one
-    * task; at real scale the scan already has thousands of partitions and
-    * this is a no-op — the repartition only fires when the input's
-    * parallelism is below the cluster's, so the 100 TB plan never pays a
-    * gratuitous corpus shuffle. */
-  private[llm] def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
-  }
+  /** See [[graft.queries.QUtil.spread]] — conditional pre-kernel
+    * repartition, a no-op at real scan parallelism. */
+  private[llm] def spread(df: DataFrame): DataFrame =
+    graft.queries.QUtil.spread(df)
 
   /** doc_id, n_tokens, n_unique, ttr, avg_token_len, stop_ratio, bpe_est. */
   def textStats(docs: DataFrame): DataFrame =

@@ -108,7 +108,9 @@ object CoreQueries {
     // codegen'd; at scale prefer from_json with an explicit schema once
     // fields stabilize (single parse, columnar after).
     "m10_props_json" -> { (s, dir) =>
-      Tables.events(s, dir)
+      // JSON parsing is a CPU kernel: spread the one-partition test scan
+      // across the cluster first (no-op at real scan parallelism)
+      QUtil.spread(Tables.events(s, dir).select("event_type", "props"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),

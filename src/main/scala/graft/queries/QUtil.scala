@@ -36,6 +36,18 @@ object QUtil {
   def duckTsec(col: String): String =
     s"epoch_us(date_trunc('second', $col)) // 1000000"
 
+  /** Spread a narrow input across the cluster before a CPU-heavy per-row
+    * kernel. A small parquet table arrives as one scan partition
+    * (maxPartitionBytes ≫ file size), which serializes the kernel on one
+    * task; at real scale the scan already has thousands of partitions and
+    * this is a no-op — the repartition only fires when the input's
+    * parallelism is below the cluster's, so the 100 TB plan never pays a
+    * gratuitous corpus shuffle. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Streaming source for one testdata table, robust to `<name>.parquet`
     * being a single FILE (the driver testdata) or a DIRECTORY of part
     * files (the ScaleData sf1 set). The file stream source insists its
