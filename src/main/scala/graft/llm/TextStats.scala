@@ -773,10 +773,12 @@ object TextStats {
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = split(col("text"), " ")
+    // hash each token ONCE, then pair adjacent hashes — half the hash
+    // kernel work of hashing every token as head and again as tail
+    val hs = transform(w, t => xxhash64(t))
     val hashPairs = when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => struct(xxhash64(element_at(w, i + 1)).as("h1"),
-          xxhash64(element_at(w, i + 2)).as("h2"))))
+      zip_with(slice(hs, lit(1), size(w) - 1), slice(hs, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("h1"), b.as("h2"))))
       .otherwise(array())
     val counts = spread(docs)
       .select(explode(hashPairs).as("p"))
@@ -805,12 +807,11 @@ object TextStats {
     // label pass: zip each candidate occurrence's strings with its hash
     // pair; broadcast-join membership, collapse to one row per bigram
     // type via a map-side-combined min (hash pair determines the pair)
+    val wh = zip_with(w, hs, (t, h) => struct(t.as("t"), h.as("h")))
     val labeled = when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => struct(element_at(w, i + 1).as("w1"),
-          element_at(w, i + 2).as("w2"),
-          xxhash64(element_at(w, i + 1)).as("h1"),
-          xxhash64(element_at(w, i + 2)).as("h2"))))
+      zip_with(slice(wh, lit(1), size(w) - 1), slice(wh, lit(2), size(w) - 1),
+        (a, b) => struct(a.getField("t").as("w1"), b.getField("t").as("w2"),
+          a.getField("h").as("h1"), b.getField("h").as("h2"))))
       .otherwise(array())
     val labels = spread(docs)
       .select(explode(labeled).as("b"))
