@@ -656,6 +656,35 @@ object LlmQueries {
     // shape: the flag frames are batch-sized or smaller (AQE broadcasts
     // them), quality is the zero-shuffle projection, and the report is
     // one partial-aggregated shuffle on source.
+    // Corpus snapshot diff (c12): dataset versioning — given two corpus
+    // snapshots, the row-level change set (added / removed / modified by
+    // content fingerprint) every reproducible-training setup audits
+    // before a re-run. The two "versions" are carved deterministically
+    // from the one test table (v1 drops doc_id ≡ 0 mod 7; v2 drops
+    // ≡ 3 mod 11 and revises the text of ≡ 0 mod 5) so the oracle can
+    // state the identical construction. Scale shape: ONE co-partitioned
+    // full-outer join on the key — the standard snapshot-diff plan; md5
+    // content fingerprints compare 16 bytes instead of document bodies,
+    // so the shuffle carries keys + fingerprints only. Unchanged rows
+    // drop before output (the diff is change-sized, not corpus-sized).
+    "c12_snapshot_diff" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val v1 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp1"))
+      val v2 = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "modified"))
+        .filter(col("status").isNotNull)
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    },
+
     "c7_incremental_admit" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
       val corpus = d.filter(col("doc_id") < 250)
@@ -2122,6 +2151,23 @@ object LlmQueries {
         |SELECT stage, rows_in, rows_out, rows_in - rows_out AS rows_dropped
         |FROM st ORDER BY stage""".stripMargin),
 
+
+    // the same deterministic two-snapshot construction, diffed by a
+    // full outer join on the key with md5 content fingerprints
+    "c12_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS fp1 FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS fp2
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'modified' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR fp1 <> fp2)
+        |ORDER BY doc_id""".stripMargin,
 
     // the c2 pass rule + the l16 split buckets + the l25 shard/pos
     // window, grouped into the manifest — each fragment is its

@@ -597,6 +597,46 @@ object AnalyticsQueries {
     "q31_moments" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       s.sql(SharedSql.q31)
+    },
+
+    // PIVOT (q32): order counts + exact value sums cross-tabbed by
+    // priority — long-to-wide, the reporting face every BI layer needs.
+    // The value list is EXPLICIT, so the plan is ONE partial-aggregated
+    // shuffle (pivot-with-discovery would need a prior distinct pass and
+    // make the schema data-dependent — never at 100 TB). Absent cells:
+    // Spark's pivot yields null where DuckDB's FILTER count yields 0, so
+    // both count and sum coalesce explicitly.
+    "q32_pivot" -> { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("v"))
+      val slug = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+        "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+      wide.select(col("o_orderstatus") +:
+        prios.flatMap(p => Seq(
+          coalesce(col(s"`${p}_n`"), lit(0L)).as(s"n_${slug(p)}"),
+          coalesce(col(s"`${p}_v`"), lit(0.0)).as(s"v_${slug(p)}"))): _*)
+        .orderBy("o_orderstatus")
+    },
+
+    // UNPIVOT (q33): wide-to-long — q32's inverse melt, via Spark's
+    // native unpivot (Catalyst Expand: one pass, zero shuffle before the
+    // rollup; the oracle states the same melt as UNION ALL). The measure
+    // pair (retail price as exact cents, size) rolls up per metric.
+    "q33_unpivot" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          (dec2(col("p_retailprice")) * 100).cast("long").as("retail_cents"),
+          col("p_size").cast("long").as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retail_cents"), col("size")), "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("metric")
     }
   )
 
@@ -916,6 +956,42 @@ object AnalyticsQueries {
         |FROM r JOIN nation ON c_nationkey = n_nationkey
         |WHERE rnk <= 5 GROUP BY n_name ORDER BY n_name""".stripMargin,
 
-    "q31_moments" -> SharedSql.q31
+    "q31_moments" -> SharedSql.q31,
+
+    // conditional-aggregation mirror of the explicit-value pivot; FILTER
+    // counts are 0 (never null) and the sums coalesce to 0 to match
+    "q32_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 0) AS v_urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE), 0) AS v_high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE), 0) AS v_medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE), 0) AS v_notspec,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE), 0) AS v_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the melt stated as UNION ALL — identical long rows, same rollup
+    "q33_unpivot" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS retail_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |long AS (
+        |  SELECT p_partkey, 'retail_cents' AS metric, retail_cents AS value FROM base
+        |  UNION ALL
+        |  SELECT p_partkey, 'size' AS metric, size AS value FROM base)
+        |SELECT metric, COUNT(*) AS n, SUM(value) AS total,
+        |  MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin
   )
 }
