@@ -604,4 +604,34 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 4, s"expected 2 exchange nodes, got $exchanges lines:\n${p.take(1200)}")
   }
+
+  test("q32: explicit-value pivot partial-aggregates, never joins") {
+    val p = plan("q32_pivot")
+    assert(p.contains("partial_"), p.take(1200))
+    assert(!p.contains("Join"),
+      s"pivot with explicit values must not discover values via a join/pass:\n${p.take(1200)}")
+    // Spark's two-phase pivot: corpus-sized partial agg on (key, pivot),
+    // then the pivot agg on the compacted frame, then the output sort —
+    // 3 exchange nodes (each named twice in formatted explain), the
+    // first the only corpus-sized one
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 6, s"expected 3 exchange nodes:\n${p.take(1200)}")
+  }
+
+  test("q33: unpivot expands without shuffle before the rollup") {
+    val p = plan("q33_unpivot")
+    assert(p.contains("Expand"), s"unpivot should compile to Expand:\n${p.take(1200)}")
+    assert(p.contains("partial_"), p.take(1200))
+    assert(!p.contains("Join") && !p.contains("Union"),
+      s"the melt must be one pass, not a self-union:\n${p.take(1200)}")
+  }
+
+  test("c12: snapshot diff is one co-partitioned outer join on the key") {
+    val p = plan("c12_snapshot_diff")
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p.take(1200))
+    // both sides hash-partition on doc_id, join, filter, output sort —
+    // no nested loop, no cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
 }
