@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** The round-6 regression, institutionalized: the driver testdata has
+  * shipped `events.ts` as BOTH Parquet TIMESTAMP(NANOS) (readable only as
+  * BIGINT nanos under `nanosAsLong`) and TIMESTAMP(MICROS) (a native
+  * timestamp). [[Tables.events]] / [[Tables.eventsStream]] must normalize
+  * either encoding to the same microsecond TIMESTAMP — a loader that
+  * assumes one physical encoding breaks every downstream events query the
+  * day the file is regenerated. */
+class TablesSpec extends SparkSpec {
+
+  private val tUs = 1704067200123456L // 2024-01-01T00:00:00.123456Z in µs
+
+  private def writeEvents(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = dir + "/.tmp"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("events loader: BIGINT-nanos and TIMESTAMP encodings normalize identically") {
+    import spark.implicits._
+
+    // encoding A: ts as raw nanosecond longs (what TIMESTAMP(NANOS)
+    // arrives as under nanosAsLong)
+    val nsDir = Files.createTempDirectory("graft_ev_ns").toString
+    writeEvents(nsDir, Seq((1L, tUs * 1000L, 7L, "click", 1.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+
+    // encoding B: ts as a native microsecond TIMESTAMP
+    val usDir = Files.createTempDirectory("graft_ev_us").toString
+    writeEvents(usDir, Seq((1L, new Timestamp(tUs / 1000), 7L, "click", 1.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(tUs))))
+
+    for (dir <- Seq(nsDir, usDir)) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$dir: ts must normalize to TIMESTAMP, got ${ev.schema("ts").dataType}")
+      val got = ev.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == tUs, s"$dir: expected $tUs µs, got $got")
+    }
+
+    // streaming face agrees with the batch face on both encodings
+    for (dir <- Seq(nsDir, usDir)) {
+      val src = Tables.eventsStream(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val qn = s"tables_spec_${dir.hashCode.abs}"
+      val q = src.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.table(qn).head().getLong(1) == tUs,
+        s"$dir: streaming face disagrees with batch")
+    }
+  }
+}
