@@ -622,6 +622,24 @@ object AnalyticsQueries {
         .orderBy("o_orderstatus")
     },
 
+    // CUBE (q34): all 2² grouping combinations of (returnflag, linestatus)
+    // in ONE pass — completes the grouping family (q8 ROLLUP, q17
+    // GROUPING SETS). Same scale shape as both: Catalyst's Expand
+    // replicates each row once per grouping set BEFORE the exchange, and
+    // the aggregate still partial-combines map-side, so the plan is one
+    // shuffle regardless of how many sets the cube spans. NULL group
+    // markers are disambiguated via grouping_id (a real NULL key and a
+    // subtotal row must not collide).
+    "q34_cube" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"))
+        .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
     // UNPIVOT (q33): wide-to-long — q32's inverse melt, via Spark's
     // native unpivot (Catalyst Expand: one pass, zero shuffle before the
     // rollup; the oracle states the same melt as UNION ALL). The measure
@@ -978,6 +996,16 @@ object AnalyticsQueries {
         |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |    FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE), 0) AS v_low
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical cube; DuckDB's GROUPING() bit order matches Spark's
+    // grouping_id for the same column order
+    "q34_cube" ->
+      """SELECT GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     // the melt stated as UNION ALL — identical long rows, same rollup
     "q33_unpivot" ->
