@@ -14,24 +14,20 @@ object IngestProf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val base = java.nio.file.Files.createTempDirectory("graft_ing").toString
     val db = UnitDb.open(spark, base + "/store")
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val ev = spark.read.schema(sch).parquet("/root/testdata/sf0.1/events.parquet")
+    // schema-adaptive loader — ts arrives as a canonical µs TIMESTAMP
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.1")
     val big = ev.crossJoin(spark.range(7).toDF("rep"))
       .select(concat(col("event_type"), lit(".u"),
         ((col("user_id") * 7 + col("rep")) % 200).cast("string"),
         lit(".d"), (col("event_id") % 50).cast("string")).as("topic"),
         col("props").cast("binary").as("payload"),
-        expr("timestamp_micros(ts div 1000)").as("ts")).cache()
+        col("ts")).cache()
     println("ROWS " + big.count())
     val parsed = StreamIngest.toParsed(db, big, 0L)
     time("PARSE_W")(parsed.write.format("noop").mode("overwrite").save())
