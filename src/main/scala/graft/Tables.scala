@@ -65,6 +65,16 @@ object Tables {
     canonTs(graft.queries.QUtil.streamTable(spark, fileSchema, dir, "events"))
   }
 
+  /** Streaming face of any non-events table, with the schema derived from
+    * the file's own footer — never hand-declared (the r6 lesson: a
+    * hard-coded physical schema breaks the day the testdata is
+    * regenerated with a different encoding). */
+  def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(name != "events", "events streams through eventsStream (ts canon)")
+    val fileSchema = spark.read.parquet(s"$dir/$name.parquet").schema
+    graft.queries.QUtil.streamTable(spark, fileSchema, dir, name)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -519,12 +519,7 @@ object LlmQueries {
     // The survivor's doc_id is arrival-order-dependent and deliberately
     // NOT in the output; the fingerprint set is partition-order-free.
     "m14_stream_dedup" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val src = graft.queries.QUtil.streamTable(s, schema, dir, "documents")
+      val src = Tables.stream(s, dir, "documents")
         .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       val survivors = TextDedup.dedupStream(src, tsCol = "ts")
       val q = survivors.select("fingerprint")

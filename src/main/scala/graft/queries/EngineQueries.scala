@@ -86,13 +86,7 @@ object EngineQueries {
     "s3_store_curate" -> { (s, dir) =>
       val base = Files.createTempDirectory("graft_s3").toString
       val db = UnitDb.open(s, base + "/store")
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType),
-        StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val src = streamTable(s, docsSchema, dir, "documents")
+      val src = graft.Tables.stream(s, dir, "documents")
         .select(
           concat(lit("doc."), col("source"), lit("."),
             (col("doc_id") % 10).cast("string")).as("topic"),
