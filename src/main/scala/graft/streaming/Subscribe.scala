@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.engine.UnitDb
 import graft.functions.TopicMatches
-import graft.model.{Message, Query, Topic}
+import graft.model.{Message, Query, Topic, TopicKey}
 
 /** A registered subscription (reference SUBSCRIBE, server/internal/
   * hdl_conn.go:384-431 + server/proto/unitdb.proto:113-127): a topic
@@ -36,6 +36,39 @@ object Subscribe {
   val Express = 0
   val Reliable = 1
   val BatchMode = 2
+
+  /** S5 on the SUBSCRIBE face (reference onSecureRequest,
+    * server/internal/hdl_conn.go:489-507: a subscribe under secure mode
+    * must carry a read-authorizing key for its pattern): split a
+    * subscriptions table whose `pattern` strings are `key/pattern` into
+    * (authorized-with-bare-patterns, rejected). The rejected frame is
+    * the caller's to surface — the reference errors the one SUBSCRIBE,
+    * never the connection, so the fan-out analogue is per-row exclusion,
+    * not query failure. The key check is a Scala UDF by necessity (the
+    * decode + salted-hash arithmetic has no builtin form) and by license
+    * (it runs on the subscription-count-sized frame at resolution time —
+    * once per [[startDynamic]] batch at most — never on the message
+    * stream). */
+  def validSubs(subscriptions: DataFrame,
+      flag: Int = TopicKey.AllowRead): (DataFrame, DataFrame) = {
+    val hasContract = subscriptions.columns.contains("contract")
+    val checkKey = udf((key: String, bare: String, contract: Long) =>
+      TopicKey.validate(key, bare, flag, contract))
+    val hasKey = instr(col("pattern"), TopicKey.Separator.toString) > 0
+    val keyed = subscriptions
+      .withColumn("__key",
+        when(hasKey, expr("substring_index(pattern, '/', 1)")).otherwise(lit("")))
+      .withColumn("__bare",
+        when(hasKey, expr("substring(pattern, instr(pattern, '/') + 1)"))
+          .otherwise(col("pattern")))
+      .withColumn("__ok", checkKey(col("__key"), col("__bare"),
+        if (hasContract) col("contract") else lit(Message.MasterContract)))
+    val kept = keyed.filter(col("__ok"))
+      .withColumn("pattern", col("__bare"))
+      .drop("__key", "__bare", "__ok")
+    val rejected = keyed.filter(!col("__ok")).drop("__key", "__bare", "__ok")
+    (kept, rejected)
+  }
 
   /** Fan-out join (batch or streaming `messages`): one output row per
     * (message, matching subscription) pair, carrying the subscription's

@@ -116,4 +116,26 @@ class SecuritySpec extends SparkSpec {
     }
     db.close()
   }
+
+  test("secure subscribe: only read-key-bearing subscriptions fan out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rk = generate("alerts.high", AllowRead)
+    val wk = generate("alerts.high", AllowWrite)
+    val mc = graft.model.Message.MasterContract
+    val subs = Seq(
+      (1L, s"$rk/alerts.high", mc, 0),  // authorized
+      (2L, s"$wk/alerts.high", mc, 0),  // wrong flag
+      (3L, "alerts.high", mc, 0),       // no key
+      (4L, s"${generate("...", AllowRead)}/alerts...", mc, 0) // master key, wildcard pattern
+    ).toDF("sub_id", "pattern", "contract", "delivery_mode")
+    val (kept, rejected) = graft.streaming.Subscribe.validSubs(subs)
+    assert(kept.select("sub_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(rejected.count() == 2)
+    assert(kept.filter(col("sub_id") === 1).head().getString(1) == "alerts.high",
+      "kept patterns are bare — the key never reaches the fan-out join")
+    val msgs = Seq(("alerts.high", mc, "m1")).toDF("topic", "contract", "payload")
+    val fanned = graft.streaming.Subscribe.fanout(msgs, kept)
+    assert(fanned.select("sub_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
 }
