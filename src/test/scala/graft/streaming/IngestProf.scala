@@ -18,11 +18,12 @@ object IngestProf {
       val t0 = System.nanoTime(); f
       println(f"$label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    val rep = args.headOption.map(_.toInt).getOrElse(7)
     val base = java.nio.file.Files.createTempDirectory("graft_ing").toString
     val db = UnitDb.open(spark, base + "/store")
     // schema-adaptive loader — ts arrives as a canonical µs TIMESTAMP
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.1")
-    val big = ev.crossJoin(spark.range(7).toDF("rep"))
+    val big = ev.crossJoin(spark.range(rep).toDF("rep"))
       .select(concat(col("event_type"), lit(".u"),
         ((col("user_id") * 7 + col("rep")) % 200).cast("string"),
         lit(".d"), (col("event_id") % 50).cast("string")).as("topic"),
