@@ -708,21 +708,34 @@ object TextStats {
     * The distinct gram scan persists MEMORY_AND_DISK (read by the exact
     * count and the tournament) — see [[TextDedup]]'s cache-lifecycle
     * note. */
-  def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 2, s"KMV needs k >= 2, got $k")
+  /** Distinct (source, md5(word-trigram)) pairs — the shared sketch domain
+    * of l42 (per-source cardinality) and l63 (cross-source set algebra).
+    * The gram-string + md5 kernel must stay md5 (the oracles derive the
+    * estimates from the k-th md5), so unlike l43's XXH64 postings it can't
+    * ride a codegen'd hash kernel — spread the corpus instead so the
+    * per-row work parallelizes even from a one-partition scan. */
+  private[llm] def sourceGramHashes(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val grams = when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", slice(w, i + 1, lit(3))))).otherwise(array())
-    // the gram-string + md5 kernel must stay md5 (the oracle derives the
-    // estimate from the k-th md5), so unlike l43's XXH64 postings it can't
-    // ride a codegen'd hash kernel — spread the corpus instead so the
-    // per-row work parallelizes even from a one-partition scan
-    val dist = spread(docs)
+    spread(docs)
       .select(col("source"), explode(grams).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
+  }
+
+  /** (k−1)·2⁶⁰ / u_k with u_k read from the kth md5's first 15 hex chars.
+    * Both numerator factors are double-exact ((k−1) ≤ 2¹¹, 2⁶⁰ a power of
+    * two), so the one division is the only rounding — engine-identical. */
+  private def kmvEst(k: Int, kthH: Column): Column =
+    lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+      conv(substring(kthH, 1, 15), 16, 10).cast("long").cast("double")
+
+  def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val dist = sourceGramHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = dist.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
@@ -732,16 +745,97 @@ object TextStats {
       .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
       .withColumn("__rk", row_number().over(w2)).filter(col("__rk") === k)
       .select(col("source"), col("h").as("kth_h"))
-    // u_k = kth md5's first 15 hex chars / 2^60; est = (k-1)/u_k. Both
-    // factors of the numerator are double-exact ((k-1) ≤ 2^11 · 2^60),
-    // so the one division is the only rounding — engine-identical.
-    val est = lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-      conv(substring(col("kth_h"), 1, 15), 16, 10).cast("long").cast("double")
     exact.join(kth, Seq("source"), "left")
       .select(col("source"), col("n_exact"),
         when(col("kth_h").isNull, col("n_exact").cast("double"))
-          .otherwise(est).as("kmv_est"))
+          .otherwise(kmvEst(k, col("kth_h"))).as("kmv_est"))
       .orderBy("source")
+  }
+
+  /** KMV set-operation algebra (Beyer et al., SIGMOD 2007) — the MERGE face
+    * of the l42 sketch: cross-source union cardinality, Jaccard, and
+    * intersection estimates computed purely from the per-source k-minima
+    * lists. The k smallest hashes of A ∪ B are a subset of
+    * minima(A) ∪ minima(B) (the union's k-th minimum can only be ≤ either
+    * side's), so every pairwise statistic below touches k·|sources| rows —
+    * the per-source sketches are what 1000 executors would ship to one
+    * reducer, never the gram sets themselves.
+    *
+    * Per source pair: merge the two minima lists (set-union on hash),
+    * keep the k smallest (k_used = min(k, |merged|)); then
+    *   union_est = (k−1)/u_k     (exact |A∪B| when both lists were
+    *                              complete, i.e. |merged| < k),
+    *   jacc_est  = |{top-k hashes present in BOTH lists}| / k_used,
+    *   inter_est = jacc_est · union_est.
+    * Membership in a side's minima list is exact for every merged-top-k
+    * hash: such a hash h ∈ A satisfies h ≤ u_k(A∪B) ≤ u_k(A), so h is in
+    * minima(A) — no false negatives, the estimator is well-defined.
+    *
+    * The exact distinct-gram intersection rides along as the audit column
+    * (the l42/l62 pattern: the output itself measures the sketch's error,
+    * ~1/√k on jaccard). A 100 TB deployment keeps only the sketch side —
+    * the exact audit is the one full-domain self-join here.
+    *
+    * All arithmetic is engine-identical: integer counts, the one-rounding
+    * kmvEst division, one integer-ratio division for jacc, and a single
+    * double product for inter_est. */
+  def kmvSetOps(docs: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val dist = sourceGramHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-source k-minima: the l42 two-phase tournament (phase 1 bounds
+    // every task's output at k rows; phase 2 ranks k·P survivors)
+    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
+    val minima = dist
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
+      .select(col("source"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = minima.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // tag each minima hash with the pairs + side it serves (two broadcast
+    // equi-joins — never an OR-condition nested loop)
+    val phA = pairs.join(minima.withColumnRenamed("source", "source_a"),
+      Seq("source_a")).withColumn("side_a", lit(1))
+    val phB = pairs.join(minima.withColumnRenamed("source", "source_b"),
+      Seq("source_b")).withColumn("side_a", lit(0))
+    val merged = phA.select(col("source_a"), col("source_b"), col("h"), col("side_a"))
+      .unionByName(phB.select(col("source_a"), col("source_b"), col("h"), col("side_a")))
+      .groupBy("source_a", "source_b", "h")
+      .agg(max(col("side_a")).as("in_a"),
+        max(lit(1) - col("side_a")).as("in_b"))
+    val wp = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
+    val ranked = merged.withColumn("rn", row_number().over(wp))
+    val sizes = ranked.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_m"))
+      .withColumn("k_used", least(lit(k.toLong), col("n_m")))
+    val top = ranked.join(sizes, Seq("source_a", "source_b"))
+      .filter(col("rn") <= col("k_used"))
+    val stats = top.groupBy("source_a", "source_b", "n_m", "k_used")
+      .agg(sum((col("in_a") * col("in_b")).cast("long")).as("shared_minima"),
+        max(when(col("rn") === col("k_used"), col("h"))).as("kth_h"))
+    val unionEst = when(col("n_m") < k, col("n_m").cast("double"))
+      .otherwise(kmvEst(k, col("kth_h")))
+    val jaccEst = col("shared_minima").cast("double") / col("k_used").cast("double")
+    // exact audit: distinct-gram intersection per pair (gate scale only)
+    val exact = dist.as("da").join(dist.as("db"),
+        col("da.h") === col("db.h") && col("da.source") < col("db.source"))
+      .groupBy(col("da.source").as("source_a"), col("db.source").as("source_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    stats
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("k_used"),
+        col("shared_minima"),
+        unionEst.as("kmv_union_est"),
+        jaccEst.as("kmv_jacc_est"),
+        (jaccEst * unionEst).as("kmv_inter_est"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Collocation mining — the top-k bigrams by LIFT, the log-free PMI:

@@ -1031,6 +1031,60 @@ class LlmSpec extends SparkSpec {
     assert(again("big") == estBig)
   }
 
+  test("kmv set ops: sketch estimates track engineered overlap, exact path under k") {
+    import spark.implicits._
+    // two big sources sharing exactly half their trigram space: the first
+    // 5 blocks of b_big repeat a_big's text verbatim, the rest is disjoint
+    val aBig = (0 until 10).map { b =>
+      (b.toLong, (0 until 600).map(i => s"w${b * 600 + i}").mkString(" "), "a_big")
+    }
+    val bBig = (0 until 10).map { b =>
+      val words =
+        if (b < 5) (0 until 600).map(i => s"w${b * 600 + i}")
+        else (0 until 600).map(i => s"v${b * 600 + i}")
+      (100L + b, words.mkString(" "), "b_big")
+    }
+    // two tiny sources under k: exact-path algebra must be EXACT
+    val tiny = Seq(
+      (200L, "x0 x1 x2 x3 x4", "y_s1"),
+      (201L, "x2 x3 x4 x5 x6", "z_s2"))
+    val df = (aBig ++ bBig ++ tiny).toDF("doc_id", "text", "source")
+    val out = TextStats.kmvSetOps(df).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> r
+    }.toMap
+    val bigPair = out(("a_big", "b_big"))
+    val nInter = bigPair.getAs[Long]("n_exact_inter")
+    assert(nInter == 5 * 598, s"engineered intersection off: $nInter")
+    val nUnion = 2 * 10 * 598 - nInter // each source: 10 blocks x 598 grams
+    val exactJacc = nInter.toDouble / nUnion
+    val unionEst = bigPair.getAs[Double]("kmv_union_est")
+    val jaccEst = bigPair.getAs[Double]("kmv_jacc_est")
+    val interEst = bigPair.getAs[Double]("kmv_inter_est")
+    // KMV union error ~1/sqrt(k); jaccard is a k-sample binomial — 5 sigma
+    assert(math.abs(unionEst - nUnion) <= 5.0 / math.sqrt(256) * nUnion,
+      s"union est $unionEst vs exact $nUnion")
+    assert(math.abs(jaccEst - exactJacc) <= 5.0 * math.sqrt(exactJacc / 256),
+      s"jaccard est $jaccEst vs exact $exactJacc")
+    assert(math.abs(interEst - nInter) <= 0.5 * nInter,
+      s"intersection est $interEst vs exact $nInter")
+    // tiny pair: merged minima complete -> every estimate collapses to exact
+    val tinyPair = out(("y_s1", "z_s2"))
+    assert(tinyPair.getAs[Long]("k_used") == 5) // |union| of 3+3 trigrams
+    assert(tinyPair.getAs[Long]("shared_minima") == 1)
+    assert(tinyPair.getAs[Double]("kmv_union_est") == 5.0)
+    assert(tinyPair.getAs[Double]("kmv_inter_est") ==
+      tinyPair.getAs[Long]("n_exact_inter").toDouble)
+    // disjoint cross pair carries zero shared mass
+    val cross = out(("a_big", "y_s1"))
+    assert(cross.getAs[Long]("n_exact_inter") == 0 &&
+      cross.getAs[Double]("kmv_jacc_est") == 0.0)
+    // partitioning invariance: pure function of the data
+    val again = TextStats.kmvSetOps(df.repartition(13)).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_inter_est")
+    }.toMap
+    assert(again(("a_big", "b_big")) == interEst)
+  }
+
   test("pq: codes in range, codebook non-degenerate, partitioning-invariant") {
     val out = Similarity.pqQuantize(embs).collect()
     assert(out.length > 0)
