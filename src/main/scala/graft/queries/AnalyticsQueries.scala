@@ -83,6 +83,24 @@ object SharedSql {
       |    / (((s2 / n) - (s1 / n) * (s1 / n)) * ((s2 / n) - (s1 / n) * (s1 / n))) AS kurt_q
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Predicate subqueries (q35): correlated EXISTS / NOT EXISTS — the
+    * membership face of the subquery family (q21 scalar, q29 lateral).
+    * Catalyst decorrelates EXISTS into a LEFT SEMI hash join and
+    * NOT EXISTS into a LEFT ANTI hash join on the correlation key
+    * (RewritePredicateSubquery) — each subquery costs one join pass over
+    * orders, never a per-customer probe. Pure key/count logic, no float
+    * seam. Plan shape pinned in PlanShapeSpec. */
+  val q35: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** TPC-H Q5-style revenue-by-region over finished orders. */
   val q19: String =
     """SELECT r_name,
@@ -405,6 +423,15 @@ object AnalyticsQueries {
     "q21_correlated" -> { (s, dir) =>
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       s.sql(SharedSql.q21)
+    },
+
+    // Predicate subqueries (q35): correlated EXISTS / NOT EXISTS on the
+    // SAME ANSI string both engines execute — Catalyst decorrelates them
+    // into one LEFT SEMI + one LEFT ANTI hash join (never a per-row probe)
+    "q35_exists" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(SharedSql.q35)
     },
 
     // Funnel analysis (q22): strictly-ordered stage progression per user
@@ -821,6 +848,7 @@ object AnalyticsQueries {
 
     // one SQL, two engines (decorrelation happens inside each)
     "q21_correlated" -> SharedSql.q21,
+    "q35_exists" -> SharedSql.q35,
 
     // ordered-stage funnel: each stage's first-time is a conditional
     // min over the previous stage's survivors

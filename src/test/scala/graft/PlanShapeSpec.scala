@@ -21,6 +21,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact table must not pre-shuffle")
   }
 
+  test("q35: EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val p = plan("q35_exists")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    // decorrelation must never fall back to a per-row nested-loop probe
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("q1: aggregation is partial before the exchange (map-side combine)") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"), p.take(500))
