@@ -230,6 +230,41 @@ object TimeSeriesQueries {
       s.table("m17_join").orderBy("click_id", "purchase_id")
     },
 
+    // LEFT-SEMI stream-stream join: "clicks that converted" — the
+    // existence face of the join state machine, completing the family
+    // (m17 inner = emit every pair, m21 outer = emit null on eviction,
+    // semi = emit the LEFT ROW once on first match, then drop its
+    // state). Output is click rows only — no purchase columns, no pair
+    // multiplicity — so the result is the SET of converted clicks:
+    // batch-split-invariant with no watermark cutoff needed (unmatched
+    // clicks never emit, matched ones emit exactly once whichever batch
+    // their purchase lands in). The oracle states it as EXISTS.
+    "m30_stream_semi" -> { (s, dir) =>
+      val src = Tables.eventsStream(s, dir)
+        .filter(col("user_id") < 30)
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("c_tsec"))
+        .withWatermark("c_tsec", "4 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("tsec").as("p_tsec"))
+        .withWatermark("p_tsec", "4 hours")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+          col("p_tsec") <= col("c_tsec"), "left_semi")
+        .select(col("click_id"), col("user_id"),
+          tsec(col("c_tsec")).as("click_t"))
+      val q = joined.writeStream.format("memory").queryName("m30_semi")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m30_semi").orderBy("click_id")
+    },
+
     // CUSTOM keyed state through the oracle gate: per-user running
     // profile (count, first/last seen, exact-decimal value sum) kept in
     // `flatMapGroupsWithState` — the arbitrary-state API every
@@ -729,6 +764,21 @@ object TimeSeriesQueries {
         |  ON c.user_id = p.user_id
         |  AND p.t >= c.t - 7200 AND p.t <= c.t
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the batch form of the left-semi interval join: converted clicks
+    // stated as EXISTS — emit-once semantics need no cutoff (unmatched
+    // clicks never emit; matched ones emit in exactly one batch)
+    "m30_stream_semi" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, ($t) AS t, event_type
+        |  FROM events WHERE user_id < 30)
+        |SELECT c.event_id AS click_id, c.user_id, c.t AS click_t
+        |FROM ev c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM ev p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.t >= c.t - 7200 AND p.t <= c.t)
+        |ORDER BY click_id""".stripMargin,
 
     // the batch form of the m18 per-user running profile: the custom
     // flatMapGroupsWithState fold must land on the plain aggregate

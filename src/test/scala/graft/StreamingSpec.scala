@@ -794,6 +794,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-semi interval join: click emits once on cross-batch match, never twice (m30 shape)") {
+    val clicksMem = MemoryStream[(Long, Long, Timestamp)](
+      Encoders.product[(Long, Long, Timestamp)], spark)
+    val purchMem = MemoryStream[(Long, Long, Timestamp, Double)](
+      Encoders.product[(Long, Long, Timestamp, Double)], spark)
+    val clicks = clicksMem.toDF().toDF("click_id", "user_id", "c_tsec")
+      .withWatermark("c_tsec", "4 hours")
+    val purchases = purchMem.toDF()
+      .toDF("purchase_id", "p_user", "p_tsec", "purchase_value")
+      .withWatermark("p_tsec", "4 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+      col("p_tsec") <= col("c_tsec"), "left_semi")
+    val q = joined.writeStream.format("memory").queryName("sssemi_out")
+      .outputMode("append").start()
+    try {
+      def emitted = spark.table("sssemi_out")
+        .select("click_id").collect().map(_.getLong(0)).toSeq
+      // batch 1: a click with no purchase yet, and an unrelated user's
+      // purchase — semi must emit NOTHING (no match proven)
+      clicksMem.addData((100L, 1L, ts(T0 + 3600000)))
+      purchMem.addData((200L, 2L, ts(T0 + 3000000), 9.0))
+      q.processAllAvailable()
+      assert(emitted.isEmpty, s"unmatched click leaked: $emitted")
+      // batch 2: the matching purchase arrives a batch later (state must
+      // still hold the click) — the click emits exactly once
+      purchMem.addData((201L, 1L, ts(T0 + 3500000), 5.0))
+      q.processAllAvailable()
+      assert(emitted == Seq(100L), s"got $emitted")
+      // batch 3: a SECOND in-window purchase must not re-emit the click
+      purchMem.addData((202L, 1L, ts(T0 + 3550000), 6.0))
+      q.processAllAvailable()
+      assert(emitted == Seq(100L), s"semi re-emitted on second match: $emitted")
+    } finally q.stop()
+  }
+
   test("left-outer interval join: null rows emit ONLY after watermark eviction (m21 shape)") {
     val clicksMem = MemoryStream[(Long, Long, Timestamp)](
       Encoders.product[(Long, Long, Timestamp)], spark)
