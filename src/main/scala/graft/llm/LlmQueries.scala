@@ -359,6 +359,18 @@ object LlmQueries {
     "l63_kmv_setops" -> { (s, dir) =>
       TextStats.kmvSetOps(Tables.documents(s, dir)) },
 
+    // count-min sketch: token-frequency estimation in fixed 4x1024 cells
+    // (the FREQUENCY sketch next to l42's cardinality), one-sided error
+    // audited against exact counts on the deterministic top-20
+    "l64_countmin" -> { (s, dir) =>
+      TextStats.countMinTokens(Tables.documents(s, dir)) },
+
+    // bloom-filter membership audit: the reference's negative-lookup
+    // contract (O20) as visible output — no false negatives, bounded
+    // false positives, probe = one broadcast map-side join
+    "l65_bloom_audit" -> { (s, dir) =>
+      TextStats.bloomAudit(Tables.documents(s, dir)) },
+
     // per-source distribution drift: integer-exact total-variation
     // distance vs the corpus unigram distribution (the log-free stand-in
     // for KL/JS monitoring — same alarm, engine-exact arithmetic)
@@ -1563,6 +1575,56 @@ object LlmQueries {
         |  COALESCE(n_exact_inter, 0) AS n_exact_inter
         |FROM st LEFT JOIN ex USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // count-min mirror: identical md5 cell derivation, integer counts,
+    // min fold over the depth rows — no float anywhere
+    "l64_countmin" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cells AS (
+        |  SELECT r, CAST(('0x' || substring(
+        |      md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
+        |    % 1024 AS cell
+        |  FROM tok, range(0, 4) t(r)),
+        |sketch AS (SELECT r, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+        |exact AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+        |top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+        |probe AS (
+        |  SELECT tok, n_exact, r, CAST(('0x' || substring(
+        |      md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
+        |    % 1024 AS cell
+        |  FROM top, range(0, 4) t(r))
+        |SELECT tok AS token, n_exact, MIN(c) AS n_est,
+        |  MIN(c) - n_exact AS overcount
+        |FROM probe JOIN sketch USING (r, cell)
+        |GROUP BY tok, n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin,
+
+    // bloom mirror: same md5 positions, set-bit distinct, all-positions-
+    // present verdict vs exact fingerprint membership
+    "l65_bloom_audit" ->
+      """WITH p AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |members AS (SELECT DISTINCT fp FROM p WHERE doc_id % 2 = 0),
+        |setbits AS (
+        |  SELECT DISTINCT CAST(('0x' || substring(
+        |      md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT)
+        |    % 4096 AS pos
+        |  FROM members, range(0, 3) t(i)),
+        |probepos AS (
+        |  SELECT doc_id, CAST(('0x' || substring(
+        |      md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT)
+        |    % 4096 AS pos
+        |  FROM p, range(0, 3) t(i)),
+        |hits AS (
+        |  SELECT doc_id, COUNT(s.pos) = 3 AS bloom_hit
+        |  FROM probepos LEFT JOIN setbits s ON probepos.pos = s.pos
+        |  GROUP BY doc_id),
+        |mem AS (
+        |  SELECT p.doc_id, m.fp IS NOT NULL AS is_member
+        |  FROM p LEFT JOIN members m ON p.fp = m.fp)
+        |SELECT doc_id, bloom_hit, is_member
+        |FROM hits JOIN mem USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "l59_source_tvd" ->
       """WITH tok AS (

@@ -1051,4 +1051,94 @@ object TextStats {
         col("n_oov").cast("double") / col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over corpus token
+    * frequencies, audited against the exact counts — the FREQUENCY member
+    * of the mergeable-sketch family (l42 KMV = cardinality, l65 bloom =
+    * membership, q18 histogram = quantiles). depth×width md5-derived
+    * cells; every estimate is min over depth rows, so the error is
+    * one-sided (est ≥ exact, overcount ≤ ~2N/width w.h.p. per row).
+    *
+    * Scale shape: the sketch aggregate's key space is FIXED at
+    * depth·width cells whatever the corpus size — the partial aggregate
+    * collapses each input partition to ≤ depth·width rows before the
+    * exchange, which is exactly the sketch's mergeability (1000 executors
+    * each ship one 4096-cell array; summing cell-wise IS the merge). The
+    * exact per-token count table exists here only as the audit side and
+    * is what a 100 TB deployment drops; the deterministic top-k probe set
+    * (count desc, token asc — the l61 vocabulary rule) keeps the output
+    * gate-sized.
+    *
+    * Engine-invariance: cells are md5-derived (the l42 contract), counts
+    * and the min fold are integers — no float anywhere. */
+  def countMinTokens(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 20): DataFrame = {
+    def cellOf(r: Int, tok: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 15), 16, 10)
+        .cast("long"), lit(width.toLong))
+    def cells(tok: Column): Column =
+      explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"), cellOf(r, tok).as("cell"))
+      }: _*))
+    val toks = spread(docs).select(explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = toks
+      .select(cells(col("tok")).as("p"))
+      .select(col("p.r").as("r"), col("p.cell").as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(desc("n_exact"), col("tok")).limit(k)
+    top
+      .select(col("tok"), col("n_exact"), cells(col("tok")).as("p"))
+      .select(col("tok").as("token"), col("n_exact"),
+        col("p.r").as("r"), col("p.cell").as("cell"))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("token", "n_exact")
+      .agg(min(col("c")).as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), col("token"))
+  }
+
+  /** Bloom-filter membership audit — the reference's negative-lookup
+    * structure (filter.go / O20, realized at rest via parquet bloom
+    * config) given an analytic face: build an m-bit / nh-hash bloom over
+    * the fingerprints of the even-doc_id half of the corpus, probe EVERY
+    * document, and emit the bloom verdict next to exact membership. The
+    * defining contract — no false negatives, bounded false positives —
+    * becomes visible output (bloom_hit ≥ is_member row-wise; the fp rate
+    * is the is_member=false ∧ bloom_hit=true share).
+    *
+    * Scale shape: the filter itself is the ≤ m-row set-bit table — built
+    * by a fixed-key-space partial aggregate (distinct on bit position)
+    * and BROADCAST to the probe scan, so probing a 100 TB corpus is one
+    * map-side join, no corpus shuffle. The exact-membership column is the
+    * audit side (a fingerprint equi-join) that a deployment would drop —
+    * or keep only behind bloom_hit=true rows, which is precisely the
+    * reference's read-path short-circuit (consult the bloom, touch the
+    * store only on a hit). md5-derived everything, boolean output —
+    * engine-exact. */
+  def bloomAudit(docs: DataFrame, bits: Int = 4096, nh: Int = 3): DataFrame = {
+    def posOf(i: Int, fp: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$i:"), fp)), 1, 15), 16, 10)
+        .cast("long"), lit(bits.toLong))
+    def positions(fp: Column): Column =
+      explode(array((0 until nh).map(i => posOf(i, fp)): _*))
+    val probes = spread(docs).select(col("doc_id"), md5(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = probes.filter(col("doc_id") % 2 === 0)
+      .select(col("fp")).distinct()
+    val setBits = members.select(positions(col("fp")).as("pos")).distinct()
+    val bloomHit = probes
+      .select(col("doc_id"), positions(col("fp")).as("pos"))
+      .join(broadcast(setBits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg((count(col("hit")) === nh).as("bloom_hit"))
+    val isMember = probes
+      .join(members.withColumn("m", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("m").isNotNull.as("is_member"))
+    bloomHit.join(isMember, Seq("doc_id"))
+      .select(col("doc_id"), col("bloom_hit"), col("is_member"))
+      .orderBy("doc_id")
+  }
 }

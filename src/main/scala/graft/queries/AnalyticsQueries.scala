@@ -425,6 +425,27 @@ object AnalyticsQueries {
       s.sql(SharedSql.q21)
     },
 
+    // Window distribution functions (q36): percent_rank / cume_dist /
+    // framed nth_value complete the window family next to q9/q11's
+    // rank/lag/lead/ntile. The order key (price desc, orderkey) is a
+    // total order, so rank-ratio semantics are tie-free; pr and cd are
+    // integer ratios (one IEEE division each — the QUtil contract) and
+    // nth_value needs the explicit full-partition ROWS frame (the default
+    // frame ends at CURRENT ROW, hiding the 2nd value from row 1). All
+    // three ride ONE o_custkey exchange.
+    "q36_window_dist" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wf))
+        .orderBy("o_orderkey")
+    },
+
     // Predicate subqueries (q35): correlated EXISTS / NOT EXISTS on the
     // SAME ANSI string both engines execute — Catalyst decorrelates them
     // into one LEFT SEMI + one LEFT ANTI hash join (never a per-row probe)
@@ -849,6 +870,19 @@ object AnalyticsQueries {
     // one SQL, two engines (decorrelation happens inside each)
     "q21_correlated" -> SharedSql.q21,
     "q35_exists" -> SharedSql.q35,
+
+    "q36_window_dist" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_totalprice, 2) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // ordered-stage funnel: each stage's first-time is a conditional
     // min over the previous stage's survivors

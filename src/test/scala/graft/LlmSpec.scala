@@ -1085,6 +1085,51 @@ class LlmSpec extends SparkSpec {
     assert(again(("a_big", "b_big")) == interEst)
   }
 
+  test("count-min: one-sided error, exact for unique cells, partitioning-invariant") {
+    import spark.implicits._
+    // a corpus with a known frequency profile: token fN appears N times
+    val docs = (1 to 30).map { n =>
+      (n.toLong, Seq.fill(n)(s"f$n").mkString(" "), "src")
+    }.toDF("doc_id", "text", "source")
+    val out = TextStats.countMinTokens(docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      assert(est >= exact, s"count-min must never undercount: $r")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+    // top-20 of f30..f11 by construction (count desc)
+    assert(out.head.getAs[String]("token") == "f30" &&
+      out.head.getAs[Long]("n_exact") == 30)
+    // 465 occurrences into 4x1024 cells: collisions are rare; the min
+    // over 4 independent rows must recover most counts exactly
+    assert(out.count(r => r.getAs[Long]("overcount") == 0L) >= 15)
+    val again = TextStats.countMinTokens(docs.repartition(7)).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      out.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+
+  test("bloom audit: zero false negatives, bounded false positives") {
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"unique document body number $i with filler", "src")
+    }.toDF("doc_id", "text", "source")
+    val out = TextStats.bloomAudit(docs).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Boolean]("bloom_hit"),
+        r.getAs[Boolean]("is_member"))
+    }
+    assert(out.length == 400)
+    // the bloom contract: a member NEVER misses
+    assert(out.forall { case (_, hit, member) => !member || hit },
+      "false negative — bloom contract broken")
+    // even doc_ids are the indexed half
+    assert(out.forall { case (id, _, member) => member == (id % 2 == 0) })
+    // 200 members x 3 hashes in 4096 bits -> fill ~14%; fp rate ~0.3%.
+    // Allow a generous margin — but 200 non-members must not all hit.
+    val fps = out.count { case (_, hit, member) => hit && !member }
+    assert(fps <= 10, s"false-positive rate implausibly high: $fps/200")
+  }
+
   test("pq: codes in range, codebook non-degenerate, partitioning-invariant") {
     val out = Similarity.pqQuantize(embs).collect()
     assert(out.length > 0)

@@ -29,6 +29,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("q36: all three window functions ride one o_custkey exchange, one Window node") {
+    val p = plan("q36_window_dist")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx:\n${p.take(1200)}")
+    val windows = p.linesIterator.count(_.trim.matches("""\(\d+\) Window"""))
+    assert(windows == 1, s"expected one Window node, got $windows")
+  }
+
+  test("l64: count-min sketch aggregate is partial (mergeable cells) and broadcast to the probe") {
+    val p = plan("l64_countmin")
+    assert(p.contains("partial_count"), p.take(1000))
+    assert(p.contains("BroadcastExchange"), p.take(1000))
+  }
+
+  test("l65: bloom set-bit table broadcasts; probe side never shuffles on fp") {
+    val p = plan("l65_bloom_audit")
+    assert(p.contains("BroadcastExchange"), p.take(1000))
+  }
+
   test("q1: aggregation is partial before the exchange (map-side combine)") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"), p.take(500))
