@@ -182,6 +182,49 @@ final class UnitDb private (
     delete(seq, e.topic, contract)
   }
 
+  /** Bulk delete: tombstone EVERY live message matching the query pattern
+    * — the right-to-be-forgotten / retention-policy sweep ("delete all of
+    * user X", "purge topic subtree Y"). The reference deletes one ID at a
+    * time (db.go:392-425); at store scale an erasure request is a QUERY,
+    * so this composes the O4 match (wildcards, contract scope, `?last=`
+    * cutoff, liveness) with the O12 tombstone mechanism.
+    *
+    * Scale shape: the matching rows' (seq, contract, topic) projection is
+    * appended DISTRIBUTED to the `_tombstones` sidecar — seqs never visit
+    * the driver (a 100 TB sweep may tombstone billions of rows). The
+    * count returned to the caller rides the write job itself as an
+    * `Observation` (zero extra scan). Space is reclaimed by the next
+    * [[vacuum]], exactly as for single deletes; until then readers
+    * anti-join the sidecar as usual. Requires write permission on the
+    * pattern in secure mode (deletes are write-side ops, as in
+    * [[delete]]). */
+  def deleteMatching(q0: Query): Long = synchronized {
+    ensureOpen()
+    sync() // pending puts must be visible to the scan (and deletable)
+    val q = q0.copy(topic = authorize(q0.topic, TopicKey.AllowWrite, q0.contract))
+    // `?last=<duration>` scopes the sweep in time; a COUNT has no stable
+    // meaning as a delete scope (top-N depends on read order) — reject
+    // loudly, as `tail` does for streams
+    Topic.parse(q.topic).last.foreach {
+      case Left(_) => throw new IllegalArgumentException(
+        s"?last=<count> is not a deletable scope; use a duration: ${q.topic}")
+      case _ => ()
+    }
+    val (matched, _) = matchedLive(q)
+    val obs = org.apache.spark.sql.Observation()
+    matched
+      .select(col("seq"), col("contract"), col("topic"),
+        lit(new Timestamp(clock())).as("ts"))
+      .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("contract").option("compression", "snappy")
+      .parquet(tombsPath)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0) tombsExist = true
+    nDeletes.addAndGet(n) // cumulative varz counter — NOT the return value
+    n
+  }
+
   /** Atomic multi-put/delete (reference db.go:434-447, batch.go:64-257):
     * entries AND delete markers buffered locally, committed as one
     * flush; exception ⇒ abort — except anything already persisted by an

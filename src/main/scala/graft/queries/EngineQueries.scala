@@ -166,6 +166,35 @@ object EngineQueries {
         .select(col("topic"), tsec(col("ts")).as("t"),
           col("payload").cast("string").as("eid"))
         .orderBy(desc("t"), desc("eid"))
+    },
+
+    // Bulk-erasure sweep through the oracle gate (s6): clicks are
+    // ingested, one user bucket's whole topic subtree is tombstoned by
+    // QUERY (`deleteMatching` — distributed tombstone append, no
+    // driver-side seq list), vacuum physically reclaims it, and the
+    // wildcard read-back must show exactly the survivors. Deleting via
+    // the u3 bucket and reading via `fg...` proves the sweep is scoped
+    // by pattern match, not by scan coincidence; running vacuum before
+    // the read proves erasure survives the physical rewrite (the GDPR
+    // requirement: data gone from storage, not just filtered).
+    "s6_forget_sweep" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_s6").toString
+      val db = UnitDb.open(s, base + "/store")
+      val src = graft.Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(
+          concat(lit("fg.u"), (col("user_id") % 10).cast("string")).as("topic"),
+          col("event_id").cast("string").cast("binary").as("payload"),
+          col("ts"))
+      StreamIngest.start(db, src, base + "/ckpt",
+        queryName = "s6", trigger = Trigger.AvailableNow())
+        .awaitTermination()
+      db.deleteMatching(Query("fg.u3"))
+      db.vacuum()
+      db.scanFrame(Query("fg..."))
+        .select(col("topic"), tsec(col("ts")).as("t"),
+          col("payload").cast("string").as("eid"))
+        .orderBy(desc("t"), desc("eid"))
     }
   )
 
@@ -203,6 +232,13 @@ object EngineQueries {
         |    AS topic,
         |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
         |FROM events WHERE event_type = 'click'
+        |ORDER BY t DESC, eid DESC""".stripMargin,
+
+    // the erased bucket must be gone, everything else intact
+    "s6_forget_sweep" ->
+      s"""SELECT 'fg.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
+        |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
+        |FROM events WHERE event_type = 'click' AND user_id % 10 <> 3
         |ORDER BY t DESC, eid DESC""".stripMargin
   )
 }

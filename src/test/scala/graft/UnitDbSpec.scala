@@ -176,6 +176,34 @@ class UnitDbSpec extends SparkSpec {
     assert(db.get(Query("unit4.test")).length == 9)
   }
 
+  test("deleteMatching: wildcard sweep tombstones a subtree, count exact, vacuum reclaims") {
+    val (db, _, tick) = freshDb()
+    for (u <- 0 until 4; i <- 0 until 5) {
+      db.put(s"sweep.u$u.ch$i", s"m.$u.$i".getBytes)
+      tick(1000)
+    }
+    db.sync()
+    // sweep one user's subtree by wildcard — 5 rows, exact count back
+    assert(db.deleteMatching(Query("sweep.u2...")) == 5L)
+    val after = db.get(Query("sweep...")).map(new String(_))
+    assert(after.length == 15 && !after.exists(_.startsWith("m.2.")),
+      s"swept subtree still visible: ${after.toSeq}")
+    // idempotent: the matching set is now empty
+    assert(db.deleteMatching(Query("sweep.u2...")) == 0L)
+    // vacuum physically reclaims; reads identical
+    db.vacuum()
+    val again = db.get(Query("sweep...")).map(new String(_))
+    assert(again.sorted.toSeq == after.sorted.toSeq)
+    // unsynced pending puts are swept too (sync-before-scan contract)
+    db.put("sweep.u2.ch9", "late".getBytes)
+    assert(db.deleteMatching(Query("sweep.u2...")) == 1L)
+    // a count scope is rejected loudly
+    intercept[IllegalArgumentException] {
+      db.deleteMatching(Query("sweep.u1...?last=2"))
+    }
+    ()
+  }
+
   test("writeSaltBuckets fans a hot day across multiple files; reads unchanged") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graftdb_salt").toString + "/store"
