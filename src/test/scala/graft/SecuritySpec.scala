@@ -87,6 +87,9 @@ class SecuritySpec extends SparkSpec {
     intercept[SecurityException] { db.scanFrame(Query("sec.data")) }
     intercept[SecurityException] { db.tail(Query("sec.data")) }
     intercept[SecurityException] { db.delete(1L, "sec.data") }
+    // bulk sweep is a write-side op: keyless and read-keyed both rejected
+    intercept[SecurityException] { db.deleteMatching(Query("sec.data")) }
+    intercept[SecurityException] { db.deleteMatching(Query(s"$rkey/sec.data")) }
     // master key reads everything
     val master = db.keyGen("...", AllowRead)
     assert(db.scanFrame(Query(s"$master/sec...")).count() == 5)
