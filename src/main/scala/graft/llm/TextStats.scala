@@ -238,10 +238,12 @@ object TextStats {
     require(candDf.count() <= 100 * k,
       s"top-$k boundary tie plateau exceeds ${100 * k} grams — raise k or pre-filter")
 
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n))))).otherwise(array())
-    val pos = graft.functions.NGramHashesPos(w, n)
+    // token array materialized before the lambda — see sourceGramHashes:
+    // an interpreted HOF body would re-split the text once per position
+    val gramsW = when(size(col("w")) >= n,
+      transform(sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).otherwise(array())
+    val posW = graft.functions.NGramHashesPos(col("w"), n)
     // final rank: candidate grams only (≤ 100·k rows), exact counts.
     // Membership is a BROADCAST HASH JOIN on the gram hash — an earlier
     // cut used array_contains over a collected candidate literal, which
@@ -249,8 +251,9 @@ object TextStats {
     // that was ~7 billion comparisons (671 CPU-seconds for one query).
     // O(1) hash probes cut it ~10x; candidates stay executor-side.
     val out = docs
+      .select(split(col("text"), " ").as("w"))
       .select(explode(
-        zip_with(grams, pos, (g, h) => struct(g.as("g"), h.as("h")))).as("x"))
+        zip_with(gramsW, posW, (g, h) => struct(g.as("g"), h.as("h")))).as("x"))
       .select(col("x.g").as("gram"), col("x.h").as("h"))
       .join(broadcast(candDf), "h")
       .groupBy("gram").agg(count(lit(1)).as("n"))
@@ -715,11 +718,16 @@ object TextStats {
     * ride a codegen'd hash kernel — spread the corpus instead so the
     * per-row work parallelizes even from a one-partition scan. */
   private[llm] def sourceGramHashes(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", slice(w, i + 1, lit(3))))).otherwise(array())
+    // the token array is materialized behind its own projection BEFORE the
+    // per-position lambda: a HOF lambda body is interpreted (CodegenFallback,
+    // no subexpression elimination), so `slice(split(text), …)` re-splits
+    // the text once PER POSITION — an attribute reference splits once per
+    // ROW (measured 3x on the whole l63 plan at sf0.1)
+    val grams = when(size(col("w")) >= 3,
+      transform(sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).otherwise(array())
     spread(docs)
+      .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"), explode(grams).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
