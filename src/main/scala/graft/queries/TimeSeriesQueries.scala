@@ -464,6 +464,56 @@ object TimeSeriesQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // FULL-OUTER stream-stream interval join: the last member of the
+    // join-state family (m17 inner / m21 left-outer / m30 left-semi) —
+    // and the only one that exercises EVICTION ON BOTH STATE STORES:
+    // unmatched clicks emit null-purchase rows AND unmatched purchases
+    // emit null-click rows, each only when the opposite side's watermark
+    // proves no match can arrive. Determinism: every row class is kept
+    // only in the provably-emitted zone (each side's time ≤ 12 h below
+    // the least per-side max event time — matched rows emit on match,
+    // null rows emit on eviction; both far inside the cutoff). The
+    // oracle mirrors the cutoff on both columns.
+    "m31_stream_full_outer" -> { (s, dir) =>
+      val src = Tables.eventsStream(s, dir)
+        .filter(col("user_id") < 30)
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("c_tsec"))
+        .withWatermark("c_tsec", "4 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("tsec").as("p_tsec"),
+          col("value").as("purchase_value"))
+        .withWatermark("p_tsec", "4 hours")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+          col("p_tsec") <= col("c_tsec"), "full_outer")
+        .select(col("click_id"),
+          coalesce(col("user_id"), col("p_user")).as("uid"),
+          tsec(col("c_tsec")).as("click_t"), col("purchase_id"),
+          tsec(col("p_tsec")).as("purchase_t"), col("purchase_value"))
+      val q = joined.writeStream.format("memory").queryName("m31_fo")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val b = Tables.events(s, dir).filter(col("user_id") < 30)
+        .agg(max(when(col("event_type") === "click", tsec(col("ts")))),
+          max(when(col("event_type") === "purchase", tsec(col("ts")))))
+        .head()
+      val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
+      s.table("m31_fo")
+        .filter((col("click_t").isNull || col("click_t") <= cutoff) &&
+          (col("purchase_t").isNull || col("purchase_t") <= cutoff))
+        // null-free sort keys: Spark orders NULLS FIRST, DuckDB NULLS
+        // LAST — a -1 sentinel (ids are >= 0) sorts identically in both
+        .orderBy(coalesce(col("click_id"), lit(-1L)),
+          coalesce(col("purchase_id"), lit(-1L)))
+    },
+
     // Linear-interpolation gap fill (m25): m11's grid, but gaps take the
     // straight line between the surrounding observations instead of
     // carrying the last one — fill(linear) to m11's fill(previous).
@@ -820,6 +870,28 @@ object TimeSeriesQueries {
         |  AND p.t >= c.t - 7200 AND p.t <= c.t
         |WHERE c.t <= (SELECT c FROM cut)
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the batch form of the full-outer interval join, both row classes
+    // restricted to the both-sides watermark-safe zone; uid coalesces
+    // the two user columns exactly as the stream side does
+    "m31_stream_full_outer" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, ($t) AS t, event_type, value
+        |  FROM events WHERE user_id < 30),
+        |cut AS (SELECT least(
+        |    (SELECT max(t) FROM ev WHERE event_type = 'click'),
+        |    (SELECT max(t) FROM ev WHERE event_type = 'purchase')) - 43200 AS c)
+        |SELECT c.event_id AS click_id,
+        |  COALESCE(c.user_id, p.user_id) AS uid, c.t AS click_t,
+        |  p.event_id AS purchase_id, p.t AS purchase_t,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |FULL OUTER JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.t >= c.t - 7200 AND p.t <= c.t
+        |WHERE (c.t IS NULL OR c.t <= (SELECT c FROM cut))
+        |  AND (p.t IS NULL OR p.t <= (SELECT c FROM cut))
+        |ORDER BY COALESCE(c.event_id, -1), COALESCE(p.event_id, -1)""".stripMargin,
 
     // identical value-range frame over epoch seconds
     "m22_range_frame" ->

@@ -876,6 +876,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join: BOTH sides' unmatched rows emit on eviction (m31 shape)") {
+    val clicksMem = MemoryStream[(Long, Long, Timestamp)](
+      Encoders.product[(Long, Long, Timestamp)], spark)
+    val purchMem = MemoryStream[(Long, Long, Timestamp, Double)](
+      Encoders.product[(Long, Long, Timestamp, Double)], spark)
+    val clicks = clicksMem.toDF().toDF("click_id", "user_id", "c_tsec")
+      .withWatermark("c_tsec", "4 hours")
+    val purchases = purchMem.toDF()
+      .toDF("purchase_id", "p_user", "p_tsec", "purchase_value")
+      .withWatermark("p_tsec", "4 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+      col("p_tsec") <= col("c_tsec"), "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssfoj_out")
+      .outputMode("append").start()
+    try {
+      val H = 3600000L
+      // batch 1: one unmatched click AND one unmatched purchase (different
+      // users) — neither can emit yet
+      clicksMem.addData((100L, 1L, ts(T0)))
+      purchMem.addData((200L, 2L, ts(T0), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ssfoj_out").count() == 0, "nothing provable yet")
+      // advance both sides' watermark far past both rows' horizons
+      for (i <- 1 to 3) {
+        clicksMem.addData((100L + i, 9L, ts(T0 + (11 + i) * H)))
+        purchMem.addData((900L + i, 8L, ts(T0 + (11 + i) * H), 2.0))
+        q.processAllAvailable()
+      }
+      val out = spark.table("ssfoj_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(out.contains((Some(100L), None)),
+        s"evicted unmatched click must emit a null-purchase row: $out")
+      assert(out.contains((None, Some(200L))),
+        s"evicted unmatched purchase must emit a null-click row: $out")
+    } finally q.stop()
+  }
+
   test("stream-static left join enriches every micro-batch from the dim (m19 shape)") {
     import spark.implicits._
     val mem = MemoryStream[(Long, Long)](Encoders.product[(Long, Long)], spark)
