@@ -67,6 +67,36 @@ object IncrementalAgg {
       }
     }
 
+  /** Incremental JOIN maintenance — the join sibling of [[merge]]:
+    * maintain the materialized view V = A ⋈ B under append batches
+    * (ΔA, ΔB) without ever re-pairing the standing sides. The pairs new
+    * to this batch are exactly
+    *
+    *   ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    *
+    * — every new pair touches at least one delta row (a pair of two old
+    * rows is already in V), and no pair appears twice (the left term
+    * owns every pair with a ΔA row; the right term's pairs have an old
+    * A row by construction). Per-batch cost: two joins, each with one
+    * DELTA-sized side — at 100 TB the standing A and B are probed
+    * through the join's pruned/bucketed/broadcast access path, never
+    * re-joined with each other, so maintaining the view costs
+    * O(|Δ| ⋈ |standing|) instead of O(|A| ⋈ |B|) per batch.
+    *
+    * Append-only semantics (the store's own model): updates and
+    * retractions need the keyed-upsert path ([[KeyedUpsert]], m29)
+    * composed in front. `pair` supplies the actual join (keys, interval
+    * condition, projection) so the algebra works for ANY inner join;
+    * outer views additionally need anti-join repair of their null rows
+    * — out of scope here, as in every production IVM engine's first
+    * tier. The m32 gate proves delta-maintained ≡ full recompute. */
+  def deltaJoin(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      pair: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    pair(aDelta, bOld.unionByName(bDelta))
+      .unionByName(pair(aOld, bDelta))
+
   /** Wire [[maintainBatch]] under a streaming source: the continuously-
     * maintained rollup (m28 runs it AvailableNow over the file stream;
     * production leaves it running against the live ingest). */

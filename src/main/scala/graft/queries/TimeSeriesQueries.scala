@@ -514,6 +514,39 @@ object TimeSeriesQueries {
           coalesce(col("purchase_id"), lit(-1L)))
     },
 
+    // Incremental JOIN-view maintenance (m32): m17's click↔purchase
+    // interval join maintained as a materialized view under an append
+    // batch — the old view plus `IncrementalAgg.deltaJoin`'s new pairs
+    // (ΔA ⋈ B∪ΔB ∪ A ⋈ ΔB) must land EXACTLY on the full-recompute
+    // oracle (the plain join over all rows). The split is deterministic
+    // (event_id % 2); neither standing side is ever re-paired with the
+    // other — the per-batch cost a 100 TB view pays is delta-sized.
+    "m32_incr_join" -> { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"), tsec(col("ts")).as("t"),
+          col("event_type"), col("value"))
+      def clicks(df: org.apache.spark.sql.DataFrame) = df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("t").as("click_t"))
+      def purchases(df: org.apache.spark.sql.DataFrame) = df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("t").as("purchase_t"),
+          col("value").as("purchase_value"))
+      def pair(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = a.join(b,
+        col("user_id") === col("p_user") &&
+        col("purchase_t") >= col("click_t") - 7200 &&
+        col("purchase_t") <= col("click_t"))
+      val base = ev.filter(col("event_id") % 2 === 0)
+      val delta = ev.filter(col("event_id") % 2 === 1)
+      val vOld = pair(clicks(base), purchases(base))
+      val vNew = vOld.unionByName(IncrementalAgg.deltaJoin(
+        clicks(base), clicks(delta), purchases(base), purchases(delta), pair))
+      vNew.select(col("click_id"), col("user_id"), col("click_t"),
+          col("purchase_id"), col("purchase_t"), col("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // Linear-interpolation gap fill (m25): m11's grid, but gaps take the
     // straight line between the surrounding observations instead of
     // carrying the last one — fill(linear) to m11's fill(previous).
@@ -892,6 +925,21 @@ object TimeSeriesQueries {
         |WHERE (c.t IS NULL OR c.t <= (SELECT c FROM cut))
         |  AND (p.t IS NULL OR p.t <= (SELECT c FROM cut))
         |ORDER BY COALESCE(c.event_id, -1), COALESCE(p.event_id, -1)""".stripMargin,
+
+    // the full-recompute form of the incrementally-maintained join view:
+    // delta algebra must be invisible in the result (m17's join, all rows)
+    "m32_incr_join" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, ($t) AS t, event_type, value
+        |  FROM events WHERE user_id < 30)
+        |SELECT c.event_id AS click_id, c.user_id, c.t AS click_t,
+        |  p.event_id AS purchase_id, p.t AS purchase_t,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.t >= c.t - 7200 AND p.t <= c.t
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // identical value-range frame over epoch seconds
     "m22_range_frame" ->

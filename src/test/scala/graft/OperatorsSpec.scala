@@ -177,6 +177,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("delta join: any append split maintains exactly the full join, no dup pairs") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val as = (0 until 40).map(i => (i.toLong, i % 5)).toDF("aid", "k")
+    val bs = (0 until 30).map(i => (100L + i, i % 5)).toDF("bid", "bk")
+    def pair(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, col("k") === col("bk") && col("bid") % 3 =!= col("aid") % 3)
+    val full = pair(as, bs).select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // several deterministic base/delta splits, incl. one-sided deltas
+    for ((am, bm) <- Seq((2, 2), (3, 2), (1, 2), (2, 1))) {
+      val aOld = as.filter(col("aid") % am === 0)
+      val aNew = as.filter(col("aid") % am =!= 0)
+      val bOld = bs.filter(col("bid") % bm === 0)
+      val bNew = bs.filter(col("bid") % bm =!= 0)
+      val v = pair(aOld, bOld).unionByName(
+        IncrementalAgg.deltaJoin(aOld, aNew, bOld, bNew, pair))
+      val got = v.select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == full, s"split ($am,$bm): view diverged from recompute " +
+        s"(got ${got.size} pairs, expected ${full.size})")
+    }
+  }
+
   test("incremental agg maintenance: batch replay and crash-mid-write cannot double-count") {
     import spark.implicits._
     import graft.operators.IncrementalAgg
