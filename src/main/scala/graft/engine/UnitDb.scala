@@ -333,6 +333,28 @@ final class UnitDb private (
     }
   }
 
+  /** Typed face of the batch scan (SURVEY §1.4: `Dataset[Message]` as the
+    * type-safe core API next to the DataFrame faces): identical match /
+    * liveness / `?last=` semantics to [[scanFrame]], but every row decodes
+    * into the full [[graft.model.Message]] — seq, contract, parsed topic
+    * parts, wildcard flags, event time, expiry, encryption flag, payload —
+    * so downstream pipelines compose with lambdas and pattern matches
+    * under compile-time checking while staying whole-stage-codegen'd
+    * (product encoder, no Kryo). */
+  def scanTyped(q0: Query): org.apache.spark.sql.Dataset[Message] = {
+    val q = q0.copy(topic = authorize(q0.topic, TopicKey.AllowRead, q0.contract))
+    val (matched, _) = matchedLive(q)
+    val fields = Seq("seq", "contract", "topic", "topic_parts",
+      "is_wildcard", "is_multi", "depth", "ts", "expires_at", "encrypted",
+      "payload")
+    val base = Topic.parse(q.topic).last match {
+      case Some(Left(count)) =>
+        matched.orderBy(col("ts").desc, col("seq").desc).limit(count)
+      case _ => matched
+    }
+    base.select(fields.map(col): _*).as(Encoders.product[Message])
+  }
+
   /** The store as a STREAMING SOURCE — the continuous face of S3 RELAY
     * (reference hdl_conn.go:349-381 replays history, then follows live):
     * a Structured Streaming DataFrame over the live data directory that

@@ -68,6 +68,28 @@ class UnitDbSpec extends SparkSpec {
     assert(db.scanFrame(Query("scan.t?last=5")).count() == 5)
   }
 
+  test("scanTyped: Dataset[Message] face agrees with get and decodes every field") {
+    val (db, _, tick) = freshDb()
+    for (i <- 1 to 6) {
+      db.putEntry(graft.model.Entry(s"ty.a.ch$i", s"p$i".getBytes,
+        ttlMillis = Some(3600000L)))
+      tick(1000)
+    }
+    db.sync()
+    val typed = db.scanTyped(Query("ty.a.*")).collect()
+    assert(typed.length == 6)
+    typed.foreach { m =>
+      assert(m.topic_parts.take(2) == Seq("ty", "a") && m.depth == 3 &&
+        !m.is_wildcard && m.expires_at.nonEmpty && !m.encrypted)
+    }
+    assert(typed.map(m => new String(m.payload)).sorted.toSeq ==
+      (1 to 6).map(i => s"p$i"))
+    // ?last=N count clamps newest-first, same as the frame faces
+    val top = db.scanTyped(Query("ty.a.*?last=2")).collect()
+    assert(top.map(m => new String(m.payload)).toSet == Set("p5", "p6"))
+    ()
+  }
+
   test("batch: atomic multi-put with contract + ttl, ordered read-back") {
     val (db, _, tick) = freshDb()
     val contract = 123456789L
