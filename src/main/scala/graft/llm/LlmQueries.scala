@@ -359,6 +359,33 @@ object LlmQueries {
     "l63_kmv_setops" -> { (s, dir) =>
       TextStats.kmvSetOps(Tables.documents(s, dir)) },
 
+    // STREAMING KMV maintenance through the oracle gate: four REAL
+    // micro-batches each fold their per-source k-minima into generation-
+    // committed state (kmvDelta/kmvMerge — associative set-union top-k),
+    // and the final sketch must land EXACTLY on l42's one-shot chain
+    // (same oracle SQL): sketch mergeability across batches is what's
+    // being graded, not the batch twin. n_exact rides from a batch read
+    // of the same staged corpus as the audit column.
+    "m33_stream_kmv" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_m33").toString
+      Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      TextStats.kmvMaintain(src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+      val est = TextStats.kmvEstimate(
+        graft.operators.GenState.readState(s, s"$base/state"))
+      val exact = TextStats.sourceGramHashes(s.read.parquet(s"$base/src"))
+        .groupBy("source").agg(count(lit(1)).as("n_exact"))
+      exact.join(est, Seq("source"), "left")
+        .select(col("source"), col("n_exact"),
+          coalesce(col("kmv_est"), col("n_exact").cast("double"))
+            .as("kmv_est"))
+        .orderBy("source")
+    },
+
     // count-min sketch: token-frequency estimation in fixed 4x1024 cells
     // (the FREQUENCY sketch next to l42's cardinality), one-sided error
     // audited against exact counts on the deterministic top-20
@@ -998,6 +1025,29 @@ object LlmQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The l42 KMV chain — shared verbatim by the streaming sketch gate
+    * (m33): batch-vs-streaming mergeability must be invisible here. */
+  private val kmvOracleSql: String =
+    """WITH sh3 AS (
+      |  SELECT source, [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                  for i in range(1, len(s) - 1)] AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)
+      |  WHERE len(s) >= 3),
+      |d AS (SELECT DISTINCT source, md5(gram) AS h
+      |      FROM (SELECT source, unnest(g) AS gram FROM sh3)),
+      |ex AS (SELECT source, COUNT(*) AS n_exact FROM d GROUP BY 1),
+      |r AS (SELECT source, h,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      |      FROM d),
+      |kth AS (SELECT source, h AS kth_h FROM r WHERE rk = 256)
+      |SELECT ex.source, ex.n_exact,
+      |  CASE WHEN kth_h IS NULL THEN CAST(n_exact AS DOUBLE)
+      |       ELSE 255.0 * 1152921504606846976.0 /
+      |            CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
+      |  END AS kmv_est
+      |FROM ex LEFT JOIN kth ON ex.source = kth.source
+      |ORDER BY ex.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "l1_exact_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
@@ -1120,26 +1170,11 @@ object LlmQueries {
     // KMV sketch mirror: distinct (source, md5(trigram)), k-th smallest
     // per source by plain window rank (the oracle has no scale problem),
     // and the same double-exact (k-1)·2^60 numerator / one IEEE division
-    "l42_kmv_distinct" ->
-      """WITH sh3 AS (
-        |  SELECT source, [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                  for i in range(1, len(s) - 1)] AS g
-        |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)
-        |  WHERE len(s) >= 3),
-        |d AS (SELECT DISTINCT source, md5(gram) AS h
-        |      FROM (SELECT source, unnest(g) AS gram FROM sh3)),
-        |ex AS (SELECT source, COUNT(*) AS n_exact FROM d GROUP BY 1),
-        |r AS (SELECT source, h,
-        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
-        |      FROM d),
-        |kth AS (SELECT source, h AS kth_h FROM r WHERE rk = 256)
-        |SELECT ex.source, ex.n_exact,
-        |  CASE WHEN kth_h IS NULL THEN CAST(n_exact AS DOUBLE)
-        |       ELSE 255.0 * 1152921504606846976.0 /
-        |            CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
-        |  END AS kmv_est
-        |FROM ex LEFT JOIN kth ON ex.source = kth.source
-        |ORDER BY ex.source""".stripMargin,
+    "l42_kmv_distinct" -> kmvOracleSql,
+
+    // the streaming sketch must land exactly on the one-shot chain —
+    // the SAME oracle as l42 (mergeability is invisible in the result)
+    "m33_stream_kmv" -> kmvOracleSql,
 
     // containment mirror: df-capped posting self-join, full-set
     // denominators, both containment directions. The oracle pairs on gram

@@ -1060,6 +1060,77 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** One batch's contribution to the streaming KMV sketch: the per-source
+    * k smallest distinct gram hashes of THIS batch (the l42 two-phase
+    * tournament). ≤ k·|sources| rows whatever the batch size. */
+  def kmvDelta(docs: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = sourceGramHashes(docs)
+    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
+    dist
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  /** Merge two KMV states: per-source k smallest of the set union. Exact
+    * by the subset property (the union's k-th minimum can only come from
+    * one side's k-minima), associative and commutative — so ANY batch
+    * split and merge order lands on the one-shot sketch, which is the
+    * mergeability that lets 1000 executors (or 1000 micro-batches — m33)
+    * each contribute ≤ k rows per source. State is k·|sources|-bounded:
+    * a plain per-source rank, no tournament needed. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    a.unionByName(b).distinct()
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  /** Read the sketch: per-source estimate from the k-th minimum — the
+    * exact l42 arithmetic. A state holding fewer than k hashes for a
+    * source IS that source's full distinct set (nothing was ever
+    * dropped), so the sub-k path returns the exact count. */
+  def kmvEstimate(state: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    state
+      .withColumn("__rk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_state"),
+        max(when(col("__rk") === k, col("h"))).as("kth_h"))
+      .select(col("source"),
+        when(col("kth_h").isNull, col("n_state").cast("double"))
+          .otherwise(kmvEst(k, col("kth_h"))).as("kmv_est"))
+  }
+
+  /** Maintain the KMV sketch under a streaming source (the m33 gate):
+    * each micro-batch folds [[kmvDelta]] into generation-committed state
+    * via [[graft.operators.GenState]] (replay-safe, crash-safe — the
+    * m28 idiom). The full history is never rescanned: per batch the cost
+    * is batch-scan + a k·|sources|-row merge. */
+  def kmvMaintain(src: DataFrame, statePath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger, k: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => graft.operators.GenState.applyBatch(
+        b.sparkSession, statePath, id) { prev =>
+        val d = kmvDelta(b.toDF(), k)
+        prev match {
+          case Some(st) => kmvMerge(st, d, k)
+          case None     => d
+        }
+      }
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over corpus token
     * frequencies, audited against the exact counts — the FREQUENCY member
     * of the mergeable-sketch family (l42 KMV = cardinality, l65 bloom =

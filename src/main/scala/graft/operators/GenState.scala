@@ -16,7 +16,7 @@ import org.apache.spark.sql.DataFrame
   * apply. The previous generation survives one commit for in-flight
   * readers; everything older is pruned.
   */
-private[operators] object GenState {
+private[graft] object GenState {
 
   private def commitsDir(statePath: String) =
     java.nio.file.Paths.get(statePath, "_commits")

@@ -1085,6 +1085,30 @@ class LlmSpec extends SparkSpec {
     assert(again(("a_big", "b_big")) == interEst)
   }
 
+  test("kmv delta/merge: any batch split and merge order lands on the one-shot sketch") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"t${(i * 7 + j) % 90}").mkString(" "),
+        s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    def snap(st: org.apache.spark.sql.DataFrame) =
+      st.orderBy("source", "h").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    val k = 16 // small k so merges actually truncate
+    val oneShot = TextStats.kmvDelta(docs, k)
+    for (parts <- Seq(2, 4)) {
+      val deltas = (0 until parts).map(i =>
+        TextStats.kmvDelta(docs.filter(col("doc_id") % parts === i), k))
+      val ltr = deltas.reduceLeft(TextStats.kmvMerge(_, _, k))
+      val rtl = deltas.reduceRight(TextStats.kmvMerge(_, _, k))
+      assert(snap(ltr) == snap(oneShot), s"$parts-way LTR diverged")
+      assert(snap(rtl) == snap(oneShot), s"$parts-way RTL diverged")
+      // the estimate read off the merged state matches the one-shot read
+      assert(TextStats.kmvEstimate(ltr, k).collect().map(_.toSeq).toSeq ==
+        TextStats.kmvEstimate(oneShot, k).collect().map(_.toSeq).toSeq)
+    }
+  }
+
   test("count-min: one-sided error, exact for unique cells, partitioning-invariant") {
     import spark.implicits._
     // a corpus with a known frequency profile: token fN appears N times
