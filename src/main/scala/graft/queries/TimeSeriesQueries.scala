@@ -514,6 +514,38 @@ object TimeSeriesQueries {
           coalesce(col("purchase_id"), lit(-1L)))
     },
 
+    // Recursive CTE (q37, Spark 4.x WITH RECURSIVE): sessionization BY
+    // RECURSION — session heads (gap > 30 min) seed the walk, each step
+    // extends a walk row to its user's next event when the gap closes,
+    // carrying the session_start label; the rollup must agree with the
+    // lag/cumsum (q10) and session_window (m9) mechanisms. Each event has
+    // exactly one predecessor path, so no row is reached twice; recursion
+    // depth = max session length (bounded by event sparsity). Integer
+    // times, count/min/max aggregates — no float seam.
+    "q37_recursive" -> { (s, dir) =>
+      Tables.events(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("t"))
+        .createOrReplaceTempView("ev37")
+      s.sql(
+        """WITH RECURSIVE base AS (
+          |  SELECT user_id, t,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+          |    LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t
+          |  FROM ev37),
+          |walk AS (
+          |  SELECT user_id, rn, t, t AS session_start
+          |  FROM base WHERE prev_t IS NULL OR t - prev_t > 1800
+          |  UNION ALL
+          |  SELECT b.user_id, b.rn, b.t, w.session_start
+          |  FROM base b JOIN walk w
+          |    ON b.user_id = w.user_id AND b.rn = w.rn + 1
+          |  WHERE b.t - b.prev_t <= 1800)
+          |SELECT user_id, session_start, COUNT(*) AS n,
+          |  MAX(t) AS session_end
+          |FROM walk GROUP BY user_id, session_start
+          |ORDER BY user_id, session_start""".stripMargin)
+    },
+
     // Incremental JOIN-view maintenance (m32): m17's click↔purchase
     // interval join maintained as a materialized view under an append
     // batch — the old view plus `IncrementalAgg.deltaJoin`'s new pairs
@@ -925,6 +957,28 @@ object TimeSeriesQueries {
         |WHERE (c.t IS NULL OR c.t <= (SELECT c FROM cut))
         |  AND (p.t IS NULL OR p.t <= (SELECT c FROM cut))
         |ORDER BY COALESCE(c.event_id, -1), COALESCE(p.event_id, -1)""".stripMargin,
+
+    // the identical recursive walk over DuckDB's own epoch conversion —
+    // the one non-shared fragment is the inner t derivation
+    "q37_recursive" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT user_id, t,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |    LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t
+        |  FROM (SELECT user_id, event_id, ($t) AS t
+        |        FROM events WHERE user_id < 50)),
+        |walk AS (
+        |  SELECT user_id, rn, t, t AS session_start
+        |  FROM base WHERE prev_t IS NULL OR t - prev_t > 1800
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn, b.t, w.session_start
+        |  FROM base b JOIN walk w
+        |    ON b.user_id = w.user_id AND b.rn = w.rn + 1
+        |  WHERE b.t - b.prev_t <= 1800)
+        |SELECT user_id, session_start, COUNT(*) AS n,
+        |  MAX(t) AS session_end
+        |FROM walk GROUP BY user_id, session_start
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the full-recompute form of the incrementally-maintained join view:
     // delta algebra must be invisible in the result (m17's join, all rows)
