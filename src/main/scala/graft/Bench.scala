@@ -41,6 +41,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // q37's recursive sessionization: depth = max session length, which
+      // the default limit (100) could cap on denser-than-testdata corpora
+      .config("spark.sql.cteRecursionLevelLimit", "10000")
       .config("spark.ui.enabled", "false")
       // production state-store config for the streaming gates: RocksDB
       // spills instead of holding every key on-heap and snapshots

@@ -12,6 +12,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // q37's recursive sessionization: depth = max session length, which
+      // the default limit (100) could cap on denser-than-testdata corpora
+      .config("spark.sql.cteRecursionLevelLimit", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -200,7 +200,9 @@ final class UnitDb private (
     * [[delete]]). */
   def deleteMatching(q0: Query): Long = synchronized {
     ensureOpen()
-    sync() // pending puts must be visible to the scan (and deletable)
+    // check-before-act: an unauthorized sweep must not trigger any side
+    // effect (sync flushes state) — authorize precedes everything else,
+    // as on every other write face
     val q = q0.copy(topic = authorize(q0.topic, TopicKey.AllowWrite, q0.contract))
     // `?last=<duration>` scopes the sweep in time; a COUNT has no stable
     // meaning as a delete scope (top-N depends on read order) — reject
@@ -210,7 +212,9 @@ final class UnitDb private (
         s"?last=<count> is not a deletable scope; use a duration: ${q.topic}")
       case _ => ()
     }
+    sync() // pending puts must be visible to the scan (and deletable)
     val (matched, _) = matchedLive(q)
+    nGets.decrementAndGet() // matchedLive counted a read; a sweep is not one
     val obs = org.apache.spark.sql.Observation()
     matched
       .select(col("seq"), col("contract"), col("topic"),

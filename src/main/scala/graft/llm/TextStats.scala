@@ -740,17 +740,30 @@ object TextStats {
     lit((k - 1).toDouble) * lit(1152921504606846976.0) /
       conv(substring(kthH, 1, 15), 16, 10).cast("long").cast("double")
 
+  /** Per-source k smallest hashes of a distinct (source, h) frame — the
+    * shared two-phase tournament (phase 1 bounds every task's output at
+    * k rows; phase 2 ranks the ≤ k·P survivors). One implementation for
+    * all sketch faces (l42 cardinality, l63 set algebra, m33 streaming
+    * delta) so a kernel fix can never leave the faces divergent. */
+  private def kMinima(dist: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
+    dist
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
+      .select(col("source"), col("h"))
+  }
+
   def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val dist = sourceGramHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = dist.groupBy("source").agg(count(lit(1)).as("n_exact"))
-    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
     val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
-    val kth = dist
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+    val kth = kMinima(dist, k)
       .withColumn("__rk", row_number().over(w2)).filter(col("__rk") === k)
       .select(col("source"), col("h").as("kth_h"))
     exact.join(kth, Seq("source"), "left")
@@ -792,15 +805,7 @@ object TextStats {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val dist = sourceGramHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-source k-minima: the l42 two-phase tournament (phase 1 bounds
-    // every task's output at k rows; phase 2 ranks k·P survivors)
-    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
-    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
-    val minima = dist
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
-      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
-      .select(col("source"), col("h"))
+    val minima = kMinima(dist, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcs = minima.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
@@ -1063,17 +1068,8 @@ object TextStats {
   /** One batch's contribution to the streaming KMV sketch: the per-source
     * k smallest distinct gram hashes of THIS batch (the l42 two-phase
     * tournament). ≤ k·|sources| rows whatever the batch size. */
-  def kmvDelta(docs: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dist = sourceGramHashes(docs)
-    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
-    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
-    dist
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
-      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
-      .select(col("source"), col("h"))
-  }
+  def kmvDelta(docs: DataFrame, k: Int = 256): DataFrame =
+    kMinima(sourceGramHashes(docs), k)
 
   /** Merge two KMV states: per-source k smallest of the set union. Exact
     * by the subset property (the union's k-th minimum can only come from

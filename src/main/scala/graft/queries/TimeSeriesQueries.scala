@@ -459,9 +459,16 @@ object TimeSeriesQueries {
         .agg(max(when(col("event_type") === "click", tsec(col("ts")))),
           max(when(col("event_type") === "purchase", tsec(col("ts")))))
         .head()
-      val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
-      s.table("m21_outer").filter(col("click_t") <= cutoff)
-        .orderBy("click_id", "purchase_id")
+      // a one-sided corpus (no clicks or no purchases) never advances the
+      // other watermark: nothing is provably emitted, and the oracle's
+      // NULL cutoff keeps no rows either — return empty, don't NPE
+      if (b.isNullAt(0) || b.isNullAt(1))
+        s.table("m21_outer").filter(lit(false))
+      else {
+        val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
+        s.table("m21_outer").filter(col("click_t") <= cutoff)
+          .orderBy("click_id", "purchase_id")
+      }
     },
 
     // FULL-OUTER stream-stream interval join: the last member of the
@@ -504,14 +511,19 @@ object TimeSeriesQueries {
         .agg(max(when(col("event_type") === "click", tsec(col("ts")))),
           max(when(col("event_type") === "purchase", tsec(col("ts")))))
         .head()
-      val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
-      s.table("m31_fo")
-        .filter((col("click_t").isNull || col("click_t") <= cutoff) &&
-          (col("purchase_t").isNull || col("purchase_t") <= cutoff))
-        // null-free sort keys: Spark orders NULLS FIRST, DuckDB NULLS
-        // LAST — a -1 sentinel (ids are >= 0) sorts identically in both
-        .orderBy(coalesce(col("click_id"), lit(-1L)),
-          coalesce(col("purchase_id"), lit(-1L)))
+      // one-sided corpus → no provable emissions (see m21's note)
+      if (b.isNullAt(0) || b.isNullAt(1))
+        s.table("m31_fo").filter(lit(false))
+      else {
+        val cutoff = math.min(b.getLong(0), b.getLong(1)) - 43200L
+        s.table("m31_fo")
+          .filter((col("click_t").isNull || col("click_t") <= cutoff) &&
+            (col("purchase_t").isNull || col("purchase_t") <= cutoff))
+          // null-free sort keys: Spark orders NULLS FIRST, DuckDB NULLS
+          // LAST — a -1 sentinel (ids are >= 0) sorts identically in both
+          .orderBy(coalesce(col("click_id"), lit(-1L)),
+            coalesce(col("purchase_id"), lit(-1L)))
+      }
     },
 
     // Recursive CTE (q37, Spark 4.x WITH RECURSIVE): sessionization BY
@@ -520,7 +532,10 @@ object TimeSeriesQueries {
     // carrying the session_start label; the rollup must agree with the
     // lag/cumsum (q10) and session_window (m9) mechanisms. Each event has
     // exactly one predecessor path, so no row is reached twice; recursion
-    // depth = max session length (bounded by event sparsity). Integer
+    // depth = max session length (Verify/Bench raise Spark's
+    // cteRecursionLevelLimit to 10000 — the default 100 would cap dense
+    // corpora; for truly unbounded sessions q10's cumsum and m9's
+    // session_window are the constant-depth scale paths). Integer
     // times, count/min/max aggregates — no float seam.
     "q37_recursive" -> { (s, dir) =>
       Tables.events(s, dir).filter(col("user_id") < 50)
