@@ -392,6 +392,27 @@ object LlmQueries {
     "l64_countmin" -> { (s, dir) =>
       TextStats.countMinTokens(Tables.documents(s, dir)) },
 
+    // STREAMING count-min maintenance: four real micro-batches fold
+    // cell deltas into generation-committed state (cell-wise sums are
+    // exactly additive), and the estimates read off the merged sketch
+    // must land bit-identically on l64's one-shot oracle
+    "m34_stream_countmin" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_m34").toString
+      Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      TextStats.countMinMaintain(src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+      val sketch = graft.operators.GenState.readState(s, s"$base/state")
+      val top = s.read.parquet(s"$base/src")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("tok")).limit(20)
+      TextStats.countMinEstimate(sketch, top)
+    },
+
     // bloom-filter membership audit: the reference's negative-lookup
     // contract (O20) as visible output — no false negatives, bounded
     // false positives, probe = one broadcast map-side join
@@ -1025,6 +1046,30 @@ object LlmQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The l64 count-min chain — shared verbatim by the streaming gate
+    * (m34): cell-wise-sum mergeability must be invisible here. */
+  private val countMinOracleSql: String =
+    """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cells AS (
+        |  SELECT r, CAST(('0x' || substring(
+        |      md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
+        |    % 1024 AS cell
+        |  FROM tok, range(0, 4) t(r)),
+        |sketch AS (SELECT r, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+        |exact AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+        |top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+        |probe AS (
+        |  SELECT tok, n_exact, r, CAST(('0x' || substring(
+        |      md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
+        |    % 1024 AS cell
+        |  FROM top, range(0, 4) t(r))
+        |SELECT tok AS token, n_exact, MIN(c) AS n_est,
+        |  MIN(c) - n_exact AS overcount
+        |FROM probe JOIN sketch USING (r, cell)
+        |GROUP BY tok, n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin
+
   /** The l42 KMV chain — shared verbatim by the streaming sketch gate
     * (m33): batch-vs-streaming mergeability must be invisible here. */
   private val kmvOracleSql: String =
@@ -1613,27 +1658,11 @@ object LlmQueries {
 
     // count-min mirror: identical md5 cell derivation, integer counts,
     // min fold over the depth rows — no float anywhere
-    "l64_countmin" ->
-      """WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cells AS (
-        |  SELECT r, CAST(('0x' || substring(
-        |      md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
-        |    % 1024 AS cell
-        |  FROM tok, range(0, 4) t(r)),
-        |sketch AS (SELECT r, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
-        |exact AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY 1),
-        |top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
-        |probe AS (
-        |  SELECT tok, n_exact, r, CAST(('0x' || substring(
-        |      md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
-        |    % 1024 AS cell
-        |  FROM top, range(0, 4) t(r))
-        |SELECT tok AS token, n_exact, MIN(c) AS n_est,
-        |  MIN(c) - n_exact AS overcount
-        |FROM probe JOIN sketch USING (r, cell)
-        |GROUP BY tok, n_exact
-        |ORDER BY n_exact DESC, token""".stripMargin,
+    "l64_countmin" -> countMinOracleSql,
+
+    // the streaming sketch must land exactly on the one-shot chain
+    "m34_stream_countmin" -> countMinOracleSql,
+
 
     // bloom mirror: same md5 positions, set-bit distinct, all-positions-
     // present verdict vs exact fingerprint membership

@@ -1146,25 +1146,36 @@ object TextStats {
     *
     * Engine-invariance: cells are md5-derived (the l42 contract), counts
     * and the min fold are integers — no float anywhere. */
-  def countMinTokens(docs: DataFrame, depth: Int = 4, width: Int = 1024,
-      k: Int = 20): DataFrame = {
-    def cellOf(r: Int, tok: Column): Column =
-      pmod(conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 15), 16, 10)
-        .cast("long"), lit(width.toLong))
-    def cells(tok: Column): Column =
-      explode(array((0 until depth).map { r =>
-        struct(lit(r).as("r"), cellOf(r, tok).as("cell"))
-      }: _*))
-    val toks = spread(docs).select(explode(split(col("text"), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sketch = toks
-      .select(cells(col("tok")).as("p"))
+  /** (r, cell) struct list for a token — the shared md5 cell derivation
+    * of every count-min face (l64 one-shot, m34 streaming). */
+  private def cmCells(tok: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 15), 16, 10)
+          .cast("long"), lit(width.toLong)).as("cell"))
+    }: _*))
+
+  /** One batch's count-min cells: (r, cell, c) — ≤ depth·width rows
+    * whatever the batch size (the partial aggregate IS the sketch). */
+  def countMinDelta(docs: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    spread(docs).select(explode(split(col("text"), " ")).as("tok"))
+      .select(cmCells(col("tok"), depth, width).as("p"))
       .select(col("p.r").as("r"), col("p.cell").as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("c"))
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
-    val top = exact.orderBy(desc("n_exact"), col("tok")).limit(k)
-    top
-      .select(col("tok"), col("n_exact"), cells(col("tok")).as("p"))
+
+  /** Merge two count-min states: cell-wise sum — exactly additive, so any
+    * batch split and merge order lands bit-identically on the one-shot
+    * sketch (the m34 gate reuses l64's oracle verbatim). */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "cell").agg(sum(col("c")).as("c"))
+
+  /** Estimate counts for a (token, n_exact) probe frame from a sketch
+    * state: min over the depth rows, one-sided error. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    probes
+      .select(col("tok"), col("n_exact"), cmCells(col("tok"), depth, width).as("p"))
       .select(col("tok").as("token"), col("n_exact"),
         col("p.r").as("r"), col("p.cell").as("cell"))
       .join(broadcast(sketch), Seq("r", "cell"))
@@ -1173,6 +1184,42 @@ object TextStats {
       .select(col("token"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
       .orderBy(desc("n_exact"), col("token"))
+
+  /** Maintain the count-min sketch under a streaming source (the m34
+    * gate) — countMinDelta folded per micro-batch into generation-
+    * committed state (the m33/m28 idiom); per-batch merge cost is
+    * depth·width-bounded forever. */
+  def countMinMaintain(src: DataFrame, statePath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      depth: Int = 4, width: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => graft.operators.GenState.applyBatch(
+        b.sparkSession, statePath, id) { prev =>
+        val d = countMinDelta(b.toDF(), depth, width)
+        prev match {
+          case Some(st) => countMinMerge(st, d)
+          case None     => d
+        }
+      }
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  def countMinTokens(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 20): DataFrame = {
+    val toks = spread(docs).select(explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = toks
+      .select(cmCells(col("tok"), depth, width).as("p"))
+      .select(col("p.r").as("r"), col("p.cell").as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("tok")).limit(k)
+    countMinEstimate(sketch, top, depth, width)
   }
 
   /** Bloom-filter membership audit — the reference's negative-lookup
