@@ -75,10 +75,18 @@ object GraftFunctions {
       "nfc_normalize(text) - Unicode canonical composition (NFC) of a string",
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
 
-  /** Register every graft function in one live session. */
-  def registerAll(spark: SparkSession): Unit =
+  /** Register every graft function in one live session — the scalar
+    * expressions above plus the aggregate surface (UDAFs register
+    * through the udf registry, not the expression builder path). */
+  def registerAll(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    spark.udf.register("kmv_minima",
+      org.apache.spark.sql.functions.udaf(
+        new KmvMinima(KmvMinima.DefaultK),
+        org.apache.spark.sql.Encoders.STRING))
+    ()
+  }
 }

@@ -18,6 +18,36 @@ class SketchExprSpec extends SparkSpec {
     }
   }
 
+  test("kmv_minima aggregator: set semantics, bounded buffer, merge-order-free, SQL face") {
+    import spark.implicits._
+    import graft.functions.KmvMinima
+    val agg = new KmvMinima(4)
+    // reduce: insert-sorted, distinct, bounded at k
+    val buf = Seq("c", "a", "c", "b", "e", "d", "a").foldLeft(agg.zero)(agg.reduce)
+    assert(buf.toSeq == Seq("a", "b", "c", "d"))
+    // anything >= current kth is dropped; something smaller displaces
+    assert(agg.reduce(buf, "z").toSeq == Seq("a", "b", "c", "d"))
+    assert(agg.reduce(buf, "aa").toSeq == Seq("a", "aa", "b", "c"))
+    // merge: bounded sorted set-union, commutative
+    val other = Seq("ab", "b", "f").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(buf, other).toSeq == agg.merge(other, buf).toSeq)
+    assert(agg.merge(buf, other).toSeq == Seq("a", "ab", "b", "c"))
+    // the aggregate face agrees with the plan-level tournament result:
+    // k smallest distinct md5s per source
+    val docs = (0 until 50).map(i => (s"src${i % 3}", s"v$i")).toDF("source", "v")
+      .select($"source", org.apache.spark.sql.functions.md5($"v").as("h"))
+    graft.GraftFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT source, kmv_minima(h) AS m FROM kmv_in GROUP BY source")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val expected = docs.collect().groupBy(_.getString(0)).map { case (s0, rows) =>
+      s0 -> rows.map(_.getString(1)).distinct.sorted.take(256).toSeq
+    }
+    assert(viaSql.keySet == expected.keySet)
+    expected.foreach { case (s0, want) => assert(viaSql(s0) == want, s0) }
+  }
+
   test("trigram_hashes: <3 tokens -> empty; duplicates dedup; order matters") {
     val df = Seq(
       (1L, Seq("a", "b")),                       // too short
