@@ -419,6 +419,13 @@ object LlmQueries {
     "l65_bloom_audit" -> { (s, dir) =>
       TextStats.bloomAudit(Tables.documents(s, dir)) },
 
+    // bigram-LM perplexity scoring (the CCNet quality filter): add-one
+    // smoothed P(w2|w1) from corpus counts, per-doc mean log-prob +
+    // perplexity — the one operator family where ln is semantic (see
+    // the Scaladoc's determinism note); counts move as 8-byte hashes
+    "l66_lm_perplexity" -> { (s, dir) =>
+      TextStats.lmPerplexity(Tables.documents(s, dir)) },
+
     // per-source distribution drift: integer-exact total-variation
     // distance vs the corpus unigram distribution (the log-free stand-in
     // for KL/JS monitoring — same alarm, engine-exact arithmetic)
@@ -1689,6 +1696,33 @@ object LlmQueries {
         |SELECT doc_id, bloom_hit, is_member
         |FROM hits JOIN mem USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // counts by bigram/unigram STRINGS where Spark counts by the 64-bit
+    // gram-hash keys (the l33 parity argument); AVG-order float drift and
+    // libm ln disagreement both land far under the shared round(…,6)
+    "l66_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT unnest(w) AS tok FROM toks),
+        |c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM uni),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(w) - 1),
+        |      i -> struct_pack(
+        |        w1 := w[CAST(i + 1 AS INTEGER)],
+        |        b  := array_to_string(
+        |                w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)],
+        |                ' ')))) AS g
+        |  FROM toks),
+        |bgx AS (SELECT doc_id, g.w1 AS w1, g.b AS b FROM bg),
+        |c2 AS (SELECT b, COUNT(*) AS c2 FROM bgx GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.vocab))), 6) AS avg_logp
+        |  FROM bgx JOIN c2 USING (b) JOIN c1 ON bgx.w1 = c1.tok, v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "l59_source_tvd" ->
       """WITH tok AS (

@@ -1263,4 +1263,79 @@ object TextStats {
       .select(col("doc_id"), col("bloom_hit"), col("is_member"))
       .orderBy("doc_id")
   }
+
+  /** Bigram language-model quality scoring — the CCNet/KenLM perplexity
+    * filter (Wenzek et al., LREC 2020) that every web-scale curation
+    * pipeline runs: score each document by how predictable its text is
+    * under an n-gram LM, then drop/bucket the high-perplexity (noisy) and
+    * suspiciously low-perplexity (boilerplate) tails. Here the LM is
+    * trained on the corpus itself (self-perplexity — the in-distribution
+    * variant; a production pipeline would persist the count tables from a
+    * clean reference corpus and join them in, which is the SAME plan with
+    * the count frames read instead of computed).
+    *
+    * Model: add-one smoothed bigram conditional
+    * P(w2 | w1) = (c2(w1 w2) + 1) / (c1(w1) + V), with c1 = corpus
+    * occurrences of w1, c2 = corpus occurrences of the bigram, V = corpus
+    * vocabulary size. Per doc: avg_logp = mean ln P over its bigrams and
+    * ppl = exp(−avg_logp). Docs with < 2 tokens have no bigrams and no row
+    * (inner-join semantics, mirrored by the oracle).
+    *
+    * Determinism note — the ONE operator family where `ln` is semantic
+    * (perplexity is DEFINED in log space; the l24/l31 log-free monotone
+    * trick only preserves rankings, not the reported score), so this
+    * deviates from the log-free principle deliberately: per-term libm
+    * disagreement is ≤ 2 ulp (≈ 1e−15 relative), a doc contributes ≤ 10⁴
+    * terms, so avg_logp is engine-identical to ~1e−12 — nine orders under
+    * the round(…, 6) quantum (the m23 seam-rounding pattern). ppl is
+    * exp of the ROUNDED avg (identical input in both engines) rounded
+    * again, so the gate compares both columns exactly.
+    *
+    * Scale shape: both count aggregates and both lookup joins move 8-byte
+    * position-gram HASHES from the codegen'd [[graft.functions.NGramHashesPos]]
+    * kernel (the l29/l33 principle — no corpus-wide string shuffle; a
+    * 64-bit collision would need ~2³² distinct grams). The unigram and
+    * bigram count tables are gram-vocabulary-bounded — orders of magnitude
+    * smaller than the token stream — and AQE broadcasts them when small;
+    * at 100 TB they become shuffle joins on the same 8-byte keys. V and
+    * the two count frames are the only aggregates; the per-doc mean is
+    * partial-aggregated. */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    import graft.functions.NGramHashesPos
+    val toks = spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      // materialize the token array behind its own projection before any
+      // per-position work (the round-8 HOF-lambda lesson)
+      .select(col("doc_id"), col("w"),
+        NGramHashesPos(col("w"), 2).as("h2s"),
+        NGramHashesPos(col("w"), 1).as("h1s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per bigram position: bigram hash + its context (first word)
+    // hash — h1s[i] is the hash of w(i), aligned with h2s[i] = w(i) w(i+1)
+    val inst = toks
+      .select(col("doc_id"), col("h2s"),
+        slice(col("h1s"), lit(1), size(col("h2s"))).as("h1c"))
+      .select(col("doc_id"), explode(arrays_zip(col("h2s"), col("h1c"))).as("z"))
+      .select(col("doc_id"), col("z.h2s").as("h2"), col("z.h1c").as("h1"))
+    val uni = toks.select(explode(col("h1s")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    val bi = inst.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val vocab = toks.select(explode(col("h1s")).as("h1")).agg(
+      count_distinct(col("h1")).as("vocab"))
+    val logp = log((col("c2") + lit(1)).cast("double") /
+      (col("c1") + col("vocab")).cast("double"))
+    // the persist is read by inst/uni/bi/vocab inside the returned plan's
+    // lineage — callers own the cache lifecycle (see [[TextDedup]]'s note)
+    inst
+      .join(bi, "h2")
+      .join(uni, "h1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 6).as("avg_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
 }

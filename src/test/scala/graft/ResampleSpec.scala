@@ -113,6 +113,26 @@ class ResampleSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1.5, 0.5)))
   }
 
+  test("lmPerplexity: hand-computed add-one bigram LM on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: a b, b a, a b
+      (2L, "a b c"),   // bigrams: a b, b c
+      (3L, "z")        // < 2 tokens: no bigrams, no output row
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextStats.lmPerplexity(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    // c1: a=3 b=3 c=1; V=3 (z's doc is dropped before counting);
+    // c2: "a b"=3, "b a"=1, "b c"=1; P(b|a)=(3+1)/(3+3), P(a|b)=(1+1)/(3+3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val avg1 = r6((2 * math.log(4.0 / 6) + math.log(2.0 / 6)) / 3)
+    val avg2 = r6((math.log(4.0 / 6) + math.log(2.0 / 6)) / 2)
+    assert(out(1L) === ((3L, avg1, r6(math.exp(-avg1)))))
+    assert(out(2L) === ((2L, avg2, r6(math.exp(-avg2)))))
+  }
+
   test("bm25: two-phase result equals a direct single-window top-k") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val terms = Seq("join", "filter")
