@@ -703,6 +703,21 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), sum("value").as("total"),
           min("value").as("min_v"), max("value").as("max_v"))
         .orderBy("metric")
+    },
+
+    // PageRank (q38): link analysis over the symmetrized customer↔supplier
+    // co-purchase graph — the iterative-dataflow showcase next to l22's
+    // connected components (fixed 8 rounds of join+reduce, integer fixed
+    // point so both engines land bit-identically; see operators/Graph).
+    "q38_pagerank" -> { (s, dir) =>
+      val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      // symmetrize: every node gets out-edges (the pageRank contract)
+      graft.operators.Graph.pageRank(
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
     }
   )
 
@@ -1082,6 +1097,37 @@ object AnalyticsQueries {
         |  SELECT p_partkey, 'size' AS metric, size AS value FROM base)
         |SELECT metric, COUNT(*) AS n, SUM(value) AS total,
         |  MIN(value) AS min_v, MAX(value) AS max_v
-        |FROM long GROUP BY metric ORDER BY metric""".stripMargin
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
+
+    "q38_pagerank" -> pageRankOracleSql(8)
   )
+
+  /** The q38 oracle: the 8 fixed rounds UNROLLED as a CTE chain (standard
+    * SQL forbids aggregation inside a recursive member, so WITH RECURSIVE
+    * can't express per-round GROUP BY — the PQ-training-oracle pattern).
+    * `//` is DuckDB integer division = Spark's `div` on the all-positive
+    * picorank values, so every round is exact integer arithmetic in both
+    * engines. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |    (15 * CAST(1000000000000 AS BIGINT)) // (100 * n.n)
+         |      + SUM((85 * r.r) // (100 * e.outdeg)) AS r
+         |  FROM ej e JOIN r${i - 1} r ON e.src = r.node, n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |ej AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) // n.n AS r
+       |       FROM deg, n),
+       |$rounds
+       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
 }

@@ -264,4 +264,33 @@ class OperatorsSpec extends SparkSpec {
     assert(live(KeyedUpsert.readState(spark, state)) == afterTwo,
       "replay of a committed batch changed state")
   }
+
+  test("pageRank: hand-computed picoranks on the 3-node path a-b-c") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    // N=3, S=10^12: r0 = 333333333333 each, teleport = 15S//300 = 5*10^10
+    // r1(a) = r1(c) = tp + (85*r0)//200 = 50000000000 + 141666666666
+    // r1(b) = tp + 2*((85*r0)//100) = 50000000000 + 2*283333333333
+    val r1 = graft.operators.Graph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 === Map("a" -> 191666666666L, "b" -> 616666666666L,
+      "c" -> 191666666666L))
+  }
+
+  test("pageRank: a regular symmetric ring stays uniform across rounds") {
+    import spark.implicits._
+    val nodes = (0 until 6).map(_.toString)
+    val ring = nodes.indices.flatMap { i =>
+      val j = (i + 1) % 6
+      Seq((nodes(i), nodes(j)), (nodes(j), nodes(i)))
+    }.toDF("src", "dst")
+    // every node: outdeg 2, N=6 — rank is a fixpoint of the update, so 8
+    // rounds must return exactly r0' = tp + 2*((85*(S//6))//200)
+    val out = graft.operators.Graph.pageRank(ring, iters = 8)
+      .as[(String, Long)].collect()
+    val s6 = 1000000000000L / 6
+    val expect = (15L * 1000000000000L) / 600 + 2 * ((85 * s6) / 200)
+    assert(out.length === 6 && out.forall(_._2 == expect))
+  }
 }
