@@ -718,6 +718,28 @@ object AnalyticsQueries {
       // symmetrize: every node gets out-edges (the pageRank contract)
       graft.operators.Graph.pageRank(
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    },
+
+    // Salted skew join (q39): the events log remapped so one hot user owns
+    // ~1/3 of all rows (honest synthetic skew — testdata user activity is
+    // uniform), joined to the customer dim through operators/SkewJoin —
+    // (key, salt) sub-keys spread the hot key 16 ways where a plain
+    // shuffle join would funnel it into one reducer task. Salting is
+    // result-invisible: the oracle states the plain join. Decimal-exact
+    // rollup per market segment (order-free sums).
+    "q39_skew_join" -> { (s, dir) =>
+      val fact = Tables.events(s, dir)
+        .select(col("event_id"), col("value"),
+          when(col("user_id") % 3 === 0, lit(7L)).otherwise(col("user_id"))
+            .as("user_id"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .saltedJoin(fact, dim, Seq("user_id"), col("event_id"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -1099,7 +1121,18 @@ object AnalyticsQueries {
         |  MIN(value) AS min_v, MAX(value) AS max_v
         |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
 
-    "q38_pagerank" -> pageRankOracleSql(8)
+    "q38_pagerank" -> pageRankOracleSql(8),
+
+    // the salt is result-invisible: the oracle is the PLAIN join
+    "q39_skew_join" ->
+      """WITH fact AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN user_id % 3 = 0 THEN 7 ELSE user_id END AS user_id
+        |  FROM events)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM fact JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
   /** The q38 oracle: the 8 fixed rounds UNROLLED as a CTE chain (standard

@@ -661,4 +661,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(1200))
   }
+
+  test("q39: salted join exchanges on (key, salt) and matches the plain join") {
+    import spark.implicits._
+    // honest skew: one hot key owns half the fact
+    val fact = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) 1L else (i % 7).toLong, i * 1.0))
+      .toDF("event_id", "k", "v")
+    val dim = (0L until 7L).map(k => (k, s"seg$k")).toDF("k", "seg")
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the operator targets dims past the broadcast threshold — model that
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(fact, dim, Seq("k"), col("event_id"), salts = 4)
+      val p = salted.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the exchange must carry the salt: the hot key's rows hash-spread
+      // over (k, __salt) sub-partitions instead of one reducer task
+      assert(p.linesIterator.exists(l =>
+          l.contains("hashpartitioning(") && l.contains("__salt")),
+        s"no (key, salt) exchange in:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastHashJoin"), p.take(1500))
+      val got = salted.select("event_id", "k", "v", "seg")
+        .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+      val want = fact.join(dim, "k").select("event_id", "k", "v", "seg")
+        .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+      assert(got.toSeq === want.toSeq, "salting changed the join result")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
