@@ -419,6 +419,28 @@ object LlmQueries {
     "l65_bloom_audit" -> { (s, dir) =>
       TextStats.bloomAudit(Tables.documents(s, dir)) },
 
+    // STREAMING bloom maintenance: four real micro-batches fold set-bit
+    // deltas into generation-committed state (bit-set union — idempotent
+    // AND commutative, the strongest mergeability in the sketch family),
+    // and the audit read off the merged filter must land bit-identically
+    // on l65's one-shot oracle. Completes the streaming faces of the
+    // mergeable-sketch matrix (m33 KMV, m34 count-min; q18's histogram
+    // grid is data-derived min/max — two-pass by construction, so its
+    // streaming variant would need a pre-declared grid, not a gate twin).
+    "m36_stream_bloom" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_m36").toString
+      Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      TextStats.bloomMaintain(src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+      TextStats.bloomAuditFromState(
+        graft.operators.GenState.readState(s, s"$base/state"),
+        s.read.parquet(s"$base/src"))
+    },
+
     // bigram-LM perplexity scoring (the CCNet quality filter): add-one
     // smoothed P(w2|w1) from corpus counts, per-doc mean log-prob +
     // perplexity — the one operator family where ln is semantic (see
@@ -1053,6 +1075,32 @@ object LlmQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The l65 bloom chain — shared verbatim by the streaming gate (m36):
+    * bit-set-union mergeability must be invisible here. */
+  private val bloomOracleSql: String =
+    """WITH p AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |members AS (SELECT DISTINCT fp FROM p WHERE doc_id % 2 = 0),
+      |setbits AS (
+      |  SELECT DISTINCT CAST(('0x' || substring(
+      |      md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT)
+      |    % 4096 AS pos
+      |  FROM members, range(0, 3) t(i)),
+      |probepos AS (
+      |  SELECT doc_id, CAST(('0x' || substring(
+      |      md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT)
+      |    % 4096 AS pos
+      |  FROM p, range(0, 3) t(i)),
+      |hits AS (
+      |  SELECT doc_id, COUNT(s.pos) = 3 AS bloom_hit
+      |  FROM probepos LEFT JOIN setbits s ON probepos.pos = s.pos
+      |  GROUP BY doc_id),
+      |mem AS (
+      |  SELECT p.doc_id, m.fp IS NOT NULL AS is_member
+      |  FROM p LEFT JOIN members m ON p.fp = m.fp)
+      |SELECT doc_id, bloom_hit, is_member
+      |FROM hits JOIN mem USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** The l64 count-min chain — shared verbatim by the streaming gate
     * (m34): cell-wise-sum mergeability must be invisible here. */
   private val countMinOracleSql: String =
@@ -1673,29 +1721,11 @@ object LlmQueries {
 
     // bloom mirror: same md5 positions, set-bit distinct, all-positions-
     // present verdict vs exact fingerprint membership
-    "l65_bloom_audit" ->
-      """WITH p AS (SELECT doc_id, md5(text) AS fp FROM documents),
-        |members AS (SELECT DISTINCT fp FROM p WHERE doc_id % 2 = 0),
-        |setbits AS (
-        |  SELECT DISTINCT CAST(('0x' || substring(
-        |      md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT)
-        |    % 4096 AS pos
-        |  FROM members, range(0, 3) t(i)),
-        |probepos AS (
-        |  SELECT doc_id, CAST(('0x' || substring(
-        |      md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT)
-        |    % 4096 AS pos
-        |  FROM p, range(0, 3) t(i)),
-        |hits AS (
-        |  SELECT doc_id, COUNT(s.pos) = 3 AS bloom_hit
-        |  FROM probepos LEFT JOIN setbits s ON probepos.pos = s.pos
-        |  GROUP BY doc_id),
-        |mem AS (
-        |  SELECT p.doc_id, m.fp IS NOT NULL AS is_member
-        |  FROM p LEFT JOIN members m ON p.fp = m.fp)
-        |SELECT doc_id, bloom_hit, is_member
-        |FROM hits JOIN mem USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "l65_bloom_audit" -> bloomOracleSql,
+
+    // the m36 gate: mergeability across batches must be INVISIBLE — the
+    // maintained filter answers with l65's one-shot oracle verbatim
+    "m36_stream_bloom" -> bloomOracleSql,
 
     // counts by bigram/unigram STRINGS where Spark counts by the 64-bit
     // gram-hash keys (the l33 parity argument); AVG-order float drift and

@@ -1240,19 +1240,37 @@ object TextStats {
     * reference's read-path short-circuit (consult the bloom, touch the
     * store only on a hit). md5-derived everything, boolean output —
     * engine-exact. */
+  /** md5-derived bit position i for fingerprint `fp` — the shared cell
+    * derivation of every bloom face (l65 one-shot, m36 streaming). */
+  private def bloomPos(i: Int, fp: Column, bits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$i:"), fp)), 1, 15), 16, 10)
+      .cast("long"), lit(bits.toLong))
+
+  private def bloomPositions(fp: Column, bits: Int, nh: Int): Column =
+    explode(array((0 until nh).map(i => bloomPos(i, fp, bits)): _*))
+
+  /** The l65 membership rule: the even-doc_id half of the corpus is the
+    * indexed set, every document is a probe. */
+  private def bloomMemberFps(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("fp")).distinct()
+
   def bloomAudit(docs: DataFrame, bits: Int = 4096, nh: Int = 3): DataFrame = {
-    def posOf(i: Int, fp: Column): Column =
-      pmod(conv(substring(md5(concat(lit(s"$i:"), fp)), 1, 15), 16, 10)
-        .cast("long"), lit(bits.toLong))
-    def positions(fp: Column): Column =
-      explode(array((0 until nh).map(i => posOf(i, fp)): _*))
     val probes = spread(docs).select(col("doc_id"), md5(col("text")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = probes.filter(col("doc_id") % 2 === 0)
       .select(col("fp")).distinct()
-    val setBits = members.select(positions(col("fp")).as("pos")).distinct()
+    val setBits = members
+      .select(bloomPositions(col("fp"), bits, nh).as("pos")).distinct()
+    bloomAuditAgainst(probes, members, setBits, bits, nh)
+  }
+
+  /** The probe+audit half shared by the one-shot and streaming faces:
+    * bloom verdict (all nh positions set) next to exact membership. */
+  private def bloomAuditAgainst(probes: DataFrame, members: DataFrame,
+      setBits: DataFrame, bits: Int, nh: Int): DataFrame = {
     val bloomHit = probes
-      .select(col("doc_id"), positions(col("fp")).as("pos"))
+      .select(col("doc_id"), bloomPositions(col("fp"), bits, nh).as("pos"))
       .join(broadcast(setBits.withColumn("hit", lit(1))), Seq("pos"), "left")
       .groupBy("doc_id")
       .agg((count(col("hit")) === nh).as("bloom_hit"))
@@ -1262,6 +1280,57 @@ object TextStats {
     bloomHit.join(isMember, Seq("doc_id"))
       .select(col("doc_id"), col("bloom_hit"), col("is_member"))
       .orderBy("doc_id")
+  }
+
+  /** One batch's bloom delta: the distinct set-bit positions its member
+    * rows light up — ≤ `bits` rows whatever the batch size (the partial
+    * distinct IS the sketch; a bit array is the degenerate mergeable
+    * sketch whose merge is set union). */
+  def bloomDelta(docs: DataFrame, bits: Int = 4096, nh: Int = 3): DataFrame =
+    bloomMemberFps(spread(docs))
+      .select(bloomPositions(col("fp"), bits, nh).as("pos")).distinct()
+
+  /** Merge two bloom states: bit-set union — idempotent AND commutative
+    * (OR of bits), so any batch split, merge order, or even double-applied
+    * delta lands bit-identically on the one-shot filter. The strongest
+    * mergeability in the sketch family (count-min needs exactly-once
+    * addition; bloom tolerates replay by construction — GenState's commit
+    * markers are belt-and-braces here). */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Maintain the bloom filter under a streaming source (the m36 gate) —
+    * [[bloomDelta]] folded per micro-batch into generation-committed
+    * state; per-batch merge cost is `bits`-bounded forever. */
+  def bloomMaintain(src: DataFrame, statePath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      bits: Int = 4096, nh: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => graft.operators.GenState.applyBatch(
+        b.sparkSession, statePath, id) { prev =>
+        val d = bloomDelta(b.toDF(), bits, nh)
+        prev match {
+          case Some(st) => bloomMerge(st, d)
+          case None     => d
+        }
+      }
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** l65's audit read off a MAINTAINED set-bit state instead of the
+    * one-shot build: probes and the exact-membership audit come from a
+    * batch read of the same corpus the stream ingested, so the output —
+    * and the oracle — are l65's verbatim. */
+  def bloomAuditFromState(state: DataFrame, docs: DataFrame,
+      bits: Int = 4096, nh: Int = 3): DataFrame = {
+    val probes = spread(docs).select(col("doc_id"), md5(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bloomAuditAgainst(probes, bloomMemberFps(docs), state, bits, nh)
   }
 
   /** Bigram language-model quality scoring — the CCNet/KenLM perplexity

@@ -1109,6 +1109,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bloom delta/merge: split-invariant, idempotent under replay, audit matches one-shot") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"doc body ${i % 25} tail", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    def snap(st: org.apache.spark.sql.DataFrame) =
+      st.orderBy("pos").collect().map(_.getLong(0)).toSeq
+    val oneShot = TextStats.bloomDelta(docs)
+    for (parts <- Seq(2, 4)) {
+      val deltas = (0 until parts).map(i =>
+        TextStats.bloomDelta(docs.filter(col("doc_id") % parts === i)))
+      val merged = deltas.reduceLeft(TextStats.bloomMerge)
+      assert(snap(merged) == snap(oneShot), s"$parts-way split diverged")
+      // idempotence: re-applying a delta (at-least-once replay) is a no-op
+      assert(snap(TextStats.bloomMerge(merged, deltas.head)) == snap(oneShot))
+    }
+    // the audit off maintained state is the one-shot audit
+    assert(TextStats.bloomAuditFromState(oneShot, docs).collect().map(_.toSeq).toSeq
+      == TextStats.bloomAudit(docs).collect().map(_.toSeq).toSeq)
+  }
+
   test("count-min: one-sided error, exact for unique cells, partitioning-invariant") {
     import spark.implicits._
     // a corpus with a known frequency profile: token fN appears N times
