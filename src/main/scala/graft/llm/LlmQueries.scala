@@ -427,6 +427,28 @@ object LlmQueries {
     // mergeable-sketch matrix (m33 KMV, m34 count-min; q18's histogram
     // grid is data-derived min/max — two-pass by construction, so its
     // streaming variant would need a pre-declared grid, not a gate twin).
+    // STREAMING connected-components maintenance: the l2 minhash pair
+    // list arrives as four real micro-batches of EDGES; each batch glues
+    // standing components via label-graph contraction (fixpoint on the
+    // ≤ 2·|batch|-node contracted graph + ONE remap join — never a
+    // re-walk of all pairs seen), and the final labels must land
+    // bit-identically on l22's one-shot oracle.
+    "m37_incr_components" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_m37").toString
+      TextDedup.minhashNearDup(Tables.documents(s, dir))
+        .select("doc_a", "doc_b")
+        .repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      graft.operators.Graph.componentsMaintain(
+          src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+      graft.operators.Graph.componentsFinalize(
+        graft.operators.GenState.readState(s, s"$base/state"))
+    },
+
     "m36_stream_bloom" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_m36").toString
       Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
@@ -1074,6 +1096,32 @@ object LlmQueries {
       |SELECT query_id, rank, vec_id AS neighbor_id FROM r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The l22 connected-components chain — shared verbatim by the
+    * streaming gate (m37): label-graph contraction across batches must be
+    * invisible here. */
+  private val dedupClustersOracleSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pr AS (SELECT a_id AS doc_a, b_id AS doc_b
+      |       FROM inter
+      |       JOIN sz sa ON sa.doc_id = a_id
+      |       JOIN sz sb ON sb.doc_id = b_id
+      |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+      |          UNION ALL SELECT doc_b, doc_a FROM pr),
+      |reach(v, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.v = e.d),
+      |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+      |SELECT doc_id, cluster_id,
+      |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+      |       doc_id = cluster_id AS keep
+      |FROM cl ORDER BY doc_id""".stripMargin
 
   /** The l65 bloom chain — shared verbatim by the streaming gate (m36):
     * bit-set-union mergeability must be invisible here. */
@@ -2026,28 +2074,11 @@ object LlmQueries {
     // the l2 pair chain, then transitive closure by recursive CTE:
     // cluster_id = min doc_id reachable in the undirected pair graph —
     // the declarative mirror of Spark's min-label propagation fixpoint
-    "l22_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pr AS (SELECT a_id AS doc_a, b_id AS doc_b
-        |       FROM inter
-        |       JOIN sz sa ON sa.doc_id = a_id
-        |       JOIN sz sb ON sb.doc_id = b_id
-        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
-        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
-        |          UNION ALL SELECT doc_b, doc_a FROM pr),
-        |reach(v, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.v = e.d),
-        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
-        |SELECT doc_id, cluster_id,
-        |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
-        |       doc_id = cluster_id AS keep
-        |FROM cl ORDER BY doc_id""".stripMargin,
+    "l22_dedup_clusters" -> dedupClustersOracleSql,
+
+    // the m37 gate: label-graph contraction across batches must be
+    // INVISIBLE — the maintained labels answer with l22's oracle verbatim
+    "m37_incr_components" -> dedupClustersOracleSql,
 
     // the same k-means cell chain as l10, then the SemDeDup rule: pruned
     // iff a lower-id same-cell neighbor reaches cosine 0.4 (zero-norm

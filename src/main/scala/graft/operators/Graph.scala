@@ -82,4 +82,92 @@ object Graph {
     ej.unpersist()
     ranks.select(col("node"), col("r").as("rank_fp")).orderBy("node")
   }
+
+  /** Incremental connected components — maintain
+    * [[graft.llm.TextDedup.dedupClusters]]' labels under STREAMING edge
+    * arrivals without ever re-touching the standing graph. The insight is
+    * label-graph contraction (the union-find view of min-label CC): a
+    * converged label frame maps every node to its component's minimum id,
+    * so a batch of new pairs can only merge whole COMPONENTS — project
+    * each new pair (a, b) to the label edge (L(a), L(b)), run the
+    * fixpoint on that label graph (≤ 2·|batch| nodes, however big the
+    * corpus), and remap the standing labels through the resulting
+    * label→root table. Per-batch cost: one |batch| lookup join, a
+    * fixpoint over the contracted graph, and ONE remap join over the
+    * labels frame — never an iteration over all edges seen so far (the
+    * one-shot fixpoint re-walks the whole graph every time; at 100 TB of
+    * accumulated pairs that difference is the operator).
+    *
+    * Exactness: components of (old graph ∪ batch) = old components glued
+    * along batch pairs, which is precisely the label graph's components;
+    * the min over a merged component's nodes = min over its old labels
+    * (each already its component's min). So maintained ≡ one-shot on the
+    * union of all batches, whatever the split — the m37 gate states that
+    * with l22's oracle verbatim.
+    *
+    * `prev` must be a CONVERGED label frame (what this function returns —
+    * the GenState invariant); nodes unseen before enter as singletons. */
+  def incrementalComponents(prev: Option[DataFrame],
+      pairs: DataFrame): DataFrame = {
+    val p = pairs.select("doc_a", "doc_b")
+    prev match {
+      case None => graft.llm.TextDedup.dedupClusters(p)
+        .select("doc_id", "cluster_id")
+      case Some(st) =>
+        val stp = st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nodes = pp
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        // batch nodes' current labels; unseen nodes are their own label
+        val lab = nodes.join(stp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("l"))
+        val labelEdges = pp
+          .join(lab.select(col("doc_id").as("doc_a"), col("l").as("la")), "doc_a")
+          .join(lab.select(col("doc_id").as("doc_b"), col("l").as("lb")), "doc_b")
+          .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+        // fixpoint on the CONTRACTED graph only — label count is bounded
+        // by 2·|batch|, so each round is batch-sized whatever the corpus
+        val remap = graft.llm.TextDedup.dedupClusters(labelEdges)
+          .select(col("doc_id").as("l"), col("cluster_id").as("root"))
+        val newcomers = lab
+          .join(stp.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("l").as("cluster_id"))
+        val out = stp.unionByName(newcomers)
+          .join(remap, col("cluster_id") === col("l"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+          .localCheckpoint() // materialize before dropping the caches
+        stp.unpersist(); pp.unpersist()
+        out
+    }
+  }
+
+  /** The dedupClusters output face over a maintained label frame:
+    * (doc_id, cluster_id, n_members, keep), ordered by doc_id. */
+  def componentsFinalize(labels: DataFrame): DataFrame =
+    labels
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "n_members", "keep")
+      .orderBy("doc_id")
+
+  /** Maintain components under a streaming pair source (the m37 gate) —
+    * [[incrementalComponents]] folded per micro-batch into generation-
+    * committed state (the GenState idiom shared with the sketch and
+    * rollup maintenance family). */
+  def componentsMaintain(src: DataFrame, statePath: String,
+      checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => GenState.applyBatch(b.sparkSession, statePath, id)(prev =>
+        incrementalComponents(prev, b.toDF()))
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
 }

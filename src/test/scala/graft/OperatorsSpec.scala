@@ -265,6 +265,29 @@ class OperatorsSpec extends SparkSpec {
       "replay of a committed batch changed state")
   }
 
+  test("incrementalComponents: any batch split of the edge list lands on the one-shot labels") {
+    import spark.implicits._
+    // a 6-node path whose middle edges arrive LAST — the final batch must
+    // glue three standing components into one (the label-graph case that
+    // per-batch clustering alone can never produce)
+    val all = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L), (4L, 5L), (8L, 9L))
+    def df(ps: Seq[(Long, Long)]) = ps.toDF("doc_a", "doc_b")
+    val oneShot = graft.llm.TextDedup.dedupClusters(df(all))
+      .collect().map(_.toSeq).toSeq
+    val splits = Seq(
+      Seq(all.take(3), all.slice(3, 5), all.drop(5)),
+      Seq(all.take(1), all.slice(1, 2), all.slice(2, 4), all.drop(4)),
+      Seq(all)) // single batch = the None → dedupClusters path
+    for (batches <- splits) {
+      val got = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (st, b) => Some(graft.operators.Graph.incrementalComponents(st, df(b)))
+      }.get
+      assert(graft.operators.Graph.componentsFinalize(got)
+          .collect().map(_.toSeq).toSeq === oneShot,
+        s"split ${batches.map(_.size)} diverged")
+    }
+  }
+
   test("pageRank: hand-computed picoranks on the 3-node path a-b-c") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
