@@ -662,6 +662,43 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("AQE splits a skewed sort-merge partition at runtime (the q39 complement)") {
+    // the OTHER half of the skew story: where q39's explicit salt serves
+    // plans AQE cannot rewrite, this pins that AQE's skew-join DOES fire
+    // on the plain-join path we rely on elsewhere — a conf regression
+    // (skewJoin.enabled off, thresholds raised) would silently bring the
+    // one-task straggler back.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = (0 until 20000).map(i =>
+        (i.toLong, if (i % 10 != 0) 1L else (i % 97).toLong, "x" * 40))
+        .toDF("id", "k", "pad")
+      val dim = (0L until 97L).map(k => (k, s"d$k" + "y" * 40)).toDF("k", "attr")
+      // no aggregate after the join: a downstream stage REQUIRING the
+      // join's hash partitioning forbids the split (AQE preserves
+      // required distributions), which is exactly q39's territory.
+      // collect() — NOT a write, which executes a cloned QueryExecution
+      // whose adaptive plan this Dataset's QE never sees finalized
+      val joined = fact.join(dim, "k").select("id", "k", "attr")
+      assert(joined.collect().length == 20000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join did not fire:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q39: salted join exchanges on (key, salt) and matches the plain join") {
     import spark.implicits._
     // honest skew: one hot key owns half the fact

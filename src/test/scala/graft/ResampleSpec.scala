@@ -131,6 +131,11 @@ class ResampleSpec extends SparkSpec {
     val avg2 = r6((math.log(4.0 / 6) + math.log(2.0 / 6)) / 2)
     assert(out(1L) === ((3L, avg1, r6(math.exp(-avg1)))))
     assert(out(2L) === ((2L, avg2, r6(math.exp(-avg2)))))
+    // partitioning invariance: rounded means are a pure function of the data
+    val again = graft.llm.TextStats.lmPerplexity(docs.repartition(13))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again === out)
   }
 
   test("bm25: two-phase result equals a direct single-window top-k") {
