@@ -427,6 +427,18 @@ object LlmQueries {
     // mergeable-sketch matrix (m33 KMV, m34 count-min; q18's histogram
     // grid is data-derived min/max — two-pass by construction, so its
     // streaming variant would need a pre-declared grid, not a gate twin).
+    // Triangle counting (q40): per-node triangle participation over the
+    // minhash near-dup pair graph — the CLIQUISHNESS audit of l22's
+    // retention policy (keep-one-per-component assumes components are
+    // near-cliques; a star-shaped component — hub similar to tails that
+    // aren't similar to each other — has ZERO triangles, and this
+    // measures exactly that). Degree-ordered node-iterator in
+    // operators/Graph: wedge volume bounded |E|^1.5, never hub-degree².
+    "q40_triangles" -> { (s, dir) =>
+      graft.operators.Graph.triangleCounts(
+        TextDedup.minhashNearDup(Tables.documents(s, dir))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))) },
+
     // STREAMING connected-components maintenance: the l2 minhash pair
     // list arrives as four real micro-batches of EDGES; each batch glues
     // standing components via label-graph contraction (fixpoint on the
@@ -2079,6 +2091,38 @@ object LlmQueries {
     // the m37 gate: label-graph contraction across batches must be
     // INVISIBLE — the maintained labels answer with l22's oracle verbatim
     "m37_incr_components" -> dedupClustersOracleSql,
+
+    // the l22 pair chain + the degree-ordered orientation stated in SQL —
+    // the (degree, id) tiebreak is a total order, so both engines close
+    // identical wedge sets
+    "q40_triangles" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT a_id AS u, b_id AS v
+        |       FROM inter
+        |       JOIN sz sa ON sa.doc_id = a_id
+        |       JOIN sz sb ON sb.doc_id = b_id
+        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT u AS n FROM pr UNION ALL SELECT v FROM pr)
+        |        GROUP BY 1),
+        |ed AS (SELECT pr.u, pr.v, d1.d AS du, d2.d AS dv
+        |       FROM pr JOIN deg d1 ON d1.n = pr.u JOIN deg d2 ON d2.n = pr.v),
+        |o AS (SELECT
+        |        CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+        |        CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+        |        CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+        |      FROM ed),
+        |w AS (SELECT o1.a AS a, o1.b AS b, o2.b AS c, o1.db AS db, o2.db AS dc
+        |      FROM o o1 JOIN o o2 ON o1.a = o2.a
+        |      WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+        |t AS (SELECT w.a, w.b, w.c
+        |      FROM w JOIN o ON o.a = w.b AND o.b = w.c),
+        |x AS (SELECT unnest([a, b, c]) AS node FROM t)
+        |SELECT node, COUNT(*) AS n_tri FROM x GROUP BY node ORDER BY node""".stripMargin,
 
     // the same k-means cell chain as l10, then the SemDeDup rule: pruned
     // iff a lower-id same-cell neighbor reaches cosine 0.4 (zero-norm

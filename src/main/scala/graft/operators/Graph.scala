@@ -151,6 +151,60 @@ object Graph {
     }
   }
 
+  /** Triangle counting by the degree-ordered node-iterator (the
+    * Schank/Wagner 2005 / GraphX algorithm) — the local-density signal
+    * behind clustering coefficients and web-spam scoring (a link farm is
+    * triangle-dense; organic link graphs are locally sparse).
+    *
+    * Every undirected edge is ORIENTED from its lower-(degree, id)
+    * endpoint to the higher — a DAG whose max out-degree is O(√|E|)
+    * whatever the degree distribution (the hub that would generate
+    * deg²-many wedges as a source instead receives most edges), which is
+    * the whole scale story: the wedge self-join is Σ outdeg², bounded by
+    * |E|^1.5, never the hub-degree² blow-up of a naive neighbor join.
+    * Each triangle {x,y,z} with rank x<y<z appears EXACTLY once — as the
+    * wedge (y,z) at apex x closed by the oriented edge y→z — so counts
+    * need no de-duplication pass.
+    *
+    * All arithmetic is integer; the orientation tiebreak (degree, then
+    * id) is a total order stated identically in the oracle's SQL, so the
+    * result is engine-exact. Input: (src, dst) edge list in any
+    * direction/multiplicity (normalized to distinct u<v here). Output:
+    * (node, n_tri) per triangle-participating node, ordered by node. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low-rank → high-rank, carrying both endpoints' degrees so
+    // the wedge join can compare ranks without re-joining deg
+    val rankLt = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(rankLt, col("u")).otherwise(col("v")).as("a"),
+        when(rankLt, col("v")).otherwise(col("u")).as("b"),
+        when(rankLt, col("dv")).otherwise(col("du")).as("db"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at apex a: unordered pairs of out-neighbors, rank(b) < rank(c)
+    val wedges = oriented.select(col("a"), col("b"), col("db"))
+      .join(oriented.select(col("a"), col("b").as("c"), col("db").as("dc")), "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    // a wedge closes iff the oriented edge b→c exists (rank(b) < rank(c)
+    // already holds, so orientation cannot hide the closing edge)
+    val closing = oriented.select(col("a").as("b"), col("b").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
   /** The dedupClusters output face over a maintained label frame:
     * (doc_id, cluster_id, n_members, keep), ordered by doc_id. */
   def componentsFinalize(labels: DataFrame): DataFrame =

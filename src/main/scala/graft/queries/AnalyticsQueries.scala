@@ -740,7 +740,10 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           asDouble(sum(dec2(col("value")))).as("sum_value"))
         .orderBy("c_mktsegment")
-    }
+    },
+
+    // q40_triangles lives in LlmQueries: it runs on the minhash near-dup
+    // pair graph and its oracle shares the shingle CTE chain there.
   )
 
   val oracles: Map[String, String] = Map(

@@ -288,6 +288,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: clique, star, and wheel hand-counts") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}: 4 triangles, each node in C(3,2)=3; star hub 10
+    // with leaves 11-13: triangle-FREE (no output rows — the star-shaped
+    // dedup component q40 exists to expose); bridge 4-10 adds nothing
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (4L, 10L))
+    val got = graft.operators.Graph
+      .triangleCounts((clique ++ star).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // wheel: hub 0 + 5-ring — 5 triangles, hub in all, ring nodes in 2;
+    // reversed/duplicated edges must normalize away
+    val ring = (0 until 5).map(i => (i + 1L, (i + 1) % 5 + 1L))
+    val spokes = (1L to 5L).map(i => (i, 0L)) // reversed direction on purpose
+    val wheel = graft.operators.Graph
+      .triangleCounts((ring ++ spokes ++ ring).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(wheel === Map(0L -> 5L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
   test("pageRank: hand-computed picoranks on the 3-node path a-b-c") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
