@@ -712,6 +712,30 @@ object TimeSeriesQueries {
       KeyedUpsert.current(KeyedUpsert.readState(s, s"$base/state"))
         .select("user_id", "t", "eid", "event_type", "value")
         .orderBy("user_id")
+    },
+
+    // Seasonal profile (m38): the hour-of-day baseline next to m26's
+    // trend and m23's robust outliers — per (series, hour) volume, mean,
+    // and a hot-value audit. The anomaly predicate is the CROSS-MULTIPLIED
+    // form value·n > 2·sum (value above twice the seasonal mean): exact
+    // DECIMAL arithmetic on both sides, so no rounding seam anywhere —
+    // the mean's one IEEE division exists only in the reported column.
+    // One partial-aggregated shuffle on (type, hour) builds the profile
+    // (24·|types| rows, broadcast back onto the scan); at 100 TB both
+    // passes stay linear with map-side combine.
+    "m38_seasonal" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          dec2(col("value")).as("v"))
+      val prof = ev.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      ev.join(broadcast(prof), Seq("event_type", "hr"))
+        .groupBy("event_type", "hr")
+        .agg(max(col("n")).as("n"),
+          (asDouble(max(col("sum_v"))) / max(col("n"))).as("mean_value"),
+          sum(when(col("v") * col("n") > col("sum_v") * 2, 1L).otherwise(0L))
+            .as("n_hot"))
+        .orderBy("event_type", "hr")
     }
   )
 
@@ -1041,6 +1065,19 @@ object TimeSeriesQueries {
         |FROM events e JOIN med m USING (event_type)
         |              JOIN mad d USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the anomaly predicate is the cross-multiplied decimal form — both
+    // engines compare exact decimals; only the reported mean divides
+    "m38_seasonal" ->
+      """WITH ev AS (SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+        |                   CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |prof AS (SELECT event_type, hr, COUNT(*) AS n, SUM(v) AS sum_v
+        |         FROM ev GROUP BY 1, 2)
+        |SELECT e.event_type, e.hr, MAX(p.n) AS n,
+        |  CAST(MAX(p.sum_v) AS DOUBLE) / MAX(p.n) AS mean_value,
+        |  SUM(CASE WHEN e.v * p.n > p.sum_v * 2 THEN 1 ELSE 0 END)::BIGINT AS n_hot
+        |FROM ev e JOIN prof p USING (event_type, hr)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // hour windows align to the epoch origin in both engines
     "m24_window_distinct" ->
