@@ -41,15 +41,19 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet")
   }
 
-  /** Normalize whatever physical `ts` encoding the file had to a
-    * microsecond TIMESTAMP (truncating ns → µs; NTZ reinterpreted in the
-    * UTC session; native TIMESTAMP passes through). */
-  private def canonTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Normalize whatever physical encoding a time column had to a
+    * microsecond TIMESTAMP (truncating ns-as-BIGINT → µs; DATE /
+    * TIMESTAMP_NTZ cast — a bit-identity in the UTC session; native
+    * TIMESTAMP passes through). */
+  private def canonTsCol(df: DataFrame, name: String): DataFrame =
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
       case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df.withColumn(name, col(name).cast(TimestampType))
     }
+
+  private def canonTs(df: DataFrame): DataFrame = canonTsCol(df, "ts")
 
   /** events with `ts` as a proper microsecond TIMESTAMP, whatever the
     * file's physical encoding. */
@@ -75,8 +79,14 @@ object Tables {
     graft.queries.QUtil.streamTable(spark, fileSchema, dir, name)
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  // the two TPC-H time columns get the same encoding adaptivity as
+  // events.ts — today they ship TIMESTAMP(MICROS), but the r6 lesson is
+  // that a silent testdata regeneration (DATE, or NANOS-as-BIGINT) must
+  // degrade to a cast here, not to 40 red queries
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    canonTsCol(table(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    canonTsCol(table(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")

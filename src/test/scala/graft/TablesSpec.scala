@@ -50,7 +50,36 @@ class TablesSpec extends SparkSpec {
     }
 
     // streaming face agrees with the batch face on both encodings
-    for (dir <- Seq(nsDir, usDir)) {
+    streamingFaceCheck(Seq(nsDir, usDir))
+  }
+
+  test("lineitem/orders loaders: DATE and BIGINT-nanos date columns normalize to TIMESTAMP") {
+    import spark.implicits._
+    // the same silent-regeneration scenario for the TPC-H time columns:
+    // today's files ship TIMESTAMP(MICROS); a DATE or nanos-as-BIGINT
+    // drop must degrade to a cast in Tables, not to red queries
+    val midnightUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val asDate = Files.createTempDirectory("graft_li_date").toString
+    Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$asDate/lineitem.parquet")
+    val asNs = Files.createTempDirectory("graft_ord_ns").toString
+    Seq((1L, midnightUs * 1000L)).toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$asNs/orders.parquet")
+    val li = Tables.lineitem(spark, asDate)
+    assert(li.schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(li.select(unix_micros(col("l_shipdate"))).head().getLong(0)
+      == midnightUs)
+    val ord = Tables.orders(spark, asNs)
+    assert(ord.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(ord.select(unix_micros(col("o_orderdate"))).head().getLong(0)
+      == midnightUs)
+  }
+
+  private def streamingFaceCheck(dirs: Seq[String]): Unit = {
+    for (dir <- dirs) {
       val src = Tables.eventsStream(spark, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("us"))
       val qn = s"tables_spec_${dir.hashCode.abs}"
