@@ -84,7 +84,11 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(85 * r) div (100 * outdeg)")).as("contrib"))
         .select(col("node"), (lit(teleport) + col("contrib")).as("r"))
-        .localCheckpoint()
+      // truncate lineage every SECOND round (and before returning): a
+      // 2-round plan is still bounded, and halving the eager
+      // materialization jobs is ~25% of gate wall time — the checkpoint
+      // cadence is a floor-vs-lineage dial, not correctness
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ej.unpersist()
     ranks.select(col("node"), col("r").as("rank_fp")).orderBy("node")

@@ -715,9 +715,19 @@ object AnalyticsQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c:"), col("o_custkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst"))
+        // distinct BEFORE symmetrizing, symmetrize by explode — one
+        // execution of the fact join and one fact-sized distinct, where
+        // a union of two selects runs the join twice and shuffles 2× the
+        // rows into the dedup (gate wall time is round-dominated so this
+        // doesn't move it, but at 100 TB the fact scan is the cost and
+        // this halves it)
+        .distinct()
       // symmetrize: every node gets out-edges (the pageRank contract)
       graft.operators.Graph.pageRank(
-        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+        e0.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst")))
     },
 
     // Salted skew join (q39): the events log remapped so one hot user owns
