@@ -52,21 +52,31 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     val e = edges.select("src", "dst").distinct()
-      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // iteration parallelism derived from the MEASURED edge count (~100k
+    // edge rows per task): every round pays |stages|·parts task-scheduling
+    // overhead × iters, so a session-wide partition count oversized for
+    // the graph is pure floor — the count below materializes e anyway,
+    // and a 1000-executor deployment's billions of edges land back at the
+    // session cap. (AQE coalesces shuffle stages but not a persisted
+    // frame's partitioning, which the rounds reuse.)
+    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
+    val ep = e.repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // degree frame MATERIALIZED (localCheckpoint) before e is dropped —
     // it seeds the rank frame and N below, and a lazy reference would
     // silently re-run the caller's whole edge-building plan after the
     // unpersist (measured: 4x on the q38 gate before this was pinned)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = ep.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     // edge list with its source's out-degree riding along: one join, done
     // once, cached — rounds never recompute it
-    val ej = e.join(deg, "src")
-      .repartition(col("src"))
+    val ej = ep.join(deg, "src")
+      .repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ej.count() // materialize before the rounds so e can be dropped early
-    e.unpersist()
+    ej.count() // materialize before the rounds so e/ep can be dropped early
+    e.unpersist(); ep.unpersist()
     // N is a SCALAR the teleport literal needs in every round — the
     // bounded driver collect (the vocab/centroid idiom), one count job
     // over the checkpointed degree frame. Folding it in as literals
