@@ -723,6 +723,27 @@ object TimeSeriesQueries {
     // One partial-aggregated shuffle on (type, hour) builds the profile
     // (24·|types| rows, broadcast back onto the scan); at 100 TB both
     // passes stay linear with map-side combine.
+    // Dynamic-gap sessionization (m39): the session gap is a PER-EVENT
+    // expression — purchases hold a session open 60 minutes, everything
+    // else 30 (the "checkout grace period" every product-analytics stack
+    // hand-rolls). Spark's session_window accepts the gap as a Column, so
+    // this is still ONE partial-merged session aggregate, no self-join;
+    // the session end is max(tᵢ + gapᵢ) over members, which is what the
+    // oracle's running-max formulation states. Next to m9 (static gap),
+    // q10 (cumsum), q37 (recursion) — four mechanisms, one semantics
+    // family.
+    "m39_dynamic_session" -> { (s, dir) =>
+      val gap = when(col("event_type") === "purchase", "60 minutes")
+        .otherwise("30 minutes")
+      Tables.events(s, dir)
+        .groupBy(session_window(tsSec, gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("user_id"), tsec(col("w.start")).as("s_start"),
+          tsec(col("w.end")).as("s_end"), col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    },
+
     "m38_seasonal" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("event_type"), hour(col("ts")).as("hr"),
@@ -1065,6 +1086,33 @@ object TimeSeriesQueries {
         |FROM events e JOIN med m USING (event_type)
         |              JOIN mad d USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dynamic sessions via the running-max-end formulation: an event
+    // starts a new session iff its t exceeds the max end (tᵢ + gapᵢ) of
+    // everything before it; session end = MAX(t + gap) over members —
+    // exactly session_window's merge rule for per-row gaps
+    "m39_dynamic_session" ->
+      s"""WITH pts AS (
+        |  SELECT user_id, ($t) AS t, value,
+        |    CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN MAX(t + gap) OVER
+        |      (PARTITION BY user_id ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR t > MAX(t + gap) OVER
+        |      (PARTITION BY user_id ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM pts),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(t) AS s_start, MAX(t + gap) AS s_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
 
     // the anomaly predicate is the cross-multiplied decimal form — both
     // engines compare exact decimals; only the reported mean divides

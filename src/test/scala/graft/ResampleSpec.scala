@@ -113,6 +113,29 @@ class ResampleSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1.5, 0.5)))
   }
 
+  test("dynamic session gap: a purchase holds the session open where a click would not") {
+    import spark.implicits._
+    // purchase at t=0 (gap 3600) + click at t=2400 → ONE session ending
+    // max(0+3600, 2400+1800) = 4200; the same pair click-first splits
+    // (click's 1800 gap closes at 1800 < 2400)
+    def run(firstType: String) = {
+      val ev = Seq(
+        (1L, new java.sql.Timestamp(0L), 7L, firstType, 1.0, "{}"),
+        (2L, new java.sql.Timestamp(2400L * 1000), 7L, "click", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val gap = when(col("event_type") === "purchase", "60 minutes")
+        .otherwise("30 minutes")
+      ev.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("s"),
+          unix_timestamp(col("w.end")).as("e"), col("n"))
+        .orderBy("s")
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(run("purchase") === Seq((0L, 4200L, 2L)))
+    assert(run("click") === Seq((0L, 1800L, 1L), (2400L, 4200L, 1L)))
+  }
+
   test("lmPerplexity: hand-computed add-one bigram LM on a 3-doc corpus") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: a b, b a, a b
