@@ -149,6 +149,30 @@ object TimeSeriesQueries {
       s.table("m13_sess").orderBy("user_id", "s_start")
     },
 
+    // STREAMING dynamic-gap sessions: m39's per-event gap expression
+    // executed BY the streaming engine (the session-merge state machine
+    // must track per-member ends, not one constant horizon — the state
+    // shape the static m13 never exercises) and hash-compared to the
+    // batch running-max-end oracle. user_id < 40 bounds state like m13.
+    "m40_stream_dynamic_session" -> { (s, dir) =>
+      val gap = when(col("event_type") === "purchase", "60 minutes")
+        .otherwise("30 minutes")
+      val src = Tables.eventsStream(s, dir)
+        .filter(col("user_id") < 40)
+        .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
+      val agged = src
+        .groupBy(session_window(col("tsec"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("user_id"), tsec(col("w.start")).as("s_start"),
+          tsec(col("w.end")).as("s_end"), col("n"), col("sum_value"))
+      val q = agged.writeStream.format("memory").queryName("m40_dsess")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("m40_dsess").orderBy("user_id", "s_start")
+    },
+
     // STREAMING tumbling windows through the oracle gate: m7's windowed
     // aggregate executed BY Structured Streaming (file source →
     // complete-mode window state → memory sink, AvailableNow) and
@@ -1096,6 +1120,31 @@ object TimeSeriesQueries {
         |  SELECT user_id, ($t) AS t, value,
         |    CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap
         |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN MAX(t + gap) OVER
+        |      (PARTITION BY user_id ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR t > MAX(t + gap) OVER
+        |      (PARTITION BY user_id ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM pts),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(t) AS s_start, MAX(t + gap) AS s_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // the m39 chain bounded to the m13 user set — the streaming engine's
+    // dynamic-session state machine must land on the batch formulation
+    "m40_stream_dynamic_session" ->
+      s"""WITH pts AS (
+        |  SELECT user_id, ($t) AS t, value,
+        |    CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap
+        |  FROM events WHERE user_id < 40),
         |marked AS (
         |  SELECT *, CASE WHEN MAX(t + gap) OVER
         |      (PARTITION BY user_id ORDER BY t
