@@ -165,6 +165,59 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank (Haveliwala 2002): [[pageRank]] with the
+    * teleport restricted to a SEED cohort — the random surfer restarts
+    * only at seeds, so rank measures affinity TO that cohort (similar-
+    * customer discovery, cohort-conditioned recommendations) instead of
+    * global centrality. Same integer fixed point, same per-round
+    * join+reduce; the only deltas are the seed-conditional teleport term
+    * (one broadcast membership join per round — seed lists are
+    * cohort-sized) and a zero initial rank off-seed. Seeds outside the
+    * graph contribute no mass (they never receive or forward), but still
+    * count in the normalization — both faces of that choice are stated
+    * identically in the oracle. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
+    val e = edges.select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
+    val ep = e.repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ep.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val ej = ep.join(deg, "src")
+      .repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ej.count()
+    e.unpersist(); ep.unpersist()
+    val seedSet = seeds.select(col("node")).distinct().localCheckpoint()
+    val k = seedSet.count()
+    require(k >= 1, "personalizedPageRank needs at least one seed")
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * k)
+    val flagged = seedSet.withColumn("__seed", lit(1))
+    var ranks = deg.select(col("src").as("node"))
+      .join(broadcast(flagged), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(scale / k)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      i += 1
+      ranks = ej.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(85 * r) div (100 * outdeg)")).as("contrib"))
+        .join(broadcast(flagged), Seq("node"), "left")
+        .select(col("node"), (col("contrib") +
+          when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L))).as("r"))
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    ej.unpersist()
+    ranks.select(col("node"), col("r").as("rank_fp")).orderBy("node")
+  }
+
   /** Triangle counting by the degree-ordered node-iterator (the
     * Schank/Wagner 2005 / GraphX algorithm) — the local-density signal
     * behind clustering coefficients and web-spam scoring (a link farm is

@@ -754,6 +754,27 @@ object AnalyticsQueries {
 
     // q40_triangles lives in LlmQueries: it runs on the minhash near-dup
     // pair graph and its oracle shares the shingle CTE chain there.
+
+    // Personalized PageRank (q41): q38's graph, teleport restricted to
+    // the BUILDING-segment customers — rank becomes affinity to that
+    // cohort (which suppliers serve it, which customers co-purchase like
+    // it), the similar-entity query a global rank can't answer.
+    "q41_ppr" -> { (s, dir) =>
+      val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val sym = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+      graft.operators.Graph.personalizedPageRank(sym, seeds)
+    }
   )
 
   val oracles: Map[String, String] = Map(
@@ -1136,6 +1157,8 @@ object AnalyticsQueries {
 
     "q38_pagerank" -> pageRankOracleSql(8),
 
+    "q41_ppr" -> pprOracleSql(8),
+
     // the salt is result-invisible: the oracle is the PLAIN join
     "q39_skew_join" ->
       """WITH fact AS (
@@ -1173,6 +1196,39 @@ object AnalyticsQueries {
        |ej AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) // n.n AS r
        |       FROM deg, n),
+       |$rounds
+       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** The q41 oracle: q38's unrolled chain with the teleport term gated on
+    * seed membership (the same LEFT JOIN both the init and every round
+    * state in the Spark plan). */
+  private def pprOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |    SUM((85 * r.r) // (100 * e.outdeg))
+         |      + CASE WHEN s.node IS NOT NULL
+         |          THEN (15 * CAST(1000000000000 AS BIGINT)) // (100 * k.k)
+         |          ELSE 0 END AS r
+         |  FROM ej e JOIN r${i - 1} r ON e.src = r.node
+         |  LEFT JOIN seeds s ON s.node = e.dst, k
+         |  GROUP BY e.dst, (s.node IS NOT NULL), k.k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |seeds AS (SELECT DISTINCT 'c:' || c_custkey AS node
+       |          FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |k AS (SELECT COUNT(*) AS k FROM seeds),
+       |ej AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT d.src AS node,
+       |         CASE WHEN s.node IS NOT NULL
+       |           THEN CAST(1000000000000 AS BIGINT) // k.k ELSE 0 END AS r
+       |       FROM deg d LEFT JOIN seeds s ON s.node = d.src, k),
        |$rounds
        |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }

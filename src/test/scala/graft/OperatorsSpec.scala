@@ -322,6 +322,20 @@ class OperatorsSpec extends SparkSpec {
       "c" -> 191666666666L))
   }
 
+  test("personalizedPageRank: seed-only teleport, disconnected components stay at zero") {
+    import spark.implicits._
+    // path a-b-c + isolated pair d-e; seed {a}, one round:
+    // r0 = (S, 0, 0, 0, 0); r1(a) = teleport = 1.5e11 (b held 0),
+    // r1(b) = (85·S)//100 = 8.5e11, r1(c) = 0; d,e never reachable → 0
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("d", "e"), ("e", "d")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r1 = graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 === Map("a" -> 150000000000L, "b" -> 850000000000L,
+      "c" -> 0L, "d" -> 0L, "e" -> 0L))
+  }
+
   test("pageRank: a regular symmetric ring stays uniform across rounds") {
     import spark.implicits._
     val nodes = (0 until 6).map(_.toString)
