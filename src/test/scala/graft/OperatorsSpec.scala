@@ -265,6 +265,39 @@ class OperatorsSpec extends SparkSpec {
       "replay of a committed batch changed state")
   }
 
+  test("incrementalComponents: random graphs × random splits agree with union-find (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (c <- 1 to 8) {
+      val n = 4 + rnd.nextInt(9)
+      val pairs = Seq.fill(3 + rnd.nextInt(15)) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }
+      val want = unionFind(pairs)
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = pairs.grouped((pairs.size + nBatches - 1) / nBatches).toSeq
+      val got = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (st, b) => Some(graft.operators.Graph.incrementalComponents(
+          st, b.toDF("doc_a", "doc_b")))
+      }.get.as[(Long, Long)].collect().toMap
+      assert(got === want, s"case $c: pairs=$pairs batches=${batches.size}")
+    }
+  }
+
   test("incrementalComponents: any batch split of the edge list lands on the one-shot labels") {
     import spark.implicits._
     // a 6-node path whose middle edges arrive LAST — the final batch must
