@@ -439,6 +439,28 @@ object LlmQueries {
         TextDedup.minhashNearDup(Tables.documents(s, dir))
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))) },
 
+    // STREAMING triangle maintenance: the same pair stream as m37, but
+    // maintaining q40's per-node triangle counts — every new triangle
+    // contains a new edge, so per-batch work is wedges closed over ΔE
+    // against the standing adjacency (batch-proportional, never a
+    // re-walk), each triangle counted once at its minimal new edge.
+    // Final counts answer q40's oracle verbatim.
+    "m41_incr_triangles" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_m41").toString
+      TextDedup.minhashNearDup(Tables.documents(s, dir))
+        .select("doc_a", "doc_b")
+        .repartition(4).write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      graft.operators.Graph.trianglesMaintain(
+          src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+      graft.operators.Graph.incrTrianglesFinalize(
+        graft.operators.GenState.readState(s, s"$base/state"))
+    },
+
     // STREAMING connected-components maintenance: the l2 minhash pair
     // list arrives as four real micro-batches of EDGES; each batch glues
     // standing components via label-graph contraction (fixpoint on the
@@ -1134,6 +1156,38 @@ object LlmQueries {
       |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
       |       doc_id = cluster_id AS keep
       |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** The q40 triangle chain — shared verbatim by the streaming gate
+    * (m41): minimal-new-edge accounting across batches must be invisible
+    * here. */
+  private val trianglesOracleSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pr AS (SELECT a_id AS u, b_id AS v
+      |       FROM inter
+      |       JOIN sz sa ON sa.doc_id = a_id
+      |       JOIN sz sb ON sb.doc_id = b_id
+      |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |deg AS (SELECT n, COUNT(*) AS d
+      |        FROM (SELECT u AS n FROM pr UNION ALL SELECT v FROM pr)
+      |        GROUP BY 1),
+      |ed AS (SELECT pr.u, pr.v, d1.d AS du, d2.d AS dv
+      |       FROM pr JOIN deg d1 ON d1.n = pr.u JOIN deg d2 ON d2.n = pr.v),
+      |o AS (SELECT
+      |        CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+      |        CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+      |        CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+      |      FROM ed),
+      |w AS (SELECT o1.a AS a, o1.b AS b, o2.b AS c, o1.db AS db, o2.db AS dc
+      |      FROM o o1 JOIN o o2 ON o1.a = o2.a
+      |      WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+      |t AS (SELECT w.a, w.b, w.c
+      |      FROM w JOIN o ON o.a = w.b AND o.b = w.c),
+      |x AS (SELECT unnest([a, b, c]) AS node FROM t)
+      |SELECT node, COUNT(*) AS n_tri FROM x GROUP BY node ORDER BY node""".stripMargin
 
   /** The l65 bloom chain — shared verbatim by the streaming gate (m36):
     * bit-set-union mergeability must be invisible here. */
@@ -2095,34 +2149,11 @@ object LlmQueries {
     // the l22 pair chain + the degree-ordered orientation stated in SQL —
     // the (degree, id) tiebreak is a total order, so both engines close
     // identical wedge sets
-    "q40_triangles" ->
-      s"""WITH RECURSIVE $shingleCte,
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pr AS (SELECT a_id AS u, b_id AS v
-        |       FROM inter
-        |       JOIN sz sa ON sa.doc_id = a_id
-        |       JOIN sz sb ON sb.doc_id = b_id
-        |       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
-        |deg AS (SELECT n, COUNT(*) AS d
-        |        FROM (SELECT u AS n FROM pr UNION ALL SELECT v FROM pr)
-        |        GROUP BY 1),
-        |ed AS (SELECT pr.u, pr.v, d1.d AS du, d2.d AS dv
-        |       FROM pr JOIN deg d1 ON d1.n = pr.u JOIN deg d2 ON d2.n = pr.v),
-        |o AS (SELECT
-        |        CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
-        |        CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
-        |        CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
-        |      FROM ed),
-        |w AS (SELECT o1.a AS a, o1.b AS b, o2.b AS c, o1.db AS db, o2.db AS dc
-        |      FROM o o1 JOIN o o2 ON o1.a = o2.a
-        |      WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
-        |t AS (SELECT w.a, w.b, w.c
-        |      FROM w JOIN o ON o.a = w.b AND o.b = w.c),
-        |x AS (SELECT unnest([a, b, c]) AS node FROM t)
-        |SELECT node, COUNT(*) AS n_tri FROM x GROUP BY node ORDER BY node""".stripMargin,
+    "q40_triangles" -> trianglesOracleSql,
+
+    // the m41 gate: minimal-new-edge triangle accounting across batches
+    // must be INVISIBLE — maintained counts answer q40's oracle verbatim
+    "m41_incr_triangles" -> trianglesOracleSql,
 
     // the same k-means cell chain as l10, then the SemDeDup rule: pruned
     // iff a lower-id same-cell neighbor reaches cosine 0.4 (zero-norm

@@ -321,6 +321,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incrTriangles: random graphs × random splits agree with the one-shot counts (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    for (c <- 1 to 6) {
+      val n = 5 + rnd.nextInt(6)
+      // dense-ish so triangles with 2 and 3 new edges actually occur
+      val pairs = Seq.fill(8 + rnd.nextInt(14)) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }
+      val want = graft.operators.Graph
+        .triangleCounts(pairs.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = pairs.grouped((pairs.size + nBatches - 1) / nBatches).toSeq
+      val st = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (st, b) => Some(graft.operators.Graph.incrTriangles(
+          st, b.toDF("doc_a", "doc_b")))
+      }.get
+      val got = graft.operators.Graph.incrTrianglesFinalize(st)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"case $c: pairs=$pairs batches=${batches.size}")
+    }
+  }
+
   test("triangleCounts: clique, star, and wheel hand-counts") {
     import spark.implicits._
     // 4-clique {1,2,3,4}: 4 triangles, each node in C(3,2)=3; star hub 10
