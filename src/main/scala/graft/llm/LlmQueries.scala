@@ -504,6 +504,12 @@ object LlmQueries {
     "l66_lm_perplexity" -> { (s, dir) =>
       TextStats.lmPerplexity(Tables.documents(s, dir)) },
 
+    // the CCNet head/middle/tail split: per-language perplexity terciles
+    // over l66's scores — head is what the pipeline keeps; boundaries
+    // ride in the output so the cut is auditable
+    "l67_ppl_buckets" -> { (s, dir) =>
+      TextStats.pplBuckets(Tables.documents(s, dir)) },
+
     // per-source distribution drift: integer-exact total-variation
     // distance vs the corpus unigram distribution (the log-free stand-in
     // for KL/JS monitoring — same alarm, engine-exact arithmetic)
@@ -1156,6 +1162,30 @@ object LlmQueries {
       |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
       |       doc_id = cluster_id AS keep
       |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** The l66 bigram-LM chain (CTEs through per-doc `sc`), shared by the
+    * l67 bucket oracle so the two can never diverge. */
+  private val lmChainCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (SELECT unnest(w) AS tok FROM toks),
+      |c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM uni),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(len(w) - 1),
+      |      i -> struct_pack(
+      |        w1 := w[CAST(i + 1 AS INTEGER)],
+      |        b  := array_to_string(
+      |                w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)],
+      |                ' ')))) AS g
+      |  FROM toks),
+      |bgx AS (SELECT doc_id, g.w1 AS w1, g.b AS b FROM bg),
+      |c2 AS (SELECT b, COUNT(*) AS c2 FROM bgx GROUP BY 1),
+      |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.vocab))), 6) AS avg_logp
+      |  FROM bgx JOIN c2 USING (b) JOIN c1 ON bgx.w1 = c1.tok, v
+      |  GROUP BY doc_id)""".stripMargin
 
   /** The q40 triangle chain — shared verbatim by the streaming gate
     * (m41): minimal-new-edge accounting across batches must be invisible
@@ -1845,28 +1875,30 @@ object LlmQueries {
     // gram-hash keys (the l33 parity argument); AVG-order float drift and
     // libm ln disagreement both land far under the shared round(…,6)
     "l66_lm_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |uni AS (SELECT unnest(w) AS tok FROM toks),
-        |c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM uni),
-        |bg AS (SELECT doc_id,
-        |    unnest(list_transform(range(len(w) - 1),
-        |      i -> struct_pack(
-        |        w1 := w[CAST(i + 1 AS INTEGER)],
-        |        b  := array_to_string(
-        |                w[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)],
-        |                ' ')))) AS g
-        |  FROM toks),
-        |bgx AS (SELECT doc_id, g.w1 AS w1, g.b AS b FROM bg),
-        |c2 AS (SELECT b, COUNT(*) AS c2 FROM bgx GROUP BY 1),
-        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        |    ROUND(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.vocab))), 6) AS avg_logp
-        |  FROM bgx JOIN c2 USING (b) JOIN c1 ON bgx.w1 = c1.tok, v
-        |  GROUP BY doc_id)
+      s"""WITH $lmChainCtes
         |SELECT doc_id, n_bigrams, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // l66's chain + per-language tercile cut; the boundaries compare the
+    // SAME rounded ppl values in both engines (the m23 seam argument)
+    "l67_ppl_buckets" ->
+      s"""WITH $lmChainCtes,
+        |scored AS (
+        |  SELECT s.doc_id, ROUND(exp(-s.avg_logp), 6) AS ppl, d.lang,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |bounds AS (
+        |  SELECT lang,
+        |    ROUND(quantile_cont(ppl, CAST(1 AS DOUBLE) / 3), 6) AS b1,
+        |    ROUND(quantile_cont(ppl, CAST(2 AS DOUBLE) / 3), 6) AS b2
+        |  FROM scored GROUP BY 1)
+        |SELECT s.lang,
+        |  CASE WHEN ppl <= b1 THEN 'head'
+        |       WHEN ppl <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        |  MAX(b1) AS b1, MAX(b2) AS b2
+        |FROM scored s JOIN bounds USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l59_source_tvd" ->
       """WITH tok AS (

@@ -1333,6 +1333,42 @@ object TextStats {
     bloomAuditAgainst(probes, bloomMemberFps(docs), state, bits, nh)
   }
 
+  /** The CCNet head/middle/tail split (Wenzek et al., LREC 2020 §4.3):
+    * per-language perplexity terciles over [[lmPerplexity]]'s scores —
+    * the head (lowest-perplexity third) is what CCNet-style pipelines
+    * keep for LM pretraining, the tail is dropped or down-weighted.
+    * Output per (lang, bucket): doc count, token volume, and the
+    * tercile boundaries the bucket was cut at.
+    *
+    * Determinism: buckets compare the ROUNDED ppl (engine-identical per
+    * the l66 argument) against ROUNDED percentile boundaries computed
+    * from those same rounded values — identical multisets in, identical
+    * interpolation out, one more round(…,6) over the m23 seam. Boundary
+    * ties bucket identically because both operands are bit-equal.
+    *
+    * Scale shape: l66's chain + one per-language exact percentile (the
+    * q7 shape — fine at gate scale; a 100 TB run swaps in q18's
+    * histogram sketch for the boundaries, same output contract) + one
+    * broadcast of the |langs|-row boundary table onto the scored scan. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmPerplexity(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = scored.groupBy("lang")
+      .agg(round(expr("percentile(ppl, CAST(1 AS DOUBLE) / 3)"), 6).as("b1"),
+        round(expr("percentile(ppl, CAST(2 AS DOUBLE) / 3)"), 6).as("b2"))
+    scored.join(broadcast(bounds), "lang")
+      .withColumn("bucket",
+        when(col("ppl") <= col("b1"), "head")
+          .when(col("ppl") <= col("b2"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        max(col("b1")).as("b1"), max(col("b2")).as("b2"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Bigram language-model quality scoring — the CCNet/KenLM perplexity
     * filter (Wenzek et al., LREC 2020) that every web-scale curation
     * pipeline runs: score each document by how predictable its text is
