@@ -662,6 +662,25 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("l66: LM count tables partial-aggregate and broadcast onto the instance scan") {
+    val p = plan("l66_lm_perplexity")
+    // both count aggregates partial-combine map-side (hash-keyed, the
+    // l29 principle) ...
+    assert(p.contains("partial_count"), p.take(1000))
+    // ... and at gate scale the vocab-bounded tables broadcast; no
+    // nested loop anywhere (the vocab scalar rides a 1-row broadcast)
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("m38: seasonal profile partial-aggregates and broadcasts back onto the scan") {
+    val p = plan("m38_seasonal")
+    assert(p.contains("partial_count"), p.take(1000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    // the profile side must never shuffle-join the scan it came from
+    assert(!p.contains("SortMergeJoin"), p.take(1000))
+  }
+
   test("AQE splits a skewed sort-merge partition at runtime (the q39 complement)") {
     // the OTHER half of the skew story: where q39's explicit salt serves
     // plans AQE cannot rewrite, this pins that AQE's skew-join DOES fire
