@@ -96,8 +96,8 @@ object Graph {
         .select(col("node"), (lit(teleport) + col("contrib")).as("r"))
       // truncate lineage every SECOND round (and before returning): a
       // 2-round plan is still bounded, and halving the eager
-      // materialization jobs is ~25% of gate wall time — the checkpoint
-      // cadence is a floor-vs-lineage dial, not correctness
+      // materialization jobs shaves the per-round job floor — the
+      // checkpoint cadence is a floor-vs-lineage dial, not correctness
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ej.unpersist()
