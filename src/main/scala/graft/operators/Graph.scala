@@ -272,6 +272,64 @@ object Graph {
       .orderBy("node")
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) — the OTHER classic link
+    * analysis, and the one that fits a BIPARTITE graph natively (PageRank
+    * needs symmetrization; HITS's two mutually-recursive scores ARE the
+    * two node classes): authority(a) = Σ hub scores pointing at it,
+    * hub(h) = Σ authority scores it points at, each vector max-normalized
+    * per round.
+    *
+    * Integer fixed point like [[pageRank]], with one extra trick: the
+    * normalization (raw · S) div max would overflow BIGINT (raw is up to
+    * maxdeg·S ≈ 10²⁸ after the multiply), so the product runs in
+    * DECIMAL(38,0), whose integral `div` is bit-identical to DuckDB's
+    * HUGEINT `//` (pinned by the oracle). The per-round max rides a
+    * broadcast 1-row frame — no driver collect in the loop, and sums are
+    * order-free exact integers throughout.
+    *
+    * Scale shape: two join+partial-agg passes per round over the cached
+    * edge frame (the pageRank shape, twice), plus two 1-row max
+    * aggregates. Input: (hub, auth) directed bipartite edges. Output:
+    * (kind 'auth'|'hub', node, score_fp) after `iters` full rounds,
+    * max-normalized so the top score is exactly S = 10¹². */
+  def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select("hub", "auth").distinct().persist(mem)
+    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
+    val eh = e.repartition(parts, col("hub")).persist(mem)
+    val ea = e.repartition(parts, col("auth")).persist(mem)
+    eh.count(); ea.count(); e.unpersist()
+    val scale = 1000000000000L
+    def renorm(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(
+          s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div mx AS BIGINT)")
+          .as("s"))
+    }
+    var hub = eh.select(col("hub").as("node")).distinct()
+      .select(col("node"), lit(scale).as("s"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      i += 1
+      auth = renorm(eh.join(hub.withColumnRenamed("node", "hub"), Seq("hub"))
+        .groupBy(col("auth").as("node")).agg(sum(col("s")).as("raw")))
+        .localCheckpoint()
+      hub = renorm(ea.join(auth.withColumnRenamed("node", "auth"), Seq("auth"))
+        .groupBy(col("hub").as("node")).agg(sum(col("s")).as("raw")))
+        .localCheckpoint()
+    }
+    eh.unpersist(); ea.unpersist()
+    auth.select(lit("auth").as("kind"), col("node"), col("s").as("score_fp"))
+      .unionByName(hub.select(lit("hub").as("kind"), col("node"),
+        col("s").as("score_fp")))
+      .orderBy("kind", "node")
+  }
+
   /** Incremental triangle maintenance — [[triangleCounts]] under
     * STREAMING edge arrivals, the triangle sibling of
     * [[incrementalComponents]]. Per batch, every NEW triangle contains at

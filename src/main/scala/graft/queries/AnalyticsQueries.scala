@@ -774,6 +774,21 @@ object AnalyticsQueries {
         .filter(col("c_mktsegment") === "BUILDING")
         .select(concat(lit("c:"), col("c_custkey")).as("node"))
       graft.operators.Graph.personalizedPageRank(sym, seeds)
+    },
+
+    // HITS (q42): hubs and authorities on the RAW bipartite co-purchase
+    // graph — customers are hubs, suppliers authorities, no
+    // symmetrization needed (the algorithm's two mutually-recursive
+    // scores ARE the two node classes). Completes link analysis next to
+    // q38 global and q41 personalized PageRank.
+    "q42_hits" -> { (s, dir) =>
+      graft.operators.Graph.hits(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("hub"),
+            concat(lit("s:"), col("l_suppkey")).as("auth")))
     }
   )
 
@@ -1159,6 +1174,8 @@ object AnalyticsQueries {
 
     "q41_ppr" -> pprOracleSql(8),
 
+    "q42_hits" -> hitsOracleSql(8),
+
     // the salt is result-invisible: the oracle is the PLAIN join
     "q39_skew_join" ->
       """WITH fact AS (
@@ -1231,5 +1248,33 @@ object AnalyticsQueries {
        |       FROM deg d LEFT JOIN seeds s ON s.node = d.src, k),
        |$rounds
        |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** The q42 oracle: 8 unrolled HITS rounds — DuckDB's HUGEINT `//` is
+    * bit-identical to Spark's DECIMAL(38,0) `div` on the normalization
+    * product (both exact integer floor division). */
+  private def hitsOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT e.auth AS node, SUM(h.s) AS raw
+         |  FROM e JOIN hn${i - 1} h ON e.hub = h.node GROUP BY 1),
+         |an$i AS MATERIALIZED (SELECT node,
+         |  (CAST(raw AS HUGEINT) * 1000000000000) //
+         |    (SELECT MAX(raw) FROM a$i) AS s FROM a$i),
+         |h$i AS MATERIALIZED (SELECT e.hub AS node, SUM(a.s) AS raw
+         |  FROM e JOIN an$i a ON e.auth = a.node GROUP BY 1),
+         |hn$i AS MATERIALIZED (SELECT node,
+         |  (CAST(raw AS HUGEINT) * 1000000000000) //
+         |    (SELECT MAX(raw) FROM h$i) AS s FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT 'c:' || o_custkey AS hub, 's:' || l_suppkey AS auth
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |hn0 AS MATERIALIZED (SELECT DISTINCT hub AS node,
+       |        CAST(1000000000000 AS BIGINT) AS s FROM e),
+       |$rounds
+       |SELECT 'auth' AS kind, node, CAST(s AS BIGINT) AS score_fp FROM an$iters
+       |UNION ALL
+       |SELECT 'hub' AS kind, node, CAST(s AS BIGINT) AS score_fp FROM hn$iters
+       |ORDER BY kind, node""".stripMargin
   }
 }

@@ -321,6 +321,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hits: hand-computed two rounds on a 2x2 bipartite graph") {
+    import spark.implicits._
+    // hubs {1,2}, auths {a,b}; 1→{a,b}, 2→{b}. After round 1:
+    // auth a=S/2, b=S; hub 1=S, 2=(S·S)//1.5S=666666666666. Round 2:
+    // auth a=(S·S)//(1+2/3)S=600000000000, b=S; hub 1=S, 2=625000000000
+    val edges = Seq(("1", "a"), ("1", "b"), ("2", "b")).toDF("hub", "auth")
+    val got = graft.operators.Graph.hits(edges, iters = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      ("auth", "a") -> 600000000000L, ("auth", "b") -> 1000000000000L,
+      ("hub", "1") -> 1000000000000L, ("hub", "2") -> 625000000000L))
+  }
+
   test("incrTriangles: random graphs × random splits agree with the one-shot counts (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815)
