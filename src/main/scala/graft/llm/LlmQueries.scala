@@ -353,6 +353,13 @@ object LlmQueries {
     "l62_ann_recall" -> { (s, dir) =>
       Similarity.annRecallAudit(Tables.embeddings(s, dir)) },
 
+    // semantic benchmark decontamination: the embedding-space sibling of
+    // l15 — flag corpus vectors within cosine tau of ANY eval vector
+    // (paraphrase/translation contamination lexical 8-grams can't see);
+    // eval side broadcast, corpus-linear map-side max
+    "l68_semantic_decontam" -> { (s, dir) =>
+      Similarity.semanticDecontam(Tables.embeddings(s, dir)) },
+
     // KMV set algebra: cross-source union/jaccard/intersection estimates
     // from merged per-source k-minima — the sketch-MERGE face of l42
     // (what 1000 executors ship to one reducer), exact-intersection audit
@@ -1313,6 +1320,26 @@ object LlmQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "l3_ann_brute" -> bruteOracleSql(5),
+
+    // cosines are the bit-exact fold chain, so the tau cut and the
+    // argmax tiebreak (smallest bench_id) are seam-free
+    "l68_semantic_decontam" ->
+      s"""WITH $embCte,
+        |b AS (SELECT vec_id AS bench_id, v AS bv, nv AS bnv FROM n
+        |      WHERE vec_id % 50 = 0 AND nv > 0),
+        |c AS (SELECT vec_id, v, nv FROM n WHERE vec_id % 50 <> 0 AND nv > 0),
+        |s AS (SELECT c.vec_id, b.bench_id,
+        |        ${duckCosine.format("c.v", "b.bv", "c.nv", "b.bnv")} AS cosine
+        |      FROM c, b),
+        |r AS (SELECT vec_id, cosine, bench_id,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cosine DESC, bench_id) AS rn FROM s),
+        |best AS (SELECT vec_id, cosine AS max_cos, bench_id FROM r WHERE rn = 1)
+        |SELECT e.vec_id,
+        |  COALESCE(max_cos >= 0.4, false) AS contaminated, max_cos, bench_id
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) e
+        |LEFT JOIN best USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
 
     "l4_ann_lsh" -> lshOracleSql,
 

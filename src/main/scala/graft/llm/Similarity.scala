@@ -874,4 +874,47 @@ object Similarity {
       .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
       .orderBy("method", "query_id")
   }
+
+  /** Semantic benchmark decontamination — the embedding-space sibling of
+    * l15's word-8-gram decontam: flag every corpus vector whose cosine to
+    * ANY benchmark/eval vector reaches `tau` (paraphrased or translated
+    * test items share no 8-grams but sit next to the eval set in
+    * embedding space — the contamination class lexical overlap cannot
+    * see). The benchmark here is the deterministic vec_id % `benchMod`
+    * slice (a stand-in for the real eval-set table a deployment joins).
+    *
+    * Scale shape: eval sets are tiny at any corpus scale, so the
+    * benchmark side is BROADCAST and the scan is one map-side cross
+    * product with a partial-aggregated max per corpus vector — no
+    * corpus shuffle at all (plan: corpus-linear, |bench|-wide). A
+    * benchmark too big to broadcast routes through the l10 IVF cells
+    * (probe = corpus, cells = bench) — same output contract. Zero-norm
+    * vectors are excluded from the geometry (the l21 rule) but kept in
+    * the output as uncontaminated, max_cos NULL.
+    *
+    * Engine-exactness: cosine is the codegen'd sequential-fold dot over
+    * doubles (bit-identical to the oracle's list_reduce chain), so the
+    * max/argmax and the >= tau cut are seam-free; ties on max_cos pick
+    * the smallest bench_id via lexicographic struct max. */
+  def semanticDecontam(embeddings: DataFrame, benchMod: Int = 50,
+      tau: Double = 0.4): DataFrame = {
+    val e = prepared(embeddings).filter(col("nv") > 0)
+    val bench = e.filter(col("vec_id") % benchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"),
+        col("nv").as("bnv"))
+    val scored = e.filter(col("vec_id") % benchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cosine", cosine(col("v"), col("nv"), col("bv"), col("bnv")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine").as("c"), (-col("bench_id")).as("nb")))
+        .as("st"))
+      .select(col("vec_id"), col("st.c").as("max_cos"),
+        (-col("st.nb")).as("bench_id"))
+    embeddings.filter(col("vec_id") % benchMod =!= 0).select("vec_id")
+      .join(scored, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("max_cos") >= tau, lit(false)).as("contaminated"),
+        col("max_cos"), col("bench_id"))
+      .orderBy("vec_id")
+  }
 }

@@ -113,6 +113,23 @@ class ResampleSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1.5, 0.5)))
   }
 
+  test("semanticDecontam: planted near-duplicate of a bench vector flags; orthogonal does not") {
+    import spark.implicits._
+    // bench = vec_id % 50 == 0 → {0}; corpus: 1 = scaled copy of bench 0
+    // (cosine 1), 2 = orthogonal (cosine 0), 3 = zero vector (excluded
+    // from geometry, still reported uncontaminated with NULL max_cos)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(3f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0),
+      (3L, Array(0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity.semanticDecontam(emb)
+      .select("vec_id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("dynamic session gap: a purchase holds the session open where a click would not") {
     import spark.implicits._
     // purchase at t=0 (gap 3600) + click at t=2400 → ONE session ending
