@@ -69,24 +69,32 @@ object Tables {
     canonTs(graft.queries.QUtil.streamTable(spark, fileSchema, dir, "events"))
   }
 
+  /** Time columns that get encoding adaptivity per table (the r6 lesson
+    * generalized): both the batch loaders below and [[stream]] normalize
+    * these, so the two faces can never diverge on a regenerated drop. */
+  private val timeCols: Map[String, String] =
+    Map("lineitem" -> "l_shipdate", "orders" -> "o_orderdate")
+
   /** Streaming face of any non-events table, with the schema derived from
     * the file's own footer — never hand-declared (the r6 lesson: a
     * hard-coded physical schema breaks the day the testdata is
-    * regenerated with a different encoding). */
+    * regenerated with a different encoding) — and the same time-column
+    * normalization as the batch loaders. */
   def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(name != "events", "events streams through eventsStream (ts canon)")
     val fileSchema = spark.read.parquet(s"$dir/$name.parquet").schema
-    graft.queries.QUtil.streamTable(spark, fileSchema, dir, name)
+    val src = graft.queries.QUtil.streamTable(spark, fileSchema, dir, name)
+    timeCols.get(name).fold(src)(c => canonTsCol(src, c))
   }
 
   // the two TPC-H time columns get the same encoding adaptivity as
   // events.ts — today they ship TIMESTAMP(MICROS), but the r6 lesson is
   // that a silent testdata regeneration (DATE, or NANOS-as-BIGINT) must
-  // degrade to a cast here, not to 40 red queries
+  // degrade to a cast here, not to 40 red queries (see [[timeCols]])
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    canonTsCol(table(spark, dir, "lineitem"), "l_shipdate")
+    canonTsCol(table(spark, dir, "lineitem"), timeCols("lineitem"))
   def orders(spark: SparkSession, dir: String): DataFrame =
-    canonTsCol(table(spark, dir, "orders"), "o_orderdate")
+    canonTsCol(table(spark, dir, "orders"), timeCols("orders"))
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")

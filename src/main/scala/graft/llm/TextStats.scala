@@ -1330,7 +1330,11 @@ object TextStats {
       bits: Int = 4096, nh: Int = 3): DataFrame = {
     val probes = spread(docs).select(col("doc_id"), md5(col("text")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bloomAuditAgainst(probes, bloomMemberFps(docs), state, bits, nh)
+    // exact-membership side derived from the CACHED probe fingerprints
+    // (the l65 shape) — not a second corpus scan + md5 pass
+    val members = probes.filter(col("doc_id") % 2 === 0)
+      .select(col("fp")).distinct()
+    bloomAuditAgainst(probes, members, state, bits, nh)
   }
 
   /** The CCNet head/middle/tail split (Wenzek et al., LREC 2020 §4.3):
@@ -1425,9 +1429,11 @@ object TextStats {
       .select(col("doc_id"), col("z.h2s").as("h2"), col("z.h1c").as("h1"))
     val uni = toks.select(explode(col("h1s")).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = inst.groupBy("h2").agg(count(lit(1)).as("c2"))
-    val vocab = toks.select(explode(col("h1s")).as("h1")).agg(
-      count_distinct(col("h1")).as("vocab"))
+    // V is by construction uni's cardinality — one count over the (tiny,
+    // cached) aggregate, not a second token-stream distinct pass
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
     val logp = log((col("c2") + lit(1)).cast("double") /
       (col("c1") + col("vocab")).cast("double"))
     // the persist is read by inst/uni/bi/vocab inside the returned plan's

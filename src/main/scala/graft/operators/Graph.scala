@@ -15,6 +15,47 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private val Mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Iteration parallelism derived from the MEASURED edge count (~100k
+    * edge rows per task): every round pays |stages|·parts task-scheduling
+    * overhead × iters, so a session-wide partition count oversized for
+    * the graph is pure floor — the count materializes the (persisted)
+    * frame anyway, and a 1000-executor deployment's billions of edges
+    * land back at the session cap. (AQE coalesces shuffle stages but not
+    * a persisted frame's partitioning, which the rounds reuse.) */
+  private def sizedParts(e: DataFrame): Int = {
+    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
+  }
+
+  /** The shared rank-iteration scaffold: distinct edges, measured-size
+    * partitioning on `src`, the out-degree frame MATERIALIZED
+    * (localCheckpoint) before the raw edge caches are dropped — a lazy
+    * reference would silently re-run the caller's whole edge-building
+    * plan after the unpersist (measured: 4x on the q38 gate before this
+    * was pinned; the invariant lives HERE so the three rank operators
+    * can't drift apart). `ej` carries each edge's source out-degree
+    * (one join, cached — rounds never recompute it); `nNodes` is the
+    * bounded driver scalar the teleport literals need. */
+  private case class PreppedEdges(ej: DataFrame, deg: DataFrame, nNodes: Long)
+
+  private def prepareEdges(edges: DataFrame): PreppedEdges = {
+    val e = edges.select("src", "dst").distinct().persist(Mem)
+    val parts = sizedParts(e)
+    val ep = e.repartition(parts, col("src")).persist(Mem)
+    val deg = ep.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val ej = ep.join(deg, "src")
+      .repartition(parts, col("src"))
+      .persist(Mem)
+    ej.count() // materialize before the rounds so e/ep can be dropped early
+    e.unpersist(); ep.unpersist()
+    val n = deg.count()
+    require(n >= 1, "rank iteration needs a non-empty edge list")
+    PreppedEdges(ej, deg, n)
+  }
+
   /** PageRank in 10⁻¹² fixed point — every rank is a BIGINT number of
     * "picoranks", so all arithmetic is integer (exact, overflow-safe:
     * ranks ≤ 10¹², ×85 ≤ 8.5·10¹³) and every aggregation is ORDER-FREE.
@@ -51,38 +92,7 @@ object Graph {
     * picoranks, ordered by node. */
   def pageRank(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
-    val e = edges.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // iteration parallelism derived from the MEASURED edge count (~100k
-    // edge rows per task): every round pays |stages|·parts task-scheduling
-    // overhead × iters, so a session-wide partition count oversized for
-    // the graph is pure floor — the count below materializes e anyway,
-    // and a 1000-executor deployment's billions of edges land back at the
-    // session cap. (AQE coalesces shuffle stages but not a persisted
-    // frame's partitioning, which the rounds reuse.)
-    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
-    val ep = e.repartition(parts, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // degree frame MATERIALIZED (localCheckpoint) before e is dropped —
-    // it seeds the rank frame and N below, and a lazy reference would
-    // silently re-run the caller's whole edge-building plan after the
-    // unpersist (measured: 4x on the q38 gate before this was pinned)
-    val deg = ep.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    // edge list with its source's out-degree riding along: one join, done
-    // once, cached — rounds never recompute it
-    val ej = ep.join(deg, "src")
-      .repartition(parts, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ej.count() // materialize before the rounds so e/ep can be dropped early
-    e.unpersist(); ep.unpersist()
-    // N is a SCALAR the teleport literal needs in every round — the
-    // bounded driver collect (the vocab/centroid idiom), one count job
-    // over the checkpointed degree frame. Folding it in as literals
-    // keeps each round join+aggregate only (no per-round broadcast
-    // stage, nothing upstream to recompute).
-    val n = deg.count()
+    val PreppedEdges(ej, deg, n) = prepareEdges(edges)
     val scale = 1000000000000L
     val teleport = (15L * scale) / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
@@ -179,19 +189,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 8): DataFrame = {
     require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
-    val e = edges.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
-    val ep = e.repartition(parts, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = ep.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    val ej = ep.join(deg, "src")
-      .repartition(parts, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ej.count()
-    e.unpersist(); ep.unpersist()
+    val PreppedEdges(ej, deg, _) = prepareEdges(edges)
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint()
     val k = seedSet.count()
     require(k >= 1, "personalizedPageRank needs at least one seed")
@@ -294,12 +292,10 @@ object Graph {
     * max-normalized so the top score is exactly S = 10¹². */
   def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"hits needs iters >= 1, got $iters")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select("hub", "auth").distinct().persist(mem)
-    val sessParts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1, math.min(sessParts, (e.count() / 100000L).toInt + 1))
-    val eh = e.repartition(parts, col("hub")).persist(mem)
-    val ea = e.repartition(parts, col("auth")).persist(mem)
+    val e = edges.select("hub", "auth").distinct().persist(Mem)
+    val parts = sizedParts(e)
+    val eh = e.repartition(parts, col("hub")).persist(Mem)
+    val ea = e.repartition(parts, col("auth")).persist(Mem)
     eh.count(); ea.count(); e.unpersist()
     val scale = 1000000000000L
     def renorm(raw: DataFrame): DataFrame = {
@@ -352,7 +348,6 @@ object Graph {
     * batches — the m41 gate states that with q40's oracle verbatim, and
     * the sbt property test checks random graphs × random splits. */
   def incrTriangles(prev: Option[DataFrame], pairs: DataFrame): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pN = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -367,8 +362,8 @@ object Graph {
         (Seq.empty[(Long, Long)].toDF("u", "v"),
           Seq.empty[(Long, Long)].toDF("node", "n_tri"))
     }
-    val dE = pN.join(eOld, Seq("u", "v"), "left_anti").persist(mem)
-    val allE = eOld.unionByName(dE).persist(mem)
+    val dE = pN.join(eOld, Seq("u", "v"), "left_anti").persist(Mem)
+    val allE = eOld.unionByName(dE).persist(Mem)
     val adj = allE.select(explode(array(
         struct(col("u").as("x"), col("v").as("y")),
         struct(col("v").as("x"), col("u").as("y")))).as("e"))

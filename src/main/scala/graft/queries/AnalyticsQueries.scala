@@ -710,24 +710,7 @@ object AnalyticsQueries {
     // connected components (fixed 8 rounds of join+reduce, integer fixed
     // point so both engines land bit-identically; see operators/Graph).
     "q38_pagerank" -> { (s, dir) =>
-      val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"))
-        // distinct BEFORE symmetrizing, symmetrize by explode — one
-        // execution of the fact join and one fact-sized distinct, where
-        // a union of two selects runs the join twice and shuffles 2× the
-        // rows into the dedup (gate wall time is round-dominated so this
-        // doesn't move it, but at 100 TB the fact scan is the cost and
-        // this halves it)
-        .distinct()
-      // symmetrize: every node gets out-edges (the pageRank contract)
-      graft.operators.Graph.pageRank(
-        e0.select(explode(array(
-            struct(col("src"), col("dst")),
-            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      graft.operators.Graph.pageRank(coPurchaseEdges(s, dir))
     },
 
     // Salted skew join (q39): the events log remapped so one hot user owns
@@ -760,20 +743,11 @@ object AnalyticsQueries {
     // cohort (which suppliers serve it, which customers co-purchase like
     // it), the similar-entity query a global rank can't answer.
     "q41_ppr" -> { (s, dir) =>
-      val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"))
-        .distinct()
-      val sym = e0.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
         .select(concat(lit("c:"), col("c_custkey")).as("node"))
-      graft.operators.Graph.personalizedPageRank(sym, seeds)
+      graft.operators.Graph.personalizedPageRank(
+        coPurchaseEdges(s, dir), seeds)
     },
 
     // HITS (q42): hubs and authorities on the RAW bipartite co-purchase
@@ -791,6 +765,27 @@ object AnalyticsQueries {
             concat(lit("s:"), col("l_suppkey")).as("auth")))
     }
   )
+
+  /** The symmetrized customer↔supplier co-purchase graph shared by q38
+    * and q41 (ONE definition, matching both oracles' edge CTE): distinct
+    * BEFORE symmetrizing, symmetrize by explode — one execution of the
+    * fact join and one fact-sized distinct, where a union of two selects
+    * would run the join twice and shuffle 2× the rows into the dedup
+    * (gate wall time is round-dominated so this doesn't move it, but at
+    * 100 TB the fact scan is the cost and this halves it). Every node
+    * gets out-edges — the pageRank contract. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
