@@ -76,6 +76,17 @@ class TablesSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
     assert(ord.select(unix_micros(col("o_orderdate"))).head().getLong(0)
       == midnightUs)
+    // the STREAMING face normalizes identically (a batch/stream split on
+    // the encoding decision is exactly the divergence class this guards)
+    val sname = s"tables_spec_li_${asDate.hashCode.abs}"
+    val q = Tables.stream(spark, asDate, "lineitem")
+      .select(unix_micros(col("l_shipdate")).as("us"))
+      .writeStream.format("memory").queryName(sname).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(sname).head().getLong(0) == midnightUs,
+      "stream face disagrees with the batch face on a DATE-encoded drop")
   }
 
   private def streamingFaceCheck(dirs: Seq[String]): Unit = {
