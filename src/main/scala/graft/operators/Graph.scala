@@ -114,6 +114,51 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_fp")).orderBy("node")
   }
 
+  /** Weighted PageRank — [[pageRank]] with integer edge weights: a node
+    * distributes its rank mass proportionally to each out-edge's weight
+    * instead of uniformly (co-purchase STRENGTH, link multiplicity,
+    * citation counts — the signal the unweighted walk discards). Same
+    * fixed point; the contribution is
+    * (((85·r) div 100) · w) div W(u), W(u) = Σ out-weights — the inner
+    * div runs FIRST so the product stays ≤ 8.5·10¹¹·w (overflow-safe for
+    * any weight ≤ 10⁷; one extra floor per edge, same determinism
+    * argument), and that exact evaluation order is the model both
+    * engines state. Duplicate (src, dst) rows sum their weights; weights
+    * must be positive integers. */
+  def weightedPageRank(edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"weightedPageRank needs iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(Mem)
+    val parts = sizedParts(e)
+    val ep = e.repartition(parts, col("src")).persist(Mem)
+    val deg = ep.groupBy("src").agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint() // materialized before the unpersist (the
+                         // prepareEdges lesson — shared invariant)
+    val ej = ep.join(deg, "src")
+      .repartition(parts, col("src"))
+      .persist(Mem)
+    ej.count()
+    e.unpersist(); ep.unpersist()
+    val n = deg.count()
+    require(n >= 1, "rank iteration needs a non-empty edge list")
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      i += 1
+      ranks = ej.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(((85 * r) div 100) * w) div wdeg")).as("contrib"))
+        .select(col("node"), (lit(teleport) + col("contrib")).as("r"))
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    ej.unpersist()
+    ranks.select(col("node"), col("r").as("rank_fp")).orderBy("node")
+  }
+
   /** Incremental connected components — maintain
     * [[graft.llm.TextDedup.dedupClusters]]' labels under STREAMING edge
     * arrivals without ever re-touching the standing graph. The insight is

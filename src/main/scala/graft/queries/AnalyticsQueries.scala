@@ -750,6 +750,28 @@ object AnalyticsQueries {
         coPurchaseEdges(s, dir), seeds)
     },
 
+    // Weighted PageRank (q43): rank mass distributed by co-purchase
+    // STRENGTH (distinct orders linking the pair) instead of uniformly —
+    // the signal the q38 walk discards. Same integer fixed point; the
+    // weighted contribution's evaluation order is part of the model
+    // (see Graph.weightedPageRank).
+    "q43_weighted_pagerank" -> { (s, dir) =>
+      val ew = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"), col("o_orderkey"))
+        .distinct() // one (cust, supp, order) triple per linking order
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.weightedPageRank(
+        ew.select(explode(array(
+            struct(col("src"), col("dst"), col("w")),
+            struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+          .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.w").as("w")))
+    },
+
     // HITS (q42): hubs and authorities on the RAW bipartite co-purchase
     // graph — customers are hubs, suppliers authorities, no
     // symmetrization needed (the algorithm's two mutually-recursive
@@ -1171,6 +1193,8 @@ object AnalyticsQueries {
 
     "q42_hits" -> hitsOracleSql(8),
 
+    "q43_weighted_pagerank" -> weightedPageRankOracleSql(8),
+
     // the salt is result-invisible: the oracle is the PLAIN join
     "q39_skew_join" ->
       """WITH fact AS (
@@ -1241,6 +1265,35 @@ object AnalyticsQueries {
        |         CASE WHEN s.node IS NOT NULL
        |           THEN CAST(1000000000000 AS BIGINT) // k.k ELSE 0 END AS r
        |       FROM deg d LEFT JOIN seeds s ON s.node = d.src, k),
+       |$rounds
+       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** The q43 oracle: q38's unrolled chain with weight-proportional
+    * contributions — the inner-div-first evaluation order is stated
+    * identically on both sides (it IS the model, see
+    * Graph.weightedPageRank). */
+  private def weightedPageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |    (15 * CAST(1000000000000 AS BIGINT)) // (100 * n.n)
+         |      + SUM((((85 * r.r) // 100) * e.w) // e.wdeg) AS r
+         |  FROM ej e JOIN r${i - 1} r ON e.src = r.node, n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst,
+       |         o_orderkey
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT src, dst, COUNT(*) AS w FROM t GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT src, dst, w FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+       |deg AS (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |ej AS (SELECT e.src, e.dst, e.w, d.wdeg FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) // n.n AS r
+       |       FROM deg, n),
        |$rounds
        |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }

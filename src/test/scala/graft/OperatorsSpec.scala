@@ -395,6 +395,29 @@ class OperatorsSpec extends SparkSpec {
       "c" -> 191666666666L))
   }
 
+  test("weightedPageRank: hand-computed round on an asymmetric-weight path") {
+    import spark.implicits._
+    // a-b-c with b→c weight 3 (else 1): W(b)=4, so b sends c a 3/4 share.
+    // One round from uniform r0 = S/3 (contrib base (85·r0)//100 =
+    // 283333333333): r1(a) = tp + (base·1)//4 = 50e9 + 70833333333;
+    // r1(b) = tp + base + base; r1(c) = tp + (base·3)//4
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 3L),
+      ("c", "b", 1L)).toDF("src", "dst", "w")
+    val r1 = graft.operators.Graph.weightedPageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 === Map("a" -> 120833333333L, "b" -> 616666666666L,
+      "c" -> 262499999999L))
+    // uniform weights reduce to the unweighted walk
+    val uni = Seq(("a", "b", 2L), ("b", "a", 2L), ("b", "c", 2L),
+      ("c", "b", 2L)).toDF("src", "dst", "w")
+    val w1 = graft.operators.Graph.weightedPageRank(uni, iters = 1)
+      .as[(String, Long)].collect().toMap
+    val p1 = graft.operators.Graph.pageRank(
+      uni.select("src", "dst"), iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(w1 === p1)
+  }
+
   test("personalizedPageRank: seed-only teleport, disconnected components stay at zero") {
     import spark.implicits._
     // path a-b-c + isolated pair d-e; seed {a}, one round:
