@@ -48,7 +48,24 @@ object Tables {
   private def canonTsCol(df: DataFrame, name: String): DataFrame =
     df.schema(name).dataType match {
       case LongType =>
-        df.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
+        // ns-only contract, ENFORCED per row: a regenerated drop encoding
+        // micros (or epoch days) as BIGINT must fail loudly, not load
+        // 1000x mis-scaled. Plausible ns epoch range [1980, 2100) —
+        // 315532800e9 .. 4102444800e9 ns; anything else (e.g. the same
+        // instants in µs are ~10³ below the floor) raises at scan time.
+        // One codegen'd comparison per row; raise_error sits on the cold
+        // branch.
+        df.withColumn(name, expr(
+          s"""timestamp_micros(CASE
+             |  WHEN $name IS NULL OR ($name >= 315532800000000000
+             |                         AND $name < 4102444800000000000)
+             |    THEN $name div 1000
+             |  ELSE CAST(raise_error(concat(
+             |    'canonTsCol($name): BIGINT value ', CAST($name AS STRING),
+             |    ' is outside the nanosecond epoch range [1980,2100) — ',
+             |    'the ns-only contract (Tables.timeCols) does not hold ',
+             |    'for this file')) AS BIGINT)
+             |END)""".stripMargin))
       case TimestampType => df
       case _ => df.withColumn(name, col(name).cast(TimestampType))
     }

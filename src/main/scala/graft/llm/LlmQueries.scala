@@ -1922,7 +1922,7 @@ object LlmQueries {
         |SELECT s.lang,
         |  CASE WHEN ppl <= b1 THEN 'head'
         |       WHEN ppl <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
-        |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MAX(b1) AS b1, MAX(b2) AS b2
         |FROM scored s JOIN bounds USING (lang)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -40,6 +40,28 @@ object Graph {
     * bounded driver scalar the teleport literals need. */
   private case class PreppedEdges(ej: DataFrame, deg: DataFrame, nNodes: Long)
 
+  /** The rank operators' symmetry contract, VALIDATED (not just
+    * documented): every destination must also appear as a source —
+    * otherwise the inner join+groupBy round silently drops no-in-edge
+    * nodes after round 1 and leaks dangling mass instead of failing.
+    * One anti-join count over the (persisted) edge frame, piggybacked on
+    * the materialization pass — cheap relative to `iters` rounds of
+    * joins. Disable via spark.graft.graph.validateEdges=false if a
+    * caller has already proven symmetry upstream. */
+  private def validateSymmetry(ep: DataFrame, deg: DataFrame): Unit = {
+    val conf = ep.sparkSession.conf
+      .get("spark.graft.graph.validateEdges", "true")
+    if (conf.toBoolean) {
+      val dangling = ep.select(col("dst").as("src")).distinct()
+        .join(deg.select("src"), Seq("src"), "left_anti").count()
+      require(dangling == 0L,
+        s"rank iteration requires dst-set ⊆ src-set (symmetrize the " +
+          s"edge list for undirected graphs); found $dangling destination " +
+          "node(s) with no out-edges — their rank would silently vanish " +
+          "after round 1")
+    }
+  }
+
   private def prepareEdges(edges: DataFrame): PreppedEdges = {
     val e = edges.select("src", "dst").distinct().persist(Mem)
     val parts = sizedParts(e)
@@ -50,6 +72,7 @@ object Graph {
       .repartition(parts, col("src"))
       .persist(Mem)
     ej.count() // materialize before the rounds so e/ep can be dropped early
+    validateSymmetry(ep, deg)
     e.unpersist(); ep.unpersist()
     val n = deg.count()
     require(n >= 1, "rank iteration needs a non-empty edge list")
@@ -139,6 +162,19 @@ object Graph {
       .repartition(parts, col("src"))
       .persist(Mem)
     ej.count()
+    // Enforce the documented weight contract instead of wrapping Long:
+    // w < 1 makes the proportional model meaningless; w > 10⁷ can
+    // overflow ((85·r) div 100)·w ≈ 8.5·10¹¹·w past Long.MaxValue.
+    // One tiny aggregate over the persisted aggregated-edge frame.
+    val wRow = e.agg(min(col("w").cast("long")).as("mn"),
+      max(col("w").cast("long")).as("mx")).first()
+    require(!wRow.isNullAt(0), "rank iteration needs a non-empty edge list")
+    val (wMin, wMax) = (wRow.getLong(0), wRow.getLong(1))
+    require(wMin >= 1L && wMax <= 10000000L,
+      s"weightedPageRank needs positive integer weights <= 1e7 after " +
+        s"per-(src,dst) summing (overflow-safe fixed point); got " +
+        s"min=$wMin max=$wMax")
+    validateSymmetry(ep, deg)
     e.unpersist(); ep.unpersist()
     val n = deg.count()
     require(n >= 1, "rank iteration needs a non-empty edge list")
@@ -357,11 +393,17 @@ object Graph {
     var i = 0
     while (i < iters) {
       i += 1
+      // sum in DECIMAL(38,0), not BIGINT: s reaches 10¹², so an
+      // in-degree above ~9.2M would silently wrap Long under non-ANSI
+      // sum — the whole round must match the oracle's HUGEINT
+      // arithmetic, not just the normalization product
       auth = renorm(eh.join(hub.withColumnRenamed("node", "hub"), Seq("hub"))
-        .groupBy(col("auth").as("node")).agg(sum(col("s")).as("raw")))
+        .groupBy(col("auth").as("node"))
+        .agg(sum(col("s").cast("decimal(38,0)")).as("raw")))
         .localCheckpoint()
       hub = renorm(ea.join(auth.withColumnRenamed("node", "auth"), Seq("auth"))
-        .groupBy(col("hub").as("node")).agg(sum(col("s")).as("raw")))
+        .groupBy(col("hub").as("node"))
+        .agg(sum(col("s").cast("decimal(38,0)")).as("raw")))
         .localCheckpoint()
     }
     eh.unpersist(); ea.unpersist()
@@ -408,6 +450,16 @@ object Graph {
           Seq.empty[(Long, Long)].toDF("node", "n_tri"))
     }
     val dE = pN.join(eOld, Seq("u", "v"), "left_anti").persist(Mem)
+    // Materialized here anyway (the union below needs it); the count also
+    // decides the side-edge join strategy: an explicit broadcast() of the
+    // batch edge set is right for the steady state (micro-batches are
+    // small), but a first batch replaying a large history would blow the
+    // driver/executor broadcast limit — past the threshold, drop the hint
+    // and let the planner/AQE pick a shuffle join.
+    val dECount = dE.count()
+    val broadcastBatch = dECount <= 1000000L
+    def batchSide(f: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(f) else f
     val allE = eOld.unionByName(dE).persist(Mem)
     val adj = allE.select(explode(array(
         struct(col("u").as("x"), col("v").as("y")),
@@ -426,9 +478,9 @@ object Graph {
     val owned = cand
       .withColumn("e1", side(col("u"), col("w")))
       .withColumn("e2", side(col("v"), col("w")))
-      .join(broadcast(newFlag.select(struct(col("u"), col("v")).as("e1"),
+      .join(batchSide(newFlag.select(struct(col("u"), col("v")).as("e1"),
         col("__new").as("n1"))), Seq("e1"), "left")
-      .join(broadcast(newFlag.select(struct(col("u"), col("v")).as("e2"),
+      .join(batchSide(newFlag.select(struct(col("u"), col("v")).as("e2"),
         col("__new").as("n2"))), Seq("e2"), "left")
       .filter(
         !(col("n1").isNotNull && col("e1") < struct(col("u"), col("v"))) &&

@@ -1183,7 +1183,7 @@ object AnalyticsQueries {
         |  SELECT p_partkey, 'retail_cents' AS metric, retail_cents AS value FROM base
         |  UNION ALL
         |  SELECT p_partkey, 'size' AS metric, size AS value FROM base)
-        |SELECT metric, COUNT(*) AS n, SUM(value) AS total,
+        |SELECT metric, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS total,
         |  MIN(value) AS min_v, MAX(value) AS max_v
         |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
 
@@ -1233,7 +1233,7 @@ object AnalyticsQueries {
        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) // n.n AS r
        |       FROM deg, n),
        |$rounds
-       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }
 
   /** The q41 oracle: q38's unrolled chain with the teleport term gated on
@@ -1266,7 +1266,7 @@ object AnalyticsQueries {
        |           THEN CAST(1000000000000 AS BIGINT) // k.k ELSE 0 END AS r
        |       FROM deg d LEFT JOIN seeds s ON s.node = d.src, k),
        |$rounds
-       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }
 
   /** The q43 oracle: q38's unrolled chain with weight-proportional
@@ -1295,7 +1295,7 @@ object AnalyticsQueries {
        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) // n.n AS r
        |       FROM deg, n),
        |$rounds
-       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }
 
   /** The q42 oracle: 8 unrolled HITS rounds — DuckDB's HUGEINT `//` is

@@ -432,6 +432,44 @@ class OperatorsSpec extends SparkSpec {
       "c" -> 0L, "d" -> 0L, "e" -> 0L))
   }
 
+  test("rank operators: asymmetric edge lists are rejected, not truncated") {
+    import spark.implicits._
+    // c has an in-edge but no out-edges — the inner-join round would
+    // silently drop it after round 1; the contract check must fail fast
+    val dangling = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Graph.pageRank(dangling, iters = 1).collect()
+    }
+    assert(e1.getMessage.contains("dst-set"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Graph.weightedPageRank(
+        dangling.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("dst-set"))
+    // the escape hatch: callers that proved symmetry upstream can skip
+    spark.conf.set("spark.graft.graph.validateEdges", "false")
+    try {
+      val out = graft.operators.Graph.pageRank(dangling, iters = 1).collect()
+      assert(out.nonEmpty) // truncated semantics, but explicitly opted into
+    } finally spark.conf.set("spark.graft.graph.validateEdges", "true")
+  }
+
+  test("weightedPageRank: weight contract enforced (positive, <= 1e7)") {
+    import spark.implicits._
+    val zero = Seq(("a", "b", 0L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val eZ = intercept[IllegalArgumentException] {
+      graft.operators.Graph.weightedPageRank(zero, iters = 1).collect()
+    }
+    assert(eZ.getMessage.contains("min="))
+    val huge = Seq(("a", "b", 20000000L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val eH = intercept[IllegalArgumentException] {
+      graft.operators.Graph.weightedPageRank(huge, iters = 1).collect()
+    }
+    assert(eH.getMessage.contains("max="))
+  }
+
   test("pageRank: a regular symmetric ring stays uniform across rounds") {
     import spark.implicits._
     val nodes = (0 until 6).map(_.toString)

@@ -89,6 +89,24 @@ class TablesSpec extends SparkSpec {
       "stream face disagrees with the batch face on a DATE-encoded drop")
   }
 
+  test("BIGINT time columns outside the ns epoch range fail loudly, not 1000x mis-scaled") {
+    import spark.implicits._
+    // a regenerated drop that encodes MICROS as BIGINT: the same instant
+    // is ~10^3 below the ns-range floor — the loader must raise, because
+    // silently treating it as ns would shift every event to 1970
+    val usAsLong = Files.createTempDirectory("graft_ev_uslong").toString
+    writeEvents(usAsLong, Seq((1L, tUs, 7L, "click", 1.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val ex = intercept[Exception] {
+      Tables.events(spark, usAsLong).select("ts").collect()
+    }
+    def rootMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMsgs(e.getCause))
+    assert(rootMsgs(ex).exists(_.contains("nanosecond epoch range")),
+      s"expected the ns-contract error, got: ${rootMsgs(ex).mkString(" | ")}")
+  }
+
   private def streamingFaceCheck(dirs: Seq[String]): Unit = {
     for (dir <- dirs) {
       val src = Tables.eventsStream(spark, dir)

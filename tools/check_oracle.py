@@ -69,6 +69,26 @@ def main():
             print(f"COLS     {name}: spark={list(s.columns)} duck={list(d.columns)}")
             failures += 1
             continue
+        # Type gate: the driver's hash is type-KIND-sensitive — a DuckDB
+        # HUGEINT result (pandas object/float64) vs Spark BIGINT (int64) is a
+        # real failure even when every value compares equal under Python ==
+        # (the r8 lesson: 5 red rows from exactly this). Integer WIDTH is
+        # normalized (int8..int64 all hash alike on the driver — 17 queries
+        # with int32-vs-int64 columns passed r8), so only kind mismatches
+        # (int vs float vs object vs bool vs datetime) fail here. Oracles
+        # must CAST aggregate outputs (SUM → HUGEINT!) back to BIGINT.
+        def kind(t):
+            t = str(t)
+            if t in ("int8", "int16", "int32", "int64",
+                     "uint8", "uint16", "uint32", "uint64"):
+                return "int"
+            return t
+        sd, dd = [kind(t) for t in s.dtypes], [kind(t) for t in d.dtypes]
+        if sd != dd:
+            diffs = [(c, a, b) for c, a, b in zip(s.columns, sd, dd) if a != b]
+            print(f"DTYPE    {name}: {diffs}")
+            failures += 1
+            continue
         if len(s) != len(d):
             print(f"ROWS     {name}: spark={len(s)} duck={len(d)}")
             failures += 1
