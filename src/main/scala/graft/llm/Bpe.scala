@@ -93,11 +93,19 @@ object Bpe {
     *
     * Scale shape: training ([[bpeMerges]]) collects k argmax rows; the
     * merge table is then a DRIVER-SIDE literal, so encoding is one
-    * zero-shuffle projection over the corpus — per row: extract words,
-    * mark, fold the k merges as a chain of literal `replace`s inside a
-    * `transform` lambda, sum token counts with `aggregate`. No explode,
-    * no groupBy: the corpus is touched once and never shuffled (the
-    * oracle, which must re-derive the merges in SQL, uses an
+    * zero-shuffle projection over the corpus. The kernel is WHOLE-STRING,
+    * not per-word: mark every letter of the space-joined word array in
+    * ONE regex pass per document, fold the k merges as literal `replace`s
+    * over that single string (a merge pattern contains no space, so it
+    * can never span the separator between two words' markers), and read
+    * the token count off the result as the number of token-start markers
+    * (each merge collapses M2·M1 away, so #tokens ≡ #M1). That keeps the
+    * whole projection in codegen'd string builtins — the first cut ran
+    * mark+merge+split inside a `transform` lambda, and HOF lambda bodies
+    * are interpreted with no subexpression elimination (the l63 lesson;
+    * measured 9.2 s → see bench_full.json after this rewrite). No
+    * explode, no groupBy: the corpus is touched once and never shuffled
+    * (the oracle, which must re-derive the merges in SQL, uses an
     * explode+regroup instead — same rows, different plan).
     * Output: (doc_id, n_words, n_bpe_tokens). */
   def bpeEncode(documents: DataFrame, k: Int = 4): DataFrame = {
@@ -112,10 +120,12 @@ object Bpe {
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-        aggregate(
-          transform(col("ws"), w => size(split(
-            applyMerges(regexp_replace(w, "(.)", s"$M1$$1$M2")), s"$M2$M1"))),
-          lit(0L), (acc, n) => acc + n).as("n_bpe_tokens"))
+        regexp_replace(array_join(col("ws"), " "), "([a-z])", s"$M1$$1$M2")
+          .as("m"))
+      .select(col("doc_id"), col("n_words"),
+        (length(applyMerges(col("m"))) -
+          length(replace(applyMerges(col("m")), lit(M1), lit(""))))
+          .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 

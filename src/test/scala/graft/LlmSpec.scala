@@ -1281,6 +1281,24 @@ class LlmSpec extends SparkSpec {
       (4, "lo", "w", "low", 7L)), out.mkString(", "))
   }
 
+  test("bpe encode: hand-computed token counts on the Sennrich corpus") {
+    import spark.implicits._
+    // after the 4 merges (es, est, lo, low):
+    // low → [low] = 1 token; lower → [low,e,r] = 3; newest → [n,e,w,est]
+    // = 4; widest → [w,i,d,est] = 4
+    val df = Seq(
+      (1L, List.fill(5)("low").mkString(" ")),
+      (2L, List.fill(2)("lower").mkString(" ")),
+      (3L, List.fill(6)("newest").mkString(" ")),
+      (4L, List.fill(3)("widest").mkString(" ")),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Bpe.bpeEncode(df, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 5L * 1), (2L, 2L, 2L * 3), (3L, 6L, 6L * 4),
+      (4L, 3L, 3L * 4), (5L, 0L, 0L)), out.mkString(", "))
+  }
+
   test("bpe: stops early when the corpus exhausts before k merges") {
     import spark.implicits._
     // 'ab' fully merges in one round; round 2 has no adjacent pairs left
