@@ -104,6 +104,9 @@ final class UnitDb private (
   // metrics counters (reference meter.go:86-115)
   private val nPuts, nGets, nDeletes, nSyncs, nEntriesRead, nBytesWritten,
     nBytesRead = new AtomicLong(0L)
+  // op-duration reservoir behind varz's percentile block (one histogram
+  // over put/get/sync, like the reference's single event-duration sample)
+  private val opMeter = new LatencyMeter()
 
   // recover last assigned seq from the store + sidecars (reference
   // recovery.go:45-178 rebuilds from WAL; we just ask the table — the
@@ -140,7 +143,7 @@ final class UnitDb private (
   /** Append with contract/TTL/encryption (reference db.go:346-387). Topic
     * may carry a `?ttl=` option; an explicit `Entry.ttlMillis` wins.
     * @return the entry's 16-byte ID, usable with [[delete(id*]]. */
-  def putEntry(e: Entry): Array[Byte] = synchronized {
+  def putEntry(e: Entry): Array[Byte] = synchronized { opMeter.time {
     ensureOpen()
     val m = toMessage(
       e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract)))
@@ -149,7 +152,7 @@ final class UnitDb private (
     nBytesWritten.addAndGet(if (m.payload == null) 0 else m.payload.length.toLong)
     if (pending.size >= autoFlushRows) sync()
     e.id.getOrElse(MessageId.encode(m.ts.getTime / 1000, m.contract, m.seq))
-  }
+  } }
 
   /** Delete one message by seq + topic — appends a sidecar tombstone;
     * readers anti-join it out (reference db.go:392-425 frees the block). */
@@ -268,7 +271,7 @@ final class UnitDb private (
   /** Flush the pending buffers as atomic Parquet appends (reference
     * DB.Sync, db.go:452-472): entries to the main table, delete markers to
     * the `_tombstones` sidecar. */
-  def sync(): Unit = synchronized {
+  def sync(): Unit = synchronized { opMeter.time {
     var flushed = false
     // Tombstones flush FIRST: the two appends are not atomic together, and
     // a crash between them must only ever under-apply the batch. A
@@ -291,14 +294,14 @@ final class UnitDb private (
       flushed = true
     }
     if (flushed) nSyncs.incrementAndGet(): Unit
-  }
+  } }
 
   // ----------------------------------------------------------------- read
 
   /** Core query (reference db.go:222-319): topics matching the pattern
     * under the contract, newer than the `?last=` cutoff, live (not deleted,
     * not expired), newest-first, limited. Returns payloads newest-first. */
-  def get(q: Query): Array[Array[Byte]] = {
+  def get(q: Query): Array[Array[Byte]] = opMeter.time {
     val rows = getFrame(q).select("payload").collect().map(_.getAs[Array[Byte]](0))
     nEntriesRead.addAndGet(rows.length.toLong)
     nBytesRead.addAndGet(rows.iterator.map(p => if (p == null) 0L else p.length.toLong).sum)
@@ -536,7 +539,7 @@ final class UnitDb private (
     puts = nPuts.get, gets = nGets.get, deletes = nDeletes.get,
     syncs = nSyncs.get, entriesRead = nEntriesRead.get,
     bytesWritten = nBytesWritten.get, bytesRead = nBytesRead.get,
-    fileSize = fileSize())
+    fileSize = fileSize(), latency = opMeter.snapshot())
 
   /** Physical bytes on disk (reference DB.FileSize, db.go:480-482). */
   def fileSize(): Long = {

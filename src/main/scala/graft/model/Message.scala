@@ -115,9 +115,32 @@ object Query {
   val MaxLimit = 100000
 }
 
+/** Operation-duration statistics over a bounded reservoir, in µs — the
+  * reference Varz's percentile block (meter.go:102-115: HMean, P50..P999,
+  * Long5p/Short5p, Min/Max, StdDev from metrics/histogram.go). */
+final case class LatencyStats(
+    samples: Int,
+    hmeanUs: Double,
+    p50Us: Double,
+    p75Us: Double,
+    p95Us: Double,
+    p99Us: Double,
+    p999Us: Double,
+    long5pUs: Double,
+    short5pUs: Double,
+    minUs: Double,
+    maxUs: Double,
+    stddevUs: Double)
+
+object LatencyStats {
+  val empty: LatencyStats = LatencyStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+}
+
 /** Runtime metrics snapshot — the Spark-native `Varz()` (reference
   * db.go:475-482, meter.go:86-115). Counters are logical (pre-encryption
-  * payload bytes); `fileSize` is physical bytes on disk. */
+  * payload bytes); `fileSize` is physical bytes on disk; `latency` is the
+  * op-duration histogram over put/get/sync (one reservoir, like the
+  * reference's single event-duration sample). */
 final case class Varz(
     puts: Long,
     gets: Long,
@@ -126,4 +149,5 @@ final case class Varz(
     entriesRead: Long,
     bytesWritten: Long,
     bytesRead: Long,
-    fileSize: Long)
+    fileSize: Long,
+    latency: LatencyStats = LatencyStats.empty)

@@ -828,4 +828,38 @@ class UnitDbSpec extends SparkSpec {
     assert(v.bytesWritten == 100L && v.bytesRead == 100L)
     assert(v.fileSize > 0L, "store has bytes on disk")
   }
+
+  test("varz metrics: latency percentiles populate after a put/get burst") {
+    val (db, _, tick) = freshDb()
+    for (_ <- 1 to 20) { db.put("varz.lat", "x".getBytes); tick(10) }
+    db.sync()
+    for (_ <- 1 to 3) db.get(Query("varz.lat"))
+    val lat = db.varz().latency
+    assert(lat.samples == 24, s"20 puts + 1 sync + 3 gets, got ${lat.samples}")
+    assert(lat.p50Us > 0 && lat.p99Us >= lat.p50Us && lat.maxUs >= lat.p999Us)
+    assert(lat.minUs <= lat.p50Us && lat.hmeanUs > 0)
+    assert(lat.long5pUs >= lat.short5pUs)
+    // sub-ms puts and multi-ms Spark-job gets must not collapse into one
+    // indistinguishable number — the p50 (a put) sits far below the max
+    // (a get); this is the signal the percentile block exists to carry
+    assert(lat.maxUs > lat.p50Us)
+  }
+
+  test("LatencyMeter: exact nearest-rank stats, bounded reservoir") {
+    val m = new graft.engine.LatencyMeter(capacity = 8)
+    // 1..8 µs in ns
+    for (v <- 1 to 8) m.observe(v * 1000L)
+    val s = m.snapshot()
+    assert(s.samples == 8 && s.minUs == 1.0 && s.maxUs == 8.0)
+    assert(s.p50Us == 4.0 && s.p75Us == 6.0 && s.p999Us == 8.0)
+    assert(s.long5pUs == 8.0 && s.short5pUs == 1.0)
+    // ring wraps: 8 more observations evict the first 8 entirely
+    for (v <- 11 to 18) m.observe(v * 1000L)
+    val s2 = m.snapshot()
+    assert(m.count == 16 && s2.samples == 8)
+    assert(s2.minUs == 11.0 && s2.maxUs == 18.0 && s2.p50Us == 14.0)
+    // empty meter is all zeros, not NaN
+    val e = new graft.engine.LatencyMeter().snapshot()
+    assert(e.samples == 0 && e.p50Us == 0.0 && e.stddevUs == 0.0)
+  }
 }
