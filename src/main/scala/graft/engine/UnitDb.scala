@@ -34,9 +34,11 @@ import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, TopicKey
   *  - `batch`     (db.go:434-447)  → buffered entries committed as a single
   *    atomic append, aborted on exception.
   *  - encryption  (crypto/mac.go:84-110) → per-entry `encrypted` flag; the
-  *    payload column is AES-GCM ciphertext at rest (the reference uses
-  *    ChaCha20-Poly1305 — documented algorithm difference; both are AEAD),
-  *    encrypted/decrypted distributively via `aes_encrypt`/`aes_decrypt`.
+  *    payload column is AEAD ciphertext at rest. Two ciphers: [[AesGcm]]
+  *    (default — Spark's codegen'd `aes_encrypt`/`aes_decrypt`) and
+  *    [[ChaCha20Poly1305]], which is wire-compatible with the reference
+  *    MAC envelope (see [[graft.functions.ChaChaMacUtil]]) so payloads
+  *    written by the reference engine decrypt here and vice versa.
   *
   * Scale design: `(contract, wc, day)` partitioning gives tenant + time
   * pruning for every `?last=` query, and the tiny `wc=1` bucket isolates
@@ -52,6 +54,18 @@ import graft.model.{Entry, Message, MessageId, Query, Tombstone, Topic, TopicKey
   * [[graft.streaming.StreamIngest]], whose checkpoint + commit markers
   * replay un-committed micro-batches after a crash.
   */
+/** At-rest payload cipher selection for [[UnitDb.open]]. */
+sealed trait PayloadCipher
+
+/** Spark-native AEAD via `aes_encrypt`/`aes_decrypt` (random IV per row —
+  * equal plaintexts get distinct ciphertexts). The default. */
+case object AesGcm extends PayloadCipher
+
+/** Reference-parity AEAD: the exact crypto/mac.go:84-110 envelope
+  * (snappy → fnv32 signature → ChaCha20-Poly1305 with a content-derived
+  * nonce), so data encrypted by the reference engine round-trips. */
+case object ChaCha20Poly1305 extends PayloadCipher
+
 final class UnitDb private (
     val spark: SparkSession,
     val path: String,
@@ -60,7 +74,8 @@ final class UnitDb private (
     encryptionKey: Option[Array[Byte]],
     commitProtocol: StoreCommitProtocol,
     writeSaltBuckets: Int,
-    val secureMode: Boolean) {
+    val secureMode: Boolean,
+    cipher: PayloadCipher) {
 
   import UnitDb._
 
@@ -855,15 +870,21 @@ final class UnitDb private (
     * nonce does). */
   private def encrypt(df: DataFrame): DataFrame = encryptionKey match {
     case Some(k) => df.withColumn("payload",
-      when(col("encrypted"), aes_encrypt(col("payload"), lit(k)))
-        .otherwise(col("payload")))
+      when(col("encrypted"), cipher match {
+        case AesGcm => aes_encrypt(col("payload"), lit(k))
+        case ChaCha20Poly1305 =>
+          graft.functions.ChaChaSeal(col("payload"), k)
+      }).otherwise(col("payload")))
     case None => df
   }
 
   private def decrypt(df: DataFrame): DataFrame = encryptionKey match {
     case Some(k) => df.withColumn("payload",
-      when(col("encrypted"), aes_decrypt(col("payload"), lit(k)))
-        .otherwise(col("payload")))
+      when(col("encrypted"), cipher match {
+        case AesGcm => aes_decrypt(col("payload"), lit(k))
+        case ChaCha20Poly1305 =>
+          graft.functions.ChaChaOpen(col("payload"), k)
+      }).otherwise(col("payload")))
     case None => df
   }
 
@@ -1032,9 +1053,14 @@ object UnitDb {
       encryptionKey: Option[Array[Byte]] = None,
       commitProtocol: StoreCommitProtocol = PosixSwapCommit,
       writeSaltBuckets: Int = 1,
-      secureMode: Boolean = false): UnitDb = {
-    encryptionKey.foreach(k => require(Set(16, 24, 32)(k.length),
-      s"AES key must be 16/24/32 bytes, got ${k.length}"))
+      secureMode: Boolean = false,
+      cipher: PayloadCipher = AesGcm): UnitDb = {
+    encryptionKey.foreach(k => cipher match {
+      case AesGcm => require(Set(16, 24, 32)(k.length),
+        s"AES key must be 16/24/32 bytes, got ${k.length}")
+      case ChaCha20Poly1305 => require(k.length == 32,
+        s"ChaCha20-Poly1305 key must be 32 bytes, got ${k.length}")
+    })
     require(writeSaltBuckets >= 1, s"writeSaltBuckets must be >= 1")
     TopicMatches.register(spark)
     // repair any crash leftovers of an interrupted vacuum commit BEFORE
@@ -1044,7 +1070,7 @@ object UnitDb {
     commitProtocol.recover(path)
     Files.createDirectories(Paths.get(path))
     new UnitDb(spark, path, clock, autoFlushRows, encryptionKey, commitProtocol,
-      writeSaltBuckets, secureMode)
+      writeSaltBuckets, secureMode, cipher)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

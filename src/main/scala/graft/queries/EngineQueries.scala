@@ -74,6 +74,31 @@ object EngineQueries {
         .orderBy(desc("t"), desc("eid"))
     },
 
+    // O21's reference-parity twin: the same encrypted round-trip with the
+    // ChaCha20-Poly1305 codec (the reference crypto/mac.go envelope,
+    // wire-compatible — see ChaChaMacUtil) instead of AES-GCM. Same
+    // oracle: at-rest bytes differ, decrypted reads must not.
+    "s2b_engine_chacha" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_s2b").toString
+      val db = UnitDb.open(s, base + "/store",
+        encryptionKey = Some(("0123456789abcdef" * 2).getBytes),
+        cipher = graft.engine.ChaCha20Poly1305)
+      val src = graft.Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          concat(lit("ccp.u"), (col("user_id") % 10).cast("string")).as("topic"),
+          col("event_id").cast("string").cast("binary").as("payload"),
+          col("ts"),
+          lit(true).as("encrypt"))
+      val q = StreamIngest.start(db, src, base + "/ckpt",
+        queryName = "s2b", trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      db.scanFrame(Query("ccp..."))
+        .select(col("topic"), tsec(col("ts")).as("t"),
+          col("payload").cast("string").as("eid"))
+        .orderBy(desc("t"), desc("eid"))
+    },
+
     // The store and the curation pipeline as ONE system (s3): documents
     // are ingested into a fresh UnitDb as messages (topic encodes
     // source + shard, payload carries id|text), read back through the
@@ -207,6 +232,12 @@ object EngineQueries {
 
     "s2_engine_encrypted" ->
       s"""SELECT 'enc.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
+        |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY t DESC, eid DESC""".stripMargin,
+
+    "s2b_engine_chacha" ->
+      s"""SELECT 'ccp.u' || CAST(user_id % 10 AS VARCHAR) AS topic,
         |  ${duckTsec("ts")} AS t, CAST(event_id AS VARCHAR) AS eid
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY t DESC, eid DESC""".stripMargin,
