@@ -44,16 +44,13 @@ object Subscribe {
     * (authorized-with-bare-patterns, rejected). The rejected frame is
     * the caller's to surface — the reference errors the one SUBSCRIBE,
     * never the connection, so the fan-out analogue is per-row exclusion,
-    * not query failure. The key check is a Scala UDF by necessity (the
-    * decode + salted-hash arithmetic has no builtin form) and by license
-    * (it runs on the subscription-count-sized frame at resolution time —
-    * once per [[startDynamic]] batch at most — never on the message
-    * stream). */
+    * not query failure. The key check is the
+    * [[graft.functions.TopicKeyValidate]] codegen expression (decode +
+    * salted-hash bit math), so even this resolution-time frame never
+    * drops out of whole-stage codegen. */
   def validSubs(subscriptions: DataFrame,
       flag: Int = TopicKey.AllowRead): (DataFrame, DataFrame) = {
     val hasContract = subscriptions.columns.contains("contract")
-    val checkKey = udf((key: String, bare: String, contract: Long) =>
-      TopicKey.validate(key, bare, flag, contract))
     val hasKey = instr(col("pattern"), TopicKey.Separator.toString) > 0
     val keyed = subscriptions
       .withColumn("__key",
@@ -61,8 +58,10 @@ object Subscribe {
       .withColumn("__bare",
         when(hasKey, expr("substring(pattern, instr(pattern, '/') + 1)"))
           .otherwise(col("pattern")))
-      .withColumn("__ok", checkKey(col("__key"), col("__bare"),
-        if (hasContract) col("contract") else lit(Message.MasterContract)))
+      .withColumn("__ok", graft.functions.TopicKeyValidate(
+        col("__key"), col("__bare"),
+        (if (hasContract) col("contract") else lit(Message.MasterContract))
+          .cast("long"), flag))
     val kept = keyed.filter(col("__ok"))
       .withColumn("pattern", col("__bare"))
       .drop("__key", "__bare", "__ok")

@@ -140,5 +140,30 @@ class SecuritySpec extends SparkSpec {
     val msgs = Seq(("alerts.high", mc, "m1")).toDF("topic", "contract", "payload")
     val fanned = graft.streaming.Subscribe.fanout(msgs, kept)
     assert(fanned.select("sub_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // the key check is a codegen expression now — no Scala UDF anywhere
+    // in the subscribe resolution plan (r8 VERDICT #3)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"subscribe plan still carries a UDF:\n$plan")
+  }
+
+  test("TopicKeyValidate expression: codegen and interpreted paths agree") {
+    import spark.implicits._
+    val rk = generate("a.b", AllowRead)
+    val cases = Seq(
+      (rk, "a.b", graft.model.Message.MasterContract),
+      (rk, "a.c", graft.model.Message.MasterContract), // wrong topic
+      ("", "a.b", graft.model.Message.MasterContract), // no key
+      ("garbage!", "a.b", graft.model.Message.MasterContract),
+      (rk, "a.b", 12345L)) // wrong contract salt
+      .toDF("key", "bare", "contract")
+    val got = cases.select(graft.functions.TopicKeyValidate(
+        org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col("bare"),
+        org.apache.spark.sql.functions.col("contract"), AllowRead).as("ok"))
+      .as[Boolean].collect().toSeq
+    val want = cases.collect().toSeq.map(r =>
+      graft.model.TopicKey.validate(r.getString(0), r.getString(1),
+        AllowRead, r.getLong(2)))
+    assert(got == want && got == Seq(true, false, false, false, false))
   }
 }
