@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+
+import graft.engine.UnitDb
+import graft.model.{Entry, Query}
+import graft.streaming.{UtpCodec => C}
+
+/** Minimal uTP endpoint — the read adapter that makes this engine
+  * reachable by reference client binaries (the one capability gap a
+  * reference *user* would notice; reference server/internal/hdl_conn.go
+  * is the full 4.8k-LoC original, this speaks just enough of its
+  * protocol to accept the data-plane verbs):
+  *
+  *  - CONNECT     → ACKNOWLEDGE control carrying ConnectAcknowledge
+  *                  (Accepted, epoch, connId) — hdl_conn.go:93-156
+  *  - PUBLISH     → one [[UnitDb.putEntry]] per PublishMessage (TTL
+  *                  carried via the topic's `?ttl=` option), then the
+  *                  ACKNOWLEDGE control echoing MessageID —
+  *                  hdl_conn.go:434-487
+  *  - RELAY       → per request with a `last` window, the stored matches
+  *                  stream back as one PUBLISH packet (delivery mode 2,
+  *                  the batch-on-relay rule, hdl_conn.go:348-380), then
+  *                  ACKNOWLEDGE — hdl_conn.go:160-180
+  *  - PINGREQ     → ACKNOWLEDGE — hdl_conn.go:228-234
+  *  - DISCONNECT / EOF → flush ([[UnitDb.sync]]) and close.
+  *
+  * Scale/role note: this adapter is the INGEST EDGE, not the query
+  * engine — one driver-side listener feeding the store's pending buffer,
+  * exactly how the embedded `put` face is used, with durability on sync
+  * cadence (`syncEveryPuts`) plus a final sync per connection close. A
+  * production deployment fronts many of these (or the reference server
+  * itself) and lets the Spark side do what it scales at: the store's
+  * partitioned parquet is the meeting point. Secure mode needs no extra
+  * code here — `putEntry`/`get` already enforce `key/topic` authority
+  * per operation, matching the reference's per-request checks.
+  *
+  * SUBSCRIBE/UNSUBSCRIBE (live fan-out over a connection) are declined
+  * with a clean close rather than half-implemented — the engine's
+  * subscription surface is [[Subscribe]] over Structured Streaming. */
+final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
+
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  private val connIds = new AtomicInteger(0)
+  private val putsSinceSync = new AtomicLong(0)
+
+  /** Bound port (useful with port = 0 / ephemeral). */
+  def actualPort: Int = server.getLocalPort
+
+  private def daemon(name: String)(body: => Unit): Thread = {
+    val t = new Thread(() => body, name)
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  daemon(s"utp-accept-$actualPort") {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        daemon(s"utp-conn-${connIds.incrementAndGet()}")(serve(sock))
+      } catch {
+        case _: java.net.SocketException => // closed
+      }
+    }
+  }
+
+  private def send(sock: Socket, bytes: Array[Byte]): Unit =
+    sock.synchronized {
+      sock.getOutputStream.write(bytes)
+      sock.getOutputStream.flush()
+    }
+
+  private def ack(sock: Socket, msgType: Int, messageId: Int,
+      payload: Array[Byte] = Array.emptyByteArray): Unit =
+    send(sock, C.encodePacket(msgType, C.ACKNOWLEDGE,
+      C.encodeControl(C.ControlMessage(messageId, payload))))
+
+  private def serve(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    try {
+      var open = true
+      while (open && running.get()) {
+        C.readPacket(in) match {
+          case None => open = false
+          case Some((fh, body)) => fh.msgType match {
+            case C.CONNECT =>
+              val connack = C.encodeConnack(C.ConnectAcknowledge(
+                C.Accepted, (System.currentTimeMillis() / 1000).toInt,
+                connIds.get()))
+              ack(sock, C.CONNECT, 0, connack)
+
+            case C.PUBLISH if fh.flowControl == C.NONE =>
+              val pub = C.decodePublish(body)
+              pub.messages.foreach { m =>
+                val topic =
+                  if (m.ttl == null || m.ttl.isEmpty) m.topic
+                  else if (m.topic.contains('?')) s"${m.topic}&ttl=${m.ttl}"
+                  else s"${m.topic}?ttl=${m.ttl}"
+                db.putEntry(Entry(topic, m.payload))
+                if (putsSinceSync.incrementAndGet() % syncEveryPuts == 0)
+                  db.sync()
+              }
+              ack(sock, C.PUBLISH, pub.messageId)
+
+            case C.RELAY =>
+              val relay = C.decodeRelay(body)
+              relay.requests.foreach { req =>
+                if (req.last != null && req.last.nonEmpty) {
+                  db.sync() // serve read-your-writes across connections
+                  val payloads = db.get(Query(s"${req.topic}?last=${req.last}"))
+                  if (payloads.nonEmpty)
+                    send(sock, C.encodePacket(C.PUBLISH, C.NONE,
+                      C.encodePublish(C.Publish(0, 2,
+                        payloads.toSeq.map(p =>
+                          C.PublishMessage(req.topic, p, ""))))))
+                }
+              }
+              ack(sock, C.RELAY, relay.messageId)
+
+            case C.PINGREQ =>
+              ack(sock, C.PINGREQ, 0)
+
+            case C.DISCONNECT =>
+              open = false
+
+            case _ =>
+              // SUBSCRIBE/UNSUBSCRIBE/flow-control: out of this adapter's
+              // scope — close cleanly rather than strand the client
+              open = false
+          }
+        }
+      }
+    } catch {
+      case _: java.io.EOFException | _: java.net.SocketException => // peer gone
+    } finally {
+      try db.sync() catch { case _: Exception => }
+      try sock.close() catch { case _: Exception => }
+    }
+  }
+
+  def close(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Exception => }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.net.Socket
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import graft.engine.UnitDb
+import graft.model.Query
+import graft.streaming.{UtpCodec => C}
+
+/** The uTP adapter: wire-layout vectors pinning cross-implementation
+  * byte compatibility, and a live loopback session driving the
+  * CONNECT/PUBLISH/RELAY/PINGREQ/DISCONNECT verbs into a real store. */
+class UtpSpec extends SparkSpec {
+
+  test("codec: FixedHeader byte layout matches the proto3 wire spec") {
+    // FixedHeader{MessageType: PUBLISH(2), MessageLength: 5} —
+    // field 1 varint 2 → 0x08 0x02; field 3 varint 5 → 0x18 0x05;
+    // FlowControl 0 is absent under proto3 zero-skipping
+    val fh = C.encodeFixedHeader(C.FixedHeader(C.PUBLISH, C.NONE, 5))
+    assert(fh.toSeq == Seq(0x08, 0x02, 0x18, 0x05).map(_.toByte))
+    assert(C.decodeFixedHeader(fh) == C.FixedHeader(2, 0, 5))
+    // the packet prefixes the header with its mqtt-varint length
+    val pkt = C.encodePacket(C.PUBLISH, C.NONE, new Array[Byte](5))
+    assert(pkt(0) == 4.toByte && pkt.length == 1 + 4 + 5)
+  }
+
+  test("codec: mqtt varint lengths round-trip across the 127/128 boundary") {
+    for (n <- Seq(0, 1, 127, 128, 300, 16383, 16384, 2097151)) {
+      val enc = C.encodeMqttLen(n)
+      val in = new java.io.ByteArrayInputStream(enc)
+      assert(C.readMqttLen(in) == n, s"length $n")
+    }
+    assert(C.encodeMqttLen(300).toSeq ==
+      Seq(0xAC.toByte, 0x02.toByte), "multi-byte little-endian groups")
+  }
+
+  test("codec: Publish with repeated messages and unknown fields") {
+    val p = C.Publish(42, 1, Seq(
+      C.PublishMessage("a.b", "hello".getBytes, "1h"),
+      C.PublishMessage("c.d", Array.emptyByteArray, "")))
+    val dec = C.decodePublish(C.encodePublish(p))
+    assert(dec.messageId == 42 && dec.deliveryMode == 1)
+    assert(dec.messages.map(_.topic) == Seq("a.b", "c.d"))
+    assert(dec.messages.head.payload.sameElements("hello".getBytes))
+    assert(dec.messages.head.ttl == "1h" && dec.messages(1).ttl == "")
+    // a decoder must skip fields it does not know (proto3 forward compat):
+    // append field 9 (varint 7) and field 10 (length-delimited "xx")
+    val extra = C.encodePublish(p) ++
+      Array((9 << 3).toByte, 7.toByte, ((10 << 3) | 2).toByte, 2.toByte,
+        'x'.toByte, 'x'.toByte)
+    assert(C.decodePublish(extra).messages.length == 2)
+  }
+
+  test("codec: Connect and ConnectAcknowledge round-trip") {
+    val c = C.Connect(1, insecure = true, "client-1", 30,
+      cleanSess = true, 0, "u", "pw".getBytes, 0, 0, 0)
+    val dec = C.decodeConnect(C.encodeConnect(c))
+    assert(dec.clientId == "client-1" && dec.insecure && dec.keepAlive == 30)
+    assert(dec.password.sameElements("pw".getBytes))
+    val a = C.decodeConnack(C.encodeConnack(C.ConnectAcknowledge(0, 123, 7)))
+    assert(a == C.ConnectAcknowledge(0, 123, 7))
+  }
+
+  test("server: a wire client connects, publishes, relays back, disconnects") {
+    val dir = Files.createTempDirectory("graft_utp").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, syncEveryPuts = 1000)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      def roundTrip(pkt: Array[Byte]): (C.FixedHeader, Array[Byte]) = {
+        out.write(pkt); out.flush()
+        C.readPacket(in).get
+      }
+
+      // CONNECT → ACKNOWLEDGE control wrapping a ConnectAcknowledge
+      val (cfh, cbody) = roundTrip(C.encodePacket(C.CONNECT, C.NONE,
+        C.encodeConnect(C.Connect(1, insecure = true, "cli", 30,
+          cleanSess = true, 0, "", Array.emptyByteArray, 0, 0, 0))))
+      assert(cfh.msgType == C.CONNECT && cfh.flowControl == C.ACKNOWLEDGE)
+      val connack = C.decodeConnack(C.decodeControl(cbody).message)
+      assert(connack.returnCode == C.Accepted)
+
+      // PUBLISH 3 messages on 2 topics → ACKNOWLEDGE echoing MessageID
+      val (pfh, pbody) = roundTrip(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(7, 0, Seq(
+          C.PublishMessage("utp.alpha", "m1".getBytes, ""),
+          C.PublishMessage("utp.alpha", "m2".getBytes, ""),
+          C.PublishMessage("utp.beta", "m3".getBytes, ""))))))
+      assert(pfh.msgType == C.PUBLISH && pfh.flowControl == C.ACKNOWLEDGE)
+      assert(C.decodeControl(pbody).messageId == 7)
+
+      // PINGREQ → ACKNOWLEDGE
+      val (gfh, _) = roundTrip(C.encodePacket(C.PINGREQ, C.NONE,
+        Array.emptyByteArray))
+      assert(gfh.msgType == C.PINGREQ && gfh.flowControl == C.ACKNOWLEDGE)
+
+      // RELAY utp.alpha?last=1h → one PUBLISH packet with both payloads
+      // (delivery mode 2, the batch-on-relay rule), then the ACKNOWLEDGE
+      out.write(C.encodePacket(C.RELAY, C.NONE,
+        C.encodeRelay(C.Relay(9, Seq(C.RelayRequest("utp.alpha", "1h"))))))
+      out.flush()
+      val (rfh1, rbody1) = C.readPacket(in).get
+      assert(rfh1.msgType == C.PUBLISH && rfh1.flowControl == C.NONE)
+      val relayed = C.decodePublish(rbody1)
+      assert(relayed.deliveryMode == 2)
+      assert(relayed.messages.map(m => new String(m.payload)).toSet ==
+        Set("m1", "m2"))
+      val (rfh2, rbody2) = C.readPacket(in).get
+      assert(rfh2.msgType == C.RELAY && rfh2.flowControl == C.ACKNOWLEDGE)
+      assert(C.decodeControl(rbody2).messageId == 9)
+
+      // DISCONNECT → server syncs and closes; the data is in the store
+      out.write(C.encodePacket(C.DISCONNECT, C.NONE, Array.emptyByteArray))
+      out.flush()
+      sock.close()
+      // poll for the close-side sync (connection thread is async)
+      val deadline = System.currentTimeMillis() + 10000
+      while (db.count() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(db.get(Query("utp.alpha")).map(new String(_)).toSet ==
+        Set("m1", "m2"))
+      assert(db.get(Query("utp.beta")).map(new String(_)).toSeq == Seq("m3"))
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("server: publish TTL rides the topic option into expiry") {
+    val dir = Files.createTempDirectory("graft_utp_ttl").toString + "/store"
+    var now = 1700000000000L
+    val db = UnitDb.open(spark, dir, clock = () => now)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(1, 0, Seq(
+          C.PublishMessage("utp.ttl", "fleeting".getBytes, "1m"),
+          C.PublishMessage("utp.ttl", "durable".getBytes, ""))))))
+      out.flush()
+      C.readPacket(in) // ack
+      sock.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (db.count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(db.get(Query("utp.ttl")).length == 2)
+      now += 2 * 60 * 1000 // two minutes later the 1m TTL row is gone
+      assert(db.get(Query("utp.ttl")).map(new String(_)).toSeq ==
+        Seq("durable"))
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+}
