@@ -95,13 +95,25 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             case C.PUBLISH if fh.flowControl == C.NONE =>
               val pub = C.decodePublish(body)
               pub.messages.foreach { m =>
-                val topic =
-                  if (m.ttl == null || m.ttl.isEmpty) m.topic
-                  else if (m.topic.contains('?')) s"${m.topic}&ttl=${m.ttl}"
-                  else s"${m.topic}?ttl=${m.ttl}"
-                db.putEntry(Entry(topic, m.payload))
-                if (putsSinceSync.incrementAndGet() % syncEveryPuts == 0)
-                  db.sync()
+                if (m.topic.startsWith("unitdb/")) {
+                  // the reference's special-request face
+                  // (hdl_conn.go:528-594): keygen / clientid ride a
+                  // PUBLISH under the sentinel "unitdb" key prefix and
+                  // answer with a PUBLISH on the same topic
+                  send(sock, C.encodePacket(C.PUBLISH, C.NONE,
+                    C.encodePublish(C.Publish(0, 0, Seq(C.PublishMessage(
+                      m.topic,
+                      specialRequest(m.topic.stripPrefix("unitdb/"),
+                        m.payload), ""))))))
+                } else {
+                  val topic =
+                    if (m.ttl == null || m.ttl.isEmpty) m.topic
+                    else if (m.topic.contains('?')) s"${m.topic}&ttl=${m.ttl}"
+                    else s"${m.topic}?ttl=${m.ttl}"
+                  db.putEntry(Entry(topic, m.payload))
+                  if (putsSinceSync.incrementAndGet() % syncEveryPuts == 0)
+                    db.sync()
+                }
               }
               ack(sock, C.PUBLISH, pub.messageId)
 
@@ -139,6 +151,45 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       try db.sync() catch { case _: Exception => }
       try sock.close() catch { case _: Exception => }
     }
+  }
+
+  /** keygen / clientid special requests (reference hdl_conn.go:538-594,
+    * request/response both JSON). `keygen` maps onto the engine's real
+    * [[UnitDb.keyGen]] face — `[{"topic": "a.b", "type": "rw"}]` in,
+    * `[{"status": 200, "key": "...", "topic": "a.b"}]` out; `clientid`
+    * mints an opaque id (the reference's is a MAC-encrypted blob its
+    * clients never look inside — an engine-local opaque string honors
+    * the same contract). Unknown targets answer status 404. */
+  private def specialRequest(target: String, payload: Array[Byte]): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jstr(s: String): String = om.writeValueAsString(s)
+    val resp: String = target match {
+      case "keygen" =>
+        try {
+          val reqs = om.readTree(payload)
+          val out = (0 until reqs.size()).map { i =>
+            val topic = reqs.get(i).path("topic").asText("")
+            val tpe = reqs.get(i).path("type").asText("")
+            var perms = 0
+            tpe.foreach {
+              case 'r' => perms |= graft.model.TopicKey.AllowRead
+              case 'w' => perms |= graft.model.TopicKey.AllowWrite
+              case 'o' | 'a' => perms |= graft.model.TopicKey.AllowReadWrite
+              case _ => ()
+            }
+            val key = db.keyGen(topic, perms)
+            s"""{"status":200,"key":${jstr(key)},"topic":${jstr(topic)}}"""
+          }
+          out.mkString("[", ",", "]")
+        } catch {
+          case _: Exception => """{"status":400,"message":"bad request"}"""
+        }
+      case "clientid" =>
+        val cid = java.util.UUID.randomUUID().toString.replace("-", "")
+        s"""{"status":200,"clientId":${jstr(cid)}}"""
+      case _ => """{"status":404,"message":"not found"}"""
+    }
+    resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
   def close(): Unit = {

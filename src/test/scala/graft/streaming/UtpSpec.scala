@@ -129,6 +129,42 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("server: unitdb/keygen special request mints a working topic key") {
+    val dir = Files.createTempDirectory("graft_utp_kg").toString + "/store"
+    val db = UnitDb.open(spark, dir, secureMode = true)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(3, 0, Seq(C.PublishMessage(
+          "unitdb/keygen",
+          """[{"topic":"sec.data","type":"rw"}]""".getBytes, ""))))))
+      out.flush()
+      // response PUBLISH on the request topic, then the publish ack
+      val (rfh, rbody) = C.readPacket(in).get
+      assert(rfh.msgType == C.PUBLISH && rfh.flowControl == C.NONE)
+      val respMsg = C.decodePublish(rbody).messages.head
+      assert(respMsg.topic == "unitdb/keygen")
+      val json = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(respMsg.payload)
+      assert(json.get(0).get("status").asInt() == 200)
+      val key = json.get(0).get("key").asText()
+      val (afh, _) = C.readPacket(in).get
+      assert(afh.flowControl == C.ACKNOWLEDGE)
+      // the minted key authorizes the topic on this secure store — the
+      // whole point of the wire face reaching the real keyGen
+      db.putEntry(graft.model.Entry(s"$key/sec.data", "v".getBytes))
+      db.sync()
+      assert(db.get(Query(s"$key/sec.data")).length == 1)
+      sock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: publish TTL rides the topic option into expiry") {
     val dir = Files.createTempDirectory("graft_utp_ttl").toString + "/store"
     var now = 1700000000000L
