@@ -64,10 +64,12 @@ final class LatencyMeter(capacity: Int = 4096) {
       val long5p = copied.takeRight(tail).map(us).sum / tail
       val short5p = copied.take(tail).map(us).sum / tail
       LatencyStats(
-        samples = m, hmeanUs = hmean, p50Us = pct(0.50), p75Us = pct(0.75),
+        samples = m, cumulativeUs = copied.map(us).sum, avgUs = mean,
+        hmeanUs = hmean, p50Us = pct(0.50), p75Us = pct(0.75),
         p95Us = pct(0.95), p99Us = pct(0.99), p999Us = pct(0.999),
         long5pUs = long5p, short5pUs = short5p,
         minUs = us(copied.head), maxUs = us(copied.last),
+        rangeUs = us(copied.last) - us(copied.head),
         stddevUs = math.sqrt(variance))
     }
   }

@@ -120,6 +120,8 @@ object Query {
   * Long5p/Short5p, Min/Max, StdDev from metrics/histogram.go). */
 final case class LatencyStats(
     samples: Int,
+    cumulativeUs: Double,
+    avgUs: Double,
     hmeanUs: Double,
     p50Us: Double,
     p75Us: Double,
@@ -130,10 +132,12 @@ final case class LatencyStats(
     short5pUs: Double,
     minUs: Double,
     maxUs: Double,
+    rangeUs: Double,
     stddevUs: Double)
 
 object LatencyStats {
-  val empty: LatencyStats = LatencyStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  val empty: LatencyStats =
+    LatencyStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
 }
 
 /** Runtime metrics snapshot — the Spark-native `Varz()` (reference
