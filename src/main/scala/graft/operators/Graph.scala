@@ -52,13 +52,19 @@ object Graph {
     val conf = ep.sparkSession.conf
       .get("spark.graft.graph.validateEdges", "true")
     if (conf.toBoolean) {
-      val dangling = ep.select(col("dst").as("src")).distinct()
-        .join(deg.select("src"), Seq("src"), "left_anti").count()
+      // anti-join straight on the edge frame (no distinct — that forced a
+      // full dst shuffle; the planner broadcasts the checkpointed deg
+      // frame when it fits and falls back to shuffle when N is huge — no
+      // explicit hint, which would OOM a billion-node broadcast), and
+      // limit(1): the check needs existence, not a census
+      val dangling = ep.select(col("dst"))
+        .join(deg.select(col("src").as("dst")), Seq("dst"), "left_anti")
+        .limit(1).count()
       require(dangling == 0L,
-        s"rank iteration requires dst-set ⊆ src-set (symmetrize the " +
-          s"edge list for undirected graphs); found $dangling destination " +
-          "node(s) with no out-edges — their rank would silently vanish " +
-          "after round 1")
+        "rank iteration requires dst-set ⊆ src-set (symmetrize the " +
+          "edge list for undirected graphs); found destination node(s) " +
+          "with no out-edges — their rank would silently vanish after " +
+          "round 1")
     }
   }
 
