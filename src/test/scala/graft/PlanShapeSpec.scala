@@ -750,4 +750,42 @@ class PlanShapeSpec extends SparkSpec {
       case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("ChaCha seal/open are codegen expressions — no UDF, inside WholeStageCodegen") {
+    val key = ("0123456789abcdef" * 2).getBytes
+    // range source (not a local literal — that would constant-fold the
+    // whole projection into a LocalTableScan and leave nothing to pin)
+    val df = spark.range(1)
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("payload-"),
+        col("id").cast("string")).cast("binary").as("p"))
+      .select(graft.functions.ChaChaOpen(
+        graft.functions.ChaChaSeal(col("p"), key), key).as("rt"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("UDF"), s"cipher fell out of codegen:\n$p")
+    // formatted mode marks codegen'd nodes with a "* " prefix
+    assert(p.linesIterator.exists(l => l.trim.startsWith("* Project")),
+      p.take(800))
+    // and the computation is right through the codegen path
+    assert(new String(df.head().getAs[Array[Byte]]("rt")) == "payload-0")
+  }
+
+  test("TopicKeyValidate is codegen — the subscribe plan stays whole-stage") {
+    val rk = graft.model.TopicKey.generate("p.q", graft.model.TopicKey.AllowRead)
+    val df = spark.range(1)
+      .select(
+        org.apache.spark.sql.functions.lit(rk).as("key"),
+        org.apache.spark.sql.functions.lit("p.q").as("bare"),
+        (col("id") + graft.model.Message.MasterContract).as("contract"))
+      .select(graft.functions.TopicKeyValidate(
+        col("key"), col("bare"), col("contract"),
+        graft.model.TopicKey.AllowRead).as("ok"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("UDF"), p.take(800))
+    assert(p.linesIterator.exists(l => l.trim.startsWith("* Project")),
+      p.take(800))
+    assert(df.head().getBoolean(0))
+  }
 }
