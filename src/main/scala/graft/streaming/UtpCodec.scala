@@ -53,6 +53,8 @@ object UtpCodec {
       messages: Seq[PublishMessage])
   final case class RelayRequest(topic: String, last: String)
   final case class Relay(messageId: Int, requests: Seq[RelayRequest])
+  final case class Subscription(deliveryMode: Int, delay: Int, topic: String)
+  final case class Subscribe(messageId: Int, subscriptions: Seq[Subscription])
   final case class ControlMessage(messageId: Int, message: Array[Byte])
 
   // ------------------------------------------------------------ proto3 io
@@ -316,6 +318,50 @@ object UtpCodec {
       }
     }
     Relay(id, reqs.toSeq)
+  }
+
+  private def encodeSubscription(m: Subscription): Array[Byte] =
+    new Writer()
+      .intField(1, m.deliveryMode)
+      .intField(2, m.delay)
+      .stringField(3, m.topic)
+      .toBytes
+
+  private def decodeSubscription(b: Array[Byte]): Subscription = {
+    val r = new Reader(b)
+    var dm = 0; var delay = 0; var topic = ""
+    while (r.hasMore) {
+      val tag = r.varint().toInt
+      (tag >> 3) match {
+        case 1 => dm = r.varint().toInt
+        case 2 => delay = r.varint().toInt
+        case 3 => topic = r.string()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    Subscription(dm, delay, topic)
+  }
+
+  /** Subscribe and Unsubscribe share this body shape (proto:120-133). */
+  def encodeSubscribe(p: Subscribe): Array[Byte] = {
+    val w = new Writer().intField(1, p.messageId)
+    p.subscriptions.foreach(m => w.messageField(2, encodeSubscription(m)))
+    w.toBytes
+  }
+
+  def decodeSubscribe(b: Array[Byte]): Subscribe = {
+    val r = new Reader(b)
+    var id = 0
+    val subs = scala.collection.mutable.ArrayBuffer[Subscription]()
+    while (r.hasMore) {
+      val tag = r.varint().toInt
+      (tag >> 3) match {
+        case 1 => id = r.varint().toInt
+        case 2 => subs += decodeSubscription(r.bytes())
+        case _ => r.skip(tag & 7)
+      }
+    }
+    Subscribe(id, subs.toSeq)
   }
 
   def encodeControl(c: ControlMessage): Array[Byte] =

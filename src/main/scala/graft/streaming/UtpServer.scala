@@ -36,15 +36,27 @@ import graft.streaming.{UtpCodec => C}
   * code here — `putEntry`/`get` already enforce `key/topic` authority
   * per operation, matching the reference's per-request checks.
   *
-  * SUBSCRIBE/UNSUBSCRIBE (live fan-out over a connection) are declined
-  * with a clean close rather than half-implemented — the engine's
-  * subscription surface is [[Subscribe]] over Structured Streaming. */
+  * SUBSCRIBE/UNSUBSCRIBE register live patterns per connection; every
+  * accepted PUBLISH fans out express-style to matching subscribers
+  * across connections (bidirectional wildcards, secure-mode read keys
+  * enforced per pattern). The adapter's registry is connection-count
+  * sized; the million-subscriber path remains [[Subscribe]] over
+  * Structured Streaming. */
 final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
 
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
   private val connIds = new AtomicInteger(0)
   private val putsSinceSync = new AtomicLong(0)
+
+  /** Live subscriptions per connection: bare pattern → delivery mode.
+    * Fan-out happens on the publisher's thread against this registry
+    * (the reference's subscription trie collapsed to a per-connection
+    * map — an edge adapter holds few connections; the million-subscriber
+    * path is [[Subscribe.fanoutPartitioned]] on the Spark side). */
+  private val liveSubs =
+    new java.util.concurrent.ConcurrentHashMap[Socket,
+      scala.collection.concurrent.TrieMap[String, Int]]()
 
   /** Bound port (useful with port = 0 / ephemeral). */
   def actualPort: Int = server.getLocalPort
@@ -113,9 +125,28 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
                   db.putEntry(Entry(topic, m.payload))
                   if (putsSinceSync.incrementAndGet() % syncEveryPuts == 0)
                     db.sync()
+                  fanoutLive(m)
                 }
               }
               ack(sock, C.PUBLISH, pub.messageId)
+
+            case C.SUBSCRIBE =>
+              val sub = C.decodeSubscribe(body)
+              val mine = liveSubs.computeIfAbsent(sock,
+                _ => scala.collection.concurrent.TrieMap.empty)
+              sub.subscriptions.foreach { s =>
+                authorizedPattern(s.topic).foreach(bare =>
+                  mine.put(bare, s.deliveryMode))
+              }
+              ack(sock, C.SUBSCRIBE, sub.messageId)
+
+            case C.UNSUBSCRIBE =>
+              val sub = C.decodeSubscribe(body)
+              Option(liveSubs.get(sock)).foreach { mine =>
+                sub.subscriptions.foreach(s =>
+                  authorizedPattern(s.topic).foreach(mine.remove))
+              }
+              ack(sock, C.UNSUBSCRIBE, sub.messageId)
 
             case C.RELAY =>
               val relay = C.decodeRelay(body)
@@ -139,8 +170,8 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
               open = false
 
             case _ =>
-              // SUBSCRIBE/UNSUBSCRIBE/flow-control: out of this adapter's
-              // scope — close cleanly rather than strand the client
+              // flow-control handshakes beyond ACKNOWLEDGE: out of this
+              // adapter's scope — close cleanly rather than strand
               open = false
           }
         }
@@ -148,8 +179,46 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     } catch {
       case _: java.io.EOFException | _: java.net.SocketException => // peer gone
     } finally {
+      liveSubs.remove(sock)
       try db.sync() catch { case _: Exception => }
       try sock.close() catch { case _: Exception => }
+    }
+  }
+
+  /** Secure-mode gate for a SUBSCRIBE pattern: returns the bare pattern
+    * when authorized (read key required, as for every read face), None
+    * when not — per-row exclusion, the [[Subscribe.validSubs]] rule. */
+  private def authorizedPattern(pattern: String): Option[String] = {
+    if (!db.secureMode) return Some(pattern)
+    val (key, bare) = graft.model.TopicKey.split(pattern)
+    if (key.nonEmpty && graft.model.TopicKey.validate(
+        key, bare, graft.model.TopicKey.AllowRead)) Some(bare)
+    else None
+  }
+
+  /** Express fan-out of one published message to every live matching
+    * subscription, across connections (reference hdl_conn publish →
+    * subscriber routing; bidirectional wildcard semantics via
+    * [[graft.model.Topic.matches]]). Send failures only drop that
+    * subscriber's copy — the publisher's put/ack path is unaffected. */
+  private def fanoutLive(m: C.PublishMessage): Unit = {
+    // match and deliver on the BARE topic — a secure-mode publish
+    // arrives as key/topic, and the write key must never reach readers
+    val bare =
+      if (db.secureMode) graft.model.TopicKey.split(m.topic)._2 else m.topic
+    val it = liveSubs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val modes = e.getValue.iterator.collect {
+        case (pattern, mode)
+            if graft.model.Topic.matches(bare, pattern) => mode
+      }.toSeq
+      modes.foreach { mode =>
+        try send(e.getKey, C.encodePacket(C.PUBLISH, C.NONE,
+          C.encodePublish(C.Publish(0, mode,
+            Seq(C.PublishMessage(bare, m.payload, ""))))))
+        catch { case _: Exception => () }
+      }
     }
   }
 

@@ -165,6 +165,62 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("server: live SUBSCRIBE fans out across connections, UNSUBSCRIBE stops it") {
+    val dir = Files.createTempDirectory("graft_utp_sub").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      // subscriber connection: wildcard pattern
+      val subSock = new Socket("127.0.0.1", srv.actualPort)
+      subSock.getOutputStream.write(C.encodePacket(C.SUBSCRIBE, C.NONE,
+        C.encodeSubscribe(C.Subscribe(11, Seq(
+          C.Subscription(0, 0, "live.*.temp"))))))
+      subSock.getOutputStream.flush()
+      val (sfh, sbody) = C.readPacket(subSock.getInputStream).get
+      assert(sfh.msgType == C.SUBSCRIBE && sfh.flowControl == C.ACKNOWLEDGE)
+      assert(C.decodeControl(sbody).messageId == 11)
+
+      // publisher connection: one matching, one non-matching message
+      val pubSock = new Socket("127.0.0.1", srv.actualPort)
+      pubSock.getOutputStream.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(1, 0, Seq(
+          C.PublishMessage("live.room1.temp", "21C".getBytes, ""),
+          C.PublishMessage("live.room1.hum", "40%".getBytes, ""))))))
+      pubSock.getOutputStream.flush()
+      C.readPacket(pubSock.getInputStream) // publish ack
+
+      // the subscriber receives exactly the matching message
+      val (dfh, dbody) = C.readPacket(subSock.getInputStream).get
+      assert(dfh.msgType == C.PUBLISH && dfh.flowControl == C.NONE)
+      val delivered = C.decodePublish(dbody).messages
+      assert(delivered.map(_.topic) == Seq("live.room1.temp"))
+      assert(new String(delivered.head.payload) == "21C")
+
+      // unsubscribe, publish again — nothing further arrives (the next
+      // frame the subscriber sees is its own ping ack)
+      subSock.getOutputStream.write(C.encodePacket(C.UNSUBSCRIBE, C.NONE,
+        C.encodeSubscribe(C.Subscribe(12, Seq(
+          C.Subscription(0, 0, "live.*.temp"))))))
+      subSock.getOutputStream.flush()
+      C.readPacket(subSock.getInputStream) // unsubscribe ack
+      pubSock.getOutputStream.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(2, 0, Seq(
+          C.PublishMessage("live.room2.temp", "19C".getBytes, ""))))))
+      pubSock.getOutputStream.flush()
+      C.readPacket(pubSock.getInputStream) // publish ack
+      subSock.getOutputStream.write(C.encodePacket(C.PINGREQ, C.NONE,
+        Array.emptyByteArray))
+      subSock.getOutputStream.flush()
+      val (nfh, _) = C.readPacket(subSock.getInputStream).get
+      assert(nfh.msgType == C.PINGREQ && nfh.flowControl == C.ACKNOWLEDGE,
+        "a frame arrived after unsubscribe that is not the ping ack")
+      subSock.close(); pubSock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: publish TTL rides the topic option into expiry") {
     val dir = Files.createTempDirectory("graft_utp_ttl").toString + "/store"
     var now = 1700000000000L
