@@ -58,6 +58,16 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     new java.util.concurrent.ConcurrentHashMap[Socket,
       scala.collection.concurrent.TrieMap[String, Int]]()
 
+  /** Outbound reliable-delivery state per connection: messageId → the
+    * pending Publish packet, held from NOTIFY until RECEIPT (reference
+    * store.Log keyed by (messageId, session) — hdl_conn.go:241-266).
+    * Bounded by the in-flight window of each subscriber, not by traffic:
+    * entries leave on RECEIPT and with the connection. */
+  private val reliableOut =
+    new java.util.concurrent.ConcurrentHashMap[Socket,
+      scala.collection.concurrent.TrieMap[Int, Array[Byte]]]()
+  private val reliableIds = new AtomicInteger(0)
+
   /** Bound port (useful with port = 0 / ephemeral). */
   def actualPort: Int = server.getLocalPort
 
@@ -169,9 +179,27 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             case C.DISCONNECT =>
               open = false
 
+            case C.FLOWCONTROL =>
+              // subscriber side of the reliable handshake
+              // (hdl_conn.go:241-266): RECEIVE pulls the held message,
+              // RECEIPT settles it and gets COMPLETE back
+              val ctrl = C.decodeControl(body)
+              fh.flowControl match {
+                case C.RECEIVE =>
+                  Option(reliableOut.get(sock))
+                    .flatMap(_.get(ctrl.messageId))
+                    .foreach(send(sock, _))
+                case C.RECEIPT =>
+                  Option(reliableOut.get(sock))
+                    .foreach(_.remove(ctrl.messageId))
+                  send(sock, C.encodePacket(C.PUBLISH, C.COMPLETE,
+                    C.encodeControl(C.ControlMessage(ctrl.messageId,
+                      Array.emptyByteArray))))
+                case _ => ()
+              }
+
             case _ =>
-              // flow-control handshakes beyond ACKNOWLEDGE: out of this
-              // adapter's scope — close cleanly rather than strand
+              // anything else: close cleanly rather than strand
               open = false
           }
         }
@@ -180,6 +208,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       case _: java.io.EOFException | _: java.net.SocketException => // peer gone
     } finally {
       liveSubs.remove(sock)
+      reliableOut.remove(sock)
       try db.sync() catch { case _: Exception => }
       try sock.close() catch { case _: Exception => }
     }
@@ -214,10 +243,25 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             if graft.model.Topic.matches(bare, pattern) => mode
       }.toSeq
       modes.foreach { mode =>
-        try send(e.getKey, C.encodePacket(C.PUBLISH, C.NONE,
-          C.encodePublish(C.Publish(0, mode,
-            Seq(C.PublishMessage(bare, m.payload, ""))))))
-        catch { case _: Exception => () }
+        try {
+          if (mode == 1) {
+            // RELIABLE: hold the message, offer it via NOTIFY; the
+            // subscriber pulls with RECEIVE and settles with RECEIPT
+            // (reference delivery-mode handshake, utp/flow_control.go)
+            val id = reliableIds.incrementAndGet() & 0xffff
+            val pkt = C.encodePacket(C.PUBLISH, C.NONE,
+              C.encodePublish(C.Publish(id, mode,
+                Seq(C.PublishMessage(bare, m.payload, "")))))
+            reliableOut.computeIfAbsent(e.getKey,
+              _ => scala.collection.concurrent.TrieMap.empty).put(id, pkt)
+            send(e.getKey, C.encodePacket(C.PUBLISH, C.NOTIFY,
+              C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+          } else {
+            send(e.getKey, C.encodePacket(C.PUBLISH, C.NONE,
+              C.encodePublish(C.Publish(0, mode,
+                Seq(C.PublishMessage(bare, m.payload, ""))))))
+          }
+        } catch { case _: Exception => () }
       }
     }
   }

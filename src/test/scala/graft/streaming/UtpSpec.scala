@@ -221,6 +221,62 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("server: reliable delivery walks NOTIFY/RECEIVE/RECEIPT/COMPLETE") {
+    val dir = Files.createTempDirectory("graft_utp_rel").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val subSock = new Socket("127.0.0.1", srv.actualPort)
+      subSock.getOutputStream.write(C.encodePacket(C.SUBSCRIBE, C.NONE,
+        C.encodeSubscribe(C.Subscribe(21, Seq(
+          C.Subscription(1, 0, "rel.topic")))))) // delivery mode 1
+      subSock.getOutputStream.flush()
+      C.readPacket(subSock.getInputStream) // subscribe ack
+
+      val pubSock = new Socket("127.0.0.1", srv.actualPort)
+      pubSock.getOutputStream.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(1, 0, Seq(
+          C.PublishMessage("rel.topic", "precious".getBytes, ""))))))
+      pubSock.getOutputStream.flush()
+      C.readPacket(pubSock.getInputStream) // publish ack
+
+      // 1. NOTIFY arrives with the held message's id
+      val (nfh, nbody) = C.readPacket(subSock.getInputStream).get
+      assert(nfh.msgType == C.PUBLISH && nfh.flowControl == C.NOTIFY)
+      val id = C.decodeControl(nbody).messageId
+      assert(id > 0)
+      // 2. RECEIVE pulls the message itself
+      subSock.getOutputStream.write(C.encodePacket(C.FLOWCONTROL, C.RECEIVE,
+        C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+      subSock.getOutputStream.flush()
+      val (mfh, mbody) = C.readPacket(subSock.getInputStream).get
+      assert(mfh.msgType == C.PUBLISH && mfh.flowControl == C.NONE)
+      val got = C.decodePublish(mbody)
+      assert(got.messageId == id && got.deliveryMode == 1)
+      assert(new String(got.messages.head.payload) == "precious")
+      // 3. RECEIPT settles; COMPLETE comes back
+      subSock.getOutputStream.write(C.encodePacket(C.FLOWCONTROL, C.RECEIPT,
+        C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+      subSock.getOutputStream.flush()
+      val (cfh, cbody) = C.readPacket(subSock.getInputStream).get
+      assert(cfh.msgType == C.PUBLISH && cfh.flowControl == C.COMPLETE)
+      assert(C.decodeControl(cbody).messageId == id)
+      // 4. a second RECEIVE for the settled id yields nothing — the next
+      // frame is the ping ack, proving the held message was dropped
+      subSock.getOutputStream.write(C.encodePacket(C.FLOWCONTROL, C.RECEIVE,
+        C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+      subSock.getOutputStream.write(C.encodePacket(C.PINGREQ, C.NONE,
+        Array.emptyByteArray))
+      subSock.getOutputStream.flush()
+      val (pfh, _) = C.readPacket(subSock.getInputStream).get
+      assert(pfh.msgType == C.PINGREQ && pfh.flowControl == C.ACKNOWLEDGE)
+      subSock.close(); pubSock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: publish TTL rides the topic option into expiry") {
     val dir = Files.createTempDirectory("graft_utp_ttl").toString + "/store"
     var now = 1700000000000L
