@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.net.Socket
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.UnitDb
+import graft.streaming.{UtpCodec => C}
+
+/** Scratch profiler for the uTP wire path (test scope, manual runMain):
+  * loopback clients pushing batched PUBLISH frames through the full
+  * decode → putEntry → sync pipeline. Args: [messages] [batch] [conns]. */
+object UtpProf {
+  def main(args: Array[String]): Unit = {
+    val total = args.headOption.map(_.toInt).getOrElse(2000000)
+    val batch = args.lift(1).map(_.toInt).getOrElse(200)
+    val conns = args.lift(2).map(_.toInt).getOrElse(4)
+    val syncEvery = args.lift(3).map(_.toInt).getOrElse(1000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft_utp_prof").toString
+    // sync cadence sized so parquet flushes amortize, and the hot-day
+    // write salted across 8 writer tasks (one ingest day = one physical
+    // partition otherwise — a single-task parquet write)
+    val db = UnitDb.open(spark, base + "/store", autoFlushRows = 2000000,
+      writeSaltBuckets = 8)
+    val srv = new UtpServer(db, port = 0, syncEveryPuts = syncEvery)
+    val perConn = total / conns
+    val payload = ("x" * 64).getBytes
+
+    val t0 = System.nanoTime()
+    val threads = (0 until conns).map { ci =>
+      val t = new Thread(() => {
+        val sock = new Socket("127.0.0.1", srv.actualPort)
+        sock.setTcpNoDelay(true)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+        val in = sock.getInputStream
+        var sent = 0
+        var mid = 0
+        while (sent < perConn) {
+          val n = math.min(batch, perConn - sent)
+          mid += 1
+          val msgs = (0 until n).map(i => C.PublishMessage(
+            s"prof.c$ci.t${(sent + i) % 100}", payload, ""))
+          out.write(C.encodePacket(C.PUBLISH, C.NONE,
+            C.encodePublish(C.Publish(mid & 0xffff, 0, msgs))))
+          out.flush()
+          C.readPacket(in) // wait for the ack — real client behavior
+          sent += n
+        }
+        sock.close()
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val tLoop = (System.nanoTime() - t0) / 1e9
+    println(f"LOOP $tLoop%.2f s = ${total / tLoop}%.0f msg/s pre-sync")
+    val lat = db.varz().latency
+    println(f"PUTLAT n=${lat.samples} p50=${lat.p50Us}%.0fus " +
+      f"p99=${lat.p99Us}%.0fus max=${lat.maxUs}%.0fus cum=${lat.cumulativeUs / 1e6}%.1fs")
+    db.sync()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"WIRE $total%d msgs, $conns%d conns, batch $batch%d: " +
+      f"$dt%.2f s = ${total / dt}%.0f msg/s")
+    println("STORED " + db.count())
+    spark.stop()
+  }
+}
