@@ -900,6 +900,29 @@ class UnitDbSpec extends SparkSpec {
       assert(db.get(Query(s"conc.t$t")).length == 50)
   }
 
+  test("concurrent puts during sync: exactly-once rows, no loss, no dup") {
+    val (db, _, tick) = freshDb()
+    // writers race flushes: 4 put threads + a sync thread hammering the
+    // flush path; every row must land exactly once whatever interleaving
+    // of buffer-append, snapshot-to-flushing, and parquet commit occurs
+    val writers = (1 to 4).map { w =>
+      val t = new Thread(() => {
+        for (i <- 1 to 500) db.put(s"flush.race.t$w", s"$w-$i".getBytes)
+      })
+      t.start(); t
+    }
+    val syncer = new Thread(() => for (_ <- 1 to 20) { db.sync(); Thread.sleep(1) })
+    syncer.start()
+    writers.foreach(_.join()); syncer.join()
+    db.sync()
+    tick(1000)
+    assert(db.count() == 2000L)
+    val got = db.scanFrame(Query("flush.race.*"))
+      .select("payload").collect().map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(got.length == 2000 && got.toSet.size == 2000,
+      s"expected 2000 distinct payloads, got ${got.length}/${got.toSet.size}")
+  }
+
   test("varz metrics: puts/gets/deletes/syncs/bytes counters + fileSize") {
     val (db, _, tick) = freshDb()
     for (i <- 1 to 10) { db.put("varz.test", ("v" * 10).getBytes); tick(100) }
