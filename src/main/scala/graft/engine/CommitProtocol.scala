@@ -43,9 +43,11 @@ trait StoreCommitProtocol {
     * once at store open, before any read or write. Each protocol knows
     * its own crash windows: the swap protocol may need to roll the
     * `.compact.old` copy back into place; the manifest protocol
-    * garbage-collects generations no pointer references. Default: no
-    * crash windows to repair. */
-  def recover(path: String): Unit = ()
+    * garbage-collects generations no pointer references. Returns true
+    * when a repair actually happened (the store's `recovers` varz
+    * counter, reference meter.go Varz.Recovers). Default: no crash
+    * windows to repair. */
+  def recover(path: String): Boolean = false
 }
 
 private[engine] object FsUtil {
@@ -158,7 +160,8 @@ object PosixSwapCommit extends StoreCommitProtocol {
     * A leftover `.compact.tmp` (crash before the first move, or after a
     * completed rollback) is always unreferenced staging — removed so the
     * next vacuum's rewrite starts clean. */
-  override def recover(path: String): Unit = {
+  override def recover(path: String): Boolean = {
+    var repaired = false
     val p = Paths.get(path)
     val po = Paths.get(path + ".compact.old")
     if (Files.exists(po)) {
@@ -166,9 +169,11 @@ object PosixSwapCommit extends StoreCommitProtocol {
         if (Files.exists(p)) FsUtil.deleteTree(p)
         Files.move(po, p, StandardCopyOption.ATOMIC_MOVE): Unit
       } else FsUtil.deleteTree(po)
+      repaired = true
     }
     val pt = Paths.get(path + ".compact.tmp")
-    if (Files.exists(pt)) FsUtil.deleteTree(pt)
+    if (Files.exists(pt)) { FsUtil.deleteTree(pt); repaired = true }
+    repaired
   }
 }
 
@@ -268,16 +273,19 @@ class ManifestCommitRetain private[engine] (val retainGenerations: Int)
     genNum(name).exists(g => g <= kn && g > kn - retainGenerations)
   }
 
-  private def collectGarbage(path: String, keep: String): Unit = {
+  /** @return number of orphaned generation dirs / listings collected. */
+  private def collectGarbage(path: String, keep: String): Int = {
+    var n = 0
     val gens = Paths.get(path, "_gen").toFile.listFiles
     if (gens != null)
       gens.filter(d => d.isDirectory && !retainedName(d.getName, keep))
-        .foreach(d => FsUtil.deleteTree(d.toPath))
+        .foreach { d => FsUtil.deleteTree(d.toPath); n += 1 }
     val lists = Paths.get(path, "_manifest").toFile.listFiles
     if (lists != null)
       lists.filter(f => f.getName.endsWith(".list") &&
           !retainedName(f.getName.stripSuffix(".list"), keep))
-        .foreach(f => FsUtil.deleteTree(f.toPath))
+        .foreach { f => FsUtil.deleteTree(f.toPath); n += 1 }
+    n
   }
 
   /** Committed snapshots still on disk, oldest first: generations that
@@ -318,9 +326,10 @@ class ManifestCommitRetain private[engine] (val retainGenerations: Int)
     * later commit names them) — collect them now. A crash BEFORE the
     * pointer write needs nothing: the staged next-generation directory
     * is unreferenced and the same sweep removes it. */
-  override def recover(path: String): Unit =
+  override def recover(path: String): Boolean =
     if (Files.exists(Paths.get(path, "_gen")))
-      collectGarbage(path, keep = currentGen(path))
+      collectGarbage(path, keep = currentGen(path)) > 0
+    else false
 }
 
 /** The default manifest protocol: retention 1 (a commit immediately

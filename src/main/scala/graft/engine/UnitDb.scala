@@ -133,7 +133,10 @@ final class UnitDb private (
 
   // metrics counters (reference meter.go:86-115)
   private val nPuts, nGets, nDeletes, nSyncs, nEntriesRead, nBytesWritten,
-    nBytesRead = new AtomicLong(0L)
+    nBytesRead, nAborts = new AtomicLong(0L)
+  // set by the companion open() when commitProtocol.recover repaired a
+  // crash window before this instance was constructed
+  private[engine] var recoveredAtOpen: Boolean = false
   // op-duration reservoir behind varz's percentile block (one histogram
   // over put/get/sync, like the reference's single event-duration sample)
   private val opMeter = new LatencyMeter()
@@ -297,7 +300,12 @@ final class UnitDb private (
     * explicit mid-batch [[BatchWriter.write]], which survives. */
   def batch(fn: BatchWriter => Unit): Unit = {
     val b = new BatchWriter(this)
-    fn(b) // throws ⇒ unwritten entries/deletes abort
+    try fn(b) // throws ⇒ unwritten entries/deletes abort
+    catch {
+      case e: Throwable =>
+        nAborts.incrementAndGet() // reference Varz.Aborts (meter.go:97)
+        throw e
+    }
     val (entries, tombs) = b.drain()
     commitBatch(entries, tombs)
   }
@@ -613,7 +621,8 @@ final class UnitDb private (
     puts = nPuts.get, gets = nGets.get, deletes = nDeletes.get,
     syncs = nSyncs.get, entriesRead = nEntriesRead.get,
     bytesWritten = nBytesWritten.get, bytesRead = nBytesRead.get,
-    fileSize = fileSize(), latency = opMeter.snapshot())
+    fileSize = fileSize(), latency = opMeter.snapshot(),
+    aborts = nAborts.get, recovers = if (recoveredAtOpen) 1L else 0L)
 
   /** Physical bytes on disk (reference DB.FileSize, db.go:480-482). */
   def fileSize(): Long = {
@@ -1130,10 +1139,12 @@ object UnitDb {
     // creating/reading anything — a crash between the swap protocol's two
     // moves leaves the store's only copy in `.compact.old`, which a blind
     // open would shadow with a fresh empty directory
-    commitProtocol.recover(path)
+    val repaired = commitProtocol.recover(path)
     Files.createDirectories(Paths.get(path))
-    new UnitDb(spark, path, clock, autoFlushRows, encryptionKey, commitProtocol,
-      writeSaltBuckets, secureMode, cipher)
+    val db = new UnitDb(spark, path, clock, autoFlushRows, encryptionKey,
+      commitProtocol, writeSaltBuckets, secureMode, cipher)
+    db.recoveredAtOpen = repaired
+    db
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -154,4 +154,6 @@ final case class Varz(
     bytesWritten: Long,
     bytesRead: Long,
     fileSize: Long,
-    latency: LatencyStats = LatencyStats.empty)
+    latency: LatencyStats = LatencyStats.empty,
+    aborts: Long = 0L,
+    recovers: Long = 0L)

@@ -952,6 +952,25 @@ class UnitDbSpec extends SparkSpec {
     assert(lat.maxUs > lat.p50Us)
   }
 
+  test("varz metrics: aborts count failed batches; recovers reports crash repair") {
+    val (db, _, _) = freshDb()
+    intercept[RuntimeException] {
+      db.batch { b =>
+        b.put("ab.t", "x".getBytes)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(db.varz().aborts == 1L && db.varz().recovers == 0L)
+    // a leftover .compact.tmp staging dir is a crash window the swap
+    // protocol repairs at open — the reopened store reports it
+    db.put("ab.t", "y".getBytes); db.sync(); db.close()
+    val staging = new java.io.File(db.path + ".compact.tmp")
+    assert(staging.mkdirs())
+    val db2 = UnitDb.open(spark, db.path)
+    assert(db2.varz().recovers == 1L && !staging.exists())
+    db2.close()
+  }
+
   test("LatencyMeter: exact nearest-rank stats, bounded reservoir") {
     val m = new graft.engine.LatencyMeter(capacity = 8)
     // 1..8 µs in ns
