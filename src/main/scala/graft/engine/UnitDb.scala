@@ -121,6 +121,14 @@ final class UnitDb private (
     * mutations interleave; buffer appends only need the (inner) db
     * monitor and thus never wait on a running flush. */
   private val flushLock = new Object
+  /** Visibility lock — the narrow middle tier (order: flushLock > visLock
+    * > db monitor). A flush holds it only across the instant its freshly
+    * committed files and the flushing-buffer clear become one atomic
+    * visibility change; vacuum/compact hold it only across their
+    * directory swap. Readers capture (buffers, file listing) under it,
+    * so a get never waits out a multi-second parquet flush — it waits
+    * out a buffer clear. */
+  private val visLock = new Object
   private val seqCounter = new AtomicLong(0L)
   // declared before the recovery block below, which seeds hwmWritten
   @volatile private var hwmWritten = 0L
@@ -359,7 +367,9 @@ final class UnitDb private (
       ds.toDF().repartition(1).write.mode(SaveMode.Append)
         .partitionBy("contract").option("compression", "snappy")
         .parquet(tombsPath)
-      synchronized { flushingTombs.clear(); tombsExist = true }
+      visLock.synchronized {
+        synchronized { flushingTombs.clear(); tombsExist = true }
+      }
       flushed = true
     }
     if (msgs.nonEmpty) {
@@ -372,7 +382,9 @@ final class UnitDb private (
           math.min(16, 1 + msgs.length / 65536)))(Encoders.product[Message])
       else spark.createDataset(msgs)(Encoders.product[Message])
       writeStore(ds.toDF())
-      synchronized { flushing.clear(); storeExists = true }
+      visLock.synchronized {
+        synchronized { flushing.clear(); storeExists = true }
+      }
       flushed = true
     }
     if (flushed) nSyncs.incrementAndGet(): Unit
@@ -637,7 +649,7 @@ final class UnitDb private (
     * a key is present, and the `day`/`wc` partition columns retained for
     * pruning. Tombstoned rows are NOT removed here — callers anti-join
     * [[tombstonesFor]] (get/count do). */
-  def snapshot(): DataFrame = flushLock.synchronized {
+  def snapshot(): DataFrame = visLock.synchronized {
     val pendingDf = synchronized {
       val rows = (flushing ++ pending).toSeq
       if (rows.isEmpty) None
@@ -662,7 +674,7 @@ final class UnitDb private (
     * block, db.go:392-425; ADVICE r2). The sidecar is orders smaller than
     * the store, so the anti-join side stays broadcast-able even on
     * delete-heavy stores (VERDICT r1 #2). */
-  def tombstonesFor(contract: Long = -1L): DataFrame = flushLock.synchronized {
+  def tombstonesFor(contract: Long = -1L): DataFrame = visLock.synchronized {
     val pendingDf = synchronized {
       val rows = (flushingTombs ++ pendingTombs).toSeq
       if (rows.isEmpty) None
@@ -725,14 +737,20 @@ final class UnitDb private (
         f.getName != "_tombstones" && f.getName != "_temporary" &&
         f.getName != "_gen" && f.getName != "_manifest")
       .map(_.getName).toSeq
-    commitProtocol.commitRewrite(path, tmp, preserved)
-    // the tombstones were consumed by the rewrite. A swap protocol dropped
-    // the sidecar with the old directory; a manifest commit never touches
-    // sidecars, so remove it here (a crash before this point just leaves
-    // stale tombstones whose anti-join matches nothing — idempotent)
-    val tp = Paths.get(tombsPath)
-    if (Files.exists(tp)) FsUtil.deleteTree(tp)
-    tombsExist = false
+    // the swap (and the consumed-tombstone drop) is the only instant a
+    // concurrent reader could list a half-moved store — exclude readers
+    // for exactly that instant, not the whole rewrite
+    visLock.synchronized {
+      commitProtocol.commitRewrite(path, tmp, preserved)
+      // the tombstones were consumed by the rewrite. A swap protocol
+      // dropped the sidecar with the old directory; a manifest commit
+      // never touches sidecars, so remove it here (a crash before this
+      // point just leaves stale tombstones whose anti-join matches
+      // nothing — idempotent)
+      val tp = Paths.get(tombsPath)
+      if (Files.exists(tp)) FsUtil.deleteTree(tp)
+      tombsExist = false
+    }
   }
 
   /** Small-file compaction — the streaming-ingest pathology at scale:
@@ -813,7 +831,9 @@ final class UnitDb private (
       .filter(f => f.isDirectory && f.getName.startsWith("_") &&
         f.getName != "_temporary" && f.getName != "_gen" && f.getName != "_manifest")
       .map(_.getName).toSeq
-    commitProtocol.commitRewrite(path, tmp, preserved)
+    visLock.synchronized {
+      commitProtocol.commitRewrite(path, tmp, preserved)
+    }
     hot.size
   }
 

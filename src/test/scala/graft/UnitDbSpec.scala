@@ -913,7 +913,24 @@ class UnitDbSpec extends SparkSpec {
     }
     val syncer = new Thread(() => for (_ <- 1 to 20) { db.sync(); Thread.sleep(1) })
     syncer.start()
-    writers.foreach(_.join()); syncer.join()
+    // concurrent readers: every snapshot taken mid-flush must be
+    // exactly-once-consistent (never above the written total, never
+    // shrinking within a thread — a row seen can't unsee)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[String]()
+    val readers = (1 to 2).map { _ =>
+      val t = new Thread(() => {
+        var prev = 0L
+        for (_ <- 1 to 8) {
+          val c = db.count()
+          if (c > 2000L) readerErr.compareAndSet(null, s"count overshot: $c")
+          if (c < prev) readerErr.compareAndSet(null, s"count shrank: $prev -> $c")
+          prev = c
+        }
+      })
+      t.start(); t
+    }
+    writers.foreach(_.join()); syncer.join(); readers.foreach(_.join())
+    assert(readerErr.get() == null, s"reader saw: ${readerErr.get()}")
     db.sync()
     tick(1000)
     assert(db.count() == 2000L)
