@@ -390,6 +390,14 @@ object UtpCodec {
     encodeMqttLen(fh.length) ++ fh ++ body
   }
 
+  /** Frame-size ceilings: a malformed/hostile length prefix must fail
+    * fast, not allocate gigabytes. The header is a 3-varint proto
+    * (≤ ~20 B in practice); bodies are capped at 64 MiB — far above any
+    * real packet (the reference's server reads are similarly bounded by
+    * its connection buffer). */
+  private val MaxHeaderLen = 1 << 12
+  private val MaxBodyLen = 1 << 26
+
   private def readFully(in: InputStream, n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
     var off = 0
@@ -415,7 +423,11 @@ object UtpCodec {
       digit = in.read()
       if (digit < 0) throw new EOFException("stream closed mid-length")
     }
+    require(fhLen >= 0 && fhLen <= MaxHeaderLen,
+      s"implausible header length $fhLen")
     val fh = decodeFixedHeader(readFully(in, fhLen))
+    require(fh.messageLength >= 0 && fh.messageLength <= MaxBodyLen,
+      s"implausible body length ${fh.messageLength}")
     val body = readFully(in, fh.messageLength)
     Some((fh, body))
   }

@@ -216,6 +216,9 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       }
     } catch {
       case _: java.io.EOFException | _: java.net.SocketException => // peer gone
+      case _: Exception => // malformed frame from a misbehaving client:
+        // drop the connection (the reference's readLoop does the same);
+        // never let one bad peer take down the acceptor or the store
     } finally {
       liveSubs.remove(sock)
       reliableOut.remove(sock)

@@ -62,6 +62,66 @@ class UtpSpec extends SparkSpec {
     assert(a == C.ConnectAcknowledge(0, 123, 7))
   }
 
+  test("codec: fuzzed round-trips and garbage tolerance") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val msgs = (0 until rnd.nextInt(5)).map { _ =>
+        val topic = (0 until 1 + rnd.nextInt(4))
+          .map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+          .mkString(".")
+        val payload = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(payload)
+        C.PublishMessage(topic, payload,
+          if (rnd.nextBoolean()) "" else s"${1 + rnd.nextInt(48)}h")
+      }
+      val p = C.Publish(rnd.nextInt(65536), rnd.nextInt(3), msgs)
+      val dec = C.decodePublish(C.encodePublish(p))
+      assert(dec.messageId == p.messageId && dec.deliveryMode == p.deliveryMode)
+      assert(dec.messages.size == p.messages.size)
+      dec.messages.zip(p.messages).foreach { case (a, b) =>
+        assert(a.topic == b.topic && a.ttl == b.ttl &&
+          a.payload.sameElements(b.payload))
+      }
+    }
+    // garbage bytes must raise a plain exception, never hang or corrupt
+    for (_ <- 1 to 500) {
+      val junk = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(junk)
+      try { C.decodePublish(junk); () } catch { case _: Exception => () }
+      try { C.decodeFixedHeader(junk); () } catch { case _: Exception => () }
+      val in = new java.io.ByteArrayInputStream(junk)
+      try { C.readPacket(in); () } catch { case _: Exception => () }
+    }
+  }
+
+  test("server: a garbage frame drops only that connection, store stays live") {
+    val dir = Files.createTempDirectory("graft_utp_junk").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val bad = new Socket("127.0.0.1", srv.actualPort)
+      // a huge bogus header length followed by garbage
+      bad.getOutputStream.write(Array(0xFF, 0xFF, 0xFF, 0x7F, 0x13, 0x37)
+        .map(_.toByte))
+      bad.getOutputStream.flush()
+      bad.close()
+      // a well-behaved client on a fresh connection still works
+      val good = new Socket("127.0.0.1", srv.actualPort)
+      good.getOutputStream.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(1, 0, Seq(
+          C.PublishMessage("ok.topic", "fine".getBytes, ""))))))
+      good.getOutputStream.flush()
+      val (afh, _) = C.readPacket(good.getInputStream).get
+      assert(afh.flowControl == C.ACKNOWLEDGE)
+      good.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (db.count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(db.get(Query("ok.topic")).map(new String(_)).toSeq == Seq("fine"))
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: a wire client connects, publishes, relays back, disconnects") {
     val dir = Files.createTempDirectory("graft_utp").toString + "/store"
     val db = UnitDb.open(spark, dir)
