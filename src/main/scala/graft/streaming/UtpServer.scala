@@ -68,6 +68,25 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       scala.collection.concurrent.TrieMap[Int, Array[Byte]]]()
   private val reliableIds = new AtomicInteger(0)
 
+  /** Threshold flushes run here, off the connection threads: with the
+    * store's non-blocking flush, other connections already continue
+    * through a sync — this keeps the TRIGGERING connection's ack latency
+    * flat too. At most one queued flush (a second crossing while one
+    * runs is subsumed by it); close() drains with a final inline sync. */
+  private val flushBusy = new AtomicBoolean(false)
+  private val flusher = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, s"utp-flusher-$actualPort"); t.setDaemon(true); t
+    })
+  private def requestFlush(): Unit =
+    if (flushBusy.compareAndSet(false, true))
+      flusher.submit(new Runnable {
+        def run(): Unit =
+          try db.sync()
+          catch { case _: Exception => () }
+          finally flushBusy.set(false)
+      }): Unit
+
   /** Bound port (useful with port = 0 / ephemeral). */
   def actualPort: Int = server.getLocalPort
 
@@ -145,7 +164,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
               if (putsSinceSync.addAndGet(stores.size.toLong) >=
                   syncEveryPuts) {
                 putsSinceSync.addAndGet(-syncEveryPuts.toLong)
-                db.sync()
+                requestFlush()
               }
               stores.foreach(fanoutLive)
               ack(sock, C.PUBLISH, pub.messageId)
@@ -321,5 +340,9 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
   def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: Exception => }
+    flusher.shutdown()
+    try flusher.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: InterruptedException => () }
+    try db.sync() catch { case _: Exception => }
   }
 }
