@@ -121,14 +121,21 @@ final class UnitDb private (
     * mutations interleave; buffer appends only need the (inner) db
     * monitor and thus never wait on a running flush. */
   private val flushLock = new Object
-  /** Visibility lock — the narrow middle tier (order: flushLock > visLock
-    * > db monitor). A flush holds it only across the instant its freshly
-    * committed files and the flushing-buffer clear become one atomic
-    * visibility change; vacuum/compact hold it only across their
-    * directory swap. Readers capture (buffers, file listing) under it,
-    * so a get never waits out a multi-second parquet flush — it waits
-    * out a buffer clear. */
-  private val visLock = new Object
+  /** Visibility seqlock: every disk-mutating span (a flush's
+    * write+buffer-clear, vacuum/compact's rewrite+swap, a distributed
+    * append) increments this to ODD on entry and EVEN on exit, all under
+    * flushLock. Readers capture (buffers, file listing) optimistically:
+    * if the epoch was even and unchanged across the capture, no mutation
+    * overlapped — the pair is consistent (a flush's files cannot have
+    * become visible while the flushing buffer still held the rows,
+    * because the whole span registers as a change). Otherwise they fall
+    * back to capturing under flushLock, which is exactly the pre-r9
+    * behavior of waiting the mutation out. Fast path: a get during quiet
+    * periods never touches flushLock; slow path: bounded by the running
+    * mutation, never wrong. */
+  private val visEpoch = new AtomicLong(0L)
+  private def enterDiskMutation(): Unit = { visEpoch.incrementAndGet(): Unit }
+  private def exitDiskMutation(): Unit = { visEpoch.incrementAndGet(): Unit }
   private val seqCounter = new AtomicLong(0L)
   // declared before the recovery block below, which seeds hwmWritten
   @volatile private var hwmWritten = 0L
@@ -184,15 +191,21 @@ final class UnitDb private (
   /** Append with contract/TTL/encryption (reference db.go:346-387). Topic
     * may carry a `?ttl=` option; an explicit `Entry.ttlMillis` wins.
     * @return the entry's 16-byte ID, usable with [[delete(id*]]. */
-  def putEntry(e: Entry): Array[Byte] = opMeter.time {
-    val m = toMessage(
-      e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract)))
-    val needFlush = synchronized {
-      ensureOpen()
-      pending += m
-      nPuts.incrementAndGet()
-      nBytesWritten.addAndGet(if (m.payload == null) 0 else m.payload.length.toLong)
-      pending.size >= autoFlushRows
+  def putEntry(e: Entry): Array[Byte] = {
+    // the put SAMPLE covers only the put (build + buffer append): a
+    // threshold-triggered flush records its own sync sample — timing it
+    // here too would double-count the flush in the shared reservoir
+    val (m, needFlush) = opMeter.time {
+      val m = toMessage(
+        e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract)))
+      val need = synchronized {
+        ensureOpen()
+        pending += m
+        nPuts.incrementAndGet()
+        nBytesWritten.addAndGet(if (m.payload == null) 0 else m.payload.length.toLong)
+        pending.size >= autoFlushRows
+      }
+      (m, need)
     }
     // flush OUTSIDE the buffer lock (lock order: flushLock > monitor)
     if (needFlush) sync()
@@ -212,16 +225,16 @@ final class UnitDb private (
       e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract))))
     val bytes = msgs.iterator
       .map(m => if (m.payload == null) 0L else m.payload.length.toLong).sum
-    opMeter.time {
-      val needFlush = synchronized {
+    val needFlush = opMeter.time {
+      synchronized {
         ensureOpen()
         pending ++= msgs
         nPuts.addAndGet(msgs.size.toLong)
         nBytesWritten.addAndGet(bytes)
         pending.size >= autoFlushRows
       }
-      if (needFlush) sync()
     }
+    if (needFlush) sync()
   }
 
   /** Delete one message by seq + topic — appends a sidecar tombstone;
@@ -350,44 +363,42 @@ final class UnitDb private (
   def sync(): Unit = flushLock.synchronized { opMeter.time {
     // snapshot the buffers under the (inner) monitor, write OUTSIDE it:
     // writers keep appending to `pending` while the parquet jobs run,
-    // and readers (who capture flushing ++ pending under flushLock)
-    // never see a row in both a buffer and a fresh file.
+    // and readers' seqlock capture (see visEpoch) never sees a row in
+    // both a buffer and a fresh file.
     val (tombs, msgs) = synchronized {
       flushingTombs ++= pendingTombs; pendingTombs.clear()
       flushing ++= pending; pending.clear()
       (flushingTombs.toSeq, flushing.toSeq)
     }
-    var flushed = false
-    // Tombstones flush FIRST: the two appends are not atomic together, and
-    // a crash between them must only ever under-apply the batch. A
-    // tombstone whose message never landed is a harmless anti-join no-op;
-    // the reverse order would expose batch puts with their deletes lost.
-    if (tombs.nonEmpty) {
-      val ds = spark.createDataset(tombs)(Encoders.product[Tombstone])
-      ds.toDF().repartition(1).write.mode(SaveMode.Append)
-        .partitionBy("contract").option("compression", "snappy")
-        .parquet(tombsPath)
-      visLock.synchronized {
+    if (tombs.isEmpty && msgs.isEmpty) return
+    enterDiskMutation()
+    try {
+      // Tombstones flush FIRST: the two appends are not atomic together,
+      // and a crash between them must only ever under-apply the batch. A
+      // tombstone whose message never landed is a harmless anti-join
+      // no-op; the reverse order would expose batch puts with their
+      // deletes lost.
+      if (tombs.nonEmpty) {
+        val ds = spark.createDataset(tombs)(Encoders.product[Tombstone])
+        ds.toDF().repartition(1).write.mode(SaveMode.Append)
+          .partitionBy("contract").option("compression", "snappy")
+          .parquet(tombsPath)
         synchronized { flushingTombs.clear(); tombsExist = true }
       }
-      flushed = true
-    }
-    if (msgs.nonEmpty) {
-      // large flushes: ship rows as an RDD so the InternalRow encode
-      // distributes across cores instead of running single-threaded in
-      // LocalRelation materialization (measured ~25% on 1M-row flushes);
-      // small flushes keep the cheaper local path
-      val ds = if (msgs.length >= 100000)
-        spark.createDataset(spark.sparkContext.parallelize(msgs,
-          math.min(16, 1 + msgs.length / 65536)))(Encoders.product[Message])
-      else spark.createDataset(msgs)(Encoders.product[Message])
-      writeStore(ds.toDF())
-      visLock.synchronized {
+      if (msgs.nonEmpty) {
+        // large flushes: ship rows as an RDD so the InternalRow encode
+        // distributes across cores instead of running single-threaded in
+        // LocalRelation materialization (measured ~25% on 1M-row
+        // flushes); small flushes keep the cheaper local path
+        val ds = if (msgs.length >= 100000)
+          spark.createDataset(spark.sparkContext.parallelize(msgs,
+            math.min(16, 1 + msgs.length / 65536)))(Encoders.product[Message])
+        else spark.createDataset(msgs)(Encoders.product[Message])
+        writeStore(ds.toDF())
         synchronized { flushing.clear(); storeExists = true }
       }
-      flushed = true
-    }
-    if (flushed) nSyncs.incrementAndGet(): Unit
+      nSyncs.incrementAndGet(): Unit
+    } finally exitDiskMutation()
   } }
 
   // ----------------------------------------------------------------- read
@@ -649,7 +660,7 @@ final class UnitDb private (
     * a key is present, and the `day`/`wc` partition columns retained for
     * pruning. Tombstoned rows are NOT removed here — callers anti-join
     * [[tombstonesFor]] (get/count do). */
-  def snapshot(): DataFrame = visLock.synchronized {
+  def snapshot(): DataFrame = seqlockRead {
     val pendingDf = synchronized {
       val rows = (flushing ++ pending).toSeq
       if (rows.isEmpty) None
@@ -667,6 +678,19 @@ final class UnitDb private (
     }
   }
 
+  /** Optimistic consistent capture (see [[visEpoch]]): run `capture` with
+    * no lock when no disk mutation overlapped it, else once more under
+    * flushLock. The capture must be side-effect-free (both paths may
+    * run it). */
+  private def seqlockRead[T](capture: => T): T = {
+    val e1 = visEpoch.get()
+    if ((e1 & 1L) == 0L) {
+      val out = capture
+      if (visEpoch.get() == e1) return out
+    }
+    flushLock.synchronized(capture)
+  }
+
   /** Delete markers visible to a reader as (seq, topic) pairs: sidecar ∪
     * unsynced, pruned by contract. Readers anti-join on BOTH keys — a
     * delete whose topic does not match the stored message is a no-op, as
@@ -674,7 +698,7 @@ final class UnitDb private (
     * block, db.go:392-425; ADVICE r2). The sidecar is orders smaller than
     * the store, so the anti-join side stays broadcast-able even on
     * delete-heavy stores (VERDICT r1 #2). */
-  def tombstonesFor(contract: Long = -1L): DataFrame = visLock.synchronized {
+  def tombstonesFor(contract: Long = -1L): DataFrame = seqlockRead {
     val pendingDf = synchronized {
       val rows = (flushingTombs ++ pendingTombs).toSeq
       if (rows.isEmpty) None
@@ -737,10 +761,11 @@ final class UnitDb private (
         f.getName != "_tombstones" && f.getName != "_temporary" &&
         f.getName != "_gen" && f.getName != "_manifest")
       .map(_.getName).toSeq
-    // the swap (and the consumed-tombstone drop) is the only instant a
-    // concurrent reader could list a half-moved store — exclude readers
-    // for exactly that instant, not the whole rewrite
-    visLock.synchronized {
+    // the swap (and the consumed-tombstone drop) flips visibility — mark
+    // the span so optimistic readers retry under flushLock instead of
+    // listing a half-moved store
+    enterDiskMutation()
+    try {
       commitProtocol.commitRewrite(path, tmp, preserved)
       // the tombstones were consumed by the rewrite. A swap protocol
       // dropped the sidecar with the old directory; a manifest commit
@@ -750,7 +775,7 @@ final class UnitDb private (
       val tp = Paths.get(tombsPath)
       if (Files.exists(tp)) FsUtil.deleteTree(tp)
       tombsExist = false
-    }
+    } finally exitDiskMutation()
   }
 
   /** Small-file compaction — the streaming-ingest pathology at scale:
@@ -831,9 +856,9 @@ final class UnitDb private (
       .filter(f => f.isDirectory && f.getName.startsWith("_") &&
         f.getName != "_temporary" && f.getName != "_gen" && f.getName != "_manifest")
       .map(_.getName).toSeq
-    visLock.synchronized {
-      commitProtocol.commitRewrite(path, tmp, preserved)
-    }
+    enterDiskMutation()
+    try commitProtocol.commitRewrite(path, tmp, preserved)
+    finally exitDiskMutation()
     hot.size
   }
 
@@ -849,8 +874,11 @@ final class UnitDb private (
     * lock, db.go:70). */
   private[graft] def appendFrame(df: DataFrame): Unit =
     flushLock.synchronized {
-      writeStore(df)
-      synchronized { storeExists = true }
+      enterDiskMutation()
+      try {
+        writeStore(df)
+        synchronized { storeExists = true }
+      } finally exitDiskMutation()
     }
 
   private[graft] def nowMs(): Long = clock()

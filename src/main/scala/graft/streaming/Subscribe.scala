@@ -58,10 +58,13 @@ object Subscribe {
       .withColumn("__bare",
         when(hasKey, expr("substring(pattern, instr(pattern, '/') + 1)"))
           .otherwise(col("pattern")))
-      .withColumn("__ok", graft.functions.TopicKeyValidate(
+      // coalesce: a NULL pattern/contract nulls the (null-intolerant)
+      // expression — such rows must surface in REJECTED, not vanish from
+      // both frames (the per-row-exclusion contract)
+      .withColumn("__ok", coalesce(graft.functions.TopicKeyValidate(
         col("__key"), col("__bare"),
         (if (hasContract) col("contract") else lit(Message.MasterContract))
-          .cast("long"), flag))
+          .cast("long"), flag), lit(false)))
     val kept = keyed.filter(col("__ok"))
       .withColumn("pattern", col("__bare"))
       .drop("__key", "__bare", "__ok")

@@ -74,6 +74,11 @@ object UtpCodec {
     }
     def bytes(): Array[Byte] = {
       val n = varint().toInt
+      // explicit bound: copyOfRange would silently ZERO-PAD a truncated
+      // field past the buffer end — a malformed frame must error, not
+      // decode to a corrupted payload
+      require(n >= 0 && pos + n <= b.length,
+        s"length-delimited field of $n bytes overruns the ${b.length}-byte buffer")
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
       pos += n
       out
@@ -137,13 +142,25 @@ object UtpCodec {
   }
 
   def readMqttLen(in: InputStream): Int = {
+    val first = in.read()
+    if (first < 0) throw new EOFException("stream closed mid-length")
+    readMqttLenCont(in, first)
+  }
+
+  /** Continue a length decode whose first byte is already consumed — the
+    * single shared loop ([[readPacket]] peeks the first byte itself to
+    * distinguish clean EOF from a truncated frame). */
+  private def readMqttLenCont(in: InputStream, first: Int): Int = {
     var mult = 0; var v = 0
-    while (mult < 27) {
-      val x = in.read()
-      if (x < 0) throw new EOFException("stream closed mid-length")
-      v |= (x & 0x7f) << mult
-      if ((x & 0x80) == 0) return v
+    var digit = first
+    while (true) {
+      v |= (digit & 0x7f) << mult
+      if ((digit & 0x80) == 0) return v
       mult += 7
+      if (mult >= 28)
+        throw new IllegalArgumentException("mqtt varint longer than 4 groups")
+      digit = in.read()
+      if (digit < 0) throw new EOFException("stream closed mid-length")
     }
     v
   }
@@ -413,16 +430,7 @@ object UtpCodec {
   def readPacket(in: InputStream): Option[(FixedHeader, Array[Byte])] = {
     val first = in.read()
     if (first < 0) return None
-    var mult = 0; var fhLen = 0
-    var digit = first
-    while ({
-      fhLen |= (digit & 0x7f) << mult
-      (digit & 0x80) != 0 && mult < 27
-    }) {
-      mult += 7
-      digit = in.read()
-      if (digit < 0) throw new EOFException("stream closed mid-length")
-    }
+    val fhLen = readMqttLenCont(in, first)
     require(fhLen >= 0 && fhLen <= MaxHeaderLen,
       s"implausible header length $fhLen")
     val fh = decodeFixedHeader(readFully(in, fhLen))

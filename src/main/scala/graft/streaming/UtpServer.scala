@@ -105,9 +105,14 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
         // stalls every small ack ~40ms and caps a connection near
         // 25 batches/s regardless of batch size (measured)
         sock.setTcpNoDelay(true)
-        daemon(s"utp-conn-${connIds.incrementAndGet()}")(serve(sock))
+        val connId = connIds.incrementAndGet()
+        daemon(s"utp-conn-$connId")(serve(sock, connId))
       } catch {
-        case _: java.net.SocketException => // closed
+        case _: java.net.SocketException => // closed (or close() racing)
+        case _: Exception if running.get() =>
+          // transient accept failure (e.g. fd exhaustion): the acceptor
+          // must survive it — back off briefly and keep listening
+          Thread.sleep(50)
       }
     }
   }
@@ -123,7 +128,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     send(sock, C.encodePacket(msgType, C.ACKNOWLEDGE,
       C.encodeControl(C.ControlMessage(messageId, payload))))
 
-  private def serve(sock: Socket): Unit = {
+  private def serve(sock: Socket, connId: Int): Unit = {
     val in = sock.getInputStream
     try {
       var open = true
@@ -134,7 +139,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             case C.CONNECT =>
               val connack = C.encodeConnack(C.ConnectAcknowledge(
                 C.Accepted, (System.currentTimeMillis() / 1000).toInt,
-                connIds.get()))
+                connId))
               ack(sock, C.CONNECT, 0, connack)
 
             case C.PUBLISH if fh.flowControl == C.NONE =>
@@ -152,21 +157,32 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
                     specialRequest(m.topic.stripPrefix("unitdb/"),
                       m.payload), ""))))))
               }
-              // one lock acquisition per packet, not per message —
-              // connection threads otherwise serialize on the store
-              db.putEntries(stores.map { m =>
+              // per-REQUEST authorization (the reference errors the one
+              // message, never the connection): pre-check write authority
+              // so an unauthorized message is excluded without aborting
+              // its co-batched peers — then one lock acquisition per
+              // packet, not per message (connection threads otherwise
+              // serialize on the store)
+              val authorized = stores.filter(m => !db.secureMode || {
+                // the same check putEntry's authorize applies, minus the
+                // throw — exclusion instead of connection death
+                val (key, bare) = graft.model.TopicKey.split(m.topic)
+                key.nonEmpty && graft.model.TopicKey.validate(
+                  key, bare, graft.model.TopicKey.AllowWrite)
+              })
+              db.putEntries(authorized.map { m =>
                 val topic =
                   if (m.ttl == null || m.ttl.isEmpty) m.topic
                   else if (m.topic.contains('?')) s"${m.topic}&ttl=${m.ttl}"
                   else s"${m.topic}?ttl=${m.ttl}"
                 Entry(topic, m.payload)
               })
-              if (putsSinceSync.addAndGet(stores.size.toLong) >=
+              if (putsSinceSync.addAndGet(authorized.size.toLong) >=
                   syncEveryPuts) {
                 putsSinceSync.addAndGet(-syncEveryPuts.toLong)
                 requestFlush()
               }
-              stores.foreach(fanoutLive)
+              authorized.foreach(fanoutLive)
               ack(sock, C.PUBLISH, pub.messageId)
 
             case C.SUBSCRIBE =>
@@ -192,7 +208,9 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
               relay.requests.foreach { req =>
                 if (req.last != null && req.last.nonEmpty) {
                   db.sync() // serve read-your-writes across connections
-                  val payloads = db.get(Query(s"${req.topic}?last=${req.last}"))
+                  val sep = if (req.topic.contains('?')) "&" else "?"
+                  val payloads =
+                    db.get(Query(s"${req.topic}${sep}last=${req.last}"))
                   if (payloads.nonEmpty)
                     send(sock, C.encodePacket(C.PUBLISH, C.NONE,
                       C.encodePublish(C.Publish(0, 2,
@@ -280,7 +298,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             // RELIABLE: hold the message, offer it via NOTIFY; the
             // subscriber pulls with RECEIVE and settles with RECEIPT
             // (reference delivery-mode handshake, utp/flow_control.go)
-            val id = reliableIds.incrementAndGet() & 0xffff
+            val id = reliableIds.incrementAndGet()
             val pkt = C.encodePacket(C.PUBLISH, C.NONE,
               C.encodePublish(C.Publish(id, mode,
                 Seq(C.PublishMessage(bare, m.payload, "")))))

@@ -146,6 +146,23 @@ class SecuritySpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"subscribe plan still carries a UDF:\n$plan")
   }
 
+  test("validSubs: a NULL pattern lands in rejected, never vanishes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mc = graft.model.Message.MasterContract
+    val rk = generate("n.t", AllowRead)
+    val subs = Seq(
+      (1L, Option(s"$rk/n.t"), mc, 0),
+      (2L, Option.empty[String], mc, 0) // null pattern
+    ).toDF("sub_id", "pattern", "contract", "delivery_mode")
+    val (kept, rejected) = graft.streaming.Subscribe.validSubs(subs)
+    assert(kept.select("sub_id").as[Long].collect().toSeq == Seq(1L))
+    assert(rejected.select("sub_id").as[Long].collect().toSeq == Seq(2L),
+      "the null-pattern row must surface in rejected")
+    assert(kept.count() + rejected.count() == 2, "no row may vanish")
+    val _ = col("sub_id")
+  }
+
   test("TopicKeyValidate expression: codegen and interpreted paths agree") {
     import spark.implicits._
     val rk = generate("a.b", AllowRead)

@@ -92,6 +92,52 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("codec: a truncated length-delimited field errors, never zero-pads") {
+    // Publish body declaring a 100-byte payload but carrying 4
+    val w = C.encodePublish(C.Publish(1, 0,
+      Seq(C.PublishMessage("t", "abcd".getBytes, ""))))
+    // corrupt the inner payload length varint (field 2 of the message)
+    // by rebuilding: message field with a lying length
+    val lying = Array(((3 << 3) | 2).toByte, 9.toByte, // msgs field, 9 bytes
+      ((1 << 3) | 2).toByte, 1.toByte, 't'.toByte,     // topic "t"
+      ((2 << 3) | 2).toByte, 100.toByte,               // payload len 100 (!)
+      'a'.toByte, 'b'.toByte)                          // ...only 2 bytes
+    val ex = intercept[Exception] { C.decodePublish(lying) }
+    assert(ex.getMessage.contains("overruns"), ex.getMessage)
+    assert(C.decodePublish(w).messages.head.payload.length == 4)
+  }
+
+  test("server: secure mode drops only the unauthorized message in a batch") {
+    val dir = Files.createTempDirectory("graft_utp_sec").toString + "/store"
+    val db = UnitDb.open(spark, dir, secureMode = true)
+    val wk = db.keyGen("sec.ok", graft.model.TopicKey.AllowWrite)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualPort)
+      val out = sock.getOutputStream
+      out.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(5, 0, Seq(
+          C.PublishMessage(s"$wk/sec.ok", "good-1".getBytes, ""),
+          C.PublishMessage("sec.ok", "no-key".getBytes, ""),
+          C.PublishMessage(s"$wk/sec.ok", "good-2".getBytes, ""))))))
+      out.flush()
+      // the connection survives and the packet is acked
+      val (afh, abody) = C.readPacket(sock.getInputStream).get
+      assert(afh.msgType == C.PUBLISH && afh.flowControl == C.ACKNOWLEDGE)
+      assert(C.decodeControl(abody).messageId == 5)
+      sock.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (db.count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val rk = db.keyGen("sec.ok", graft.model.TopicKey.AllowRead)
+      assert(db.get(Query(s"$rk/sec.ok")).map(new String(_)).toSet ==
+        Set("good-1", "good-2"), "authorized peers land; no-key is excluded")
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: a garbage frame drops only that connection, store stays live") {
     val dir = Files.createTempDirectory("graft_utp_junk").toString + "/store"
     val db = UnitDb.open(spark, dir)
