@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.net.Socket
+
+import graft.streaming.{UtpCodec => C}
+
+/** Minimal programmatic uTP client — the counterpart of [[UtpServer]]
+  * for Scala callers (smoke-testing a deployment, bridging a legacy
+  * producer, driving the endpoint from tests). Blocking, one socket,
+  * request/response in caller order; not a connection pool. The wire
+  * format is [[UtpCodec]]'s, so this client also talks to the reference
+  * server for the verbs both sides share. */
+final class UtpClient(host: String, port: Int) extends AutoCloseable {
+
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val out = sock.getOutputStream
+  private val in = sock.getInputStream
+  private val msgIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def nextId(): Int = msgIds.incrementAndGet() & 0x7fffffff
+
+  private def request(pkt: Array[Byte]): (C.FixedHeader, Array[Byte]) = {
+    out.write(pkt); out.flush()
+    C.readPacket(in).getOrElse(
+      throw new java.io.EOFException("server closed the connection"))
+  }
+
+  /** CONNECT handshake; returns the server-assigned connection id. */
+  def connect(clientId: String = "", insecure: Boolean = true): Int = {
+    val (fh, body) = request(C.encodePacket(C.CONNECT, C.NONE,
+      C.encodeConnect(C.Connect(1, insecure, clientId, 30,
+        cleanSess = true, 0, "", Array.emptyByteArray, 0, 0, 0))))
+    require(fh.msgType == C.CONNECT && fh.flowControl == C.ACKNOWLEDGE,
+      s"unexpected reply to CONNECT: $fh")
+    val connack = C.decodeConnack(C.decodeControl(body).message)
+    require(connack.returnCode == C.Accepted,
+      s"connection refused: code ${connack.returnCode}")
+    connack.connId
+  }
+
+  /** Publish one or more (topic, payload[, ttl]) messages; returns after
+    * the server's acknowledge. */
+  def publish(messages: (String, Array[Byte])*): Unit =
+    publishWithTtl(messages.map { case (t, p) => (t, p, "") }: _*)
+
+  def publishWithTtl(messages: (String, Array[Byte], String)*): Unit = {
+    val id = nextId()
+    val (fh, body) = request(C.encodePacket(C.PUBLISH, C.NONE,
+      C.encodePublish(C.Publish(id, 0,
+        messages.map { case (t, p, ttl) => C.PublishMessage(t, p, ttl) }))))
+    require(fh.msgType == C.PUBLISH && fh.flowControl == C.ACKNOWLEDGE &&
+      C.decodeControl(body).messageId == id, s"publish not acknowledged: $fh")
+  }
+
+  /** Relay a stored window back: returns the payloads for `topic` within
+    * the `last` duration (e.g. "1h"), newest delivery order as served. */
+  def relay(topic: String, last: String): Seq[Array[Byte]] = {
+    val id = nextId()
+    out.write(C.encodePacket(C.RELAY, C.NONE,
+      C.encodeRelay(C.Relay(id, Seq(C.RelayRequest(topic, last))))))
+    out.flush()
+    val got = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var acked = false
+    while (!acked) {
+      val (fh, body) = C.readPacket(in).getOrElse(
+        throw new java.io.EOFException("server closed during relay"))
+      if (fh.msgType == C.PUBLISH && fh.flowControl == C.NONE)
+        got ++= C.decodePublish(body).messages.map(_.payload)
+      else if (fh.msgType == C.RELAY && fh.flowControl == C.ACKNOWLEDGE &&
+          C.decodeControl(body).messageId == id)
+        acked = true
+      else throw new IllegalStateException(s"unexpected frame during relay: $fh")
+    }
+    got.toSeq
+  }
+
+  /** Register live subscriptions (deliveryMode 0 express / 1 reliable /
+    * 2 batch). Delivered messages arrive interleaved on this socket —
+    * consume them with [[nextDelivery]]. */
+  def subscribe(patterns: (String, Int)*): Unit = {
+    val id = nextId()
+    val (fh, body) = request(C.encodePacket(C.SUBSCRIBE, C.NONE,
+      C.encodeSubscribe(C.Subscribe(id,
+        patterns.map { case (p, m) => C.Subscription(m, 0, p) }))))
+    require(fh.msgType == C.SUBSCRIBE && fh.flowControl == C.ACKNOWLEDGE &&
+      C.decodeControl(body).messageId == id, s"subscribe not acknowledged: $fh")
+  }
+
+  /** Block for the next fanned-out delivery, transparently walking the
+    * reliable handshake (NOTIFY → RECEIVE → message → RECEIPT →
+    * COMPLETE) when the subscription asked for delivery mode 1. */
+  def nextDelivery(): Seq[(String, Array[Byte])] = {
+    while (true) {
+      val (fh, body) = C.readPacket(in).getOrElse(
+        throw new java.io.EOFException("server closed"))
+      (fh.msgType, fh.flowControl) match {
+        case (C.PUBLISH, C.NONE) =>
+          return C.decodePublish(body).messages.map(m => (m.topic, m.payload))
+        case (C.PUBLISH, C.NOTIFY) =>
+          val id = C.decodeControl(body).messageId
+          out.write(C.encodePacket(C.FLOWCONTROL, C.RECEIVE,
+            C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+          out.flush()
+          val (mfh, mbody) = C.readPacket(in).getOrElse(
+            throw new java.io.EOFException("server closed mid-handshake"))
+          require(mfh.msgType == C.PUBLISH && mfh.flowControl == C.NONE)
+          val msg = C.decodePublish(mbody)
+          out.write(C.encodePacket(C.FLOWCONTROL, C.RECEIPT,
+            C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+          out.flush()
+          val (cfh, _) = C.readPacket(in).getOrElse(
+            throw new java.io.EOFException("server closed mid-handshake"))
+          require(cfh.flowControl == C.COMPLETE)
+          return msg.messages.map(m => (m.topic, m.payload))
+        case other =>
+          throw new IllegalStateException(s"unexpected frame: $other")
+      }
+    }
+    Nil // unreachable
+  }
+
+  /** Keygen special request: mint a key for (topic, access) where access
+    * is "r", "w" or "rw" — returns the key string. */
+  def keyGen(topic: String, access: String): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload =
+      s"""[{"topic":${om.writeValueAsString(topic)},"type":${om.writeValueAsString(access)}}]"""
+    out.write(C.encodePacket(C.PUBLISH, C.NONE,
+      C.encodePublish(C.Publish(nextId(), 0, Seq(C.PublishMessage(
+        "unitdb/keygen", payload.getBytes("UTF-8"), ""))))))
+    out.flush()
+    val (rfh, rbody) = C.readPacket(in).getOrElse(
+      throw new java.io.EOFException("server closed"))
+    require(rfh.msgType == C.PUBLISH && rfh.flowControl == C.NONE)
+    val resp = om.readTree(C.decodePublish(rbody).messages.head.payload)
+    C.readPacket(in) // the publish ack
+    require(resp.get(0).get("status").asInt() == 200, resp.toString)
+    resp.get(0).get("key").asText()
+  }
+
+  def ping(): Unit = {
+    val (fh, _) = request(C.encodePacket(C.PINGREQ, C.NONE,
+      Array.emptyByteArray))
+    require(fh.msgType == C.PINGREQ && fh.flowControl == C.ACKNOWLEDGE)
+  }
+
+  def close(): Unit = {
+    try {
+      out.write(C.encodePacket(C.DISCONNECT, C.NONE, Array.emptyByteArray))
+      out.flush()
+    } catch { case _: Exception => () }
+    try sock.close() catch { case _: Exception => () }
+  }
+}

@@ -383,6 +383,35 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("client: the UtpClient face drives the whole session end-to-end") {
+    val dir = Files.createTempDirectory("graft_utp_cli").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val pubCli = new UtpClient("127.0.0.1", srv.actualPort)
+      val subCli = new UtpClient("127.0.0.1", srv.actualPort)
+      assert(pubCli.connect("producer") > 0)
+      subCli.subscribe(("cli.*.x", 0), ("cli.rel", 1))
+      pubCli.publish(("cli.a.x", "hello".getBytes))
+      val d1 = subCli.nextDelivery()
+      assert(d1 == Seq(("cli.a.x", d1.head._2)) &&
+        new String(d1.head._2) == "hello")
+      // reliable delivery walks the handshake transparently
+      pubCli.publish(("cli.rel", "precious".getBytes))
+      val d2 = subCli.nextDelivery()
+      assert(d2.map(_._1) == Seq("cli.rel") &&
+        new String(d2.head._2) == "precious")
+      // relay a stored window back
+      val relayed = pubCli.relay("cli.a.x", "1h")
+      assert(relayed.map(new String(_)) == Seq("hello"))
+      pubCli.ping()
+      pubCli.close(); subCli.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: publish TTL rides the topic option into expiry") {
     val dir = Files.createTempDirectory("graft_utp_ttl").toString + "/store"
     var now = 1700000000000L
