@@ -152,9 +152,24 @@ final class UnitDb private (
   // set by the companion open() when commitProtocol.recover repaired a
   // crash window before this instance was constructed
   private[engine] var recoveredAtOpen: Boolean = false
-  // op-duration reservoir behind varz's percentile block (one histogram
-  // over put/get/sync, like the reference's single event-duration sample)
+  // op-duration reservoirs behind varz's percentile blocks: one combined
+  // histogram over put/get/sync (the reference's single event-duration
+  // TimeSeries, meter.go:50) PLUS a per-face reservoir each, mirroring
+  // the reference's per-face counters (meter.go:29-43) at duration
+  // granularity — put p99 is no longer diluted by cheap gets
   private val opMeter = new LatencyMeter()
+  private val putMeter = new LatencyMeter()
+  private val getMeter = new LatencyMeter()
+  private val syncMeter = new LatencyMeter()
+  /** Time a block into both the combined and the face reservoir. */
+  private def timed[A](face: LatencyMeter)(f: => A): A = {
+    val start = System.nanoTime()
+    try f
+    finally {
+      val d = System.nanoTime() - start
+      opMeter.observe(d); face.observe(d)
+    }
+  }
 
   // recover last assigned seq from the store + sidecars (reference
   // recovery.go:45-178 rebuilds from WAL; we just ask the table — the
@@ -195,7 +210,7 @@ final class UnitDb private (
     // the put SAMPLE covers only the put (build + buffer append): a
     // threshold-triggered flush records its own sync sample — timing it
     // here too would double-count the flush in the shared reservoir
-    val (m, needFlush) = opMeter.time {
+    val (m, needFlush) = timed(putMeter) {
       val m = toMessage(
         e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract)))
       val need = synchronized {
@@ -225,7 +240,7 @@ final class UnitDb private (
       e.copy(topic = authorize(e.topic, TopicKey.AllowWrite, e.contract))))
     val bytes = msgs.iterator
       .map(m => if (m.payload == null) 0L else m.payload.length.toLong).sum
-    val needFlush = opMeter.time {
+    val needFlush = timed(putMeter) {
       synchronized {
         ensureOpen()
         pending ++= msgs
@@ -360,7 +375,7 @@ final class UnitDb private (
   /** Flush the pending buffers as atomic Parquet appends (reference
     * DB.Sync, db.go:452-472): entries to the main table, delete markers to
     * the `_tombstones` sidecar. */
-  def sync(): Unit = flushLock.synchronized { opMeter.time {
+  def sync(): Unit = flushLock.synchronized { timed(syncMeter) {
     // snapshot the buffers under the (inner) monitor, write OUTSIDE it:
     // writers keep appending to `pending` while the parquet jobs run,
     // and readers' seqlock capture (see visEpoch) never sees a row in
@@ -406,7 +421,7 @@ final class UnitDb private (
   /** Core query (reference db.go:222-319): topics matching the pattern
     * under the contract, newer than the `?last=` cutoff, live (not deleted,
     * not expired), newest-first, limited. Returns payloads newest-first. */
-  def get(q: Query): Array[Array[Byte]] = opMeter.time {
+  def get(q: Query): Array[Array[Byte]] = timed(getMeter) {
     val rows = getFrame(q).select("payload").collect().map(_.getAs[Array[Byte]](0))
     nEntriesRead.addAndGet(rows.length.toLong)
     nBytesRead.addAndGet(rows.iterator.map(p => if (p == null) 0L else p.length.toLong).sum)
@@ -590,11 +605,18 @@ final class UnitDb private (
   }
 
   /** Flush and close (reference DB.Close, db.go:213-219): pending writes
-    * are synced, then every further operation throws. Idempotent. */
+    * are synced, then every further operation throws. Idempotent.
+    *
+    * Order matters: the flag flips BEFORE the final sync, under the same
+    * monitor the put path appends under — a put racing this close either
+    * lands its row while `closed` is still false (the sync below flushes
+    * it) or observes the flag and throws. The reverse order (sync, then
+    * flag) let a put slip between sync's buffer snapshot and the flag,
+    * returning success for a row that was never flushed (ADVICE r9). */
   def close(): Unit = flushLock.synchronized {
     if (!closed) {
-      sync()
       synchronized { closed = true }
+      sync()
     }
   }
 
@@ -645,7 +667,9 @@ final class UnitDb private (
     syncs = nSyncs.get, entriesRead = nEntriesRead.get,
     bytesWritten = nBytesWritten.get, bytesRead = nBytesRead.get,
     fileSize = fileSize(), latency = opMeter.snapshot(),
-    aborts = nAborts.get, recovers = if (recoveredAtOpen) 1L else 0L)
+    aborts = nAborts.get, recovers = if (recoveredAtOpen) 1L else 0L,
+    putLatency = putMeter.snapshot(), getLatency = getMeter.snapshot(),
+    syncLatency = syncMeter.snapshot())
 
   /** Physical bytes on disk (reference DB.FileSize, db.go:480-482). */
   def fileSize(): Long = {

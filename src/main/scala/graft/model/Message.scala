@@ -156,4 +156,7 @@ final case class Varz(
     fileSize: Long,
     latency: LatencyStats = LatencyStats.empty,
     aborts: Long = 0L,
-    recovers: Long = 0L)
+    recovers: Long = 0L,
+    putLatency: LatencyStats = LatencyStats.empty,
+    getLatency: LatencyStats = LatencyStats.empty,
+    syncLatency: LatencyStats = LatencyStats.empty)

@@ -18,7 +18,15 @@ final class UtpClient(host: String, port: Int) extends AutoCloseable {
   private val in = sock.getInputStream
   private val msgIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def nextId(): Int = msgIds.incrementAndGet() & 0x7fffffff
+  /** uint16 id space, never 0 — the reference server narrows
+    * ControlMessage.MessageID to uint16 (utp/flow_control.go), so a
+    * 31-bit id would stop matching acks on a long-lived connection once
+    * past 65535. */
+  private def nextId(): Int = {
+    var id = msgIds.incrementAndGet() & 0xffff
+    while (id == 0) id = msgIds.incrementAndGet() & 0xffff
+    id
+  }
 
   private def request(pkt: Array[Byte]): (C.FixedHeader, Array[Byte]) = {
     out.write(pkt); out.flush()
@@ -26,11 +34,16 @@ final class UtpClient(host: String, port: Int) extends AutoCloseable {
       throw new java.io.EOFException("server closed the connection"))
   }
 
-  /** CONNECT handshake; returns the server-assigned connection id. */
-  def connect(clientId: String = "", insecure: Boolean = true): Int = {
+  /** CONNECT handshake; returns the server-assigned connection id. The
+    * batch thresholds configure delivery-mode-2 coalescing for this
+    * connection's subscriptions (0 = server defaults). */
+  def connect(clientId: String = "", insecure: Boolean = true,
+      batchDurationMs: Int = 0, batchByteThreshold: Int = 0,
+      batchCountThreshold: Int = 0): Int = {
     val (fh, body) = request(C.encodePacket(C.CONNECT, C.NONE,
       C.encodeConnect(C.Connect(1, insecure, clientId, 30,
-        cleanSess = true, 0, "", Array.emptyByteArray, 0, 0, 0))))
+        cleanSess = true, 0, "", Array.emptyByteArray,
+        batchDurationMs, batchByteThreshold, batchCountThreshold))))
     require(fh.msgType == C.CONNECT && fh.flowControl == C.ACKNOWLEDGE,
       s"unexpected reply to CONNECT: $fh")
     val connack = C.decodeConnack(C.decodeControl(body).message)
@@ -98,15 +111,18 @@ final class UtpClient(host: String, port: Int) extends AutoCloseable {
         case (C.PUBLISH, C.NONE) =>
           return C.decodePublish(body).messages.map(m => (m.topic, m.payload))
         case (C.PUBLISH, C.NOTIFY) =>
+          // RECEIVE/RECEIPT ride MessageType=PUBLISH, as the reference
+          // client encodes them (utp/flow_control.go:75-83) — the
+          // receiver dispatches on FlowControl alone
           val id = C.decodeControl(body).messageId
-          out.write(C.encodePacket(C.FLOWCONTROL, C.RECEIVE,
+          out.write(C.encodePacket(C.PUBLISH, C.RECEIVE,
             C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
           out.flush()
           val (mfh, mbody) = C.readPacket(in).getOrElse(
             throw new java.io.EOFException("server closed mid-handshake"))
           require(mfh.msgType == C.PUBLISH && mfh.flowControl == C.NONE)
           val msg = C.decodePublish(mbody)
-          out.write(C.encodePacket(C.FLOWCONTROL, C.RECEIPT,
+          out.write(C.encodePacket(C.PUBLISH, C.RECEIPT,
             C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
           out.flush()
           val (cfh, _) = C.readPacket(in).getOrElse(
@@ -137,6 +153,24 @@ final class UtpClient(host: String, port: Int) extends AutoCloseable {
     C.readPacket(in) // the publish ack
     require(resp.get(0).get("status").asInt() == 200, resp.toString)
     resp.get(0).get("key").asText()
+  }
+
+  /** Varz special request — the server's metrics snapshot (counters +
+    * the per-face latency percentile blocks) as parsed JSON, the
+    * in-band twin of the reference server's /varz monitor face. */
+  def varz(): com.fasterxml.jackson.databind.JsonNode = {
+    out.write(C.encodePacket(C.PUBLISH, C.NONE,
+      C.encodePublish(C.Publish(nextId(), 0, Seq(C.PublishMessage(
+        "unitdb/varz", Array.emptyByteArray, ""))))))
+    out.flush()
+    val (rfh, rbody) = C.readPacket(in).getOrElse(
+      throw new java.io.EOFException("server closed"))
+    require(rfh.msgType == C.PUBLISH && rfh.flowControl == C.NONE)
+    val resp = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(C.decodePublish(rbody).messages.head.payload)
+    C.readPacket(in) // the publish ack
+    require(resp.get("status").asInt() == 200, resp.toString)
+    resp
   }
 
   def ping(): Unit = {

@@ -67,6 +67,62 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     new java.util.concurrent.ConcurrentHashMap[Socket,
       scala.collection.concurrent.TrieMap[Int, Array[Byte]]]()
   private val reliableIds = new AtomicInteger(0)
+  /** Reference-parity id space: the reference narrows ControlMessage
+    * MessageID to uint16 (utp/flow_control.go ControlMessage), so held
+    * reliable ids must stay in 1..65535 or a long-lived reference
+    * subscriber stops matching RECEIVEs to NOTIFYs. */
+  private def nextReliableId(): Int = {
+    var id = reliableIds.incrementAndGet() & 0xffff
+    while (id == 0) id = reliableIds.incrementAndGet() & 0xffff
+    id
+  }
+
+  /** Subscribe-side batch thresholds (delivery mode 2), set per
+    * connection at CONNECT (reference internal/batch.go:12-19 defaults:
+    * 100 ms / 3.5 MiB / 1000 messages). */
+  private final case class BatchOpts(durationMs: Int, maxBytes: Int,
+      maxCount: Int)
+  private val batchOpts =
+    new java.util.concurrent.ConcurrentHashMap[Socket, BatchOpts]()
+
+  /** One pending coalesce buffer per mode-2 subscriber connection
+    * (reference batchManager, internal/batch.go:93-111): messages
+    * accumulate under the buffer's lock; count/byte threshold crossings
+    * flush inline on the publisher's thread, the duration threshold
+    * flushes from the shared ticker. Flushed batches ride the reliable
+    * handshake — the uTP spec has no express batch mode (docs/utp.md
+    * §Batching). */
+  private final class Batcher(val opts: BatchOpts) {
+    val msgs = scala.collection.mutable.ArrayBuffer[C.PublishMessage]()
+    var bytes = 0
+    /** Appends; returns the drained batch when a threshold crossed. */
+    def add(m: C.PublishMessage): Option[Seq[C.PublishMessage]] =
+      synchronized {
+        msgs += m
+        bytes += m.payload.length
+        if (msgs.length >= opts.maxCount || bytes >= opts.maxBytes) drain()
+        else None
+      }
+    def drain(): Option[Seq[C.PublishMessage]] = synchronized {
+      if (msgs.isEmpty) None
+      else {
+        val out = msgs.toSeq
+        msgs.clear(); bytes = 0
+        Some(out)
+      }
+    }
+  }
+  private val batchers =
+    new java.util.concurrent.ConcurrentHashMap[Socket, Batcher]()
+  private val batchTicker =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"utp-batch-$actualPort")
+        t.setDaemon(true); t
+      })
+  private val tickerTasks =
+    new java.util.concurrent.ConcurrentHashMap[Socket,
+      java.util.concurrent.ScheduledFuture[_]]()
 
   /** Threshold flushes run here, off the connection threads: with the
     * store's non-blocking flush, other connections already continue
@@ -135,14 +191,50 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       while (open && running.get()) {
         C.readPacket(in) match {
           case None => open = false
+          // ANY frame with flowControl != NONE is a ControlMessage,
+          // regardless of msgType — reference clients encode
+          // RECEIVE/RECEIPT under MessageType=PUBLISH
+          // (utp/flow_control.go:75-83) and the reference server
+          // dispatches on FlowControl alone (net/message.go:63).
+          // msgType FLOWCONTROL(8) stays accepted for older in-repo
+          // clients that framed controls under their own type.
+          case Some((fh, body))
+              if fh.flowControl != C.NONE || fh.msgType == C.FLOWCONTROL =>
+            val ctrl = C.decodeControl(body)
+            fh.flowControl match {
+              case C.RECEIVE =>
+                Option(reliableOut.get(sock))
+                  .flatMap(_.get(ctrl.messageId))
+                  .foreach(send(sock, _))
+              case C.RECEIPT =>
+                Option(reliableOut.get(sock))
+                  .foreach(_.remove(ctrl.messageId))
+                send(sock, C.encodePacket(C.PUBLISH, C.COMPLETE,
+                  C.encodeControl(C.ControlMessage(ctrl.messageId,
+                    Array.emptyByteArray))))
+              case _ => () // client-side ACK/NOTIFY/COMPLETE: nothing held
+            }
+
           case Some((fh, body)) => fh.msgType match {
             case C.CONNECT =>
+              val conn = C.decodeConnect(body)
+              // subscribe-side batch thresholds (delivery mode 2) ride
+              // the CONNECT — zero means the reference defaults
+              // (internal/batch.go:12-19: 100ms / 3.5 MiB / 1000)
+              if (conn.batchDuration > 0 || conn.batchByteThreshold > 0 ||
+                  conn.batchCountThreshold > 0)
+                batchOpts.put(sock, BatchOpts(
+                  if (conn.batchDuration > 0) conn.batchDuration else 100,
+                  if (conn.batchByteThreshold > 0) conn.batchByteThreshold
+                  else 3584 * 1024,
+                  if (conn.batchCountThreshold > 0) conn.batchCountThreshold
+                  else 1000))
               val connack = C.encodeConnack(C.ConnectAcknowledge(
                 C.Accepted, (System.currentTimeMillis() / 1000).toInt,
                 connId))
               ack(sock, C.CONNECT, 0, connack)
 
-            case C.PUBLISH if fh.flowControl == C.NONE =>
+            case C.PUBLISH =>
               val pub = C.decodePublish(body)
               val (special, stores) =
                 pub.messages.partition(_.topic.startsWith("unitdb/"))
@@ -209,8 +301,16 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
                 if (req.last != null && req.last.nonEmpty) {
                   db.sync() // serve read-your-writes across connections
                   val sep = if (req.topic.contains('?')) "&" else "?"
+                  // per-REQUEST authorization, as on the PUBLISH path:
+                  // an unauthorized topic skips that one request (the
+                  // reference errors the request, never the connection)
+                  // and the RELAY is still acknowledged
                   val payloads =
-                    db.get(Query(s"${req.topic}${sep}last=${req.last}"))
+                    try db.get(Query(s"${req.topic}${sep}last=${req.last}"))
+                    catch {
+                      case _: SecurityException =>
+                        Array.empty[Array[Byte]]
+                    }
                   if (payloads.nonEmpty)
                     send(sock, C.encodePacket(C.PUBLISH, C.NONE,
                       C.encodePublish(C.Publish(0, 2,
@@ -226,25 +326,6 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             case C.DISCONNECT =>
               open = false
 
-            case C.FLOWCONTROL =>
-              // subscriber side of the reliable handshake
-              // (hdl_conn.go:241-266): RECEIVE pulls the held message,
-              // RECEIPT settles it and gets COMPLETE back
-              val ctrl = C.decodeControl(body)
-              fh.flowControl match {
-                case C.RECEIVE =>
-                  Option(reliableOut.get(sock))
-                    .flatMap(_.get(ctrl.messageId))
-                    .foreach(send(sock, _))
-                case C.RECEIPT =>
-                  Option(reliableOut.get(sock))
-                    .foreach(_.remove(ctrl.messageId))
-                  send(sock, C.encodePacket(C.PUBLISH, C.COMPLETE,
-                    C.encodeControl(C.ControlMessage(ctrl.messageId,
-                      Array.emptyByteArray))))
-                case _ => ()
-              }
-
             case _ =>
               // anything else: close cleanly rather than strand
               open = false
@@ -259,6 +340,9 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     } finally {
       liveSubs.remove(sock)
       reliableOut.remove(sock)
+      batchers.remove(sock)
+      batchOpts.remove(sock)
+      Option(tickerTasks.remove(sock)).foreach(_.cancel(false))
       try db.sync() catch { case _: Exception => }
       try sock.close() catch { case _: Exception => }
     }
@@ -298,14 +382,13 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             // RELIABLE: hold the message, offer it via NOTIFY; the
             // subscriber pulls with RECEIVE and settles with RECEIPT
             // (reference delivery-mode handshake, utp/flow_control.go)
-            val id = reliableIds.incrementAndGet()
-            val pkt = C.encodePacket(C.PUBLISH, C.NONE,
-              C.encodePublish(C.Publish(id, mode,
-                Seq(C.PublishMessage(bare, m.payload, "")))))
-            reliableOut.computeIfAbsent(e.getKey,
-              _ => scala.collection.concurrent.TrieMap.empty).put(id, pkt)
-            send(e.getKey, C.encodePacket(C.PUBLISH, C.NOTIFY,
-              C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+            notifyHeld(e.getKey, 1, Seq(C.PublishMessage(bare, m.payload, "")))
+          } else if (mode == 2) {
+            // BATCH: coalesce into the connection's buffer; a crossed
+            // count/byte threshold flushes now, otherwise the ticker
+            // flushes on the connection's batchDuration
+            batcherFor(e.getKey).add(C.PublishMessage(bare, m.payload, ""))
+              .foreach(notifyHeld(e.getKey, 2, _))
           } else {
             send(e.getKey, C.encodePacket(C.PUBLISH, C.NONE,
               C.encodePublish(C.Publish(0, mode,
@@ -315,6 +398,37 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       }
     }
   }
+
+  /** Hold a packet of messages for a subscriber and offer it via NOTIFY
+    * (the shared front half of the reliable and batch delivery modes). */
+  private def notifyHeld(sock: Socket, mode: Int,
+      msgs: Seq[C.PublishMessage]): Unit = {
+    val id = nextReliableId()
+    val pkt = C.encodePacket(C.PUBLISH, C.NONE,
+      C.encodePublish(C.Publish(id, mode, msgs)))
+    reliableOut.computeIfAbsent(sock,
+      _ => scala.collection.concurrent.TrieMap.empty).put(id, pkt)
+    send(sock, C.encodePacket(C.PUBLISH, C.NOTIFY,
+      C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+  }
+
+  /** The connection's batch buffer, created on first mode-2 delivery
+    * along with its duration-flush ticker task. */
+  private def batcherFor(sock: Socket): Batcher =
+    batchers.computeIfAbsent(sock, _ => {
+      val opts = Option(batchOpts.get(sock))
+        .getOrElse(BatchOpts(100, 3584 * 1024, 1000))
+      val b = new Batcher(opts)
+      tickerTasks.put(sock, batchTicker.scheduleAtFixedRate(
+        new Runnable {
+          def run(): Unit =
+            try b.drain().foreach(notifyHeld(sock, 2, _))
+            catch { case _: Exception => () }
+        },
+        opts.durationMs.toLong, opts.durationMs.toLong,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+      b
+    })
 
   /** keygen / clientid special requests (reference hdl_conn.go:538-594,
     * request/response both JSON). `keygen` maps onto the engine's real
@@ -350,6 +464,29 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
       case "clientid" =>
         val cid = java.util.UUID.randomUUID().toString.replace("-", "")
         s"""{"status":200,"clientId":${jstr(cid)}}"""
+      case "varz" =>
+        // the reference server's monitor face (server/internal/monitor.go
+        // serves Meter counters + duration stats over HTTP /varz); here
+        // the same snapshot answers in-band as a special request
+        val v = db.varz()
+        def lat(l: graft.model.LatencyStats): String =
+          s"""{"samples":${l.samples},"cumulative_us":${l.cumulativeUs},""" +
+            s""""avg_us":${l.avgUs},"hmean_us":${l.hmeanUs},""" +
+            s""""p50_us":${l.p50Us},"p75_us":${l.p75Us},""" +
+            s""""p95_us":${l.p95Us},"p99_us":${l.p99Us},""" +
+            s""""p999_us":${l.p999Us},"long5p_us":${l.long5pUs},""" +
+            s""""short5p_us":${l.short5pUs},"min_us":${l.minUs},""" +
+            s""""max_us":${l.maxUs},"range_us":${l.rangeUs},""" +
+            s""""stddev_us":${l.stddevUs}}"""
+        s"""{"status":200,"puts":${v.puts},"gets":${v.gets},""" +
+          s""""deletes":${v.deletes},"syncs":${v.syncs},""" +
+          s""""entries_read":${v.entriesRead},""" +
+          s""""bytes_written":${v.bytesWritten},"bytes_read":${v.bytesRead},""" +
+          s""""file_size":${v.fileSize},"aborts":${v.aborts},""" +
+          s""""recovers":${v.recovers},"latency":${lat(v.latency)},""" +
+          s""""put_latency":${lat(v.putLatency)},""" +
+          s""""get_latency":${lat(v.getLatency)},""" +
+          s""""sync_latency":${lat(v.syncLatency)}}"""
       case _ => """{"status":404,"message":"not found"}"""
     }
     resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -358,6 +495,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
   def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: Exception => }
+    batchTicker.shutdownNow(): Unit
     flusher.shutdown()
     try flusher.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
     catch { case _: InterruptedException => () }

@@ -1005,4 +1005,67 @@ class UnitDbSpec extends SparkSpec {
     val e = new graft.engine.LatencyMeter().snapshot()
     assert(e.samples == 0 && e.p50Us == 0.0 && e.stddevUs == 0.0)
   }
+
+  test("varz metrics: per-face put/get/sync latency blocks are independent") {
+    val (db, _, tick) = freshDb()
+    for (_ <- 1 to 20) { db.put("varz.face", "x".getBytes); tick(10) }
+    db.sync()
+    for (_ <- 1 to 3) db.get(Query("varz.face"))
+    val v = db.varz()
+    assert(v.putLatency.samples == 20, s"puts: ${v.putLatency.samples}")
+    assert(v.syncLatency.samples == 1, s"syncs: ${v.syncLatency.samples}")
+    assert(v.getLatency.samples == 3, s"gets: ${v.getLatency.samples}")
+    // the combined reservoir (the reference's single TimeSeries) stays
+    assert(v.latency.samples == 24)
+    // a Spark-job get is orders slower than a buffer-append put — the
+    // split faces expose that where the combined block necessarily
+    // dilutes it (reference meters faces separately, meter.go:29-43)
+    assert(v.getLatency.p50Us > v.putLatency.p50Us)
+    assert(v.putLatency.maxUs <= v.latency.maxUs)
+  }
+
+  test("close: a put racing close either flushes or throws — never lost") {
+    // ADVICE r9 (UnitDb.scala:594): a put landing between close()'s final
+    // sync snapshot and the closed flag returned success but was never
+    // flushed. The fix flips the flag under the put path's monitor BEFORE
+    // the final sync, so success now implies durability. Hammer the
+    // window: writers race a close; afterwards every ACCEPTED put must be
+    // readable from a reopened store.
+    val dir = Files.createTempDirectory("graft_close_race").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val accepted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val writers = (0 until 4).map { w =>
+      new Thread(() => {
+        start.await()
+        var i = 0
+        var open = true
+        while (open && i < 500) {
+          val id = w * 1000 + i
+          try {
+            db.putEntry(Entry("race.close", s"p$id".getBytes))
+            accepted.add(id): Unit
+          } catch { case _: IllegalStateException => open = false }
+          i += 1
+        }
+      }, s"race-writer-$w")
+    }
+    writers.foreach(_.start())
+    start.countDown()
+    Thread.sleep(20) // let the writers get going mid-stream
+    db.close()
+    writers.foreach(_.join(30000))
+    val db2 = UnitDb.open(spark, dir)
+    try {
+      val stored = db2.get(Query("race.close", limit = 100000))
+        .map(new String(_)).toSet
+      val acceptedIds = {
+        val it = accepted.iterator(); val b = Set.newBuilder[Int]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      val lost = acceptedIds.filterNot(id => stored.contains(s"p$id"))
+      assert(lost.isEmpty,
+        s"${lost.size} accepted puts missing after close (e.g. ${lost.take(5)})")
+    } finally db2.close()
+  }
 }

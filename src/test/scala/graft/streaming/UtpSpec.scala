@@ -440,4 +440,144 @@ class UtpSpec extends SparkSpec {
       db.close()
     }
   }
+
+  test("server: flow-control frames typed PUBLISH dispatch as controls " +
+      "(reference client parity)") {
+    // Reference clients encode RECEIVE/RECEIPT under MessageType=PUBLISH
+    // (utp/flow_control.go:75-83); the receiver must dispatch on
+    // FlowControl != NONE alone (net/message.go:63). ADVICE r9 high: the
+    // adapter previously required msgType FLOWCONTROL(8), so a real
+    // reference subscriber died at its first RECEIVE.
+    val dir = Files.createTempDirectory("graft_utp_refc").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val subSock = new Socket("127.0.0.1", srv.actualPort)
+      subSock.getOutputStream.write(C.encodePacket(C.SUBSCRIBE, C.NONE,
+        C.encodeSubscribe(C.Subscribe(9, Seq(
+          C.Subscription(1, 0, "refc.topic"))))))
+      subSock.getOutputStream.flush()
+      C.readPacket(subSock.getInputStream) // subscribe ack
+
+      val pubSock = new Socket("127.0.0.1", srv.actualPort)
+      pubSock.getOutputStream.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(1, 0, Seq(
+          C.PublishMessage("refc.topic", "via-ref-framing".getBytes, ""))))))
+      pubSock.getOutputStream.flush()
+      C.readPacket(pubSock.getInputStream) // publish ack
+
+      val (nfh, nbody) = C.readPacket(subSock.getInputStream).get
+      assert(nfh.flowControl == C.NOTIFY)
+      val id = C.decodeControl(nbody).messageId
+      // RECEIVE with MessageType=PUBLISH, exactly as the reference frames it
+      subSock.getOutputStream.write(C.encodePacket(C.PUBLISH, C.RECEIVE,
+        C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+      subSock.getOutputStream.flush()
+      val (mfh, mbody) = C.readPacket(subSock.getInputStream).get
+      assert(mfh.msgType == C.PUBLISH && mfh.flowControl == C.NONE)
+      assert(new String(C.decodePublish(mbody).messages.head.payload) ==
+        "via-ref-framing")
+      // RECEIPT likewise — COMPLETE must come back, connection stays up
+      subSock.getOutputStream.write(C.encodePacket(C.PUBLISH, C.RECEIPT,
+        C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
+      subSock.getOutputStream.flush()
+      val (cfh, cbody) = C.readPacket(subSock.getInputStream).get
+      assert(cfh.flowControl == C.COMPLETE &&
+        C.decodeControl(cbody).messageId == id)
+      subSock.close(); pubSock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("server: batch delivery mode 2 coalesces on count and duration") {
+    val dir = Files.createTempDirectory("graft_utp_batch").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      // subscriber: batchCountThreshold=3, duration long enough that the
+      // count threshold fires first
+      val sub = new UtpClient("127.0.0.1", srv.actualPort)
+      assert(sub.connect("batcher", batchDurationMs = 60000,
+        batchCountThreshold = 3) > 0)
+      sub.subscribe(("bat.x", 2)) // delivery mode 2 = batch
+      val pub = new UtpClient("127.0.0.1", srv.actualPort)
+      pub.publish(("bat.x", "m1".getBytes))
+      pub.publish(("bat.x", "m2".getBytes))
+      pub.publish(("bat.x", "m3".getBytes))
+      // ONE delivery arrives carrying all three coalesced messages
+      val got = sub.nextDelivery()
+      assert(got.map(p => new String(p._2)) == Seq("m1", "m2", "m3"),
+        s"expected one 3-message batch, got ${got.map(p => new String(p._2))}")
+
+      // duration flush: a second subscriber with a 100ms window and a
+      // high count threshold gets a sub-threshold batch on the ticker
+      val sub2 = new UtpClient("127.0.0.1", srv.actualPort)
+      assert(sub2.connect("ticker", batchDurationMs = 100,
+        batchCountThreshold = 1000) > 0)
+      sub2.subscribe(("bat.tick", 2))
+      pub.publish(("bat.tick", "t1".getBytes))
+      pub.publish(("bat.tick", "t2".getBytes))
+      // the ticker flushes within ~100-200ms; it may split the two
+      // messages across ticks, so accumulate until both arrive
+      val got2 = scala.collection.mutable.ArrayBuffer[String]()
+      while (got2.length < 2)
+        got2 ++= sub2.nextDelivery().map(p => new String(p._2))
+      assert(got2.sorted == Seq("t1", "t2"))
+      sub.close(); sub2.close(); pub.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("server: unitdb/varz special request answers the metrics snapshot") {
+    val dir = Files.createTempDirectory("graft_utp_varz").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val cli = new UtpClient("127.0.0.1", srv.actualPort)
+      assert(cli.connect("monitor") > 0)
+      cli.publish(("vz.a", "one".getBytes), ("vz.b", "two".getBytes))
+      val v = cli.varz()
+      assert(v.get("puts").asLong() == 2L, v.toString)
+      assert(v.get("bytes_written").asLong() == 6L)
+      assert(v.get("file_size").asLong() >= 0L)
+      // the per-face latency percentile blocks ride along populated
+      val putLat = v.get("put_latency")
+      assert(putLat.get("samples").asInt() >= 1)
+      assert(putLat.get("p50_us").asDouble() > 0.0)
+      assert(v.get("latency").get("p99_us").asDouble() >=
+        v.get("latency").get("p50_us").asDouble())
+      cli.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("server: secure mode errors one unauthorized relay request, " +
+      "not the connection") {
+    val dir = Files.createTempDirectory("graft_utp_secrel").toString + "/store"
+    val db = UnitDb.open(spark, dir, secureMode = true)
+    val rwKey = db.keyGen("secrel.ok", graft.model.TopicKey.AllowReadWrite)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val cli = new UtpClient("127.0.0.1", srv.actualPort)
+      assert(cli.connect("sec", insecure = false) > 0)
+      cli.publish((s"$rwKey/secrel.ok", "kept".getBytes))
+      db.sync()
+      // an unauthorized relay (no key) is skipped but still acknowledged —
+      // the connection survives to serve the authorized request after it
+      assert(cli.relay("secrel.ok", "1h").isEmpty)
+      val good = cli.relay(s"$rwKey/secrel.ok", "1h")
+      assert(good.map(new String(_)) == Seq("kept"))
+      cli.ping() // connection demonstrably alive
+      cli.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
 }
