@@ -88,6 +88,25 @@ object Bench {
       val steal = if (f.length > 7) f(7) else 0.0
       (steal / 100.0, (f.sum - idle) / 100.0)
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // JVM-health counters, per query (r9 verdict: six queries showed
+    // 2-10x CPU in one run and not another, zero steal — the artifact
+    // must be able to tell real plan work from GC pressure and from
+    // JIT/codegen compilation storms without a rerun):
+    //   gc    = GC pause seconds inside the query (all collectors)
+    //   jit   = JIT compilation thread seconds inside the query
+    //   heap  = live heap MB after the query (post-hoc growth trend)
+    import scala.jdk.CollectionConverters._
+    def gcSec: Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitSec: Double =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime / 1e3
+      else -1.0
+    def heapMb: Double = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024.0 * 1024.0)
+
     val cpu0 = procCpuSec
     val wall0 = System.nanoTime()
 
@@ -96,11 +115,15 @@ object Bench {
     val wanted = if (args.isEmpty) SparkEntry.queries
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val perQ = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
+    final case class QStat(wall: Double, cpu: Double, steal: Double,
+      busy: Double, gc: Double, jit: Double, heap: Double)
+    val perQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val qc0 = procCpuSec
       val (st0, bz0) = hostStat()
+      val gc0 = gcSec
+      val jit0 = jitSec
       // a failed query must be VISIBLE — a swallowed failure reads as a
       // fast query and quietly corrupts the trend line (a killed run's
       // tail shows as a block of near-zero "stopped SparkContext" times)
@@ -110,7 +133,8 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val (st1, bz1) = hostStat()
-      perQ(name) = (dt, procCpuSec - qc0, st1 - st0, bz1 - bz0)
+      perQ(name) = QStat(dt, procCpuSec - qc0, st1 - st0, bz1 - bz0,
+        gcSec - gc0, if (jit0 >= 0) jitSec - jit0 else -1.0, heapMb)
       // leftover cached blocks from one query must not tax the next
       // (each query's own caching cost is inside its measured time;
       // the clear itself is untimed bookkeeping)
@@ -126,17 +150,16 @@ object Bench {
     // compiler for the rest of the JVM's life and every later query runs
     // interpreted (10-30x slower) — build.sbt reserves 1g to prevent it,
     // and this records how much a full run actually needs.
-    import scala.jdk.CollectionConverters._
     val codeCacheMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getName.startsWith("CodeHeap"))
       .map(_.getUsage.getUsed / (1024.0 * 1024.0)).sum
 
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    def qmap(pick: ((Double, Double, Double, Double)) => Double): String =
+    def qmap(pick: QStat => Double): String =
       perQ.map { case (k, t) => f""""$k":${pick(t)}%.2f""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_._2)},"host_steal_q":${qmap(_._3)},"host_busy_q":${qmap(_._4)},"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()

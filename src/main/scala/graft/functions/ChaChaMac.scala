@@ -40,6 +40,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * parity is round-trip parity (either side decrypts the other's
   * output), not bit-identical ciphertext.
   *
+  * SECURITY BOUND (inherited from the reference's scheme): nonce
+  * uniqueness rests on the 8 header bytes, of which the first 4 are the
+  * snappy stream's leading bytes (mostly a length varint — equal-length
+  * payloads share them) and the last 4 are fnv32, a non-cryptographic
+  * 32-bit hash. By the birthday bound, ~2^16 distinct messages under one
+  * key make a nonce collision likely, and ChaCha20-Poly1305 nonce reuse
+  * leaks the keystream XOR and enables forgery. This mode exists for
+  * reference-interop/migration stores; keep the default AES-GCM path
+  * (random 96-bit nonces) for high-volume encryption under one key, or
+  * rotate ChaCha keys well before ~10^4 messages each.
+  *
   * Both expressions run as one static call inside whole-stage codegen
   * (the [[NfcNormalize]] ladder, rung (b)); JCE ChaCha20-Poly1305 is in
   * the JDK since 11. */

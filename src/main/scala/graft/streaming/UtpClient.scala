@@ -9,13 +9,25 @@ import graft.streaming.{UtpCodec => C}
   * producer, driving the endpoint from tests). Blocking, one socket,
   * request/response in caller order; not a connection pool. The wire
   * format is [[UtpCodec]]'s, so this client also talks to the reference
-  * server for the verbs both sides share. */
-final class UtpClient(host: String, port: Int) extends AutoCloseable {
+  * server for the verbs both sides share.
+  *
+  * `ws = true` tunnels the same packets through RFC 6455 WebSocket
+  * frames ([[WsFraming]], client-side masking) — the transport the
+  * reference server exposes for browser-adjacent clients. */
+final class UtpClient(host: String, port: Int, ws: Boolean = false)
+    extends AutoCloseable {
 
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
-  private val out = sock.getOutputStream
-  private val in = sock.getInputStream
+  private val (in, out) =
+    if (ws) {
+      WsFraming.clientHandshake(sock.getInputStream, sock.getOutputStream,
+        s"$host:$port")
+      WsFraming.wrap(sock.getInputStream, sock.getOutputStream,
+        maskFrames = true)
+    } else
+      (sock.getInputStream: java.io.InputStream,
+        sock.getOutputStream: java.io.OutputStream)
   private val msgIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** uint16 id space, never 0 — the reference server narrows

@@ -41,10 +41,26 @@ import graft.streaming.{UtpCodec => C}
   * across connections (bidirectional wildcards, secure-mode read keys
   * enforced per pattern). The adapter's registry is connection-count
   * sized; the million-subscriber path remains [[Subscribe]] over
-  * Structured Streaming. */
-final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
+  * Structured Streaming.
+  *
+  * Transports: raw TCP on `port` always; `wsPort >= 0` adds a WebSocket
+  * listener (the reference server likewise fronts the same packet loop
+  * with tcp:// and ws:// listeners, server/internal/net/server.go) —
+  * after the RFC 6455 upgrade, [[WsFraming]] presents the frame payloads
+  * as a plain byte stream and the SAME serve loop runs on top. */
+final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
+    wsPort: Int = -1) {
+
+  /** One live connection: identity key for the registries plus the
+    * (possibly transport-wrapped) byte streams the packet loop uses.
+    * Writes lock the Conn, never the raw socket — on WS the frame
+    * writer interleaves the reader's pong replies under its own lock. */
+  private final class Conn(val sock: Socket, val in: java.io.InputStream,
+    val out: java.io.OutputStream)
 
   private val server = new ServerSocket(port)
+  private val wsServer: Option[ServerSocket] =
+    if (wsPort >= 0) Some(new ServerSocket(wsPort)) else None
   private val running = new AtomicBoolean(true)
   private val connIds = new AtomicInteger(0)
   private val putsSinceSync = new AtomicLong(0)
@@ -55,7 +71,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     * map — an edge adapter holds few connections; the million-subscriber
     * path is [[Subscribe.fanoutPartitioned]] on the Spark side). */
   private val liveSubs =
-    new java.util.concurrent.ConcurrentHashMap[Socket,
+    new java.util.concurrent.ConcurrentHashMap[Conn,
       scala.collection.concurrent.TrieMap[String, Int]]()
 
   /** Outbound reliable-delivery state per connection: messageId → the
@@ -64,7 +80,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     * Bounded by the in-flight window of each subscriber, not by traffic:
     * entries leave on RECEIPT and with the connection. */
   private val reliableOut =
-    new java.util.concurrent.ConcurrentHashMap[Socket,
+    new java.util.concurrent.ConcurrentHashMap[Conn,
       scala.collection.concurrent.TrieMap[Int, Array[Byte]]]()
   private val reliableIds = new AtomicInteger(0)
   /** Reference-parity id space: the reference narrows ControlMessage
@@ -83,7 +99,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
   private final case class BatchOpts(durationMs: Int, maxBytes: Int,
       maxCount: Int)
   private val batchOpts =
-    new java.util.concurrent.ConcurrentHashMap[Socket, BatchOpts]()
+    new java.util.concurrent.ConcurrentHashMap[Conn, BatchOpts]()
 
   /** One pending coalesce buffer per mode-2 subscriber connection
     * (reference batchManager, internal/batch.go:93-111): messages
@@ -113,7 +129,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     }
   }
   private val batchers =
-    new java.util.concurrent.ConcurrentHashMap[Socket, Batcher]()
+    new java.util.concurrent.ConcurrentHashMap[Conn, Batcher]()
   private val batchTicker =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
@@ -121,7 +137,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
         t.setDaemon(true); t
       })
   private val tickerTasks =
-    new java.util.concurrent.ConcurrentHashMap[Socket,
+    new java.util.concurrent.ConcurrentHashMap[Conn,
       java.util.concurrent.ScheduledFuture[_]]()
 
   /** Threshold flushes run here, off the connection threads: with the
@@ -146,6 +162,9 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
   /** Bound port (useful with port = 0 / ephemeral). */
   def actualPort: Int = server.getLocalPort
 
+  /** Bound WebSocket port, or -1 when the WS listener is disabled. */
+  def actualWsPort: Int = wsServer.map(_.getLocalPort).getOrElse(-1)
+
   private def daemon(name: String)(body: => Unit): Thread = {
     val t = new Thread(() => body, name)
     t.setDaemon(true)
@@ -153,16 +172,28 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     t
   }
 
-  daemon(s"utp-accept-$actualPort") {
+  private def acceptLoop(ss: ServerSocket)(mk: Socket => Conn): Unit = {
     while (running.get()) {
       try {
-        val sock = server.accept()
+        val sock = ss.accept()
         // request/ack protocol: without NODELAY, Nagle + delayed-ACK
         // stalls every small ack ~40ms and caps a connection near
         // 25 batches/s regardless of batch size (measured)
         sock.setTcpNoDelay(true)
         val connId = connIds.incrementAndGet()
-        daemon(s"utp-conn-$connId")(serve(sock, connId))
+        daemon(s"utp-conn-$connId") {
+          // the WS upgrade happens ON the connection thread (a slow or
+          // bogus handshake must never stall the acceptor); a failed
+          // upgrade drops just this connection
+          val conn =
+            try mk(sock)
+            catch {
+              case _: Exception =>
+                try sock.close() catch { case _: Exception => () }
+                null
+            }
+          if (conn != null) serve(conn, connId)
+        }
       } catch {
         case _: java.net.SocketException => // closed (or close() racing)
         case _: Exception if running.get() =>
@@ -173,19 +204,35 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
     }
   }
 
-  private def send(sock: Socket, bytes: Array[Byte]): Unit =
-    sock.synchronized {
-      sock.getOutputStream.write(bytes)
-      sock.getOutputStream.flush()
+  daemon(s"utp-accept-$actualPort") {
+    acceptLoop(server)(sock =>
+      new Conn(sock, sock.getInputStream, sock.getOutputStream))
+  }
+
+  wsServer.foreach { ws =>
+    daemon(s"utp-ws-accept-${ws.getLocalPort}") {
+      acceptLoop(ws) { sock =>
+        WsFraming.serverHandshake(sock.getInputStream, sock.getOutputStream)
+        val (in, out) = WsFraming.wrap(sock.getInputStream,
+          sock.getOutputStream, maskFrames = false)
+        new Conn(sock, in, out)
+      }
+    }
+  }
+
+  private def send(conn: Conn, bytes: Array[Byte]): Unit =
+    conn.synchronized {
+      conn.out.write(bytes)
+      conn.out.flush()
     }
 
-  private def ack(sock: Socket, msgType: Int, messageId: Int,
+  private def ack(conn: Conn, msgType: Int, messageId: Int,
       payload: Array[Byte] = Array.emptyByteArray): Unit =
-    send(sock, C.encodePacket(msgType, C.ACKNOWLEDGE,
+    send(conn, C.encodePacket(msgType, C.ACKNOWLEDGE,
       C.encodeControl(C.ControlMessage(messageId, payload))))
 
-  private def serve(sock: Socket, connId: Int): Unit = {
-    val in = sock.getInputStream
+  private def serve(conn: Conn, connId: Int): Unit = {
+    val in = conn.in
     try {
       var open = true
       while (open && running.get()) {
@@ -203,13 +250,13 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
             val ctrl = C.decodeControl(body)
             fh.flowControl match {
               case C.RECEIVE =>
-                Option(reliableOut.get(sock))
+                Option(reliableOut.get(conn))
                   .flatMap(_.get(ctrl.messageId))
-                  .foreach(send(sock, _))
+                  .foreach(send(conn, _))
               case C.RECEIPT =>
-                Option(reliableOut.get(sock))
+                Option(reliableOut.get(conn))
                   .foreach(_.remove(ctrl.messageId))
-                send(sock, C.encodePacket(C.PUBLISH, C.COMPLETE,
+                send(conn, C.encodePacket(C.PUBLISH, C.COMPLETE,
                   C.encodeControl(C.ControlMessage(ctrl.messageId,
                     Array.emptyByteArray))))
               case _ => () // client-side ACK/NOTIFY/COMPLETE: nothing held
@@ -217,22 +264,22 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
 
           case Some((fh, body)) => fh.msgType match {
             case C.CONNECT =>
-              val conn = C.decodeConnect(body)
+              val creq = C.decodeConnect(body)
               // subscribe-side batch thresholds (delivery mode 2) ride
               // the CONNECT — zero means the reference defaults
               // (internal/batch.go:12-19: 100ms / 3.5 MiB / 1000)
-              if (conn.batchDuration > 0 || conn.batchByteThreshold > 0 ||
-                  conn.batchCountThreshold > 0)
-                batchOpts.put(sock, BatchOpts(
-                  if (conn.batchDuration > 0) conn.batchDuration else 100,
-                  if (conn.batchByteThreshold > 0) conn.batchByteThreshold
+              if (creq.batchDuration > 0 || creq.batchByteThreshold > 0 ||
+                  creq.batchCountThreshold > 0)
+                batchOpts.put(conn, BatchOpts(
+                  if (creq.batchDuration > 0) creq.batchDuration else 100,
+                  if (creq.batchByteThreshold > 0) creq.batchByteThreshold
                   else 3584 * 1024,
-                  if (conn.batchCountThreshold > 0) conn.batchCountThreshold
+                  if (creq.batchCountThreshold > 0) creq.batchCountThreshold
                   else 1000))
               val connack = C.encodeConnack(C.ConnectAcknowledge(
                 C.Accepted, (System.currentTimeMillis() / 1000).toInt,
                 connId))
-              ack(sock, C.CONNECT, 0, connack)
+              ack(conn, C.CONNECT, 0, connack)
 
             case C.PUBLISH =>
               val pub = C.decodePublish(body)
@@ -243,7 +290,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
                 // (hdl_conn.go:528-594): keygen / clientid ride a
                 // PUBLISH under the sentinel "unitdb" key prefix and
                 // answer with a PUBLISH on the same topic
-                send(sock, C.encodePacket(C.PUBLISH, C.NONE,
+                send(conn, C.encodePacket(C.PUBLISH, C.NONE,
                   C.encodePublish(C.Publish(0, 0, Seq(C.PublishMessage(
                     m.topic,
                     specialRequest(m.topic.stripPrefix("unitdb/"),
@@ -275,25 +322,25 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
                 requestFlush()
               }
               authorized.foreach(fanoutLive)
-              ack(sock, C.PUBLISH, pub.messageId)
+              ack(conn, C.PUBLISH, pub.messageId)
 
             case C.SUBSCRIBE =>
               val sub = C.decodeSubscribe(body)
-              val mine = liveSubs.computeIfAbsent(sock,
+              val mine = liveSubs.computeIfAbsent(conn,
                 _ => scala.collection.concurrent.TrieMap.empty)
               sub.subscriptions.foreach { s =>
                 authorizedPattern(s.topic).foreach(bare =>
                   mine.put(bare, s.deliveryMode))
               }
-              ack(sock, C.SUBSCRIBE, sub.messageId)
+              ack(conn, C.SUBSCRIBE, sub.messageId)
 
             case C.UNSUBSCRIBE =>
               val sub = C.decodeSubscribe(body)
-              Option(liveSubs.get(sock)).foreach { mine =>
+              Option(liveSubs.get(conn)).foreach { mine =>
                 sub.subscriptions.foreach(s =>
                   authorizedPattern(s.topic).foreach(mine.remove))
               }
-              ack(sock, C.UNSUBSCRIBE, sub.messageId)
+              ack(conn, C.UNSUBSCRIBE, sub.messageId)
 
             case C.RELAY =>
               val relay = C.decodeRelay(body)
@@ -312,16 +359,16 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
                         Array.empty[Array[Byte]]
                     }
                   if (payloads.nonEmpty)
-                    send(sock, C.encodePacket(C.PUBLISH, C.NONE,
+                    send(conn, C.encodePacket(C.PUBLISH, C.NONE,
                       C.encodePublish(C.Publish(0, 2,
                         payloads.toSeq.map(p =>
                           C.PublishMessage(req.topic, p, ""))))))
                 }
               }
-              ack(sock, C.RELAY, relay.messageId)
+              ack(conn, C.RELAY, relay.messageId)
 
             case C.PINGREQ =>
-              ack(sock, C.PINGREQ, 0)
+              ack(conn, C.PINGREQ, 0)
 
             case C.DISCONNECT =>
               open = false
@@ -338,13 +385,13 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
         // drop the connection (the reference's readLoop does the same);
         // never let one bad peer take down the acceptor or the store
     } finally {
-      liveSubs.remove(sock)
-      reliableOut.remove(sock)
-      batchers.remove(sock)
-      batchOpts.remove(sock)
-      Option(tickerTasks.remove(sock)).foreach(_.cancel(false))
+      liveSubs.remove(conn)
+      reliableOut.remove(conn)
+      batchers.remove(conn)
+      batchOpts.remove(conn)
+      Option(tickerTasks.remove(conn)).foreach(_.cancel(false))
       try db.sync() catch { case _: Exception => }
-      try sock.close() catch { case _: Exception => }
+      try conn.sock.close() catch { case _: Exception => }
     }
   }
 
@@ -401,28 +448,28 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256) {
 
   /** Hold a packet of messages for a subscriber and offer it via NOTIFY
     * (the shared front half of the reliable and batch delivery modes). */
-  private def notifyHeld(sock: Socket, mode: Int,
+  private def notifyHeld(conn: Conn, mode: Int,
       msgs: Seq[C.PublishMessage]): Unit = {
     val id = nextReliableId()
     val pkt = C.encodePacket(C.PUBLISH, C.NONE,
       C.encodePublish(C.Publish(id, mode, msgs)))
-    reliableOut.computeIfAbsent(sock,
+    reliableOut.computeIfAbsent(conn,
       _ => scala.collection.concurrent.TrieMap.empty).put(id, pkt)
-    send(sock, C.encodePacket(C.PUBLISH, C.NOTIFY,
+    send(conn, C.encodePacket(C.PUBLISH, C.NOTIFY,
       C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
   }
 
   /** The connection's batch buffer, created on first mode-2 delivery
     * along with its duration-flush ticker task. */
-  private def batcherFor(sock: Socket): Batcher =
-    batchers.computeIfAbsent(sock, _ => {
-      val opts = Option(batchOpts.get(sock))
+  private def batcherFor(conn: Conn): Batcher =
+    batchers.computeIfAbsent(conn, _ => {
+      val opts = Option(batchOpts.get(conn))
         .getOrElse(BatchOpts(100, 3584 * 1024, 1000))
       val b = new Batcher(opts)
-      tickerTasks.put(sock, batchTicker.scheduleAtFixedRate(
+      tickerTasks.put(conn, batchTicker.scheduleAtFixedRate(
         new Runnable {
           def run(): Unit =
-            try b.drain().foreach(notifyHeld(sock, 2, _))
+            try b.drain().foreach(notifyHeld(conn, 2, _))
             catch { case _: Exception => () }
         },
         opts.durationMs.toLong, opts.durationMs.toLong,

@@ -557,6 +557,70 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("ws: RFC 6455 accept key and frame round-trips") {
+    // the RFC's own test vector (§1.3 / §4.2.2)
+    assert(WsFraming.acceptKey("dGhlIHNhbXBsZSBub25jZQ==") ==
+      "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+    // frames round-trip through a pipe at the three length encodings
+    // (7-bit, 16-bit, 64-bit), masked and unmasked
+    for ((n, masked) <- Seq((0, true), (1, false), (125, true), (126, false),
+        (65535, true), (65536, false), (200000, true))) {
+      val buf = new java.io.ByteArrayOutputStream()
+      val w = new WsFraming.FrameWriter(buf, maskFrames = masked)
+      val payload = Array.tabulate[Byte](n)(i => (i * 31).toByte)
+      w.writeFrame(0x2, payload)
+      val back = new java.io.ByteArrayInputStream(buf.toByteArray)
+      val rIn = new WsFraming.WsInputStream(back,
+        new WsFraming.FrameWriter(new java.io.ByteArrayOutputStream(), false))
+      val got = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val k = rIn.read(got, off, n - off)
+        assert(k > 0, s"short read at $off/$n")
+        off += k
+      }
+      assert(got.sameElements(payload), s"payload mismatch at n=$n masked=$masked")
+      assert(rIn.read() == -1, "clean EOF after the frame")
+    }
+  }
+
+  test("ws: a full uTP session runs over the WebSocket transport") {
+    val dir = Files.createTempDirectory("graft_utp_ws").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, wsPort = 0)
+    try {
+      assert(srv.actualWsPort > 0)
+      val pub = new UtpClient("127.0.0.1", srv.actualWsPort, ws = true)
+      val sub = new UtpClient("127.0.0.1", srv.actualWsPort, ws = true)
+      assert(pub.connect("ws-producer") > 0)
+      sub.subscribe(("ws.*.x", 0), ("ws.rel", 1))
+      pub.publish(("ws.a.x", "hello-ws".getBytes))
+      val d1 = sub.nextDelivery()
+      assert(d1.map(_._1) == Seq("ws.a.x") &&
+        new String(d1.head._2) == "hello-ws")
+      // reliable handshake (NOTIFY/RECEIVE/RECEIPT/COMPLETE) over WS
+      pub.publish(("ws.rel", "precious-ws".getBytes))
+      val d2 = sub.nextDelivery()
+      assert(d2.map(_._1) == Seq("ws.rel") &&
+        new String(d2.head._2) == "precious-ws")
+      // RELAY a stored window back over WS
+      val relayed = pub.relay("ws.a.x", "1h")
+      assert(relayed.map(new String(_)) == Seq("hello-ws"))
+      // special request over WS
+      assert(pub.varz().get("puts").asLong() == 2L)
+      pub.ping()
+      // cross-transport fan-out: a TCP publisher reaches the WS subscriber
+      val tcp = new UtpClient("127.0.0.1", srv.actualPort)
+      tcp.publish(("ws.b.x", "tcp-to-ws".getBytes))
+      val d3 = sub.nextDelivery()
+      assert(new String(d3.head._2) == "tcp-to-ws")
+      tcp.close(); pub.close(); sub.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: secure mode errors one unauthorized relay request, " +
       "not the connection") {
     val dir = Files.createTempDirectory("graft_utp_secrel").toString + "/store"
