@@ -395,21 +395,33 @@ object Graph {
     var hub = eh.select(col("hub").as("node")).distinct()
       .select(col("node"), lit(scale).as("s"))
       .localCheckpoint()
+    // Exact overflow-free sum at BIGINT speed: hits' raw sums are NOT
+    // mass-conserving (unlike pageRank's, which stay ≤ the 10¹² total
+    // mass), so s ≤ 10¹² summed over an in-degree above ~9.2M wraps
+    // Long. A straight DECIMAL(38,0) sum is safe but pays decimal
+    // arithmetic PER ROW in the hottest aggregate (measured ~25% of the
+    // query). Instead split each term at 2²⁰ — both halves are < 2²⁰,
+    // so their BIGINT sums only wrap past 2⁴³ rows per group (beyond
+    // any graph) — and recombine in DECIMAL once PER GROUP. Identical
+    // values to the oracle's HUGEINT arithmetic, Long-speed partials.
+    val rawSum = (sum(expr("s div 1048576")).cast("decimal(38,0)") *
+      lit(1048576L) + sum(expr("s % 1048576"))).as("raw")
     var auth: DataFrame = null
     var i = 0
     while (i < iters) {
       i += 1
-      // sum in DECIMAL(38,0), not BIGINT: s reaches 10¹², so an
-      // in-degree above ~9.2M would silently wrap Long under non-ANSI
-      // sum — the whole round must match the oracle's HUGEINT
-      // arithmetic, not just the normalization product
+      // auth is checkpointed EAGERLY each round: renorm references its
+      // input twice (the broadcast max + the main lineage), so a lazy
+      // auth subplan is re-evaluated under hub's renorm — measured
+      // 94 → 146 CPU-s when tried lazily (exchange reuse dedupes the
+      // shuffles but not the downstream aggregates/joins).
       auth = renorm(eh.join(hub.withColumnRenamed("node", "hub"), Seq("hub"))
         .groupBy(col("auth").as("node"))
-        .agg(sum(col("s").cast("decimal(38,0)")).as("raw")))
+        .agg(rawSum))
         .localCheckpoint()
       hub = renorm(ea.join(auth.withColumnRenamed("node", "auth"), Seq("auth"))
         .groupBy(col("hub").as("node"))
-        .agg(sum(col("s").cast("decimal(38,0)")).as("raw")))
+        .agg(rawSum))
         .localCheckpoint()
     }
     eh.unpersist(); ea.unpersist()
