@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -711,6 +711,8 @@ object AnalyticsQueries {
     // point so both engines land bit-identically; see operators/Graph).
     "q38_pagerank" -> { (s, dir) =>
       graft.operators.Graph.pageRank(coPurchaseEdges(s, dir))
+        .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
+        .orderBy("node")
     },
 
     // Salted skew join (q39): the events log remapped so one hot user owns
@@ -745,9 +747,11 @@ object AnalyticsQueries {
     "q41_ppr" -> { (s, dir) =>
       val seeds = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
-        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+        .select((col("c_custkey").cast("long") * 2).as("node"))
       graft.operators.Graph.personalizedPageRank(
         coPurchaseEdges(s, dir), seeds)
+        .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
+        .orderBy("node")
     },
 
     // Weighted PageRank (q43): rank mass distributed by co-purchase
@@ -759,8 +763,8 @@ object AnalyticsQueries {
       val ew = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"), col("o_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("o_orderkey"))
         .distinct() // one (cust, supp, order) triple per linking order
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.operators.Graph.weightedPageRank(
@@ -770,6 +774,8 @@ object AnalyticsQueries {
           .as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"),
             col("e.w").as("w")))
+        .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
+        .orderBy("node")
     },
 
     // HITS (q42): hubs and authorities on the RAW bipartite co-purchase
@@ -783,8 +789,11 @@ object AnalyticsQueries {
           .join(Tables.lineitem(s, dir)
             .select(col("l_orderkey"), col("l_suppkey")),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c:"), col("o_custkey")).as("hub"),
-            concat(lit("s:"), col("l_suppkey")).as("auth")))
+          .select((col("o_custkey").cast("long") * 2).as("hub"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("auth")))
+        .select(col("kind"), graphNodeLabel(col("node")).as("node"),
+          col("score_fp"))
+        .orderBy("kind", "node")
     }
   )
 
@@ -795,19 +804,33 @@ object AnalyticsQueries {
     * would run the join twice and shuffle 2× the rows into the dedup
     * (gate wall time is round-dominated so this doesn't move it, but at
     * 100 TB the fact scan is the cost and this halves it). Every node
-    * gets out-edges — the pageRank contract. */
+    * gets out-edges — the pageRank contract.
+    *
+    * Node ids are LONGS in the iteration (customer = custkey·2,
+    * supplier = suppkey·2 + 1) and become the oracle's 'c:'/'s:' labels
+    * only in the final select ([[graphNodeLabel]]): ranks depend on
+    * structure alone, and 8 rounds of join+groupBy on a primitive key
+    * keep Spark's vectorized long-key hash-aggregate and join fast
+    * paths, which variable-length string keys forfeit — the decode +
+    * relabel sort is one N-row pass, the rounds are |E|-row passes. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       .distinct()
     e0.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
+
+  /** Long node id → the oracle's string label ('c:<custkey>' for even
+    * ids, 's:<suppkey>' for odd — [[coPurchaseEdges]]' encoding). */
+  private def graphNodeLabel(node: Column): Column =
+    when(node % 2 === 0, concat(lit("c:"), shiftright(node, 1)))
+      .otherwise(concat(lit("s:"), shiftright(node, 1)))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
