@@ -712,26 +712,19 @@ object TextStats {
     * count and the tournament) — see [[TextDedup]]'s cache-lifecycle
     * note. */
   /** Distinct (source, md5(word-trigram)) pairs — the shared sketch domain
-    * of l42 (per-source cardinality) and l63 (cross-source set algebra).
-    * The gram-string + md5 kernel must stay md5 (the oracles derive the
-    * estimates from the k-th md5), so unlike l43's XXH64 postings it can't
-    * ride a codegen'd hash kernel — spread the corpus instead so the
-    * per-row work parallelizes even from a one-partition scan. */
-  private[llm] def sourceGramHashes(docs: DataFrame): DataFrame = {
-    // the token array is materialized behind its own projection BEFORE the
-    // per-position lambda: a HOF lambda body is interpreted (CodegenFallback,
-    // no subexpression elimination), so `slice(split(text), …)` re-splits
-    // the text once PER POSITION — an attribute reference splits once per
-    // ROW (measured 3x on the whole l63 plan at sf0.1)
-    val grams = when(size(col("w")) >= 3,
-      transform(sequence(lit(0), size(col("w")) - 3),
-        i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).otherwise(array())
+    * of l42 (per-source cardinality), l63 (cross-source set algebra) and
+    * m33 (streaming delta + exact audit). The hash must stay md5 (the
+    * oracles derive the estimates from the k-th md5), so unlike l43's
+    * XXH64 postings it can't ride the rolling-hash kernel — instead
+    * [[graft.functions.WordTrigramMd5]] digests each gram's byte span in
+    * place (one codegen call per row, no per-position HOF lambda, no gram
+    * string allocation — the HOF plan this replaces was the query's CPU
+    * driver: 90-111 CPU-s on l63/m33 at sf1). */
+  private[llm] def sourceGramHashes(docs: DataFrame): DataFrame =
     spread(docs)
-      .select(col("source"), split(col("text"), " ").as("w"))
-      .select(col("source"), explode(grams).as("g"))
-      .select(col("source"), md5(col("g")).as("h"))
+      .select(col("source"),
+        explode(graft.functions.WordTrigramMd5(col("text"))).as("h"))
       .distinct()
-  }
 
   /** (k−1)·2⁶⁰ / u_k with u_k read from the kth md5's first 15 hex chars.
     * Both numerator factors are double-exact ((k−1) ≤ 2¹¹, 2⁶⁰ a power of

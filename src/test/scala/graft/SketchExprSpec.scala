@@ -245,4 +245,45 @@ class SketchExprSpec extends SparkSpec {
     assert(withNull == withEmpty)
     assert(withNull.nonEmpty)
   }
+
+  test("word_trigram_md5: distinct-set parity with the composed split/slice/md5 plan") {
+    import graft.functions.WordTrigramMd5
+    // adversarial shapes: repeated/leading/trailing spaces (empty tokens),
+    // multibyte UTF-8, dup grams, short docs, empty string
+    val fixed = Seq(
+      "a b c d e", "a  b c", " a b c", "a b c ", "a a a a a",
+      "café naïve über wörter", "one two", "one", "",
+      "x y z x y z x y z", "  ", "a b  c  d")
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("tok", "x", "", "café", "longer-token", "7")
+    val random = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    val docs = (fixed ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaKernel = docs
+      .select($"doc_id", explode(WordTrigramMd5($"text")).as("h"))
+      .distinct()
+    val w = split($"text", " ")
+    val grams = when(size($"w") >= 3,
+      transform(sequence(lit(0), size($"w") - 3),
+        i => concat_ws(" ", slice($"w", i + 1, lit(3))))).otherwise(array())
+    val viaPlan = docs
+      .select($"doc_id", w.as("w"))
+      .select($"doc_id", explode(grams).as("g"))
+      .select($"doc_id", md5($"g").as("h"))
+      .distinct()
+    assert(viaKernel.exceptAll(viaPlan).isEmpty && viaPlan.exceptAll(viaKernel).isEmpty)
+    // interpreted path agrees with codegen
+    val cg = viaKernel.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val interp = noCodegen {
+      docs.select($"doc_id", explode(WordTrigramMd5($"text")).as("h"))
+        .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    assert(cg == interp)
+    // null text explodes to zero rows, same as the composed plan
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(nulls.select(explode(WordTrigramMd5($"text"))).count() == 0L)
+  }
 }
