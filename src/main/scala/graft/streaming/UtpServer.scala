@@ -542,6 +542,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: Exception => }
+    wsServer.foreach(ws => try ws.close() catch { case _: Exception => })
     batchTicker.shutdownNow(): Unit
     flusher.shutdown()
     try flusher.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
