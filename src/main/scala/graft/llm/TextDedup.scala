@@ -614,10 +614,20 @@ object TextDedup {
       if (s == null) java.math.BigDecimal.ZERO else s // empty pair list
     }
 
+    // ONE job per round, not two: each round's label frame is persisted
+    // and the convergence probe's sum action both populates the cache
+    // and reads the metric — a localCheckpoint + separate sum action
+    // paid 2 job waves per round, pure floor on the job-floor-bound
+    // fixpoints (m37's contracted graphs especially). Lineage nests one
+    // cached join+agg per round; a checkpoint every 8th round bounds
+    // the analyzer's re-walk for near-ClusterMaxIters chains.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
     var labels = edges.groupBy("s").agg(min("d").as("cluster_id"))
       .withColumnRenamed("s", "doc_id")
-      .localCheckpoint()
-    try {
+      .persist(mem)
+    cached += labels
+    val out = try {
       var prevSum = labelSum(labels)
       var converged = false
       var iters = 0
@@ -627,17 +637,24 @@ object TextDedup {
           s"dedupClusters did not converge in $ClusterMaxIters rounds — " +
             "pathological chain-shaped pair graph; use a star-contraction variant")
         // each node pulls the minimum label across its neighborhood ∪ self
-        val next = edges
+        var next = edges
           .join(labels.withColumnRenamed("doc_id", "d"), Seq("d"))
           .groupBy(col("s").as("doc_id")).agg(min("cluster_id").as("cluster_id"))
-          .localCheckpoint()
+        next = if (iters % 8 == 0) next.localCheckpoint()
+               else { val p = next.persist(mem); cached += p; p }
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         labels = next
       }
-    } finally edges.unpersist()
-    labels
+      // pin the result off the cache chain before releasing it — the
+      // caller's actions must never re-walk the nested round plans
+      labels.localCheckpoint()
+    } finally {
+      cached.foreach(df => df.unpersist(): Unit)
+      edges.unpersist()
+    }
+    out
       .withColumn("n_members", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
