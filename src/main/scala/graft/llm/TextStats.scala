@@ -238,8 +238,11 @@ object TextStats {
     require(candDf.count() <= 100 * k,
       s"top-$k boundary tie plateau exceeds ${100 * k} grams — raise k or pre-filter")
 
-    // token array materialized before the lambda — see sourceGramHashes:
-    // an interpreted HOF body would re-split the text once per position
+    // token array materialized behind its own projection BEFORE the
+    // per-position lambda: a HOF lambda body is interpreted
+    // (CodegenFallback, no subexpression elimination), so inlining
+    // `slice(split(text), …)` would re-split the text once PER POSITION
+    // — an attribute reference splits once per ROW (measured 3x)
     val gramsW = when(size(col("w")) >= n,
       transform(sequence(lit(0), size(col("w")) - n),
         i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).otherwise(array())

@@ -21,8 +21,16 @@ final class UtpClient(host: String, port: Int, ws: Boolean = false)
   sock.setTcpNoDelay(true)
   private val (in, out) =
     if (ws) {
-      WsFraming.clientHandshake(sock.getInputStream, sock.getOutputStream,
-        s"$host:$port")
+      // a refused/garbled upgrade throws out of the constructor — close
+      // the connected socket on the way out or the fd leaks per retry
+      try {
+        WsFraming.clientHandshake(sock.getInputStream, sock.getOutputStream,
+          s"$host:$port")
+      } catch {
+        case e: Throwable =>
+          try sock.close() catch { case _: Exception => () }
+          throw e
+      }
       WsFraming.wrap(sock.getInputStream, sock.getOutputStream,
         maskFrames = true)
     } else

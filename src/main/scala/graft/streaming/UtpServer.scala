@@ -56,7 +56,14 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
     * Writes lock the Conn, never the raw socket — on WS the frame
     * writer interleaves the reader's pong replies under its own lock. */
   private final class Conn(val sock: Socket, val in: java.io.InputStream,
-    val out: java.io.OutputStream)
+    val out: java.io.OutputStream) {
+    /** Reliable-id sequence, PER CONNECTION (the reference keys held
+      * messages by (messageId, session) — store.Log): a server-global
+      * sequence masked to uint16 would wrap in seconds at measured
+      * throughput and silently overwrite another connection's (or this
+      * one's) still-unpulled held message. */
+    val reliableIds = new AtomicInteger(0)
+  }
 
   private val server = new ServerSocket(port)
   private val wsServer: Option[ServerSocket] =
@@ -82,14 +89,15 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   private val reliableOut =
     new java.util.concurrent.ConcurrentHashMap[Conn,
       scala.collection.concurrent.TrieMap[Int, Array[Byte]]]()
-  private val reliableIds = new AtomicInteger(0)
   /** Reference-parity id space: the reference narrows ControlMessage
     * MessageID to uint16 (utp/flow_control.go ControlMessage), so held
     * reliable ids must stay in 1..65535 or a long-lived reference
-    * subscriber stops matching RECEIVEs to NOTIFYs. */
-  private def nextReliableId(): Int = {
-    var id = reliableIds.incrementAndGet() & 0xffff
-    while (id == 0) id = reliableIds.incrementAndGet() & 0xffff
+    * subscriber stops matching RECEIVEs to NOTIFYs. Drawn from the
+    * CONNECTION's sequence so a wrap can only ever collide with this
+    * subscriber's own ≥65k-deep unpulled backlog, never another's. */
+  private def nextReliableId(conn: Conn): Int = {
+    var id = conn.reliableIds.incrementAndGet() & 0xffff
+    while (id == 0) id = conn.reliableIds.incrementAndGet() & 0xffff
     id
   }
 
@@ -109,16 +117,20 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
     * handshake — the uTP spec has no express batch mode (docs/utp.md
     * §Batching). */
   private final class Batcher(val opts: BatchOpts) {
-    val msgs = scala.collection.mutable.ArrayBuffer[C.PublishMessage]()
-    var bytes = 0
-    /** Appends; returns the drained batch when a threshold crossed. */
-    def add(m: C.PublishMessage): Option[Seq[C.PublishMessage]] =
-      synchronized {
-        msgs += m
-        bytes += m.payload.length
-        if (msgs.length >= opts.maxCount || bytes >= opts.maxBytes) drain()
-        else None
-      }
+    private val msgs = scala.collection.mutable.ArrayBuffer[C.PublishMessage]()
+    private var bytes = 0
+    /** Serializes drain→NOTIFY pairs: WITHOUT it, an inline threshold
+      * flush and a concurrent ticker flush could NOTIFY their drained
+      * batches out of arrival order. Separate from the buffer monitor
+      * so publishers keep appending while a flush's blocking send is
+      * in flight. */
+    val notifyLock = new Object
+    /** Appends; returns true when a threshold crossed (caller flushes). */
+    def add(m: C.PublishMessage): Boolean = synchronized {
+      msgs += m
+      bytes += m.payload.length
+      msgs.length >= opts.maxCount || bytes >= opts.maxBytes
+    }
     def drain(): Option[Seq[C.PublishMessage]] = synchronized {
       if (msgs.isEmpty) None
       else {
@@ -432,10 +444,12 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
             notifyHeld(e.getKey, 1, Seq(C.PublishMessage(bare, m.payload, "")))
           } else if (mode == 2) {
             // BATCH: coalesce into the connection's buffer; a crossed
-            // count/byte threshold flushes now, otherwise the ticker
-            // flushes on the connection's batchDuration
-            batcherFor(e.getKey).add(C.PublishMessage(bare, m.payload, ""))
-              .foreach(notifyHeld(e.getKey, 2, _))
+            // count/byte threshold flushes now (on this publisher
+            // thread — the same blocking-send semantics as express
+            // mode), otherwise the ticker flushes on batchDuration
+            val b = batcherFor(e.getKey)
+            if (b.add(C.PublishMessage(bare, m.payload, "")))
+              flushBatch(e.getKey, b)
           } else {
             send(e.getKey, C.encodePacket(C.PUBLISH, C.NONE,
               C.encodePublish(C.Publish(0, mode,
@@ -450,32 +464,70 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
     * (the shared front half of the reliable and batch delivery modes). */
   private def notifyHeld(conn: Conn, mode: Int,
       msgs: Seq[C.PublishMessage]): Unit = {
-    val id = nextReliableId()
+    val id = nextReliableId(conn)
     val pkt = C.encodePacket(C.PUBLISH, C.NONE,
       C.encodePublish(C.Publish(id, mode, msgs)))
     reliableOut.computeIfAbsent(conn,
       _ => scala.collection.concurrent.TrieMap.empty).put(id, pkt)
+    // teardown race (see batcherFor): never leave a held-message map
+    // behind for a connection whose cleanup already ran
+    if (!liveSubs.containsKey(conn)) { reliableOut.remove(conn); return }
     send(conn, C.encodePacket(C.PUBLISH, C.NOTIFY,
       C.encodeControl(C.ControlMessage(id, Array.emptyByteArray))))
   }
 
+  /** Drain + NOTIFY atomically under the batcher's notify lock, so two
+    * concurrent flushes (inline threshold vs ticker) can never offer
+    * their batches out of arrival order. */
+  private def flushBatch(conn: Conn, b: Batcher): Unit =
+    b.notifyLock.synchronized {
+      b.drain().foreach(notifyHeld(conn, 2, _))
+    }
+
+  /** Duration flushes' blocking sends run here, NEVER on the shared
+    * ticker thread — one subscriber with a full TCP send buffer must
+    * not stall every other connection's timed flush. Cached pool:
+    * at most one task per mode-2 connection at a time (the notify
+    * lock serializes same-connection flushes). */
+  private val batchSenders = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, s"utp-batch-send-$actualPort")
+      t.setDaemon(true); t
+    })
+
   /** The connection's batch buffer, created on first mode-2 delivery
     * along with its duration-flush ticker task. */
-  private def batcherFor(conn: Conn): Batcher =
-    batchers.computeIfAbsent(conn, _ => {
+  private def batcherFor(conn: Conn): Batcher = {
+    val b = batchers.computeIfAbsent(conn, _ => {
       val opts = Option(batchOpts.get(conn))
         .getOrElse(BatchOpts(100, 3584 * 1024, 1000))
-      val b = new Batcher(opts)
+      val nb = new Batcher(opts)
       tickerTasks.put(conn, batchTicker.scheduleAtFixedRate(
         new Runnable {
           def run(): Unit =
-            try b.drain().foreach(notifyHeld(conn, 2, _))
+            try batchSenders.submit(new Runnable {
+              def run(): Unit =
+                try flushBatch(conn, nb)
+                catch { case _: Exception => () }
+            }): Unit
             catch { case _: Exception => () }
         },
         opts.durationMs.toLong, opts.durationMs.toLong,
         java.util.concurrent.TimeUnit.MILLISECONDS))
-      b
+      nb
     })
+    // teardown race: a publisher that read the liveSubs entry just
+    // before the connection's cleanup can recreate the batcher AFTER
+    // cleanup removed it — its ticker task would then fire forever.
+    // serve()'s finally removes liveSubs FIRST, so re-checking it here
+    // after creation makes the leak impossible: either cleanup sees our
+    // entries, or we see its removal and undo ourselves.
+    if (!liveSubs.containsKey(conn)) {
+      Option(tickerTasks.remove(conn)).foreach(_.cancel(false))
+      batchers.remove(conn)
+    }
+    b
+  }
 
   /** keygen / clientid special requests (reference hdl_conn.go:538-594,
     * request/response both JSON). `keygen` maps onto the engine's real
@@ -544,6 +596,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
     try server.close() catch { case _: Exception => }
     wsServer.foreach(ws => try ws.close() catch { case _: Exception => })
     batchTicker.shutdownNow(): Unit
+    batchSenders.shutdownNow(): Unit
     flusher.shutdown()
     try flusher.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
     catch { case _: InterruptedException => () }
