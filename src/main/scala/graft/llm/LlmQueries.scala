@@ -682,7 +682,9 @@ object LlmQueries {
     // few (over-drop) or too many (under-drop) and the hash gate fails.
     // The survivor's doc_id is arrival-order-dependent and deliberately
     // NOT in the output; the fingerprint set is partition-order-free.
-    "m14_stream_dedup" -> { (s, dir) =>
+    // 8-way state partitioning for the stateful gate — see the
+    // TimeSeriesQueries streaming-family note (measured on m21)
+    "m14_stream_dedup" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val src = Tables.stream(s, dir, "documents")
         .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       val survivors = TextDedup.dedupStream(src, tsCol = "ts")
@@ -693,7 +695,7 @@ object LlmQueries {
         .start()
       q.awaitTermination()
       s.table("m14_dedup").orderBy("fingerprint")
-    },
+    } },
 
     // PII scrub: the synthetic corpus carries no PII, so each doc gets a
     // deterministic doc_id-derived email/phone/IP tail appended IN THE

@@ -64,4 +64,20 @@ object QUtil {
       s.readStream.schema(schema)
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
+
+  /** Run a streaming gate body under `n` shuffle partitions, restoring
+    * the session setting after. A stateful streaming query instantiates
+    * one state-store (RocksDB in the bench) PER OPERATOR PER SHUFFLE
+    * PARTITION PER BATCH — at gate scale, 32-way state means most of
+    * the wall is store spin-up/commit for near-empty shards (the
+    * Graph.sizedParts argument, applied to state). The partition count
+    * is pinned into the query's checkpoint at its first batch, so this
+    * is per-query, not per-session, tuning; a production deployment
+    * sizes it to ITS key volume the same way. Restores even on throw. */
+  def withStreamParts[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 }

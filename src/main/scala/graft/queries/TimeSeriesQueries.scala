@@ -132,7 +132,12 @@ object TimeSeriesQueries {
     // sessions in state (fine for the gate; a production continuous run
     // uses append + watermark, StreamingSpec's shape). user_id < 40
     // bounds state and output across scale factors.
-    "m13_stream_session" -> { (s, dir) =>
+    // the streaming gates run under 8-way state partitioning
+    // (QUtil.withStreamParts): a stateful query spins up one state
+    // store per operator per shuffle partition per batch, and at gate
+    // scale near-empty 32-way shards are most of the wall (measured on
+    // m21: 9.6 -> 5.4 s, 59 -> 23 CPU-s)
+    "m13_stream_session" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 40)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
@@ -147,14 +152,14 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m13_sess").orderBy("user_id", "s_start")
-    },
+    } },
 
     // STREAMING dynamic-gap sessions: m39's per-event gap expression
     // executed BY the streaming engine (the session-merge state machine
     // must track per-member ends, not one constant horizon — the state
     // shape the static m13 never exercises) and hash-compared to the
     // batch running-max-end oracle. user_id < 40 bounds state like m13.
-    "m40_stream_dynamic_session" -> { (s, dir) =>
+    "m40_stream_dynamic_session" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val gap = when(col("event_type") === "purchase", "60 minutes")
         .otherwise("30 minutes")
       val src = Tables.eventsStream(s, dir)
@@ -171,7 +176,7 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m40_dsess").orderBy("user_id", "s_start")
-    },
+    } },
 
     // STREAMING tumbling windows through the oracle gate: m7's windowed
     // aggregate executed BY Structured Streaming (file source →
@@ -180,7 +185,7 @@ object TimeSeriesQueries {
     // streaming-verified family (m13 session, m14 dedup, s1/s2 ingest).
     // Complete mode is the gate face; a continuous run uses
     // append + watermark (StreamingSpec's shape).
-    "m15_stream_tumbling" -> { (s, dir) =>
+    "m15_stream_tumbling" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val agged = src
@@ -194,13 +199,13 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m15_tumb").orderBy("w_start", "event_type")
-    },
+    } },
 
     // STREAMING sliding windows through the oracle gate: m8's overlapping
     // 10-minute/5-minute windows run BY the streaming engine — the state
     // shape tumbling can't exercise (every event lives in TWO window
     // states at once).
-    "m16_stream_sliding" -> { (s, dir) =>
+    "m16_stream_sliding" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
       val agged = src
@@ -215,7 +220,7 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m16_slide").orderBy("w_start", "event_type")
-    },
+    } },
 
     // STREAM-STREAM interval join through the oracle gate: each click
     // pairs with the same user's purchases in the preceding 2 hours —
@@ -226,7 +231,7 @@ object TimeSeriesQueries {
     // passes the interval bound. Inner joins emit on match, so results
     // are batch-split-invariant (a match never waits for eviction);
     // user_id < 30 bounds the pair volume across scale factors.
-    "m17_stream_join" -> { (s, dir) =>
+    "m17_stream_join" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
@@ -252,7 +257,7 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m17_join").orderBy("click_id", "purchase_id")
-    },
+    } },
 
     // LEFT-SEMI stream-stream join: "clicks that converted" — the
     // existence face of the join state machine, completing the family
@@ -263,7 +268,7 @@ object TimeSeriesQueries {
     // batch-split-invariant with no watermark cutoff needed (unmatched
     // clicks never emit, matched ones emit exactly once whichever batch
     // their purchase lands in). The oracle states it as EXISTS.
-    "m30_stream_semi" -> { (s, dir) =>
+    "m30_stream_semi" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
@@ -287,7 +292,7 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m30_semi").orderBy("click_id")
-    },
+    } },
 
     // CUSTOM keyed state through the oracle gate: per-user running
     // profile (count, first/last seen, exact-decimal value sum) kept in
@@ -299,7 +304,7 @@ object TimeSeriesQueries {
     // iterator's arbitrary order cannot change the answer; each batch
     // emits the running state and the batch-land max-n pick keeps the
     // final one, so the result is batch-split-invariant.
-    "m18_stream_state" -> { (s, dir) =>
+    "m18_stream_state" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       import s.implicits._
       val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 40)
@@ -313,7 +318,7 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       latestProfiles(s.table("m18_state")).orderBy("user_id")
-    },
+    } },
 
     // STREAM-STATIC enrichment join through the oracle gate: the live
     // event stream joins a STATIC dimension (each user's all-time
@@ -324,7 +329,7 @@ object TimeSeriesQueries {
     // why results are trivially batch-split-invariant. Left join keeps
     // users who never purchased (profile columns null) so the gate
     // checks the outer semantics too. user_id < 25 bounds output.
-    "m19_stream_enrich" -> { (s, dir) =>
+    "m19_stream_enrich" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val dim = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
@@ -343,7 +348,7 @@ object TimeSeriesQueries {
         .start()
       q.awaitTermination()
       s.table("m19_enrich").orderBy("event_id")
-    },
+    } },
 
     // Rolling-window aggregates (m20): the TSDB moving average/min/max —
     // per (user, event_type) series, a trailing 7-observation frame.
@@ -453,7 +458,7 @@ object TimeSeriesQueries {
     // event times) — far below any eviction boundary (watermark delay
     // 4 h + join interval 2 h), so every kept click has provably
     // emitted, matched or null. The oracle mirrors the cutoff in SQL.
-    "m21_stream_outer" -> { (s, dir) =>
+    "m21_stream_outer" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
@@ -493,7 +498,7 @@ object TimeSeriesQueries {
         s.table("m21_outer").filter(col("click_t") <= cutoff)
           .orderBy("click_id", "purchase_id")
       }
-    },
+    } },
 
     // FULL-OUTER stream-stream interval join: the last member of the
     // join-state family (m17 inner / m21 left-outer / m30 left-semi) —
@@ -505,7 +510,7 @@ object TimeSeriesQueries {
     // the least per-side max event time — matched rows emit on match,
     // null rows emit on eviction; both far inside the cutoff). The
     // oracle mirrors the cutoff on both columns.
-    "m31_stream_full_outer" -> { (s, dir) =>
+    "m31_stream_full_outer" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       val src = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
         .withColumn("tsec", timestamp_seconds(tsec(col("ts"))))
@@ -548,7 +553,7 @@ object TimeSeriesQueries {
           .orderBy(coalesce(col("click_id"), lit(-1L)),
             coalesce(col("purchase_id"), lit(-1L)))
       }
-    },
+    } },
 
     // Recursive CTE (q37, Spark 4.x WITH RECURSIVE): sessionization BY
     // RECURSION — session heads (gap > 30 min) seed the walk, each step
