@@ -373,7 +373,7 @@ object LlmQueries {
     // (same oracle SQL): sketch mergeability across batches is what's
     // being graded, not the batch twin. n_exact rides from a batch read
     // of the same staged corpus as the audit column.
-    "m33_stream_kmv" -> { (s, dir) =>
+    "m33_stream_kmv" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val base = java.nio.file.Files.createTempDirectory("graft_m33").toString
       Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
@@ -391,7 +391,7 @@ object LlmQueries {
           coalesce(col("kmv_est"), col("n_exact").cast("double"))
             .as("kmv_est"))
         .orderBy("source")
-    },
+    } },
 
     // count-min sketch: token-frequency estimation in fixed 4x1024 cells
     // (the FREQUENCY sketch next to l42's cardinality), one-sided error
@@ -403,7 +403,7 @@ object LlmQueries {
     // cell deltas into generation-committed state (cell-wise sums are
     // exactly additive), and the estimates read off the merged sketch
     // must land bit-identically on l64's one-shot oracle
-    "m34_stream_countmin" -> { (s, dir) =>
+    "m34_stream_countmin" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val base = java.nio.file.Files.createTempDirectory("graft_m34").toString
       Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
@@ -418,7 +418,7 @@ object LlmQueries {
         .groupBy("tok").agg(count(lit(1)).as("n_exact"))
         .orderBy(desc("n_exact"), col("tok")).limit(20)
       TextStats.countMinEstimate(sketch, top)
-    },
+    } },
 
     // bloom-filter membership audit: the reference's negative-lookup
     // contract (O20) as visible output — no false negatives, bounded
@@ -490,7 +490,7 @@ object LlmQueries {
         graft.operators.GenState.readState(s, s"$base/state"))
     },
 
-    "m36_stream_bloom" -> { (s, dir) =>
+    "m36_stream_bloom" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val base = java.nio.file.Files.createTempDirectory("graft_m36").toString
       Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
@@ -502,7 +502,7 @@ object LlmQueries {
       TextStats.bloomAuditFromState(
         graft.operators.GenState.readState(s, s"$base/state"),
         s.read.parquet(s"$base/src"))
-    },
+    } },
 
     // bigram-LM perplexity scoring (the CCNet quality filter): add-one
     // smoothed P(w2|w1) from corpus counts, per-doc mean log-prob +

@@ -694,7 +694,7 @@ object TimeSeriesQueries {
     // = 1), each committing a state generation behind a marker — the
     // crash-safe continuously-maintained rollup, read back from the
     // final committed generation and compared to the one-shot oracle.
-    "m28_stream_rollup" -> { (s, dir) =>
+    "m28_stream_rollup" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       import graft.operators.IncrementalAgg
       val base = java.nio.file.Files.createTempDirectory("graft_m28").toString
       Tables.events(s, dir).select("event_type", "ts", "value")
@@ -713,7 +713,7 @@ object TimeSeriesQueries {
           asDouble(col("sum_dec")).as("sum_value"),
           col("min_v").as("min_value"), col("max_v").as("max_value"))
         .orderBy("d", "event_type")
-    },
+    } },
 
     // Streaming CDC apply (m29): the event stream as change images —
     // purchases are tombstones, everything else upserts — maintained as a
@@ -721,7 +721,7 @@ object TimeSeriesQueries {
     // version-argmax state algebra (KeyedUpsert doc) makes the final
     // table identical under ANY batch split, which is exactly what the
     // full-recompute oracle states.
-    "m29_stream_upsert" -> { (s, dir) =>
+    "m29_stream_upsert" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
       import graft.operators.KeyedUpsert
       val base = java.nio.file.Files.createTempDirectory("graft_m29").toString
       Tables.events(s, dir)
@@ -741,7 +741,7 @@ object TimeSeriesQueries {
       KeyedUpsert.current(KeyedUpsert.readState(s, s"$base/state"))
         .select("user_id", "t", "eid", "event_type", "value")
         .orderBy("user_id")
-    },
+    } },
 
     // Seasonal profile (m38): the hour-of-day baseline next to m26's
     // trend and m23's robust outliers — per (series, hour) volume, mean,
