@@ -458,12 +458,16 @@ object LlmQueries {
         .select("doc_a", "doc_b")
         .repartition(4).write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-      graft.operators.Graph.trianglesMaintain(
-          src, s"$base/state", s"$base/ckpt",
-          org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .awaitTermination()
+      // only the streaming fold runs at 8-way partitioning — the LSH
+      // pair-list prep above wants the session's full width
+      graft.queries.QUtil.withStreamParts(s, 8) {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        graft.operators.Graph.trianglesMaintain(
+            src, s"$base/state", s"$base/ckpt",
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .awaitTermination()
+      }
       graft.operators.Graph.incrTrianglesFinalize(
         graft.operators.GenState.readState(s, s"$base/state"))
     },
@@ -480,12 +484,15 @@ object LlmQueries {
         .select("doc_a", "doc_b")
         .repartition(4).write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-      graft.operators.Graph.componentsMaintain(
-          src, s"$base/state", s"$base/ckpt",
-          org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .awaitTermination()
+      // streaming fold at 8-way partitioning (see m41's note)
+      graft.queries.QUtil.withStreamParts(s, 8) {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        graft.operators.Graph.componentsMaintain(
+            src, s"$base/state", s"$base/ckpt",
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .awaitTermination()
+      }
       graft.operators.Graph.componentsFinalize(
         graft.operators.GenState.readState(s, s"$base/state"))
     },
