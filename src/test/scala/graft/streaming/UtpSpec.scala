@@ -644,4 +644,60 @@ class UtpSpec extends SparkSpec {
       db.close()
     }
   }
+
+  test("server: reliable ids are per-connection sequences (review r10)") {
+    // A server-global uint16 sequence would hand different connections
+    // interleaved ids and, once wrapped, silently overwrite another
+    // connection's still-unpulled held message. Two fresh reliable
+    // subscribers must BOTH see their first NOTIFY carry id 1.
+    val dir = Files.createTempDirectory("graft_utp_perconn").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      def reliableSub(topic: String): Socket = {
+        val s = new Socket("127.0.0.1", srv.actualPort)
+        s.getOutputStream.write(C.encodePacket(C.SUBSCRIBE, C.NONE,
+          C.encodeSubscribe(C.Subscribe(5, Seq(
+            C.Subscription(1, 0, topic))))))
+        s.getOutputStream.flush()
+        C.readPacket(s.getInputStream) // subscribe ack
+        s
+      }
+      val subA = reliableSub("pc.a")
+      val subB = reliableSub("pc.b")
+      val pub = new Socket("127.0.0.1", srv.actualPort)
+      for (t <- Seq("pc.a", "pc.b")) {
+        pub.getOutputStream.write(C.encodePacket(C.PUBLISH, C.NONE,
+          C.encodePublish(C.Publish(1, 0, Seq(
+            C.PublishMessage(t, s"to-$t".getBytes, ""))))))
+        pub.getOutputStream.flush()
+        C.readPacket(pub.getInputStream) // publish ack
+      }
+      val (afh, abody) = C.readPacket(subA.getInputStream).get
+      val (bfh, bbody) = C.readPacket(subB.getInputStream).get
+      assert(afh.flowControl == C.NOTIFY && bfh.flowControl == C.NOTIFY)
+      assert(C.decodeControl(abody).messageId == 1,
+        "first NOTIFY on connection A must carry id 1")
+      assert(C.decodeControl(bbody).messageId == 1,
+        "first NOTIFY on connection B must carry id 1 — ids are " +
+          "per-connection, not a shared server sequence")
+      Seq(subA, subB, pub).foreach(s => try s.close() catch { case _: Exception => })
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("server: close() releases the WebSocket listener port (review r10)") {
+    val dir = Files.createTempDirectory("graft_utp_wsclose").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, wsPort = 0)
+    val wsPort = srv.actualWsPort
+    assert(wsPort > 0)
+    srv.close()
+    db.close()
+    // the port must be immediately rebindable — a leaked listener throws
+    val reuse = new java.net.ServerSocket(wsPort)
+    reuse.close()
+  }
 }
