@@ -73,7 +73,13 @@ object QUtil {
     * Graph.sizedParts argument, applied to state). The partition count
     * is pinned into the query's checkpoint at its first batch, so this
     * is per-query, not per-session, tuning; a production deployment
-    * sizes it to ITS key volume the same way. Restores even on throw. */
+    * sizes it to ITS key volume the same way. Restores even on throw.
+    *
+    * The setting is SESSION-scoped while the body runs: the registry
+    * runners (Verify/Bench) execute queries sequentially, which is the
+    * supported mode — two gates racing this helper on one session could
+    * observe each other's value. Concurrent pipelines should pass an
+    * isolated `spark.newSession()` per gate instead. */
   def withStreamParts[A](s: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
