@@ -688,6 +688,37 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("ws: garbage and half-open handshakes drop the connection, not the listener") {
+    val dir = Files.createTempDirectory("graft_utp_wsfuzz").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, wsPort = 0)
+    try {
+      // raw binary garbage, an HTTP request that isn't an upgrade, and
+      // a half-open connection (header never finishes) — each must cost
+      // only its own connection
+      val garbage = new Socket("127.0.0.1", srv.actualWsPort)
+      garbage.getOutputStream.write(Array.tabulate[Byte](512)(i => (i * 37).toByte))
+      garbage.getOutputStream.flush()
+      val nonUpgrade = new Socket("127.0.0.1", srv.actualWsPort)
+      nonUpgrade.getOutputStream.write(
+        "POST /x HTTP/1.1\r\nHost: h\r\nContent-Length: 0\r\n\r\n".getBytes)
+      nonUpgrade.getOutputStream.flush()
+      val halfOpen = new Socket("127.0.0.1", srv.actualWsPort)
+      halfOpen.getOutputStream.write("GET / HTTP/1.1\r\nHost:".getBytes)
+      halfOpen.getOutputStream.flush()
+      // a well-formed WS session still works after all three
+      val cli = new UtpClient("127.0.0.1", srv.actualWsPort, ws = true)
+      assert(cli.connect("post-fuzz") > 0)
+      cli.ping()
+      cli.close()
+      Seq(garbage, nonUpgrade, halfOpen).foreach(s =>
+        try s.close() catch { case _: Exception => })
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("server: close() releases the WebSocket listener port (review r10)") {
     val dir = Files.createTempDirectory("graft_utp_wsclose").toString + "/store"
     val db = UnitDb.open(spark, dir)
