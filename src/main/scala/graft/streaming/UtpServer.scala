@@ -224,7 +224,12 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   wsServer.foreach { ws =>
     daemon(s"utp-ws-accept-${ws.getLocalPort}") {
       acceptLoop(ws) { sock =>
+        // handshake deadline: a half-open peer (header never finishes)
+        // must time out and release this thread, not pin it forever —
+        // steady-state packet reads then block indefinitely as on TCP
+        sock.setSoTimeout(10000)
         WsFraming.serverHandshake(sock.getInputStream, sock.getOutputStream)
+        sock.setSoTimeout(0)
         val (in, out) = WsFraming.wrap(sock.getInputStream,
           sock.getOutputStream, maskFrames = false)
         new Conn(sock, in, out)
