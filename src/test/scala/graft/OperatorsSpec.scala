@@ -335,6 +335,44 @@ class OperatorsSpec extends SparkSpec {
       ("hub", "1") -> 1000000000000L, ("hub", "2") -> 625000000000L))
   }
 
+  test("hits: random bipartite graphs land exactly on a BigInt reference (seeded)") {
+    import spark.implicits._
+    // pins the hi/lo-split sum (r10): the distributed rounds must equal
+    // straight arbitrary-precision arithmetic on any graph shape,
+    // including hubs whose raw sums cross multiples of 2^20 · 10^12
+    val scale = BigInt(1000000000000L)
+    def reference(edges: Seq[(String, String)], iters: Int)
+        : Map[(String, String), BigInt] = {
+      val e = edges.distinct
+      var hub = e.map(_._1).distinct.map(_ -> scale).toMap
+      var auth = Map.empty[String, BigInt]
+      for (_ <- 1 to iters) {
+        val ar = e.groupBy(_._2).map { case (a, es) =>
+          a -> es.map(x => hub(x._1)).sum }
+        val amx = ar.values.max
+        auth = ar.map { case (k, v) => k -> (v * scale / amx) }
+        val hr = e.groupBy(_._1).map { case (h, es) =>
+          h -> es.map(x => auth(x._2)).sum }
+        val hmx = hr.values.max
+        hub = hr.map { case (k, v) => k -> (v * scale / hmx) }
+      }
+      auth.map { case (k, v) => ("auth", k) -> v } ++
+        hub.map { case (k, v) => ("hub", k) -> v }
+    }
+    val rnd = new scala.util.Random(20260814)
+    for (c <- 1 to 4) {
+      val nh = 3 + rnd.nextInt(5)
+      val na = 2 + rnd.nextInt(4)
+      val edges = Seq.fill(6 + rnd.nextInt(16))(
+        (s"h${rnd.nextInt(nh)}", s"a${rnd.nextInt(na)}")).distinct
+      val iters = 1 + rnd.nextInt(3)
+      val got = graft.operators.Graph.hits(edges.toDF("hub", "auth"), iters)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> BigInt(r._3)).toMap
+      assert(got === reference(edges, iters), s"case $c: $edges x$iters")
+    }
+  }
+
   test("incrTriangles: random graphs × random splits agree with the one-shot counts (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815)
