@@ -456,6 +456,49 @@ class OperatorsSpec extends SparkSpec {
     assert(w1 === p1)
   }
 
+  test("weightedPageRank: random symmetric graphs land exactly on a BigInt reference (seeded)") {
+    import spark.implicits._
+    // pins the fused contribution order (((85·r) div 100) · w) div W(u)
+    // against straight BigInt arithmetic — the inner-div-first order is
+    // part of the stated model, so a refactor that reassociates it must
+    // fail here even when the drift is one floor unit
+    val scale = BigInt(1000000000000L)
+    def reference(edges: Seq[(String, String, Long)], iters: Int)
+        : Map[String, BigInt] = {
+      val e = edges.groupBy(x => (x._1, x._2))
+        .map { case ((s0, d), xs) => (s0, d, xs.map(_._3).sum) }.toSeq
+      val wdeg = e.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+      val nodes = wdeg.keys.toSeq.sorted
+      val n = nodes.size
+      val tp = BigInt(15) * scale / (BigInt(100) * n)
+      var r = nodes.map(_ -> scale / n).toMap
+      for (_ <- 1 to iters) {
+        val contrib = e.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s0, _, w) =>
+            (BigInt(85) * r(s0) / 100) * w / wdeg(s0) }.sum
+        }
+        r = nodes.map(nd => nd -> (tp + contrib.getOrElse(nd, BigInt(0)))).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(20260814)
+    for (c <- 1 to 4) {
+      val n = 3 + rnd.nextInt(5)
+      // symmetric by construction (the validated contract)
+      val base = Seq.fill(4 + rnd.nextInt(8)) {
+        val a = rnd.nextInt(n); var b = rnd.nextInt(n)
+        if (a == b) b = (b + 1) % n
+        (s"n$a", s"n$b", 1L + rnd.nextInt(9))
+      }
+      val edges = base ++ base.map(x => (x._2, x._1, x._3))
+      val iters = 1 + rnd.nextInt(3)
+      val got = graft.operators.Graph.weightedPageRank(
+          edges.toDF("src", "dst", "w"), iters)
+        .as[(String, Long)].collect().map { case (k, v) => k -> BigInt(v) }.toMap
+      assert(got === reference(edges, iters), s"case $c: $edges x$iters")
+    }
+  }
+
   test("personalizedPageRank: seed-only teleport, disconnected components stay at zero") {
     import spark.implicits._
     // path a-b-c + isolated pair d-e; seed {a}, one round:
