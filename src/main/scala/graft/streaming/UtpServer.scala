@@ -125,6 +125,13 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
       * so publishers keep appending while a flush's blocking send is
       * in flight. */
     val notifyLock = new Object
+    /** Skip-if-busy latch for TICKER flushes (the requestFlush
+      * pattern): without it, a subscriber whose send blocks lets
+      * scheduleAtFixedRate pile a new pool task every durationMs —
+      * unbounded thread growth on one stuck connection. A skipped tick
+      * loses nothing: the buffered batch goes out with the next tick
+      * (or threshold crossing) once the send unblocks. */
+    val flushBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
     /** Appends; returns true when a threshold crossed (caller flushes). */
     def add(m: C.PublishMessage): Boolean = synchronized {
       msgs += m
@@ -151,6 +158,19 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   private val tickerTasks =
     new java.util.concurrent.ConcurrentHashMap[Conn,
       java.util.concurrent.ScheduledFuture[_]]()
+
+  /** Duration flushes' blocking sends run here, NEVER on the shared
+    * ticker thread — one subscriber with a full TCP send buffer must
+    * not stall every other connection's timed flush. Bounded by the
+    * per-batcher flushBusy latch to one in-flight task per mode-2
+    * connection. Declared BEFORE the accept daemons start: a val
+    * further down could still be null when an early connection's
+    * first tick fires mid-construction. */
+  private val batchSenders = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "utp-batch-send")
+      t.setDaemon(true); t
+    })
 
   /** Threshold flushes run here, off the connection threads: with the
     * store's non-blocking flush, other connections already continue
@@ -489,19 +509,11 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
       b.drain().foreach(notifyHeld(conn, 2, _))
     }
 
-  /** Duration flushes' blocking sends run here, NEVER on the shared
-    * ticker thread — one subscriber with a full TCP send buffer must
-    * not stall every other connection's timed flush. Cached pool:
-    * at most one task per mode-2 connection at a time (the notify
-    * lock serializes same-connection flushes). */
-  private val batchSenders = java.util.concurrent.Executors.newCachedThreadPool(
-    (r: Runnable) => {
-      val t = new Thread(r, s"utp-batch-send-$actualPort")
-      t.setDaemon(true); t
-    })
-
   /** The connection's batch buffer, created on first mode-2 delivery
-    * along with its duration-flush ticker task. */
+    * along with its duration-flush ticker task. The tick submits to
+    * [[batchSenders]] only when the batcher's flushBusy latch is free
+    * — at most ONE in-flight flush task per connection, however slow
+    * its socket. */
   private def batcherFor(conn: Conn): Batcher = {
     val b = batchers.computeIfAbsent(conn, _ => {
       val opts = Option(batchOpts.get(conn))
@@ -510,12 +522,15 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
       tickerTasks.put(conn, batchTicker.scheduleAtFixedRate(
         new Runnable {
           def run(): Unit =
-            try batchSenders.submit(new Runnable {
-              def run(): Unit =
-                try flushBatch(conn, nb)
-                catch { case _: Exception => () }
-            }): Unit
-            catch { case _: Exception => () }
+            try {
+              if (nb.flushBusy.compareAndSet(false, true))
+                batchSenders.submit(new Runnable {
+                  def run(): Unit =
+                    try flushBatch(conn, nb)
+                    catch { case _: Exception => () }
+                    finally nb.flushBusy.set(false)
+                }): Unit
+            } catch { case _: Exception => nb.flushBusy.set(false) }
         },
         opts.durationMs.toLong, opts.durationMs.toLong,
         java.util.concurrent.TimeUnit.MILLISECONDS))

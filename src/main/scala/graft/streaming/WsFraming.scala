@@ -32,15 +32,23 @@ object WsFraming {
       java.security.MessageDigest.getInstance("SHA-1")
         .digest((key + Guid).getBytes(UTF_8)))
 
-  /** Read HTTP/1.1 header lines up to the blank line (bounded — a peer
-    * streaming garbage must not grow an unbounded buffer). */
-  private def readHttpHeader(in: InputStream): Seq[String] = {
+  /** Read HTTP/1.1 header lines up to the blank line. Bounded in SIZE
+    * (16 KiB — a peer streaming garbage must not grow the buffer) and
+    * in WALL TIME: a socket SO_TIMEOUT alone is a per-READ idle bound,
+    * so a slow-loris peer trickling one byte per timeout window could
+    * pin the handshake thread for hours — the deadline caps the whole
+    * header read regardless of trickle cadence. */
+  private def readHttpHeader(in: InputStream,
+      deadlineMs: Long = 10000): Seq[String] = {
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
     val buf = new ByteArrayOutputStream()
     var prev3 = 0; var prev2 = 0; var prev1 = 0
     var b = in.read()
     while (b >= 0 && !(prev3 == '\r' && prev2 == '\n' && prev1 == '\r' && b == '\n')) {
       buf.write(b)
       require(buf.size <= 16384, "HTTP header longer than 16 KiB")
+      require(System.nanoTime() - deadline < 0,
+        s"handshake header not complete within ${deadlineMs}ms")
       prev3 = prev2; prev2 = prev1; prev1 = b
       b = in.read()
     }
