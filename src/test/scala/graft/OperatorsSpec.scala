@@ -456,6 +456,54 @@ class OperatorsSpec extends SparkSpec {
     assert(w1 === p1)
   }
 
+  test("pageRank + personalizedPageRank: random symmetric graphs land exactly on a BigInt reference (seeded)") {
+    import spark.implicits._
+    // completes the rank family's exact-arithmetic nets (hits and
+    // weightedPageRank below): the distributed rounds must equal
+    // straight arbitrary-precision evaluation of the stated model
+    val scale = BigInt(1000000000000L)
+    def refRanks(edges: Seq[(String, String)], iters: Int,
+        seeds: Option[Set[String]]): Map[String, BigInt] = {
+      val e = edges.distinct
+      val outdeg = e.groupBy(_._1).map { case (s0, es) => s0 -> BigInt(es.size) }
+      val nodes = outdeg.keys.toSeq.sorted
+      val k = seeds.map(_.size).getOrElse(nodes.size)
+      val tp = BigInt(15) * scale / (BigInt(100) * k)
+      def isSeed(n: String) = seeds.forall(_.contains(n))
+      var r = nodes.map(n =>
+        n -> (if (isSeed(n)) scale / k else BigInt(0))).toMap
+      for (_ <- 1 to iters) {
+        val contrib = e.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s0, _) =>
+            BigInt(85) * r(s0) / (BigInt(100) * outdeg(s0)) }.sum
+        }
+        r = nodes.map(n => n -> (contrib.getOrElse(n, BigInt(0)) +
+          (if (isSeed(n)) tp else BigInt(0)))).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(20260814)
+    for (c <- 1 to 3) {
+      val n = 4 + rnd.nextInt(5)
+      val base = Seq.fill(5 + rnd.nextInt(9)) {
+        val a = rnd.nextInt(n); var b = rnd.nextInt(n)
+        if (a == b) b = (b + 1) % n
+        (s"n$a", s"n$b")
+      }
+      val edges = (base ++ base.map(_.swap)).distinct
+      val iters = 1 + rnd.nextInt(3)
+      val got = graft.operators.Graph.pageRank(edges.toDF("src", "dst"), iters)
+        .as[(String, Long)].collect().map { case (k2, v) => k2 -> BigInt(v) }.toMap
+      assert(got === refRanks(edges, iters, None), s"pageRank case $c")
+      val present = edges.map(_._1).distinct
+      val seedSet = rnd.shuffle(present).take(1 + rnd.nextInt(present.size)).toSet
+      val gotP = graft.operators.Graph.personalizedPageRank(
+          edges.toDF("src", "dst"), seedSet.toSeq.toDF("node"), iters)
+        .as[(String, Long)].collect().map { case (k2, v) => k2 -> BigInt(v) }.toMap
+      assert(gotP === refRanks(edges, iters, Some(seedSet)), s"ppr case $c")
+    }
+  }
+
   test("weightedPageRank: random symmetric graphs land exactly on a BigInt reference (seeded)") {
     import spark.implicits._
     // pins the fused contribution order (((85·r) div 100) · w) div W(u)
