@@ -401,8 +401,13 @@ object AnalyticsQueries {
     // partial-aggregated shuffle on a 4-value key. The oracle states the
     // same reshape as a UNION ALL chain — semantically identical, and
     // DuckDB-portable without its UNPIVOT extension syntax.
+    // r10 driver run: the sf0.1 lineitem file is one scan partition
+    // (file size ≪ maxPartitionBytes), so the 4x Expand plus the map-side
+    // partial agg ran single-threaded (7.9 CPU-s on one task). The
+    // conditional spread is a no-op whenever the scan already has ≥
+    // cluster parallelism — the 100 TB plan never pays it.
     "q20_unpivot" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      QUtil.spread(Tables.lineitem(s, dir))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"),
@@ -693,7 +698,7 @@ object AnalyticsQueries {
     // rollup; the oracle states the same melt as UNION ALL). The measure
     // pair (retail price as exact cents, size) rolls up per metric.
     "q33_unpivot" -> { (s, dir) =>
-      Tables.part(s, dir)
+      QUtil.spread(Tables.part(s, dir))
         .select(col("p_partkey"),
           (dec2(col("p_retailprice")) * 100).cast("long").as("retail_cents"),
           col("p_size").cast("long").as("size"))

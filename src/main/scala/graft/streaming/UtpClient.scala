@@ -54,6 +54,19 @@ final class UtpClient(host: String, port: Int, ws: Boolean = false)
       throw new java.io.EOFException("server closed the connection"))
   }
 
+  /** Consume the publish ack that follows a special-request reply. On a
+    * connection that also holds live subscriptions an interleaved
+    * delivery could land here instead — asserting the frame type keeps
+    * the request/response stream from silently desynchronizing (it
+    * throws loudly rather than treating a delivery as the ack). */
+  private def expectPublishAck(): Unit = {
+    val (fh, _) = C.readPacket(in).getOrElse(
+      throw new java.io.EOFException("server closed before publish ack"))
+    require(fh.msgType == C.PUBLISH && fh.flowControl == C.ACKNOWLEDGE,
+      s"expected publish ack, got $fh — special requests must not share a " +
+        "connection with live subscriptions")
+  }
+
   /** CONNECT handshake; returns the server-assigned connection id. The
     * batch thresholds configure delivery-mode-2 coalescing for this
     * connection's subscriptions (0 = server defaults). */
@@ -170,7 +183,7 @@ final class UtpClient(host: String, port: Int, ws: Boolean = false)
       throw new java.io.EOFException("server closed"))
     require(rfh.msgType == C.PUBLISH && rfh.flowControl == C.NONE)
     val resp = om.readTree(C.decodePublish(rbody).messages.head.payload)
-    C.readPacket(in) // the publish ack
+    expectPublishAck()
     require(resp.get(0).get("status").asInt() == 200, resp.toString)
     resp.get(0).get("key").asText()
   }
@@ -188,7 +201,7 @@ final class UtpClient(host: String, port: Int, ws: Boolean = false)
     require(rfh.msgType == C.PUBLISH && rfh.flowControl == C.NONE)
     val resp = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(C.decodePublish(rbody).messages.head.payload)
-    C.readPacket(in) // the publish ack
+    expectPublishAck()
     require(resp.get("status").asInt() == 200, resp.toString)
     resp
   }

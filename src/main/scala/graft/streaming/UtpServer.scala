@@ -313,10 +313,24 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
                   else 3584 * 1024,
                   if (creq.batchCountThreshold > 0) creq.batchCountThreshold
                   else 1000))
+              else batchOpts.remove(conn)
               val connack = C.encodeConnack(C.ConnectAcknowledge(
                 C.Accepted, (System.currentTimeMillis() / 1000).toInt,
                 connId))
               ack(conn, C.CONNECT, 0, connack)
+              // a Batcher already latched by an earlier mode-2 delivery
+              // (batcherFor's computeIfAbsent) holds the OLD thresholds
+              // and ticker period — a CONNECT after that first delivery,
+              // or a re-CONNECT with new thresholds, must not be silently
+              // ignored: retire it (flushing what it buffered, so nothing
+              // is lost or reordered past the notify lock) and let the
+              // next delivery rebuild from the fresh batchOpts. AFTER the
+              // connack: the flush's NOTIFY must not interleave ahead of
+              // the reply the client is blocked on.
+              Option(batchers.remove(conn)).foreach { old =>
+                Option(tickerTasks.remove(conn)).foreach(_.cancel(false))
+                try flushBatch(conn, old) catch { case _: Exception => () }
+              }
 
             case C.PUBLISH =>
               val pub = C.decodePublish(body)

@@ -63,7 +63,15 @@ object WsFraming {
     }
 
   /** Server side of the upgrade: read the GET, answer 101. Throws on a
-    * non-upgrade request (the caller drops the connection). */
+    * non-upgrade request (the caller drops the connection).
+    *
+    * A requested subprotocol is echoed back (first offered wins): the
+    * reference's grpc-web transport is exactly this WS byte-stream
+    * carrying uTP packets, negotiated under `Sec-WebSocket-Protocol:
+    * grpc_web` (server/internal/net/hdl_grpc_web.go:91-94 — its
+    * upgrader advertises the subprotocol, and its gorilla client
+    * REJECTS a 101 that doesn't confirm one it asked for). Echoing
+    * makes this listener the grpc-web face with zero extra framing. */
   def serverHandshake(in: InputStream, out: OutputStream): Unit = {
     val lines = readHttpHeader(in)
     require(lines.nonEmpty && lines.head.startsWith("GET "),
@@ -72,27 +80,39 @@ object WsFraming {
       _.equalsIgnoreCase("websocket"))
     val key = headerValue(lines, "Sec-WebSocket-Key")
     require(upgrade && key.nonEmpty, "missing Upgrade/Sec-WebSocket-Key")
+    val proto = headerValue(lines, "Sec-WebSocket-Protocol")
+      .flatMap(_.split(",").map(_.trim).headOption.filter(_.nonEmpty))
     val resp = "HTTP/1.1 101 Switching Protocols\r\n" +
       "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-      s"Sec-WebSocket-Accept: ${acceptKey(key.get)}\r\n\r\n"
+      s"Sec-WebSocket-Accept: ${acceptKey(key.get)}\r\n" +
+      proto.map(p => s"Sec-WebSocket-Protocol: $p\r\n").getOrElse("") +
+      "\r\n"
     out.write(resp.getBytes(UTF_8)); out.flush()
   }
 
-  /** Client side of the upgrade: send the GET, verify 101 + accept key. */
+  /** Client side of the upgrade: send the GET, verify 101 + accept key.
+    * A non-null `subprotocol` is requested and its echo REQUIRED, the
+    * gorilla-client behavior reference grpc-web peers exhibit. */
   def clientHandshake(in: InputStream, out: OutputStream, host: String,
-      path: String = "/"): Unit = {
+      path: String = "/", subprotocol: String = null): Unit = {
     val nonce = new Array[Byte](16)
     new java.security.SecureRandom().nextBytes(nonce)
     val key = java.util.Base64.getEncoder.encodeToString(nonce)
     val req = s"GET $path HTTP/1.1\r\nHost: $host\r\n" +
       "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-      s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n\r\n"
+      s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n" +
+      Option(subprotocol).map(p => s"Sec-WebSocket-Protocol: $p\r\n").getOrElse("") +
+      "\r\n"
     out.write(req.getBytes(UTF_8)); out.flush()
     val lines = readHttpHeader(in)
     require(lines.nonEmpty && lines.head.contains(" 101 "),
       s"upgrade refused: ${lines.headOption.getOrElse("<empty>")}")
     require(headerValue(lines, "Sec-WebSocket-Accept").contains(acceptKey(key)),
       "Sec-WebSocket-Accept mismatch")
+    Option(subprotocol).foreach { p =>
+      require(headerValue(lines, "Sec-WebSocket-Protocol").contains(p),
+        s"server did not confirm subprotocol $p")
+    }
   }
 
   private def readFully(in: InputStream, n: Int): Array[Byte] = {
@@ -109,7 +129,11 @@ object WsFraming {
   /** Serialized frame writer over one raw stream — data frames and the
     * reader's pong replies interleave safely through the same monitor. */
   final class FrameWriter(raw: OutputStream, maskFrames: Boolean) {
-    private val rnd = new java.util.Random()
+    // RFC 6455 §10.3: masking keys must be unpredictable to a hostile
+    // intermediary (they exist to defeat proxy cache poisoning), so they
+    // come from SecureRandom like the handshake nonce — 4 bytes/frame is
+    // noise next to the frame write itself.
+    private val rnd = new java.security.SecureRandom()
     def writeFrame(opcode: Int, payload: Array[Byte]): Unit = synchronized {
       val head = new ByteArrayOutputStream()
       head.write(0x80 | opcode) // FIN + opcode
@@ -138,9 +162,15 @@ object WsFraming {
   }
 
   /** Payload byte stream over incoming frames: binary/continuation data
-    * feeds reads; pings answer through `writer`; close/EOF read as -1. */
-  final class WsInputStream(raw: InputStream, writer: FrameWriter)
-      extends InputStream {
+    * feeds reads; pings answer through `writer`; close/EOF read as -1.
+    *
+    * `expectMasked` enforces RFC 6455 §5.1's masking direction: a server
+    * MUST fail the connection on an unmasked client frame, and a client
+    * MUST fail it on a masked server frame — lenient parsing would let a
+    * broken peer limp along here and then break against spec-compliant
+    * reference endpoints. */
+  final class WsInputStream(raw: InputStream, writer: FrameWriter,
+      expectMasked: Boolean) extends InputStream {
     private var buf: Array[Byte] = Array.emptyByteArray
     private var pos = 0
     private var eof = false
@@ -153,6 +183,8 @@ object WsFraming {
         val b1 = raw.read()
         if (b1 < 0) throw new EOFException("stream closed mid-frame")
         val masked = (b1 & 0x80) != 0
+        require(masked == expectMasked,
+          s"ws frame mask bit $masked violates RFC 6455 §5.1 (expected $expectMasked)")
         var len: Long = b1 & 0x7f
         if (len == 126) {
           val e = readFully(raw, 2)
@@ -228,6 +260,8 @@ object WsFraming {
   def wrap(rawIn: InputStream, rawOut: OutputStream,
       maskFrames: Boolean): (InputStream, OutputStream) = {
     val w = new FrameWriter(rawOut, maskFrames)
-    (new WsInputStream(rawIn, w), new WsOutputStream(w))
+    // masking is strictly one-directional (§5.1): whichever side masks its
+    // own frames must receive unmasked ones, and vice versa
+    (new WsInputStream(rawIn, w, expectMasked = !maskFrames), new WsOutputStream(w))
   }
 }

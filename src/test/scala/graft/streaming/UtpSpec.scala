@@ -571,7 +571,8 @@ class UtpSpec extends SparkSpec {
       w.writeFrame(0x2, payload)
       val back = new java.io.ByteArrayInputStream(buf.toByteArray)
       val rIn = new WsFraming.WsInputStream(back,
-        new WsFraming.FrameWriter(new java.io.ByteArrayOutputStream(), false))
+        new WsFraming.FrameWriter(new java.io.ByteArrayOutputStream(), false),
+        expectMasked = masked)
       val got = new Array[Byte](n)
       var off = 0
       while (off < n) {
@@ -730,5 +731,115 @@ class UtpSpec extends SparkSpec {
     // the port must be immediately rebindable — a leaked listener throws
     val reuse = new java.net.ServerSocket(wsPort)
     reuse.close()
+  }
+
+  test("ws: mask direction is enforced per RFC 6455 §5.1 (ADVICE r10)") {
+    // stream level: a reader expecting masked frames (the server side)
+    // must fail on an unmasked one, and vice versa — lenient parsing
+    // would let a broken peer limp along here and then break against
+    // spec-compliant reference endpoints
+    for (sentMasked <- Seq(true, false)) {
+      val buf = new java.io.ByteArrayOutputStream()
+      new WsFraming.FrameWriter(buf, maskFrames = sentMasked)
+        .writeFrame(0x2, "x".getBytes)
+      val rIn = new WsFraming.WsInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray),
+        new WsFraming.FrameWriter(new java.io.ByteArrayOutputStream(), false),
+        expectMasked = !sentMasked)
+      intercept[IllegalArgumentException](rIn.read())
+    }
+    // live: the server drops a client that sends an UNMASKED data frame
+    // instead of answering the uTP packet inside it
+    val dir = Files.createTempDirectory("graft_utp_unmask").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, wsPort = 0)
+    try {
+      val s = new Socket("127.0.0.1", srv.actualWsPort)
+      WsFraming.clientHandshake(s.getInputStream, s.getOutputStream,
+        s"127.0.0.1:${srv.actualWsPort}")
+      // an unmasked binary frame carrying a well-formed PINGREQ: a
+      // lenient server would answer the ping; a compliant one fails the
+      // connection without replying
+      new WsFraming.FrameWriter(s.getOutputStream, maskFrames = false)
+        .writeFrame(0x2, C.encodePacket(C.PINGREQ, C.NONE, Array.emptyByteArray))
+      s.setSoTimeout(5000)
+      assert(s.getInputStream.read() == -1,
+        "server answered an unmasked client frame instead of dropping it")
+      s.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("client: varz() throws on an interleaved non-ack frame (ADVICE r10)") {
+    // A varz/keygen exchange ends by consuming the publish ack; on a
+    // connection that also holds live subscriptions an interleaved
+    // delivery could land in that slot. The client must fail loudly
+    // rather than silently desynchronize the request/response stream.
+    // Hand-rolled one-shot server: answers the varz request correctly,
+    // then sends a NOTIFY where the ack belongs.
+    val ss = new java.net.ServerSocket(0)
+    val srvThread = new Thread(() => {
+      val s = ss.accept()
+      val in = s.getInputStream
+      C.readPacket(in) // the varz request publish
+      val out = s.getOutputStream
+      out.write(C.encodePacket(C.PUBLISH, C.NONE,
+        C.encodePublish(C.Publish(0, 0, Seq(C.PublishMessage(
+          "unitdb/varz", """{"status":200}""".getBytes, ""))))))
+      // an interleaved NOTIFY instead of the (PUBLISH, ACKNOWLEDGE) ack
+      out.write(C.encodePacket(C.PUBLISH, C.NOTIFY,
+        C.encodeControl(C.ControlMessage(7, Array.emptyByteArray))))
+      out.flush()
+      Thread.sleep(2000)
+      s.close()
+    })
+    srvThread.setDaemon(true); srvThread.start()
+    val cli = new UtpClient("127.0.0.1", ss.getLocalPort)
+    try {
+      val e = intercept[IllegalArgumentException](cli.varz())
+      assert(e.getMessage.contains("expected publish ack"), e.getMessage)
+    } finally {
+      cli.close(); ss.close()
+    }
+  }
+
+  test("server: re-CONNECT replaces a latched Batcher's thresholds (ADVICE r10)") {
+    // Batch options used to be latched into the Batcher (and its ticker
+    // period) at the FIRST mode-2 delivery; a re-CONNECT with new
+    // thresholds was silently ignored for the rest of the connection.
+    // Now the retire-and-rebuild on CONNECT (a) flushes what the old
+    // batcher buffered, and (b) applies the new thresholds to deliveries
+    // after it.
+    val dir = Files.createTempDirectory("graft_utp_reconn").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val sub = new UtpClient("127.0.0.1", srv.actualPort)
+      // thresholds nothing will cross: 60 s ticker, 1000-message count
+      assert(sub.connect("rc", batchDurationMs = 60000,
+        batchCountThreshold = 1000) > 0)
+      sub.subscribe(("rc.x", 2))
+      val pub = new UtpClient("127.0.0.1", srv.actualPort)
+      pub.publish(("rc.x", "held".getBytes)) // latches the batcher, buffers
+      // re-CONNECT with count threshold 2: must flush the held message...
+      assert(sub.connect("rc2", batchDurationMs = 60000,
+        batchCountThreshold = 2) > 0)
+      val flushed = sub.nextDelivery()
+      assert(flushed.map(p => new String(p._2)) == Seq("held"),
+        s"retired batcher did not flush: $flushed")
+      // ...and the NEW threshold governs from here: the second message
+      // crosses count=2 and flushes inline (the old 1000 never would)
+      pub.publish(("rc.x", "b1".getBytes))
+      pub.publish(("rc.x", "b2".getBytes))
+      val got = sub.nextDelivery()
+      assert(got.map(p => new String(p._2)) == Seq("b1", "b2"),
+        s"new thresholds not applied: $got")
+      sub.close(); pub.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
   }
 }
