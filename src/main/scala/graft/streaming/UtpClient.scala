@@ -13,14 +13,26 @@ import graft.streaming.{UtpCodec => C}
   *
   * `ws = true` tunnels the same packets through RFC 6455 WebSocket
   * frames ([[WsFraming]], client-side masking) — the transport the
-  * reference server exposes for browser-adjacent clients. */
-final class UtpClient(host: String, port: Int, ws: Boolean = false)
-    extends AutoCloseable {
+  * reference server exposes for browser-adjacent clients. `grpc = true`
+  * speaks the reference's gRPC transport instead: h2c + the
+  * `Unitdb/Stream` bidi rpc, each uTP packet riding one `Packet` proto
+  * ([[H2Framing]]). The two flags are mutually exclusive. */
+final class UtpClient(host: String, port: Int, ws: Boolean = false,
+    grpc: Boolean = false) extends AutoCloseable {
+  require(!(ws && grpc), "pick one transport")
 
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
   private val (in, out) =
-    if (ws) {
+    if (grpc) {
+      try H2Framing.clientStream(sock.getInputStream, sock.getOutputStream,
+        s"$host:$port")
+      catch {
+        case e: Throwable =>
+          try sock.close() catch { case _: Exception => () }
+          throw e
+      }
+    } else if (ws) {
       // a refused/garbled upgrade throws out of the constructor — close
       // the connected socket on the way out or the fd leaks per retry
       try {

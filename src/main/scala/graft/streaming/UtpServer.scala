@@ -47,9 +47,17 @@ import graft.streaming.{UtpCodec => C}
   * listener (the reference server likewise fronts the same packet loop
   * with tcp:// and ws:// listeners, server/internal/net/server.go) —
   * after the RFC 6455 upgrade, [[WsFraming]] presents the frame payloads
-  * as a plain byte stream and the SAME serve loop runs on top. */
+  * as a plain byte stream and the SAME serve loop runs on top. The WS
+  * listener doubles as the reference's grpc-web face (its grpc-web
+  * transport IS WebSocket binary frames carrying the raw uTP stream,
+  * hdl_grpc_web.go — the handshake echoes its `grpc_web` subprotocol).
+  * `grpcPort >= 0` adds the reference's remaining transport, genuine
+  * gRPC over h2c (`rpc Stream (stream Packet) returns (stream Packet)`,
+  * unitdb.proto:7-10 / hdl_grpc.go): [[H2Framing]] handles RFC 7540 +
+  * gRPC message framing and each accepted bidi stream runs the same
+  * serve loop — one h2 connection can carry several uTP sessions. */
 final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
-    wsPort: Int = -1) {
+    wsPort: Int = -1, grpcPort: Int = -1) {
 
   /** One live connection: identity key for the registries plus the
     * (possibly transport-wrapped) byte streams the packet loop uses.
@@ -68,6 +76,8 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   private val server = new ServerSocket(port)
   private val wsServer: Option[ServerSocket] =
     if (wsPort >= 0) Some(new ServerSocket(wsPort)) else None
+  private val grpcServer: Option[ServerSocket] =
+    if (grpcPort >= 0) Some(new ServerSocket(grpcPort)) else None
   private val running = new AtomicBoolean(true)
   private val connIds = new AtomicInteger(0)
   private val putsSinceSync = new AtomicLong(0)
@@ -197,6 +207,9 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   /** Bound WebSocket port, or -1 when the WS listener is disabled. */
   def actualWsPort: Int = wsServer.map(_.getLocalPort).getOrElse(-1)
 
+  /** Bound gRPC (h2c) port, or -1 when the gRPC listener is disabled. */
+  def actualGrpcPort: Int = grpcServer.map(_.getLocalPort).getOrElse(-1)
+
   private def daemon(name: String)(body: => Unit): Thread = {
     val t = new Thread(() => body, name)
     t.setDaemon(true)
@@ -253,6 +266,47 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
         val (in, out) = WsFraming.wrap(sock.getInputStream,
           sock.getOutputStream, maskFrames = false)
         new Conn(sock, in, out)
+      }
+    }
+  }
+
+  grpcServer.foreach { gs =>
+    daemon(s"utp-grpc-accept-${gs.getLocalPort}") {
+      while (running.get()) {
+        try {
+          val sock = gs.accept()
+          sock.setTcpNoDelay(true)
+          daemon(s"utp-grpc-conn-${connIds.incrementAndGet()}") {
+            // the h2 reader loop owns this thread for the connection's
+            // life; each accepted rpc stream is one uTP session on its
+            // own daemon. A stream's serve() must close ITS stream, not
+            // the shared socket — Conn gets an unbound stand-in Socket
+            // whose close() ends the gRPC stream (trailers), while the
+            // real socket closes with the h2 connection below.
+            val peer = new H2Framing.H2Peer(
+              sock.getInputStream, sock.getOutputStream, isServer = true,
+              (headers, h2In, h2Out) => {
+                if (Option(headers.path).map(_.toString)
+                    .contains(H2Framing.StreamPath)) {
+                  val out = new H2Framing.GrpcOut(h2Out)
+                  val vsock = new Socket() {
+                    override def close(): Unit =
+                      try out.close() catch { case _: Exception => () }
+                  }
+                  val conn = new Conn(vsock, new H2Framing.GrpcIn(h2In), out)
+                  daemon(s"utp-grpc-stream-${connIds.incrementAndGet()}") {
+                    serve(conn, connIds.get())
+                  }
+                  true
+                } else false // → grpc-status 12 UNIMPLEMENTED trailers
+              })
+            try peer.serveLoop()
+            finally { try sock.close() catch { case _: Exception => () } }
+          }
+        } catch {
+          case _: java.net.SocketException => // closed (or close() racing)
+          case _: Exception if running.get() => Thread.sleep(50)
+        }
       }
     }
   }
@@ -629,6 +683,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
     running.set(false)
     try server.close() catch { case _: Exception => }
     wsServer.foreach(ws => try ws.close() catch { case _: Exception => })
+    grpcServer.foreach(gs => try gs.close() catch { case _: Exception => })
     batchTicker.shutdownNow(): Unit
     batchSenders.shutdownNow(): Unit
     flusher.shutdown()

@@ -733,6 +733,161 @@ class UtpSpec extends SparkSpec {
     reuse.close()
   }
 
+  test("grpc: a full uTP session runs over the h2c transport") {
+    val dir = Files.createTempDirectory("graft_utp_grpc").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, grpcPort = 0)
+    try {
+      assert(srv.actualGrpcPort > 0)
+      val pub = new UtpClient("127.0.0.1", srv.actualGrpcPort, grpc = true)
+      val sub = new UtpClient("127.0.0.1", srv.actualGrpcPort, grpc = true)
+      assert(pub.connect("grpc-producer") > 0)
+      sub.subscribe(("gr.*.x", 0), ("gr.rel", 1))
+      pub.publish(("gr.a.x", "hello-grpc".getBytes))
+      val d1 = sub.nextDelivery()
+      assert(d1.map(_._1) == Seq("gr.a.x") &&
+        new String(d1.head._2) == "hello-grpc")
+      // reliable handshake (NOTIFY/RECEIVE/RECEIPT/COMPLETE) over h2c
+      pub.publish(("gr.rel", "precious-grpc".getBytes))
+      val d2 = sub.nextDelivery()
+      assert(d2.map(_._1) == Seq("gr.rel") &&
+        new String(d2.head._2) == "precious-grpc")
+      // RELAY a stored window back over h2c
+      val relayed = pub.relay("gr.a.x", "1h")
+      assert(relayed.map(new String(_)) == Seq("hello-grpc"))
+      // special request over h2c
+      assert(pub.varz().get("puts").asLong() == 2L)
+      pub.ping()
+      // cross-transport fan-out: a TCP publisher reaches the gRPC subscriber
+      val tcp = new UtpClient("127.0.0.1", srv.actualPort)
+      tcp.publish(("gr.b.x", "tcp-to-grpc".getBytes))
+      val d3 = sub.nextDelivery()
+      assert(new String(d3.head._2) == "tcp-to-grpc")
+      tcp.close(); pub.close(); sub.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("grpc: several rpc streams multiplex one h2 connection") {
+    val dir = Files.createTempDirectory("graft_utp_grpcmux").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, grpcPort = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualGrpcPort)
+      sock.setTcpNoDelay(true)
+      sock.getOutputStream.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
+      sock.getOutputStream.flush()
+      val peer = new H2Framing.H2Peer(sock.getInputStream,
+        sock.getOutputStream, isServer = false, (_, _, _) => false)
+      peer.sendSettings()
+      val t = new Thread(() => peer.serveLoop()); t.setDaemon(true); t.start()
+      // two independent uTP sessions over ONE h2 connection — each gets
+      // its own serve loop server-side, ids/acks must not cross
+      val s1 = peer.openStream(H2Framing.StreamPath, "t")
+      val s2 = peer.openStream(H2Framing.StreamPath, "t")
+      val streams = Seq(s1, s2).map { case (i, o) =>
+        (new H2Framing.GrpcIn(i), new H2Framing.GrpcOut(o))
+      }
+      for (((in, out), k) <- streams.zipWithIndex) {
+        out.write(C.encodePacket(C.PUBLISH, C.NONE,
+          C.encodePublish(C.Publish(7 + k, 0, Seq(
+            C.PublishMessage(s"mux.$k", s"payload-$k".getBytes, ""))))))
+        out.flush()
+      }
+      // acks come back on the right streams with the right message ids
+      for (((in, _), k) <- streams.zipWithIndex) {
+        val (fh, body) = C.readPacket(in).get
+        assert(fh.msgType == C.PUBLISH && fh.flowControl == C.ACKNOWLEDGE)
+        assert(C.decodeControl(body).messageId == 7 + k, s"stream $k ack")
+      }
+      db.sync()
+      assert(new String(db.get(graft.model.Query("mux.0")).head) == "payload-0")
+      assert(new String(db.get(graft.model.Query("mux.1")).head) == "payload-1")
+      sock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("grpc: an unknown rpc path answers UNIMPLEMENTED trailers, not data") {
+    val dir = Files.createTempDirectory("graft_utp_grpc404").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, grpcPort = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualGrpcPort)
+      sock.getOutputStream.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
+      sock.getOutputStream.flush()
+      val peer = new H2Framing.H2Peer(sock.getInputStream,
+        sock.getOutputStream, isServer = false, (_, _, _) => false)
+      peer.sendSettings()
+      val t = new Thread(() => peer.serveLoop()); t.setDaemon(true); t.start()
+      val (in, _) = peer.openStream("/unitdb.schema.Unitdb/NoSuchRpc", "t")
+      // trailers-only response: the stream ends with zero payload bytes
+      assert(in.read() == -1, "refused rpc must carry no data")
+      sock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("grpc: garbage prefaces drop the connection, not the listener") {
+    val dir = Files.createTempDirectory("graft_utp_grpcfuzz").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, grpcPort = 0)
+    try {
+      // a non-h2 peer (wrong preface), an HTTP/1.1 request, and a
+      // half-open socket each cost only their own connection
+      for (junk <- Seq("NOT-A-PREFACE-AT-ALL-24B!!",
+          "GET / HTTP/1.1\r\nHost: x\r\n\r\n")) {
+        val s = new Socket("127.0.0.1", srv.actualGrpcPort)
+        s.getOutputStream.write(junk.getBytes("US-ASCII"))
+        s.getOutputStream.flush()
+        s.close()
+      }
+      val halfOpen = new Socket("127.0.0.1", srv.actualGrpcPort)
+      // the listener still serves a well-behaved client afterwards
+      val cli = new UtpClient("127.0.0.1", srv.actualGrpcPort, grpc = true)
+      assert(cli.connect("survivor") > 0)
+      cli.publish(("fz.x", "alive".getBytes))
+      cli.ping()
+      cli.close()
+      halfOpen.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
+  test("ws: grpc-web subprotocol is confirmed in the upgrade (reference parity)") {
+    val dir = Files.createTempDirectory("graft_utp_grpcweb").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, wsPort = 0)
+    try {
+      // the reference's grpc-web transport is WS binary frames carrying
+      // the raw uTP stream under subprotocol "grpc_web"
+      // (hdl_grpc_web.go:91-94); its gorilla client rejects a 101 that
+      // doesn't confirm the subprotocol it asked for — clientHandshake
+      // enforces that same rejection, so passing proves the echo
+      val s = new Socket("127.0.0.1", srv.actualWsPort)
+      WsFraming.clientHandshake(s.getInputStream, s.getOutputStream,
+        s"127.0.0.1:${srv.actualWsPort}", subprotocol = "grpc_web")
+      val (in, out) = WsFraming.wrap(s.getInputStream, s.getOutputStream,
+        maskFrames = true)
+      out.write(C.encodePacket(C.PINGREQ, C.NONE, Array.emptyByteArray))
+      out.flush()
+      val (fh, _) = C.readPacket(in).get
+      assert(fh.msgType == C.PINGREQ && fh.flowControl == C.ACKNOWLEDGE)
+      s.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("ws: mask direction is enforced per RFC 6455 §5.1 (ADVICE r10)") {
     // stream level: a reader expecting masked frames (the server side)
     // must fail on an unmasked one, and vice versa — lenient parsing
