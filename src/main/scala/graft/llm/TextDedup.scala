@@ -561,6 +561,14 @@ object TextDedup {
     * silently emitting unconverged labels. */
   val ClusterMaxIters = 50
 
+  /** Edge cap for [[dedupClusters]]' driver union-find fast path: 2^18
+    * symmetrized edge structs (= 65k input pairs, single-digit MB
+    * collected). Chosen well past every contracted-label-graph size a
+    * micro-batch can produce at gate scale, and well under driver-memory
+    * risk at any scale — a bounded-by-design collect, like the
+    * incrTriangles broadcast threshold. */
+  val SmallGraphEdgeCap: Long = 1L << 18
+
   /** Connected-components resolution over a near-dup pair list — the step
     * that turns any of the pair families ([[minhashNearDup]],
     * [[ngramJaccardNearDup]], [[simhashNearDup]], [[winnowOverlapPairs]],
@@ -591,7 +599,8 @@ object TextDedup {
     * [[ClusterMaxIters]]); a corpus whose pair graph forms long chains
     * would want the O(log² n) large-star/small-star variant instead —
     * same join primitives, more rounds-parallel pointer jumping. */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+  def dedupClusters(pairs: DataFrame,
+      smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
     // symmetric edge list + self-loops, built in ONE pass over the (often
     // expensive — an LSH pipeline) pair frame via explode: a union of
     // re-selects would re-evaluate that pipeline per branch. Per-vertex
@@ -608,6 +617,67 @@ object TextDedup {
       .select(col("e.s").as("s"), col("e.d").as("d"))
       .repartition(col("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Small-graph gate (the incrTriangles broadcast-threshold pattern,
+    // operators/Graph.scala): a distributed fixpoint costs a job wave per
+    // round plus broadcast builds — ~30 scheduler waves that dwarf the
+    // actual work once the edge list is small. m37's per-batch CONTRACTED
+    // label graphs (≤ 2·|batch| nodes by construction) live entirely in
+    // that regime, so each micro-batch paid seconds of pure scheduling.
+    // Under the cap (≤ 2^18 symmetrized edge structs ≈ 65k input pairs,
+    // a few MB collected) the component labels come from a driver-side
+    // union-find instead — same labels bit-for-bit: min id per component.
+    // Above the cap nothing changes but one count on the already-needed
+    // cache; the 100 TB path stays the cached one-job-per-round fixpoint.
+    // integral ids only — the same contract the distributed path already
+    // enforces (its convergence probe sums labels as decimal), so the two
+    // paths accept exactly the same inputs
+    val smallOrd: Option[Ordering[Any]] = pairs.schema("doc_a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => Some(
+        Ordering.by[Any, Long](v => v.asInstanceOf[Number].longValue()))
+      case _ => None // non-integral key types keep the distributed path
+    }
+    if (smallOrd.isDefined && smallGraphCap > 0 && edges.count() <= smallGraphCap) {
+      implicit val ord: Ordering[Any] = smallOrd.get
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row => // from the cache just counted
+        val s = row.get(0); val d = row.get(1)
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) parent(rs) = rd
+      }
+      val minOfRoot = scala.collection.mutable.HashMap[Any, Any]()
+      parent.keys.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = minOfRoot.get(r).fold(n)(ord.min(_, n))
+      }
+      edges.unpersist()
+      val idType = pairs.schema("doc_a").dataType
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        parent.keys.toSeq.map(n =>
+          org.apache.spark.sql.Row(n, minOfRoot(find(n)))).asJava
+      return pairs.sparkSession.createDataFrame(rows, labelSchema)
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .select("doc_id", "cluster_id", "n_members", "keep")
+        .orderBy("doc_id")
+    }
 
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)

@@ -200,6 +200,24 @@ final class UtpClient(host: String, port: Int, ws: Boolean = false,
     resp.get(0).get("key").asText()
   }
 
+  /** Clientid special request: mint a fresh opaque client id — the
+    * reference text form, 52 chars of the custom base32 alphabet
+    * ([[graft.model.IdCodec]]). */
+  def clientId(): String = {
+    out.write(C.encodePacket(C.PUBLISH, C.NONE,
+      C.encodePublish(C.Publish(nextId(), 0, Seq(C.PublishMessage(
+        "unitdb/clientid", Array.emptyByteArray, ""))))))
+    out.flush()
+    val (rfh, rbody) = C.readPacket(in).getOrElse(
+      throw new java.io.EOFException("server closed"))
+    require(rfh.msgType == C.PUBLISH && rfh.flowControl == C.NONE)
+    val resp = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(C.decodePublish(rbody).messages.head.payload)
+    expectPublishAck()
+    require(resp.get("status").asInt() == 200, resp.toString)
+    resp.get("clientId").asText()
+  }
+
   /** Varz special request — the server's metrics snapshot (counters +
     * the per-face latency percentile blocks) as parsed JSON, the
     * in-band twin of the reference server's /varz monitor face. */

@@ -649,8 +649,13 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
           case _: Exception => """{"status":400,"message":"bad request"}"""
         }
       case "clientid" =>
-        val cid = java.util.UUID.randomUUID().toString.replace("-", "")
-        s"""{"status":200,"clientId":${jstr(cid)}}"""
+        // reference text form: a 32-byte opaque blob (its is MAC-
+        // encrypted, clients never look inside) in the custom-alphabet
+        // base32 encoding — 52 chars, uid/clientid.go:106 via
+        // encoding/base32.go
+        val blob = new Array[Byte](32)
+        new java.security.SecureRandom().nextBytes(blob)
+        s"""{"status":200,"clientId":${jstr(graft.model.IdCodec.encode32(blob))}}"""
       case "varz" =>
         // the reference server's monitor face (server/internal/monitor.go
         // serves Meter counters + duration stats over HTTP /varz); here

@@ -277,11 +277,20 @@ class LlmSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(v => v -> find(v)).toMap
-      val got = TextDedup.dedupClusters(pairs.toDF("doc_a", "doc_b"))
+      // BOTH execution paths must land on the ground truth: the gated
+      // driver union-find (default — these graphs are under the cap) and
+      // the distributed min-label fixpoint (cap 0 forces it), so the
+      // small-graph gate can never make the two paths drift apart
+      val fast = TextDedup.dedupClusters(pairs.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected)
+      val dist = TextDedup.dedupClusters(pairs.toDF("doc_a", "doc_b"),
+          smallGraphCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == expected)
+      assert(dist == expected)
     }
   }
+
 
   test("simhash is deterministic and near-dup pairs respect the hamming bound") {
     val fp1 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))

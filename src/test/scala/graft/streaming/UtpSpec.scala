@@ -733,6 +733,28 @@ class UtpSpec extends SparkSpec {
     reuse.close()
   }
 
+  test("server: unitdb/clientid mints ids in the reference text form") {
+    val dir = Files.createTempDirectory("graft_utp_cid").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0)
+    try {
+      val cli = new UtpClient("127.0.0.1", srv.actualPort)
+      val ids = Seq.fill(3)(cli.clientId())
+      // 32-byte blob → 52 chars of the custom alphabet (clientid.go:106
+      // via encoding/base32.go); decode32 round-trips and ids are unique
+      ids.foreach { id =>
+        assert(id.length == 52, id)
+        assert(graft.model.IdCodec.encode32(
+          graft.model.IdCodec.decode32(id)) == id)
+      }
+      assert(ids.distinct.size == 3)
+      cli.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("grpc: a full uTP session runs over the h2c transport") {
     val dir = Files.createTempDirectory("graft_utp_grpc").toString + "/store"
     val db = UnitDb.open(spark, dir)
