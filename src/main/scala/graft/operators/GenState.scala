@@ -18,6 +18,28 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object GenState {
 
+  /** In-memory pass-forward of the last committed state per statePath:
+    * each micro-batch otherwise pays a parquet listing + footer + scan to
+    * re-read what THIS process wrote moments ago (at gate scale that
+    * read-back is a visible slice of every batch's wall). Entries are
+    * only ever a plan that is already MATERIALIZED (a localCheckpoint —
+    * LogicalRDD root), so reuse costs no recompute and chains no lineage
+    * across batches; producers whose state is a live plan simply skip the
+    * cache. Keyed by (statePath, generation): a replay, another writer,
+    * or a fresh JVM misses and falls back to the parquet read — the
+    * crash-recovery contract is untouched, this is purely a fast path.
+    * LRU-capped so long sessions hold a handful of small state frames. */
+  private val MaxCachedStates = 8
+  private val lastState =
+    new java.util.LinkedHashMap[String, (Long, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, DataFrame)]): Boolean =
+        size > MaxCachedStates
+    }
+  private def cachedState(statePath: String, gen: Long): Option[DataFrame] =
+    lastState.synchronized(Option(lastState.get(statePath)))
+      .filter(_._1 == gen).map(_._2)
+
   private def commitsDir(statePath: String) =
     java.nio.file.Paths.get(statePath, "_commits")
 
@@ -37,7 +59,8 @@ private[graft] object GenState {
                 statePath: String): DataFrame = {
     val gens = committedGens(statePath)
     require(gens.nonEmpty, s"no committed state under $statePath")
-    spark.read.parquet(s"$statePath/gen-${gens.last}")
+    cachedState(statePath, gens.last)
+      .getOrElse(spark.read.parquet(s"$statePath/gen-${gens.last}"))
   }
 
   /** Apply one micro-batch: `next(previousStateOrNone)` produces the new
@@ -52,11 +75,20 @@ private[graft] object GenState {
     if (Files.exists(marker)) return
     val prev = committedGens(statePath).filter(_ < batchId)
     val merged = next(prev.lastOption.map(g =>
-      spark.read.parquet(s"$statePath/gen-$g")))
+      cachedState(statePath, g)
+        .getOrElse(spark.read.parquet(s"$statePath/gen-$g"))))
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$statePath/gen-$batchId")
     Files.createDirectories(commitsDir(statePath))
     Files.createFile(marker)
+    // pass the state forward in memory ONLY when it is already a
+    // materialized checkpoint — caching a live plan would silently chain
+    // lineage across every batch of a long-running stream
+    if (merged.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+      lastState.synchronized(lastState.put(statePath, (batchId, merged)): Unit)
+    else
+      lastState.synchronized(lastState.remove(statePath): Unit)
     prev.dropRight(1).foreach { g =>
       deleteTree(java.nio.file.Paths.get(s"$statePath/gen-$g"))
       Files.deleteIfExists(commitsDir(statePath).resolve(g.toString))

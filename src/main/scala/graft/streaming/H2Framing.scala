@@ -58,6 +58,11 @@ object H2Framing {
 
   private val Empty = Array.emptyByteArray
 
+  /** Advertised + enforced SETTINGS_MAX_CONCURRENT_STREAMS (server
+    * role): each rpc stream is one serve thread, so the cap bounds the
+    * thread amplification a single connection can cause. */
+  private val MaxStreams = 100
+
   private def be32(v: Long): Array[Byte] =
     Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -210,8 +215,15 @@ object H2Framing {
       var outWindow: Long = peerInitialWindow // guarded by windowLock
       @volatile var dead = false              // RST or connection gone
       @volatile var remoteDone = false        // peer sent END_STREAM
+      @volatile var localDone = false         // we sent END_STREAM
       @volatile var grpcStatus: String = null // from trailers (client side)
     }
+
+    /** A long-lived connection churning short rpc streams must not grow
+      * the registry forever: a stream leaves it once BOTH directions are
+      * done (or on RST / connection teardown). */
+    private def reapIfDone(st: StreamState): Unit =
+      if (st.localDone && st.remoteDone) streams.remove(st.id): Unit
     private val streams =
       new java.util.concurrent.ConcurrentHashMap[Int, StreamState]()
     private val clientIds = new java.util.concurrent.atomic.AtomicInteger(-1)
@@ -284,14 +296,25 @@ object H2Framing {
           case _ => eof = true
         }
       }
+      /** A non-OK grpc-status in the trailers must surface as an ERROR,
+        * not dissolve into a clean EOF a caller would read as "stream
+        * complete" (client role; our server only ever sends 0 or the
+        * trailers-only 12 refusal, which carries no data to confuse). */
+      private def endOfStream(): Int = {
+        val s = st.grpcStatus
+        if (s != null && s != "0")
+          throw new IOException(s"rpc failed: grpc-status $s")
+        -1
+      }
       override def read(): Int = {
         fill()
-        if (eof) -1 else { val v = cur(pos) & 0xff; pos += 1; v }
+        if (eof) endOfStream()
+        else { val v = cur(pos) & 0xff; pos += 1; v }
       }
       override def read(b: Array[Byte], off: Int, len: Int): Int = {
         if (len == 0) return 0
         fill()
-        if (eof) return -1
+        if (eof) return endOfStream()
         val n = math.min(len, cur.length - pos)
         System.arraycopy(cur, pos, b, off, n)
         pos += n
@@ -322,6 +345,8 @@ object H2Framing {
             writeHeaders(st.id, trailers, endStream = true)
           } else writeData(st, Empty, endStream = true)
         } catch { case _: Exception => () }
+        st.localDone = true
+        reapIfDone(st)
       }
     }
 
@@ -329,10 +354,17 @@ object H2Framing {
       * before its first HEADERS; server role sends inside serveLoop). */
     def sendSettings(): Unit = writeFrame(SETTINGS, 0, 0, Empty)
 
+    /** Live streams in the registry — the churn-leak regression probe. */
+    private[streaming] def openStreams: Int = streams.size
+
     /** Client role: open the bidi stream; returns its byte streams. */
     def openStream(path: String, authority: String): (InputStream, OutputStream) = {
       require(!isServer, "openStream is client-side")
       val sid = clientIds.addAndGet(2) // 1, 3, 5... (client streams are odd)
+      // §5.1.1: stream ids are 31-bit and never reused — an exhausted
+      // connection must fail loudly (callers open a new connection),
+      // not wrap into ids the server would reject or, worse, accept
+      require(sid > 0, "h2 stream ids exhausted — open a new connection")
       val st = new StreamState(sid)
       streams.put(sid, st)
       val h = new DefaultHttp2Headers(false)
@@ -352,12 +384,18 @@ object H2Framing {
         if (isServer) {
           val pre = readFully(in, Preface.length)
           require(java.util.Arrays.equals(pre, Preface), "bad h2 preface")
-          // our SETTINGS: all defaults (we replenish inbound windows
-          // instantly, so the 64 KiB initial window never throttles a
-          // peer). The client role sends its SETTINGS synchronously in
-          // clientStream — it must precede the first HEADERS on the
-          // wire, which a race with this loop's startup wouldn't ensure.
-          writeFrame(SETTINGS, 0, 0, Empty)
+          // our SETTINGS: defaults except MAX_CONCURRENT_STREAMS — one
+          // rpc stream is one serve thread, so a single connection must
+          // not amplify into unbounded daemons (the reference's grpc-go
+          // default is 100 too). Windows stay at 64 KiB: we replenish
+          // inbound instantly, so they never throttle a peer. The
+          // client role sends its SETTINGS synchronously in clientStream
+          // — it must precede the first HEADERS on the wire, which a
+          // race with this loop's startup wouldn't ensure.
+          writeFrame(SETTINGS, 0, 0, Array[Byte](
+            0, 3, // SETTINGS_MAX_CONCURRENT_STREAMS
+            ((MaxStreams >>> 24) & 0xff).toByte, ((MaxStreams >>> 16) & 0xff).toByte,
+            ((MaxStreams >>> 8) & 0xff).toByte, (MaxStreams & 0xff).toByte))
         }
 
         // HEADERS + CONTINUATION accumulation state (one block at a time
@@ -367,6 +405,7 @@ object H2Framing {
         val headerBlock = new ByteArrayOutputStream()
 
         var open = true
+        var firstFrame = true
         while (open && !closed) {
           val head =
             try readFully(in, 9)
@@ -377,6 +416,13 @@ object H2Framing {
             val flags = head(4) & 0xff
             val sid = (readBe32(head, 5) & 0x7fffffffL).toInt
             require(len <= (1 << 24), s"implausible h2 frame length $len")
+            // §3.5: the peer's preface ends with a SETTINGS frame —
+            // anything else first is a protocol error, and lenient
+            // parsing here would let a confused peer (or an HTTP/1.1
+            // client that skipped the preface check) limp along
+            require(!firstFrame || tpe == SETTINGS,
+              s"first frame must be SETTINGS, got type $tpe")
+            firstFrame = false
             val payload = readFully(in, len)
 
             def depadded: Array[Byte] = {
@@ -445,6 +491,7 @@ object H2Framing {
                   if ((flags & FlagEndStream) != 0) {
                     st.remoteDone = true
                     st.inQ.put(Eof)
+                    reapIfDone(st)
                   }
                 }
                 // instant replenish, both levels, for the FULL frame
@@ -486,7 +533,14 @@ object H2Framing {
       if (isServer) {
         if (streams.containsKey(sid)) {
           // request trailers: nothing to carry, treat as half-close
-          if (endStream) Option(streams.get(sid)).foreach(_.inQ.put(Eof))
+          if (endStream) Option(streams.get(sid)).foreach { st =>
+            st.remoteDone = true; st.inQ.put(Eof); reapIfDone(st)
+          }
+        } else if (streams.size >= MaxStreams) {
+          // enforce the advertised concurrency cap: REFUSED_STREAM(0x7)
+          // tells a compliant peer the rpc was not processed and may be
+          // retried on another connection
+          writeFrame(RST_STREAM, 0, sid, be32(0x7))
         } else {
           val st = new StreamState(sid)
           streams.put(sid, st)
@@ -508,7 +562,9 @@ object H2Framing {
           Option(h.get("grpc-status")).map(_.toString).foreach(st.grpcStatus = _)
           val status = Option(h.status).map(_.toString)
           if (status.exists(_ != "200")) { st.dead = true; st.inQ.put(Eof) }
-          if (endStream) st.inQ.put(Eof)
+          if (endStream) {
+            st.remoteDone = true; st.inQ.put(Eof); reapIfDone(st)
+          }
         }
       }
   }

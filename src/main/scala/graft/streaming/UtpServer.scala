@@ -294,8 +294,12 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
                       try out.close() catch { case _: Exception => () }
                   }
                   val conn = new Conn(vsock, new H2Framing.GrpcIn(h2In), out)
-                  daemon(s"utp-grpc-stream-${connIds.incrementAndGet()}") {
-                    serve(conn, connIds.get())
+                  // capture the id — connIds.get() inside the daemon
+                  // races with other accepts and could hand two live
+                  // connections the same connack id
+                  val streamConnId = connIds.incrementAndGet()
+                  daemon(s"utp-grpc-stream-$streamConnId") {
+                    serve(conn, streamConnId)
                   }
                   true
                 } else false // → grpc-status 12 UNIMPLEMENTED trailers

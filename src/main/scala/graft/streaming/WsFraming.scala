@@ -26,6 +26,10 @@ object WsFraming {
 
   private val Guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+  /** Subprotocols this endpoint speaks: the reference's grpc-web face is
+    * the same uTP byte stream negotiated under this name. */
+  private val Subprotocols = Set("grpc_web")
+
   /** Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2). */
   def acceptKey(key: String): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -80,8 +84,13 @@ object WsFraming {
       _.equalsIgnoreCase("websocket"))
     val key = headerValue(lines, "Sec-WebSocket-Key")
     require(upgrade && key.nonEmpty, "missing Upgrade/Sec-WebSocket-Key")
+    // confirm only subprotocols this endpoint actually speaks (RFC 6455
+    // §4.2.2 — the server SELECTS from protocols it supports): grpc_web
+    // is the uTP byte stream under another name (hdl_grpc_web.go), so
+    // it's the one entry; an incompatible offer (say, an MQTT-over-WS
+    // client) gets no confirmation instead of a misleading echo
     val proto = headerValue(lines, "Sec-WebSocket-Protocol")
-      .flatMap(_.split(",").map(_.trim).headOption.filter(_.nonEmpty))
+      .flatMap(_.split(",").map(_.trim).find(Subprotocols.contains))
     val resp = "HTTP/1.1 101 Switching Protocols\r\n" +
       "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
       s"Sec-WebSocket-Accept: ${acceptKey(key.get)}\r\n" +

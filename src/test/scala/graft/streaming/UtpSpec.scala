@@ -834,6 +834,43 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("grpc: stream churn on one connection reaps finished streams (review r11)") {
+    val dir = Files.createTempDirectory("graft_utp_churn").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, grpcPort = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualGrpcPort)
+      sock.setTcpNoDelay(true)
+      sock.getOutputStream.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
+      sock.getOutputStream.flush()
+      val peer = new H2Framing.H2Peer(sock.getInputStream,
+        sock.getOutputStream, isServer = false, (_, _, _) => false)
+      peer.sendSettings()
+      val t = new Thread(() => peer.serveLoop()); t.setDaemon(true); t.start()
+      // 20 short sessions on ONE h2 connection: each pings, half-closes,
+      // and must leave the stream registry once the server's trailers land
+      for (k <- 1 to 20) {
+        val (i0, o0) = peer.openStream(H2Framing.StreamPath, "t")
+        val (in, out) = (new H2Framing.GrpcIn(i0), new H2Framing.GrpcOut(o0))
+        out.write(C.encodePacket(C.PINGREQ, C.NONE, Array.emptyByteArray))
+        out.flush()
+        val (fh, _) = C.readPacket(in).get
+        assert(fh.msgType == C.PINGREQ && fh.flowControl == C.ACKNOWLEDGE, s"session $k")
+        out.close() // half-close; server answers trailers
+        while (in.read() != -1) () // drain to the trailers' EOF
+      }
+      // both directions done on every stream — registry must not grow
+      // with the churn (a stray in-flight reap is the only slack allowed)
+      val deadline = System.nanoTime() + 5000000000L
+      while (peer.openStreams > 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(peer.openStreams == 0, s"leaked ${peer.openStreams} streams")
+      sock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("grpc: an unknown rpc path answers UNIMPLEMENTED trailers, not data") {
     val dir = Files.createTempDirectory("graft_utp_grpc404").toString + "/store"
     val db = UnitDb.open(spark, dir)
@@ -847,8 +884,10 @@ class UtpSpec extends SparkSpec {
       peer.sendSettings()
       val t = new Thread(() => peer.serveLoop()); t.setDaemon(true); t.start()
       val (in, _) = peer.openStream("/unitdb.schema.Unitdb/NoSuchRpc", "t")
-      // trailers-only response: the stream ends with zero payload bytes
-      assert(in.read() == -1, "refused rpc must carry no data")
+      // trailers-only refusal: no payload, and the non-OK grpc-status
+      // surfaces as an ERROR, never as a clean end-of-stream
+      val e = intercept[java.io.IOException](while (in.read() != -1) ())
+      assert(e.getMessage.contains("grpc-status 12"), e.getMessage)
       sock.close()
     } finally {
       srv.close()
