@@ -237,27 +237,39 @@ object Graph {
         val nodes = pp
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
-        // batch nodes' current labels; unseen nodes are their own label
+        // batch nodes' current labels; unseen nodes are their own label.
+        // The is_new marker rides along from THIS join, so newcomers need
+        // no later anti-join — an anti-join would re-shuffle the ENTIRE
+        // corpus-sized state by doc_id a second time every batch, the
+        // kind of per-batch full-state motion that caps 100 TB throughput.
         val lab = nodes.join(stp, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("l"))
+            coalesce(col("cluster_id"), col("doc_id")).as("l"),
+            col("cluster_id").isNull.as("is_new"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // batch-bounded by construction (≤ 2·|batch| rows); the count
+        // materializes the cache the three reuses below want anyway and
+        // decides the remap-join strategy, the incrTriangles rule: small
+        // ⇒ explicit broadcast (the state NEVER shuffles for the remap),
+        // huge first-batch replay ⇒ drop the hint, let AQE pick.
+        val labCount = lab.count()
         val labelEdges = pp
           .join(lab.select(col("doc_id").as("doc_a"), col("l").as("la")), "doc_a")
           .join(lab.select(col("doc_id").as("doc_b"), col("l").as("lb")), "doc_b")
           .select(col("la").as("doc_a"), col("lb").as("doc_b"))
         // fixpoint on the CONTRACTED graph only — label count is bounded
         // by 2·|batch|, so each round is batch-sized whatever the corpus
-        val remap = graft.llm.TextDedup.dedupClusters(labelEdges)
+        val remap0 = graft.llm.TextDedup.dedupClusters(labelEdges)
           .select(col("doc_id").as("l"), col("cluster_id").as("root"))
-        val newcomers = lab
-          .join(stp.select("doc_id"), Seq("doc_id"), "left_anti")
+        val remap = if (labCount <= 1000000L) broadcast(remap0) else remap0
+        val newcomers = lab.filter(col("is_new"))
           .select(col("doc_id"), col("l").as("cluster_id"))
         val out = stp.unionByName(newcomers)
           .join(remap, col("cluster_id") === col("l"), "left")
           .select(col("doc_id"),
             coalesce(col("root"), col("cluster_id")).as("cluster_id"))
           .localCheckpoint() // materialize before dropping the caches
-        stp.unpersist(); pp.unpersist()
+        stp.unpersist(); pp.unpersist(); lab.unpersist()
         out
     }
   }
