@@ -38,7 +38,65 @@ object Graph {
     * can't drift apart). `ej` carries each edge's source out-degree
     * (one join, cached — rounds never recompute it); `nNodes` is the
     * bounded driver scalar the teleport literals need. */
-  private case class PreppedEdges(ej: DataFrame, deg: DataFrame, nNodes: Long)
+  private case class PreppedEdges(ej: DataFrame, deg: DataFrame, nNodes: Long,
+      nEdges: Long)
+
+  /** Edge cap for the rank family's driver fast path — the
+    * [[graft.llm.TextDedup.dedupClusters]] small-graph rule applied to
+    * fixed-point rank iteration: 8 rounds of join+reduce are ~16-20
+    * scheduler waves, which dwarf the arithmetic whenever the edge list
+    * is small (the sf0.1 co-purchase graphs: 1600 nodes, each rank query
+    * spent 6-8 s on sub-millisecond math). Under the cap the SAME integer
+    * recurrence runs as a driver loop over the collected edge array —
+    * division order, floors and join semantics identical, property-pinned
+    * against the distributed rounds AND the BigInt reference — and above
+    * it nothing changes beyond one count on the already-persisted
+    * distinct frame. 2M edge rows ≈ 100-200 MB transient on the 8 GiB
+    * driver — bounded by design, the same order as a broadcast-join
+    * build side (the sf0.1 co-purchase graph is 1.17M symmetrized edge
+    * rows; the ×10 bench graph stays distributed, so BOTH paths run
+    * under measurement every round). */
+  val RankGraphEdgeCap: Long = 2000000L
+
+  /** The shared driver-side fixed point: `rows` carry (src, dst, ...),
+    * `contribOf(rank, row)` states the per-edge integer contribution —
+    * exactly the distributed round's inner join (absent src ⇒ no
+    * contribution) + groupBy dst sum + teleport add. */
+  private def driverRankLoop(rows: Array[org.apache.spark.sql.Row],
+      init: Iterable[(Any, Long)], teleportOf: Any => Long, iters: Int,
+      contribOf: (Long, org.apache.spark.sql.Row) => Long)
+      : scala.collection.mutable.HashMap[Any, Long] = {
+    var ranks = scala.collection.mutable.HashMap[Any, Long](init.toSeq: _*)
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val contrib = new scala.collection.mutable.HashMap[Any, Long]()
+      rows.foreach { row =>
+        ranks.get(row.get(0)).foreach { r =>
+          val d = row.get(1)
+          contrib.update(d, contrib.getOrElse(d, 0L) + contribOf(r, row))
+        }
+      }
+      val next = new scala.collection.mutable.HashMap[Any, Long]()
+      contrib.foreach { case (nd, c) => next.update(nd, teleportOf(nd) + c) }
+      ranks = next
+    }
+    ranks
+  }
+
+  private def rankDf(template: DataFrame, keyCol: String,
+      ranks: scala.collection.Map[Any, Long], outCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        template.schema(keyCol).dataType),
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    template.sparkSession.createDataFrame(
+      ranks.toSeq.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, v) }.asJava, schema)
+      .orderBy("node")
+  }
 
   /** The rank operators' symmetry contract, VALIDATED (not just
     * documented): every destination must also appear as a source —
@@ -68,8 +126,9 @@ object Graph {
     }
   }
 
-  private def prepareEdges(edges: DataFrame): PreppedEdges = {
-    val e = edges.select("src", "dst").distinct().persist(Mem)
+  /** Big-graph preparation over the ALREADY-distincted, persisted edge
+    * frame [[collectedEdges]] hands back when the cap doesn't fire. */
+  private def prepareEdges(e: DataFrame): PreppedEdges = {
     val parts = sizedParts(e)
     val ep = e.repartition(parts, col("src")).persist(Mem)
     val deg = ep.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -77,13 +136,52 @@ object Graph {
     val ej = ep.join(deg, "src")
       .repartition(parts, col("src"))
       .persist(Mem)
-    ej.count() // materialize before the rounds so e/ep can be dropped early
+    val m = ej.count() // materialize before the rounds so e/ep can drop early
     validateSymmetry(ep, deg)
     e.unpersist(); ep.unpersist()
     val n = deg.count()
     require(n >= 1, "rank iteration needs a non-empty edge list")
-    PreppedEdges(ej, deg, n)
+    PreppedEdges(ej, deg, n, m)
   }
+
+  /** The small-graph entry: distinct the edge list ONCE (the only real
+    * data work — at gate scale everything else prepareEdges does is
+    * machinery for rounds that won't run) and, under the cap, hand back
+    * the collected rows; above it, None — the caller falls through to
+    * [[prepareEdges]], whose own distinct reuses this cache. Out-degrees
+    * and the symmetry contract are driver-side arithmetic on the
+    * collected array (same check, same failure message, honoring the
+    * same validateEdges switch). */
+  private def collectedEdges(edges: DataFrame, cap: Long)
+      : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
+    val e = edges.select("src", "dst").distinct().persist(Mem)
+    val m = e.count()
+    if (m <= cap) {
+      val rows = e.collect()
+      e.unpersist()
+      (e, Some(rows))
+    } else (e, None)
+  }
+
+  private def driverOutdeg(rows: Array[org.apache.spark.sql.Row],
+      validate: Boolean): scala.collection.mutable.HashMap[Any, Long] = {
+    val outdeg = new scala.collection.mutable.HashMap[Any, Long]()
+    rows.foreach { r =>
+      outdeg.update(r.get(0), outdeg.getOrElse(r.get(0), 0L) + 1L)
+    }
+    if (validate) rows.foreach { r =>
+      require(outdeg.contains(r.get(1)),
+        "rank iteration requires dst-set ⊆ src-set (symmetrize the " +
+          "edge list for undirected graphs); found destination node(s) " +
+          "with no out-edges — their rank would silently vanish after " +
+          "round 1")
+    }
+    require(outdeg.nonEmpty, "rank iteration needs a non-empty edge list")
+    outdeg
+  }
+
+  private def validateConf(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.graph.validateEdges", "true").toBoolean
 
   /** PageRank in 10⁻¹² fixed point — every rank is a BIGINT number of
     * "picoranks", so all arithmetic is integer (exact, overflow-safe:
@@ -119,10 +217,23 @@ object Graph {
     * Input: (src, dst) string-keyed edge list (any key type works — keys
     * are only grouped/joined). Output: (node, rank_fp) — exact BIGINT
     * picoranks, ordered by node. */
-  def pageRank(edges: DataFrame, iters: Int = 8): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 8,
+      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
-    val PreppedEdges(ej, deg, n) = prepareEdges(edges)
     val scale = 1000000000000L
+    val (e, small) = collectedEdges(edges, smallGraphCap)
+    small match {
+      case Some(rows) =>
+        val outdeg = driverOutdeg(rows, validateConf(e))
+        val n = outdeg.size
+        val teleport = (15L * scale) / (100L * n)
+        val init = outdeg.keys.map(_ -> scale / n)
+        val ranks = driverRankLoop(rows, init.toSeq, _ => teleport, iters,
+          (r, row) => (85L * r) / (100L * outdeg(row.get(0))))
+        return rankDf(e, "src", ranks, "rank_fp")
+      case None => ()
+    }
+    val PreppedEdges(ej, deg, n, _) = prepareEdges(e)
     val teleport = (15L * scale) / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
@@ -154,11 +265,47 @@ object Graph {
     * argument), and that exact evaluation order is the model both
     * engines state. Duplicate (src, dst) rows sum their weights; weights
     * must be positive integers. */
-  def weightedPageRank(edges: DataFrame, iters: Int = 8): DataFrame = {
+  def weightedPageRank(edges: DataFrame, iters: Int = 8,
+      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
     require(iters >= 1, s"weightedPageRank needs iters >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"), col("w"))
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .persist(Mem)
+    val scale = 1000000000000L
+    val mEdges = e.count()
+    require(mEdges >= 1, "rank iteration needs a non-empty edge list")
+    if (mEdges <= smallGraphCap) {
+      val rows = e.collect()
+      e.unpersist()
+      // driver twins of the distributed path's contract checks — same
+      // failure messages, same thresholds
+      val ws = rows.map(_.getLong(2))
+      val (wMin, wMax) = (ws.min, ws.max)
+      require(wMin >= 1L && wMax <= 10000000L,
+        s"weightedPageRank needs positive integer weights <= 1e7 after " +
+          s"per-(src,dst) summing (overflow-safe fixed point); got " +
+          s"min=$wMin max=$wMax")
+      val wdeg = new scala.collection.mutable.HashMap[Any, Long]()
+      rows.foreach { r =>
+        wdeg.update(r.get(0), wdeg.getOrElse(r.get(0), 0L) + r.getLong(2))
+      }
+      if (validateConf(e)) rows.foreach { r =>
+        require(wdeg.contains(r.get(1)),
+          "rank iteration requires dst-set ⊆ src-set (symmetrize the " +
+            "edge list for undirected graphs); found destination node(s) " +
+            "with no out-edges — their rank would silently vanish after " +
+            "round 1")
+      }
+      val n = wdeg.size
+      val teleport = (15L * scale) / (100L * n)
+      val init = wdeg.keys.map(_ -> scale / n)
+      // the stated inner-div-first order, verbatim: overflow-safe for
+      // any w ≤ 1e7 (enforced above), floors identical to the SQL div
+      val ranks = driverRankLoop(rows, init.toSeq, _ => teleport, iters,
+        (r, row) => (((85L * r) / 100L) * row.getLong(2)) / wdeg(row.get(0)))
+      return rankDf(e, "src", ranks, "rank_fp")
+    }
     val parts = sizedParts(e)
     val ep = e.repartition(parts, col("src")).persist(Mem)
     val deg = ep.groupBy("src").agg(sum(col("w")).as("wdeg"))
@@ -184,7 +331,6 @@ object Graph {
     e.unpersist(); ep.unpersist()
     val n = deg.count()
     require(n >= 1, "rank iteration needs a non-empty edge list")
-    val scale = 1000000000000L
     val teleport = (15L * scale) / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
@@ -286,14 +432,30 @@ object Graph {
     * count in the normalization — both faces of that choice are stated
     * identically in the oracle. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8, smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
     require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
-    val PreppedEdges(ej, deg, _) = prepareEdges(edges)
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint()
     val k = seedSet.count()
     require(k >= 1, "personalizedPageRank needs at least one seed")
     val scale = 1000000000000L
     val teleport = (15L * scale) / (100L * k)
+    val (e, small) = collectedEdges(edges, smallGraphCap)
+    small match {
+      case Some(rows) =>
+        // the seed VALUES are cohort-sized by the operator's contract
+        // (their count above is already a driver scalar); under the edge
+        // cap they are dwarfed by the edge collect anyway
+        val seedVals = seedSet.collect().map(_.get(0)).toSet
+        val outdeg = driverOutdeg(rows, validateConf(e))
+        val init = outdeg.keys.map(nd =>
+          nd -> (if (seedVals(nd)) scale / k else 0L))
+        val ranks = driverRankLoop(rows, init.toSeq,
+          nd => if (seedVals(nd)) teleport else 0L, iters,
+          (r, row) => (85L * r) / (100L * outdeg(row.get(0))))
+        return rankDf(e, "src", ranks, "rank_fp")
+      case None => ()
+    }
+    val PreppedEdges(ej, deg, _, _) = prepareEdges(e)
     val flagged = seedSet.withColumn("__seed", lit(1))
     var ranks = deg.select(col("src").as("node"))
       .join(broadcast(flagged), Seq("node"), "left")
@@ -389,9 +551,57 @@ object Graph {
     * aggregates. Input: (hub, auth) directed bipartite edges. Output:
     * (kind 'auth'|'hub', node, score_fp) after `iters` full rounds,
     * max-normalized so the top score is exactly S = 10¹². */
-  def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 8,
+      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
     require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val e = edges.select("hub", "auth").distinct().persist(Mem)
+    val m = e.count()
+    if (m <= smallGraphCap) {
+      val pairs = e.collect()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("node",
+          e.schema("auth").dataType),
+        org.apache.spark.sql.types.StructField("score_fp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      e.unpersist()
+      val sc = BigInt(1000000000000L)
+      var hubM = scala.collection.mutable.HashMap[Any, Long](
+        pairs.iterator.map(_.get(0)).toSeq.distinct
+          .map(_ -> 1000000000000L): _*)
+      var authM = scala.collection.mutable.HashMap[Any, Long]()
+      var i = 0
+      while (i < iters && pairs.nonEmpty) {
+        i += 1
+        // raw sums in BigInt (the DECIMAL(38,0) twin), normalization
+        // (raw · S) div max with the same positive-integer floor
+        def phase(keyOf: org.apache.spark.sql.Row => Any,
+            scoreOf: org.apache.spark.sql.Row => Option[Long])
+            : scala.collection.mutable.HashMap[Any, Long] = {
+          val raw = new scala.collection.mutable.HashMap[Any, BigInt]()
+          pairs.foreach { p =>
+            scoreOf(p).foreach { s =>
+              val k = keyOf(p)
+              raw.update(k, raw.getOrElse(k, BigInt(0)) + s)
+            }
+          }
+          val mx = raw.values.max
+          raw.map { case (k, v) => k -> ((v * sc) / mx).toLong }
+            .to(scala.collection.mutable.HashMap)
+        }
+        authM = phase(_.get(1), p => hubM.get(p.get(0)))
+        hubM = phase(_.get(0), p => authM.get(p.get(1)))
+      }
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        (authM.toSeq.map { case (k, v) =>
+          org.apache.spark.sql.Row("auth", k, v) } ++
+         hubM.toSeq.map { case (k, v) =>
+          org.apache.spark.sql.Row("hub", k, v) }).asJava
+      return e.sparkSession.createDataFrame(rows, outSchema)
+        .orderBy("kind", "node")
+    }
     val parts = sizedParts(e)
     val eh = e.repartition(parts, col("hub")).persist(Mem)
     val ea = e.repartition(parts, col("auth")).persist(Mem)

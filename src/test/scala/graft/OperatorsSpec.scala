@@ -366,10 +366,18 @@ class OperatorsSpec extends SparkSpec {
       val edges = Seq.fill(6 + rnd.nextInt(16))(
         (s"h${rnd.nextInt(nh)}", s"a${rnd.nextInt(na)}")).distinct
       val iters = 1 + rnd.nextInt(3)
+      // BOTH execution paths against the reference: the size-gated driver
+      // loop (default — these graphs are tiny) and the distributed rounds
+      // (cap 0 forces them), so the gate can never let the paths drift
       val got = graft.operators.Graph.hits(edges.toDF("hub", "auth"), iters)
         .as[(String, String, Long)].collect()
         .map(r => (r._1, r._2) -> BigInt(r._3)).toMap
       assert(got === reference(edges, iters), s"case $c: $edges x$iters")
+      val gotDist = graft.operators.Graph.hits(edges.toDF("hub", "auth"),
+          iters, smallGraphCap = 0)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> BigInt(r._3)).toMap
+      assert(gotDist === reference(edges, iters), s"dist case $c")
     }
   }
 
@@ -492,15 +500,23 @@ class OperatorsSpec extends SparkSpec {
       }
       val edges = (base ++ base.map(_.swap)).distinct
       val iters = 1 + rnd.nextInt(3)
-      val got = graft.operators.Graph.pageRank(edges.toDF("src", "dst"), iters)
-        .as[(String, Long)].collect().map { case (k2, v) => k2 -> BigInt(v) }.toMap
-      assert(got === refRanks(edges, iters, None), s"pageRank case $c")
+      // both paths per case (driver gate default, cap 0 = distributed) —
+      // the gate must never let them drift
+      for (cap <- Seq(graft.operators.Graph.RankGraphEdgeCap, 0L)) {
+        val got = graft.operators.Graph.pageRank(edges.toDF("src", "dst"),
+            iters, smallGraphCap = cap)
+          .as[(String, Long)].collect().map { case (k2, v) => k2 -> BigInt(v) }.toMap
+        assert(got === refRanks(edges, iters, None), s"pageRank case $c cap $cap")
+      }
       val present = edges.map(_._1).distinct
       val seedSet = rnd.shuffle(present).take(1 + rnd.nextInt(present.size)).toSet
-      val gotP = graft.operators.Graph.personalizedPageRank(
-          edges.toDF("src", "dst"), seedSet.toSeq.toDF("node"), iters)
-        .as[(String, Long)].collect().map { case (k2, v) => k2 -> BigInt(v) }.toMap
-      assert(gotP === refRanks(edges, iters, Some(seedSet)), s"ppr case $c")
+      for (cap <- Seq(graft.operators.Graph.RankGraphEdgeCap, 0L)) {
+        val gotP = graft.operators.Graph.personalizedPageRank(
+            edges.toDF("src", "dst"), seedSet.toSeq.toDF("node"), iters,
+            smallGraphCap = cap)
+          .as[(String, Long)].collect().map { case (k2, v) => k2 -> BigInt(v) }.toMap
+        assert(gotP === refRanks(edges, iters, Some(seedSet)), s"ppr case $c cap $cap")
+      }
     }
   }
 
@@ -540,10 +556,12 @@ class OperatorsSpec extends SparkSpec {
       }
       val edges = base ++ base.map(x => (x._2, x._1, x._3))
       val iters = 1 + rnd.nextInt(3)
-      val got = graft.operators.Graph.weightedPageRank(
-          edges.toDF("src", "dst", "w"), iters)
-        .as[(String, Long)].collect().map { case (k, v) => k -> BigInt(v) }.toMap
-      assert(got === reference(edges, iters), s"case $c: $edges x$iters")
+      for (cap <- Seq(graft.operators.Graph.RankGraphEdgeCap, 0L)) {
+        val got = graft.operators.Graph.weightedPageRank(
+            edges.toDF("src", "dst", "w"), iters, smallGraphCap = cap)
+          .as[(String, Long)].collect().map { case (k, v) => k -> BigInt(v) }.toMap
+        assert(got === reference(edges, iters), s"case $c cap $cap: $edges x$iters")
+      }
     }
   }
 
