@@ -632,4 +632,33 @@ class OperatorsSpec extends SparkSpec {
     val expect = (15L * 1000000000000L) / 600 + 2 * ((85 * s6) / 200)
     assert(out.length === 6 && out.forall(_._2 == expect))
   }
+
+  test("GenState: pass-forward cache evicts under LRU and falls back to parquet") {
+    import spark.implicits._
+    // The in-memory pass-forward (r11) is a fast path ONLY: after its
+    // 8-entry LRU evicts a statePath, readState and the next applyBatch
+    // must serve the identical state from the committed parquet. Ten
+    // interleaved state dirs guarantee the first is evicted by the time
+    // it's read back and advanced.
+    val dirs = (0 until 10).map(i =>
+      java.nio.file.Files.createTempDirectory(s"graft_genlru_$i").toString)
+    for ((p, i) <- dirs.zipWithIndex)
+      graft.operators.GenState.applyBatch(spark, p, 0) { prev =>
+        assert(prev.isEmpty, s"fresh state $i must start empty")
+        Seq((i.toLong, s"v$i")).toDF("k", "v").localCheckpoint()
+      }
+    // dirs(0) and dirs(1) left the LRU (cap 8) — parquet must answer
+    val back = graft.operators.GenState.readState(spark, dirs(0))
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq((0L, "v0")), s"evicted state read wrong: $back")
+    // and an applyBatch building on the evicted generation merges off
+    // the parquet read, then re-enters the cache for the NEXT batch
+    graft.operators.GenState.applyBatch(spark, dirs(0), 1) { prev =>
+      assert(prev.nonEmpty, "gen-0 must be visible to batch 1")
+      prev.get.unionByName(Seq((100L, "v100")).toDF("k", "v")).localCheckpoint()
+    }
+    val merged = graft.operators.GenState.readState(spark, dirs(0))
+      .as[(Long, String)].collect().toSet
+    assert(merged == Set((0L, "v0"), (100L, "v100")), merged.toString)
+  }
 }

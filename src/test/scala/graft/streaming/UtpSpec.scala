@@ -834,6 +834,98 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("grpc: server honors an 8-byte stream window, resumes on WINDOW_UPDATE") {
+    // A raw frame-level client (no H2Peer — the point is to DENY the
+    // automatic replenishment our own client performs) announces
+    // INITIAL_WINDOW_SIZE = 8 and sends one PINGREQ. The server's ack is
+    // ~15 bytes of gRPC framing, so a spec-compliant sender must split
+    // it into ≤8-byte DATA frames and BLOCK between them until the
+    // client grants more window — RFC 7540 §6.9 exercised for real, not
+    // just parsed.
+    val dir = Files.createTempDirectory("graft_utp_flow").toString + "/store"
+    val db = UnitDb.open(spark, dir)
+    val srv = new UtpServer(db, port = 0, grpcPort = 0)
+    try {
+      val sock = new Socket("127.0.0.1", srv.actualGrpcPort)
+      sock.setTcpNoDelay(true)
+      sock.setSoTimeout(15000)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      def be32(v: Long) = Array(((v >>> 24) & 0xff).toByte,
+        ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def frame(tpe: Int, flags: Int, sid: Int, p: Array[Byte]): Unit = {
+        out.write(Array(((p.length >>> 16) & 0xff).toByte,
+          ((p.length >>> 8) & 0xff).toByte, (p.length & 0xff).toByte,
+          tpe.toByte, flags.toByte))
+        out.write(be32(sid.toLong)); out.write(p); out.flush()
+      }
+      def readFrame(): (Int, Int, Int, Array[Byte]) = {
+        val h = new Array[Byte](9)
+        var off = 0
+        while (off < 9) {
+          val k = in.read(h, off, 9 - off); assert(k >= 0, "EOF"); off += k
+        }
+        val len = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
+        val p = new Array[Byte](len)
+        off = 0
+        while (off < len) {
+          val k = in.read(p, off, len - off); assert(k >= 0, "EOF"); off += k
+        }
+        (h(3) & 0xff, h(4) & 0xff,
+          (((h(5) & 0x7f) << 24) | ((h(6) & 0xff) << 16) |
+            ((h(7) & 0xff) << 8) | (h(8) & 0xff)), p)
+      }
+      out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
+      // SETTINGS: INITIAL_WINDOW_SIZE (id 4) = 8
+      frame(0x4, 0, 0, Array[Byte](0, 4, 0, 0, 0, 8))
+      // request headers for the Stream rpc (Netty HPACK encoder)
+      val hdrs = new io.netty.handler.codec.http2.DefaultHttp2Headers(false)
+      hdrs.method("POST"); hdrs.scheme("http"); hdrs.path(H2Framing.StreamPath)
+      hdrs.authority("t"); hdrs.set("content-type", "application/grpc")
+      val hbuf = io.netty.buffer.Unpooled.buffer(64)
+      new io.netty.handler.codec.http2.DefaultHttp2HeadersEncoder()
+        .encodeHeaders(1, hdrs, hbuf)
+      val hblock = new Array[Byte](hbuf.readableBytes()); hbuf.readBytes(hblock)
+      hbuf.release()
+      frame(0x1, 0x4, 1, hblock) // HEADERS + END_HEADERS
+      // one gRPC message: [0][len][Packet{data = uTP PINGREQ}]
+      val pkt = H2Framing.packetProto(
+        C.encodePacket(C.PINGREQ, C.NONE, Array.emptyByteArray))
+      frame(0x0, 0, 1, Array[Byte](0) ++ be32(pkt.length.toLong) ++ pkt)
+      // drain server frames: grant 8 more bytes after EVERY DATA frame,
+      // ack SETTINGS, assemble the ack bytes
+      val got = new java.io.ByteArrayOutputStream()
+      var dataFrames = 0
+      val ackLen = 5 + H2Framing.packetProto(
+        C.encodePacket(C.PINGREQ, C.ACKNOWLEDGE,
+          C.encodeControl(C.ControlMessage(0, Array.emptyByteArray)))).length
+      while (got.size < ackLen) {
+        val (tpe, flags, sid, p) = readFrame()
+        tpe match {
+          case 0x4 if (flags & 0x1) == 0 => frame(0x4, 0x1, 0, Array.emptyByteArray)
+          case 0x0 =>
+            assert(p.length <= 8,
+              s"DATA frame of ${p.length} bytes violates the 8-byte window")
+            dataFrames += 1
+            got.write(p)
+            frame(0x8, 0, 0, be32(8)) // connection window
+            frame(0x8, 0, 1, be32(8)) // stream window — the grant it waits on
+          case _ => () // SETTINGS ack, response HEADERS, PING...
+        }
+      }
+      assert(dataFrames >= 2, s"expected a split send, got $dataFrames frame(s)")
+      val bytes = got.toByteArray
+      assert(bytes(0) == 0) // uncompressed gRPC message
+      val (fh, _) = C.readPacket(new java.io.ByteArrayInputStream(
+        H2Framing.packetData(java.util.Arrays.copyOfRange(bytes, 5, bytes.length)))).get
+      assert(fh.msgType == C.PINGREQ && fh.flowControl == C.ACKNOWLEDGE)
+      sock.close()
+    } finally {
+      srv.close()
+      db.close()
+    }
+  }
+
   test("grpc: stream churn on one connection reaps finished streams (review r11)") {
     val dir = Files.createTempDirectory("graft_utp_churn").toString + "/store"
     val db = UnitDb.open(spark, dir)
