@@ -765,20 +765,7 @@ object AnalyticsQueries {
     // weighted contribution's evaluation order is part of the model
     // (see Graph.weightedPageRank).
     "q43_weighted_pagerank" -> { (s, dir) =>
-      val ew = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey").cast("long") * 2).as("src"),
-          (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("o_orderkey"))
-        .distinct() // one (cust, supp, order) triple per linking order
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      graft.operators.Graph.weightedPageRank(
-        ew.select(explode(array(
-            struct(col("src"), col("dst"), col("w")),
-            struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
-          .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"),
-            col("e.w").as("w")))
+      graft.operators.Graph.weightedPageRank(weightedCoPurchaseEdges(s, dir))
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
         .orderBy("node")
     },
@@ -789,18 +776,81 @@ object AnalyticsQueries {
     // scores ARE the two node classes). Completes link analysis next to
     // q38 global and q41 personalized PageRank.
     "q42_hits" -> { (s, dir) =>
-      graft.operators.Graph.hits(
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables.lineitem(s, dir)
-            .select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey").cast("long") * 2).as("hub"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("auth")))
+      graft.operators.Graph.hits(bipartiteCoPurchase(s, dir))
         .select(col("kind"), graphNodeLabel(col("node")).as("node"),
           col("score_fp"))
         .orderBy("kind", "node")
+    },
+
+    // Distributed-path oracle twins (_dist): the rank operators gate to a
+    // driver loop when the edge list is small (Graph.RankGraphEdgeCap),
+    // which is what verify-scale inputs take — so these four force
+    // `smallGraphCap = 0` and pin the DISTRIBUTED rounds against the SAME
+    // DuckDB oracles every round. Verify-only: Bench's default run skips
+    // *_dist names (same answers off the same plans as their siblings,
+    // just with the round waves the gate exists to avoid — measuring them
+    // twice would say nothing new; the sf1 bench graphs exceed the cap
+    // and measure the distributed path with real data instead).
+    "q38b_pagerank_dist" -> { (s, dir) =>
+      graft.operators.Graph.pageRank(coPurchaseEdges(s, dir),
+          smallGraphCap = 0)
+        .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
+        .orderBy("node")
+    },
+
+    "q41b_ppr_dist" -> { (s, dir) =>
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey").cast("long") * 2).as("node"))
+      graft.operators.Graph.personalizedPageRank(
+          coPurchaseEdges(s, dir), seeds, smallGraphCap = 0)
+        .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
+        .orderBy("node")
+    },
+
+    "q42b_hits_dist" -> { (s, dir) =>
+      graft.operators.Graph.hits(bipartiteCoPurchase(s, dir),
+          smallGraphCap = 0)
+        .select(col("kind"), graphNodeLabel(col("node")).as("node"),
+          col("score_fp"))
+        .orderBy("kind", "node")
+    },
+
+    "q43b_weighted_dist" -> { (s, dir) =>
+      graft.operators.Graph.weightedPageRank(
+          weightedCoPurchaseEdges(s, dir), smallGraphCap = 0)
+        .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
+        .orderBy("node")
     }
   )
+
+  /** q43's weighted graph: co-purchase strength = distinct linking
+    * orders per (customer, supplier) pair, symmetrized. */
+  private def weightedCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val ew = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("o_orderkey"))
+      .distinct() // one (cust, supp, order) triple per linking order
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    ew.select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+      .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+  }
+
+  /** q42's raw bipartite co-purchase graph (customers = hubs,
+    * suppliers = authorities, no symmetrization). */
+  private def bipartiteCoPurchase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("hub"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("auth"))
 
   /** The symmetrized customer↔supplier co-purchase graph shared by q38
     * and q41 (ONE definition, matching both oracles' edge CTE): distinct
@@ -1222,6 +1272,16 @@ object AnalyticsQueries {
     "q42_hits" -> hitsOracleSql(8),
 
     "q43_weighted_pagerank" -> weightedPageRankOracleSql(8),
+
+    // the _dist twins must land on the IDENTICAL oracle answers — same
+    // SQL, distributed rounds forced on the Spark side
+    "q38b_pagerank_dist" -> pageRankOracleSql(8),
+
+    "q41b_ppr_dist" -> pprOracleSql(8),
+
+    "q42b_hits_dist" -> hitsOracleSql(8),
+
+    "q43b_weighted_dist" -> weightedPageRankOracleSql(8),
 
     // the salt is result-invisible: the oracle is the PLAIN join
     "q39_skew_join" ->
