@@ -270,7 +270,7 @@ object Bench {
     val wall0 = System.nanoTime()
 
     // optional args = subset of query names (local iteration; the driver
-    // passes none and measures everything). *_dist names are the
+    // passes none and measures everything). *_distpath names are the
     // distributed-path oracle twins of size-gated operators — correctness
     // entries, not workloads: they re-run their siblings' plans with the
     // driver fast path forced off, so timing them on gate-scale data
@@ -278,7 +278,7 @@ object Bench {
     // graphs exceed the caps and time the distributed path with real
     // data). Explicit args still select them for ad-hoc measurement.
     val wanted = if (args.isEmpty)
-                   SparkEntry.queries.filter(!_._1.endsWith("_dist"))
+                   SparkEntry.queries.filter(!_._1.endsWith("_distpath"))
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val perQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     val rerunQ = scala.collection.mutable.LinkedHashMap[String, (QStat, QStat)]()

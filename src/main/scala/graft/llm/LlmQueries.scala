@@ -170,8 +170,8 @@ object LlmQueries {
     // distributed-path oracle twin (see the q38b note): forces the
     // min-label fixpoint past the small-graph union-find gate so the
     // DuckDB oracle pins BOTH dedupClusters paths every round
-    // (verify-only — Bench's default run skips *_dist names)
-    "l22b_clusters_dist" -> { (s, dir) =>
+    // (verify-only — Bench's default run skips *_distpath names)
+    "l22b_clusters_distpath" -> { (s, dir) =>
       TextDedup.dedupClusters(
         TextDedup.minhashNearDup(Tables.documents(s, dir))
           .select("doc_a", "doc_b"), smallGraphCap = 0) },
@@ -2218,7 +2218,7 @@ object LlmQueries {
     // cluster_id = min doc_id reachable in the undirected pair graph —
     // the declarative mirror of Spark's min-label propagation fixpoint
     "l22_dedup_clusters" -> dedupClustersOracleSql,
-    "l22b_clusters_dist" -> dedupClustersOracleSql,
+    "l22b_clusters_distpath" -> dedupClustersOracleSql,
 
     // the m37 gate: label-graph contraction across batches must be
     // INVISIBLE — the maintained labels answer with l22's oracle verbatim

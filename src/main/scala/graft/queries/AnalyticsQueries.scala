@@ -787,18 +787,18 @@ object AnalyticsQueries {
     // which is what verify-scale inputs take — so these four force
     // `smallGraphCap = 0` and pin the DISTRIBUTED rounds against the SAME
     // DuckDB oracles every round. Verify-only: Bench's default run skips
-    // *_dist names (same answers off the same plans as their siblings,
+    // *_distpath names (same answers off the same plans as their siblings,
     // just with the round waves the gate exists to avoid — measuring them
     // twice would say nothing new; the sf1 bench graphs exceed the cap
     // and measure the distributed path with real data instead).
-    "q38b_pagerank_dist" -> { (s, dir) =>
+    "q38b_pagerank_distpath" -> { (s, dir) =>
       graft.operators.Graph.pageRank(coPurchaseEdges(s, dir),
           smallGraphCap = 0)
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
         .orderBy("node")
     },
 
-    "q41b_ppr_dist" -> { (s, dir) =>
+    "q41b_ppr_distpath" -> { (s, dir) =>
       val seeds = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
         .select((col("c_custkey").cast("long") * 2).as("node"))
@@ -808,7 +808,7 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
-    "q42b_hits_dist" -> { (s, dir) =>
+    "q42b_hits_distpath" -> { (s, dir) =>
       graft.operators.Graph.hits(bipartiteCoPurchase(s, dir),
           smallGraphCap = 0)
         .select(col("kind"), graphNodeLabel(col("node")).as("node"),
@@ -816,7 +816,7 @@ object AnalyticsQueries {
         .orderBy("kind", "node")
     },
 
-    "q43b_weighted_dist" -> { (s, dir) =>
+    "q43b_weighted_distpath" -> { (s, dir) =>
       graft.operators.Graph.weightedPageRank(
           weightedCoPurchaseEdges(s, dir), smallGraphCap = 0)
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
@@ -1275,13 +1275,13 @@ object AnalyticsQueries {
 
     // the _dist twins must land on the IDENTICAL oracle answers — same
     // SQL, distributed rounds forced on the Spark side
-    "q38b_pagerank_dist" -> pageRankOracleSql(8),
+    "q38b_pagerank_distpath" -> pageRankOracleSql(8),
 
-    "q41b_ppr_dist" -> pprOracleSql(8),
+    "q41b_ppr_distpath" -> pprOracleSql(8),
 
-    "q42b_hits_dist" -> hitsOracleSql(8),
+    "q42b_hits_distpath" -> hitsOracleSql(8),
 
-    "q43b_weighted_dist" -> weightedPageRankOracleSql(8),
+    "q43b_weighted_distpath" -> weightedPageRankOracleSql(8),
 
     // the salt is result-invisible: the oracle is the PLAIN join
     "q39_skew_join" ->

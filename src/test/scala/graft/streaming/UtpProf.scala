@@ -9,13 +9,19 @@ import graft.streaming.{UtpCodec => C}
 
 /** Scratch profiler for the uTP wire path (test scope, manual runMain):
   * loopback clients pushing batched PUBLISH frames through the full
-  * decode → putEntry → sync pipeline. Args: [messages] [batch] [conns]. */
+  * decode → putEntry → sync pipeline.
+  * Args: [messages] [batch] [conns] [syncEvery] [transport: tcp|ws|grpc]
+  * — the transport arg drives the SAME workload through the WebSocket
+  * or gRPC/h2c face, so the three listeners' throughput is comparable
+  * from one harness. */
 object UtpProf {
   def main(args: Array[String]): Unit = {
     val total = args.headOption.map(_.toInt).getOrElse(2000000)
     val batch = args.lift(1).map(_.toInt).getOrElse(200)
     val conns = args.lift(2).map(_.toInt).getOrElse(4)
     val syncEvery = args.lift(3).map(_.toInt).getOrElse(1000000)
+    val transport = args.lift(4).getOrElse("tcp")
+    require(Set("tcp", "ws", "grpc")(transport), s"unknown transport $transport")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,31 +33,51 @@ object UtpProf {
     // partition otherwise — a single-task parquet write)
     val db = UnitDb.open(spark, base + "/store", autoFlushRows = 2000000,
       writeSaltBuckets = 8)
-    val srv = new UtpServer(db, port = 0, syncEveryPuts = syncEvery)
+    val srv = new UtpServer(db, port = 0, syncEveryPuts = syncEvery,
+      wsPort = if (transport == "ws") 0 else -1,
+      grpcPort = if (transport == "grpc") 0 else -1)
     val perConn = total / conns
     val payload = ("x" * 64).getBytes
 
     val t0 = System.nanoTime()
     val threads = (0 until conns).map { ci =>
       val t = new Thread(() => {
-        val sock = new Socket("127.0.0.1", srv.actualPort)
-        sock.setTcpNoDelay(true)
-        val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
-        val in = sock.getInputStream
-        var sent = 0
-        var mid = 0
-        while (sent < perConn) {
-          val n = math.min(batch, perConn - sent)
-          mid += 1
-          val msgs = (0 until n).map(i => C.PublishMessage(
-            s"prof.c$ci.t${(sent + i) % 100}", payload, ""))
-          out.write(C.encodePacket(C.PUBLISH, C.NONE,
-            C.encodePublish(C.Publish(mid & 0xffff, 0, msgs))))
-          out.flush()
-          C.readPacket(in) // wait for the ack — real client behavior
-          sent += n
+        if (transport == "tcp") {
+          val sock = new Socket("127.0.0.1", srv.actualPort)
+          sock.setTcpNoDelay(true)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+          val in = sock.getInputStream
+          var sent = 0
+          var mid = 0
+          while (sent < perConn) {
+            val n = math.min(batch, perConn - sent)
+            mid += 1
+            val msgs = (0 until n).map(i => C.PublishMessage(
+              s"prof.c$ci.t${(sent + i) % 100}", payload, ""))
+            out.write(C.encodePacket(C.PUBLISH, C.NONE,
+              C.encodePublish(C.Publish(mid & 0xffff, 0, msgs))))
+            out.flush()
+            C.readPacket(in) // wait for the ack — real client behavior
+            sent += n
+          }
+          sock.close()
+        } else {
+          // the full client stack: WS framing or gRPC message framing +
+          // h2 flow control, the path a reference client actually takes
+          val cli =
+            if (transport == "ws")
+              new UtpClient("127.0.0.1", srv.actualWsPort, ws = true)
+            else
+              new UtpClient("127.0.0.1", srv.actualGrpcPort, grpc = true)
+          var sent = 0
+          while (sent < perConn) {
+            val n = math.min(batch, perConn - sent)
+            cli.publish((0 until n).map(i =>
+              (s"prof.c$ci.t${(sent + i) % 100}", payload)): _*)
+            sent += n
+          }
+          cli.close()
         }
-        sock.close()
       })
       t.start(); t
     }
