@@ -455,6 +455,13 @@ object LlmQueries {
         TextDedup.minhashNearDup(Tables.documents(s, dir))
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))) },
 
+    // distributed-path oracle twin (verify-only, the q38b convention)
+    "q40b_triangles_distpath" -> { (s, dir) =>
+      graft.operators.Graph.triangleCounts(
+        TextDedup.minhashNearDup(Tables.documents(s, dir))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        smallGraphCap = 0) },
+
     // STREAMING triangle maintenance: the same pair stream as m37, but
     // maintaining q40's per-node triangle counts — every new triangle
     // contains a new edge, so per-batch work is wedges closed over ΔE
@@ -2228,6 +2235,7 @@ object LlmQueries {
     // the (degree, id) tiebreak is a total order, so both engines close
     // identical wedge sets
     "q40_triangles" -> trianglesOracleSql,
+    "q40b_triangles_distpath" -> trianglesOracleSql,
 
     // the m41 gate: minimal-new-edge triangle accounting across batches
     // must be INVISIBLE — maintained counts answer q40's oracle verbatim

@@ -81,11 +81,17 @@ private[graft] object GenState {
       .parquet(s"$statePath/gen-$batchId")
     Files.createDirectories(commitsDir(statePath))
     Files.createFile(marker)
-    // pass the state forward in memory ONLY when it is already a
-    // materialized checkpoint — caching a live plan would silently chain
-    // lineage across every batch of a long-running stream
-    if (merged.queryExecution.logical
-        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    // pass the state forward in memory ONLY when it is already
+    // materialized — a localCheckpoint (LogicalRDD) or driver-built rows
+    // (LocalRelation, the size-gated operators' output). Caching a live
+    // plan would silently chain lineage across every batch of a
+    // long-running stream.
+    val materialized = merged.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    if (materialized)
       lastState.synchronized(lastState.put(statePath, (batchId, merged)): Unit)
     else
       lastState.synchronized(lastState.remove(statePath): Unit)

@@ -497,12 +497,67 @@ object Graph {
     * result is engine-exact. Input: (src, dst) edge list in any
     * direction/multiplicity (normalized to distinct u<v here). Output:
     * (node, n_tri) per triangle-participating node, ordered by node. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-graph gate (the rank-family rule): the degree-ordered
+    // node-iterator is three joins + two aggregates distributed; under
+    // the cap the SAME algorithm — same (degree, id) orientation, same
+    // wedge set, same once-per-triangle accounting — runs over collected
+    // arrays. Long keys only; the hand-count and q40 oracle tests pin
+    // both paths.
+    if (smallGraphCap > 0 &&
+        e.schema("u").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= smallGraphCap) {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      pairs.foreach { case (u, v) =>
+        deg.update(u, deg.getOrElse(u, 0L) + 1L)
+        deg.update(v, deg.getOrElse(v, 0L) + 1L)
+      }
+      def rankLt(a: Long, b: Long): Boolean = {
+        val (da, db) = (deg(a), deg(b))
+        da < db || (da == db && a < b)
+      }
+      val out = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      val outSet = new scala.collection.mutable.HashSet[(Long, Long)]()
+      pairs.foreach { case (u, v) =>
+        val (a, b) = if (rankLt(u, v)) (u, v) else (v, u)
+        out.getOrElseUpdate(a,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += b
+        outSet.add((a, b)): Unit
+      }
+      val cnt = new scala.collection.mutable.HashMap[Long, Long]()
+      def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
+      out.foreach { case (a, nbrs) =>
+        var i = 0
+        while (i < nbrs.length) {
+          var j = 0
+          while (j < nbrs.length) {
+            val (b, c) = (nbrs(i), nbrs(j))
+            // each unordered out-pair once: rank(b) < rank(c)
+            if (rankLt(b, c) && outSet((b, c))) { bump(a); bump(b); bump(c) }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val lt = org.apache.spark.sql.types.LongType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", lt),
+        org.apache.spark.sql.types.StructField("n_tri", lt, nullable = false)))
+      return edges.sparkSession.createDataFrame(
+        cnt.toSeq.map { case (n, c) =>
+          org.apache.spark.sql.Row(n, c) }.asJava, schema)
+        .orderBy("node")
+    }
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient low-rank → high-rank, carrying both endpoints' degrees so
@@ -674,7 +729,8 @@ object Graph {
     * level). Maintained ≡ one-shot [[triangleCounts]] on the union of all
     * batches — the m41 gate states that with q40's oracle verbatim, and
     * the sbt property test checks random graphs × random splits. */
-  def incrTriangles(prev: Option[DataFrame], pairs: DataFrame): DataFrame = {
+  def incrTriangles(prev: Option[DataFrame], pairs: DataFrame,
+      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
     val pN = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -697,6 +753,63 @@ object Graph {
     // driver/executor broadcast limit — past the threshold, drop the hint
     // and let the planner/AQE pick a shuffle join.
     val dECount = dE.count()
+    // Small-graph gate (the rank-family rule): when standing edges + ΔE
+    // fit the driver cap, the wedge closure runs as set intersections
+    // over a collected adjacency instead of a 3-join, ~16-wave plan —
+    // same candidate set, same minimal-new-edge ownership (struct
+    // comparison = lexicographic pair order), same output schema, pinned
+    // by the random-split property test on BOTH paths. Long keys only
+    // (what every caller uses); anything else keeps the join plan.
+    val longKeys = pN.schema("u").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longKeys && smallGraphCap > 0 &&
+        eOld.count() + dECount <= smallGraphCap) {
+      val newE = dE.collect().map(r => (r.getLong(0), r.getLong(1)))
+      dE.unpersist()
+      val oldE = eOld.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cnt = new scala.collection.mutable.HashMap[Long, Long]()
+      cOld.collect().foreach(r => cnt.update(r.getLong(0), r.getLong(1)))
+      val adj = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.HashSet[Long]]()
+      def link(a: Long, b: Long): Unit =
+        adj.getOrElseUpdate(a,
+          new scala.collection.mutable.HashSet[Long]()).add(b): Unit
+      oldE.foreach { case (u, v) => link(u, v); link(v, u) }
+      newE.foreach { case (u, v) => link(u, v); link(v, u) }
+      val newSet = newE.toSet
+      def pairLt(a: (Long, Long), b: (Long, Long)): Boolean =
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
+      newE.foreach { case (u, v) =>
+        val (su, sv) = (adj(u), adj(v))
+        val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+        small.foreach { w =>
+          if (big.contains(w)) {
+            // count each triangle only at its minimal new edge
+            val e1 = (math.min(u, w), math.max(u, w))
+            val e2 = (math.min(v, w), math.max(v, w))
+            val owned = !(newSet(e1) && pairLt(e1, (u, v))) &&
+              !(newSet(e2) && pairLt(e2, (u, v)))
+            if (owned) { bump(u); bump(v); bump(w) }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val lt = org.apache.spark.sql.types.LongType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("u", lt),
+        org.apache.spark.sql.types.StructField("v", lt),
+        org.apache.spark.sql.types.StructField("node", lt),
+        org.apache.spark.sql.types.StructField("n_tri", lt)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        ((oldE.iterator ++ newE.iterator).map { case (u, v) =>
+          org.apache.spark.sql.Row("e", u, v, null, null) } ++
+         cnt.iterator.map { case (n, c) =>
+          org.apache.spark.sql.Row("c", null, null, n, c) }).toSeq.asJava
+      return pairs.sparkSession.createDataFrame(rows, schema)
+    }
     val broadcastBatch = dECount <= 1000000L
     def batchSide(f: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(f) else f

@@ -397,13 +397,19 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       val nBatches = 1 + rnd.nextInt(3)
       val batches = pairs.grouped((pairs.size + nBatches - 1) / nBatches).toSeq
-      val st = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
-        (st, b) => Some(graft.operators.Graph.incrTriangles(
-          st, b.toDF("doc_a", "doc_b")))
-      }.get
-      val got = graft.operators.Graph.incrTrianglesFinalize(st)
-        .as[(Long, Long)].collect().toMap
-      assert(got === want, s"case $c: pairs=$pairs batches=${batches.size}")
+      // both paths per case: the driver wedge closure (default — these
+      // graphs are under the cap) and the distributed 3-join plan
+      // (cap 0) must land on the identical one-shot counts, so the gate
+      // can never let them drift
+      for (cap <- Seq(graft.operators.Graph.RankGraphEdgeCap, 0L)) {
+        val st = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (st, b) => Some(graft.operators.Graph.incrTriangles(
+            st, b.toDF("doc_a", "doc_b"), smallGraphCap = cap))
+        }.get
+        val got = graft.operators.Graph.incrTrianglesFinalize(st)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"case $c cap $cap: pairs=$pairs batches=${batches.size}")
+      }
     }
   }
 
@@ -414,10 +420,13 @@ class OperatorsSpec extends SparkSpec {
     // dedup component q40 exists to expose); bridge 4-10 adds nothing
     val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (4L, 10L))
-    val got = graft.operators.Graph
-      .triangleCounts((clique ++ star).toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // both paths (driver gate default, cap 0 = distributed node-iterator)
+    for (cap <- Seq(graft.operators.Graph.RankGraphEdgeCap, 0L)) {
+      val got = graft.operators.Graph
+        .triangleCounts((clique ++ star).toDF("src", "dst"), smallGraphCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"cap $cap")
+    }
     // wheel: hub 0 + 5-ring — 5 triangles, hub in all, ring nodes in 2;
     // reversed/duplicated edges must normalize away
     val ring = (0 until 5).map(i => (i + 1L, (i + 1) % 5 + 1L))
