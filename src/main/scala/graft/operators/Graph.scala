@@ -514,7 +514,6 @@ object Graph {
         e.schema("u").dataType == org.apache.spark.sql.types.LongType &&
         e.count() <= smallGraphCap) {
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      e.unpersist()
       val deg = new scala.collection.mutable.HashMap[Long, Long]()
       pairs.foreach { case (u, v) =>
         deg.update(u, deg.getOrElse(u, 0L) + 1L)
@@ -533,30 +532,39 @@ object Graph {
           new scala.collection.mutable.ArrayBuffer[Long]()) += b
         outSet.add((a, b)): Unit
       }
-      val cnt = new scala.collection.mutable.HashMap[Long, Long]()
-      def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
-      out.foreach { case (a, nbrs) =>
-        var i = 0
-        while (i < nbrs.length) {
-          var j = 0
-          while (j < nbrs.length) {
-            val (b, c) = (nbrs(i), nbrs(j))
-            // each unordered out-pair once: rank(b) < rank(c)
-            if (rankLt(b, c) && outSet((b, c))) { bump(a); bump(b); bump(c) }
-            j += 1
+      // second-stage gate (the incrTriangles rule): wedge volume is
+      // Σ outdeg², which an edge-count cap does not bound on dense
+      // near-clique graphs — over the probe budget, discard the arrays
+      // and let the 32-way plan below do the closure
+      val wedgeBudget = out.valuesIterator
+        .map(n => n.length.toLong * n.length).sum
+      if (wedgeBudget <= 20000000L) {
+        e.unpersist()
+        val cnt = new scala.collection.mutable.HashMap[Long, Long]()
+        def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
+        out.foreach { case (a, nbrs) =>
+          var i = 0
+          while (i < nbrs.length) {
+            var j = 0
+            while (j < nbrs.length) {
+              val (b, c) = (nbrs(i), nbrs(j))
+              // each unordered out-pair once: rank(b) < rank(c)
+              if (rankLt(b, c) && outSet((b, c))) { bump(a); bump(b); bump(c) }
+              j += 1
+            }
+            i += 1
           }
-          i += 1
         }
+        import scala.jdk.CollectionConverters._
+        val lt = org.apache.spark.sql.types.LongType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lt),
+          org.apache.spark.sql.types.StructField("n_tri", lt, nullable = false)))
+        return edges.sparkSession.createDataFrame(
+          cnt.toSeq.map { case (n, c) =>
+            org.apache.spark.sql.Row(n, c) }.asJava, schema)
+          .orderBy("node")
       }
-      import scala.jdk.CollectionConverters._
-      val lt = org.apache.spark.sql.types.LongType
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node", lt),
-        org.apache.spark.sql.types.StructField("n_tri", lt, nullable = false)))
-      return edges.sparkSession.createDataFrame(
-        cnt.toSeq.map { case (n, c) =>
-          org.apache.spark.sql.Row(n, c) }.asJava, schema)
-        .orderBy("node")
     }
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -762,13 +770,17 @@ object Graph {
     // (what every caller uses); anything else keeps the join plan.
     val longKeys = pN.schema("u").dataType ==
       org.apache.spark.sql.types.LongType
+    // the incremental gate's cap is MUCH tighter than the one-shot ops':
+    // here the whole standing state round-trips through the driver every
+    // batch (collect + a LocalRelation rebuild whose rows re-encode into
+    // the plan), so the win flips to a loss long before the collect
+    // itself hurts — measured at the ×10 gate (313k state rows): the
+    // driver path DOUBLED m41's wall while its wedge math stayed trivial
+    val stateCap = math.min(smallGraphCap, 1L << 17)
     if (longKeys && smallGraphCap > 0 &&
-        eOld.count() + dECount <= smallGraphCap) {
+        eOld.count() + dECount <= stateCap) {
       val newE = dE.collect().map(r => (r.getLong(0), r.getLong(1)))
-      dE.unpersist()
       val oldE = eOld.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val cnt = new scala.collection.mutable.HashMap[Long, Long]()
-      cOld.collect().foreach(r => cnt.update(r.getLong(0), r.getLong(1)))
       val adj = new scala.collection.mutable.HashMap[Long,
         scala.collection.mutable.HashSet[Long]]()
       def link(a: Long, b: Long): Unit =
@@ -776,39 +788,60 @@ object Graph {
           new scala.collection.mutable.HashSet[Long]()).add(b): Unit
       oldE.foreach { case (u, v) => link(u, v); link(v, u) }
       newE.foreach { case (u, v) => link(u, v); link(v, u) }
-      val newSet = newE.toSet
-      def pairLt(a: (Long, Long), b: (Long, Long)): Boolean =
-        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
-      def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
-      newE.foreach { case (u, v) =>
-        val (su, sv) = (adj(u), adj(v))
-        val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
-        small.foreach { w =>
-          if (big.contains(w)) {
-            // count each triangle only at its minimal new edge
-            val e1 = (math.min(u, w), math.max(u, w))
-            val e2 = (math.min(v, w), math.max(v, w))
-            val owned = !(newSet(e1) && pairLt(e1, (u, v))) &&
-              !(newSet(e2) && pairLt(e2, (u, v)))
-            if (owned) { bump(u); bump(v); bump(w) }
+      // second-stage gate: an edge-count cap does NOT bound wedge work —
+      // intersections cost Σ min(deg(u), deg(v)) over ΔE, and a dense
+      // near-clique graph (the replicated-corpus dedup shape) blows that
+      // up quadratically while staying edge-small. Budget the actual
+      // set-probe volume; over it, the collected arrays are discarded
+      // and the 32-way 3-join plan below does the closure (measured: the
+      // driver loop DOUBLED m41's wall on the sf1 clique-dense graphs
+      // this guard exists for).
+      val wedgeBudget = newE.iterator
+        .map { case (u, v) => math.min(adj(u).size, adj(v).size).toLong }.sum
+      if (wedgeBudget <= 20000000L) {
+        dE.unpersist()
+        val cnt = new scala.collection.mutable.HashMap[Long, Long]()
+        cOld.collect().foreach(r => cnt.update(r.getLong(0), r.getLong(1)))
+        val newSet = newE.toSet
+        def pairLt(a: (Long, Long), b: (Long, Long)): Boolean =
+          a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
+        newE.foreach { case (u, v) =>
+          val (su, sv) = (adj(u), adj(v))
+          val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+          small.foreach { w =>
+            if (big.contains(w)) {
+              // count each triangle only at its minimal new edge
+              val e1 = (math.min(u, w), math.max(u, w))
+              val e2 = (math.min(v, w), math.max(v, w))
+              val owned = !(newSet(e1) && pairLt(e1, (u, v))) &&
+                !(newSet(e2) && pairLt(e2, (u, v)))
+              if (owned) { bump(u); bump(v); bump(w) }
+            }
           }
         }
+        import scala.jdk.CollectionConverters._
+        val lt = org.apache.spark.sql.types.LongType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("kind",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("u", lt),
+          org.apache.spark.sql.types.StructField("v", lt),
+          org.apache.spark.sql.types.StructField("node", lt),
+          org.apache.spark.sql.types.StructField("n_tri", lt)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          ((oldE.iterator ++ newE.iterator).map { case (u, v) =>
+            org.apache.spark.sql.Row("e", u, v, null, null) } ++
+           cnt.iterator.map { case (n, c) =>
+            org.apache.spark.sql.Row("c", null, null, n, c) }).toSeq.asJava
+        // localCheckpoint, NOT a bare LocalRelation: this frame is the
+        // next batch's standing state — a LocalRelation EMBEDS its rows
+        // in every downstream plan (re-serialized per job; measured 2x
+        // on the ×10 gate once state crossed ~10^5 rows), while a
+        // checkpointed RDD is a normal block-backed scan
+        return pairs.sparkSession.createDataFrame(rows, schema)
+          .localCheckpoint()
       }
-      import scala.jdk.CollectionConverters._
-      val lt = org.apache.spark.sql.types.LongType
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("kind",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("u", lt),
-        org.apache.spark.sql.types.StructField("v", lt),
-        org.apache.spark.sql.types.StructField("node", lt),
-        org.apache.spark.sql.types.StructField("n_tri", lt)))
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        ((oldE.iterator ++ newE.iterator).map { case (u, v) =>
-          org.apache.spark.sql.Row("e", u, v, null, null) } ++
-         cnt.iterator.map { case (n, c) =>
-          org.apache.spark.sql.Row("c", null, null, n, c) }).toSeq.asJava
-      return pairs.sparkSession.createDataFrame(rows, schema)
     }
     val broadcastBatch = dECount <= 1000000L
     def batchSide(f: DataFrame): DataFrame =
