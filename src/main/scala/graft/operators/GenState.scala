@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Generation-directory state with commit markers — the shared persistence
   * protocol under the incrementally-maintained operators ([[IncrementalAgg]]
-  * rollups, [[KeyedUpsert]] CDC tables).
+  * rollups, [[KeyedUpsert]] CDC tables, the graph maintainers).
   *
   * foreachBatch gives at-least-once batch delivery: after a crash the
   * checkpoint REPLAYS the last batch, and a bare state update would apply
@@ -13,10 +14,58 @@ import org.apache.spark.sql.DataFrame
   * first (overwrite-idempotent), the marker is created only after the
   * write completes, and readers resolve the highest MARKED generation.
   * Every crash window replays into a rewrite or a skip — never a double
-  * apply. The previous generation survives one commit for in-flight
-  * readers; everything older is pruned.
+  * apply. Generations still referenced (see below) survive; everything
+  * else older than the previous commit is pruned.
+  *
+  * Two write shapes share the marker protocol:
+  *
+  *  - [[applyBatch]] — the whole state rewritten per batch as one file.
+  *    Correct and cheap FOREVER for group-bounded state (the m27/m28
+  *    rollups, the m33/m34/m36 sketches: state size is fixed by group
+  *    cardinality or sketch width, not by corpus size).
+  *  - [[applyBatchBucketed]] — for CORPUS-SIZED state (one row per
+  *    document/edge/key ever seen: m37 labels, m41 edges+counts, m29
+  *    upsert tables). Rewriting such state wholesale per micro-batch is a
+  *    double scale-killer: a single writer task serializes the write and
+  *    the write volume is O(corpus) per batch regardless of trigger
+  *    cadence. Instead the state is hash-bucketed by key into
+  *    `data/__b=<k>/` sub-directories per generation; each batch rewrites
+  *    ONLY buckets containing changed rows (parallel, one task per few
+  *    buckets) and carries every untouched bucket forward BY REFERENCE in
+  *    a per-generation manifest. Per-batch bytes written ≈
+  *    |changed rows| · bucket-fill, amortized-batch-proportional; the
+  *    standing corpus is rewritten only at rebase (below), amortized O(1)
+  *    per row — the LSM bargain.
+  *
+  * Bucket count adapts at REBASE time (first write, manifest spread over
+  * [[RebaseSourceSpread]] generations, or buckets grown past
+  * 4·[[TargetBucketBytes]]): N = clamp(stateBytes / TargetBucketBytes,
+  * 16, 4096), so bucket granularity tracks state growth and a touched
+  * bucket stays a few MB whatever the corpus. A rebase is a full
+  * (parallel) bucketed rewrite under the new N — the same amortization
+  * argument as LSM compaction. The bucket function is pinned per
+  * manifest (pmod(xxhash64(keys), N)), so carry-forward always uses the
+  * PREVIOUS manifest's N; only a rebase may change it.
   */
 private[graft] object GenState {
+
+  /** Target on-disk bytes per bucket file (override with
+    * `spark.graft.state.targetBucketBytes`). Small enough that rewriting
+    * the buckets a micro-batch touches is batch-proportional work; large
+    * enough that parquet footer/open overhead stays negligible and a
+    * 100 TB state maxes out at [[MaxBuckets]] · a-few-GB, the file-count
+    * regime Delta/Hudi-style table formats run in production. */
+  private val DefaultTargetBucketBytes = 4L << 20
+  private def targetBucketBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.state.targetBucketBytes",
+      DefaultTargetBucketBytes.toString).toLong
+  private val MinBuckets = 16
+  private val MaxBuckets = 4096
+
+  /** Rebase when the manifest references more than this many distinct
+    * source generations: bounds read-path path fan-out, garbage held in
+    * old generation dirs, and manifest drift — the compaction trigger. */
+  private val RebaseSourceSpread = 16
 
   /** In-memory pass-forward of the last committed state per statePath:
     * each micro-batch otherwise pays a parquet listing + footer + scan to
@@ -28,6 +77,11 @@ private[graft] object GenState {
     * cache. Keyed by (statePath, generation): a replay, another writer,
     * or a fresh JVM misses and falls back to the parquet read — the
     * crash-recovery contract is untouched, this is purely a fast path.
+    * A cached frame is also validated against the REQUESTING session: its
+    * localCheckpoint blocks live in one SparkContext, so if that context
+    * was stopped (or the caller runs on a different context reusing the
+    * same statePath in this JVM) the entry is dropped and the parquet
+    * fallback — which always works — serves the read.
     * LRU-capped so long sessions hold a handful of small state frames. */
   private val MaxCachedStates = 8
   private val lastState =
@@ -36,9 +90,17 @@ private[graft] object GenState {
           e: java.util.Map.Entry[String, (Long, DataFrame)]): Boolean =
         size > MaxCachedStates
     }
-  private def cachedState(statePath: String, gen: Long): Option[DataFrame] =
+  private def cachedState(spark: SparkSession, statePath: String,
+      gen: Long): Option[DataFrame] =
     lastState.synchronized(Option(lastState.get(statePath)))
-      .filter(_._1 == gen).map(_._2)
+      .filter(_._1 == gen)
+      .map(_._2)
+      .filter { df =>
+        val sc = df.sparkSession.sparkContext
+        val ok = !sc.isStopped && (sc eq spark.sparkContext)
+        if (!ok) lastState.synchronized(lastState.remove(statePath): Unit)
+        ok
+      }
 
   private def commitsDir(statePath: String) =
     java.nio.file.Paths.get(statePath, "_commits")
@@ -54,33 +116,192 @@ private[graft] object GenState {
     }
   }
 
-  /** The current committed state (error if no batch ever committed). */
-  def readState(spark: org.apache.spark.sql.SparkSession,
-                statePath: String): DataFrame = {
-    val gens = committedGens(statePath)
-    require(gens.nonEmpty, s"no committed state under $statePath")
-    cachedState(statePath, gens.last)
-      .getOrElse(spark.read.parquet(s"$statePath/gen-${gens.last}"))
+  // ---- manifest ---------------------------------------------------------
+  //
+  // `gen-<b>/manifest` (text, one value per line group):
+  //   v1 <numBuckets>
+  //   schema <StructType.json>        (read fallback for an empty state)
+  //   <bucketId> <sourceGen>          (bucket's rows live at
+  //                                    gen-<sourceGen>/data/__b=<bucketId>)
+  // Absent bucket ids hold no rows. A generation without a manifest is a
+  // legacy whole-state write (applyBatch) and is read as a plain parquet
+  // dir — the two shapes interoperate, so a state can migrate.
+
+  private case class Manifest(buckets: Int,
+      schemaJson: String, sources: Map[Int, Long])
+
+  private def manifestPath(statePath: String, gen: Long) =
+    java.nio.file.Paths.get(s"$statePath/gen-$gen/manifest")
+
+  private def readManifest(statePath: String, gen: Long): Option[Manifest] = {
+    val p = manifestPath(statePath, gen)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq
+      val header = lines.head.split(' ')
+      require(header(0) == "v1", s"unknown manifest version in $p")
+      val schemaJson = lines(1).stripPrefix("schema ")
+      val sources = lines.drop(2).map { l =>
+        val a = l.split(' '); a(0).toInt -> a(1).toLong
+      }.toMap
+      Some(Manifest(header(1).toInt, schemaJson, sources))
+    }
   }
 
-  /** Apply one micro-batch: `next(previousStateOrNone)` produces the new
-    * state frame, which is written as gen-`batchId` and marked. Skips
-    * batches whose marker already exists (replay after a successful
-    * commit); rewrites the generation wholesale otherwise (replay after a
-    * crash mid-write lands on `overwrite`). */
-  def applyBatch(spark: org.apache.spark.sql.SparkSession, statePath: String,
+  private def writeManifest(statePath: String, gen: Long,
+      m: Manifest): Unit = {
+    val body = (s"v1 ${m.buckets}" +:
+      s"schema ${m.schemaJson}" +:
+      m.sources.toSeq.sorted.map { case (b, g) => s"$b $g" })
+      .mkString("\n")
+    java.nio.file.Files.write(manifestPath(statePath, gen),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def readGen(spark: SparkSession, statePath: String,
+      gen: Long): DataFrame =
+    readManifest(statePath, gen) match {
+      case Some(m) if m.sources.nonEmpty =>
+        // leaf bucket dirs read directly: no partition discovery below
+        // them, so `__b` never surfaces as a column — the frame carries
+        // exactly the state schema
+        val paths = m.sources.toSeq.sorted.map { case (b, g) =>
+          s"$statePath/gen-$g/data/__b=$b" }
+        spark.read.parquet(paths: _*)
+      case Some(m) => // committed but empty state: schema from the manifest
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read.parquet(s"$statePath/gen-$gen")
+    }
+
+  /** The current committed state (error if no batch ever committed). */
+  def readState(spark: SparkSession, statePath: String): DataFrame = {
+    val gens = committedGens(statePath)
+    require(gens.nonEmpty, s"no committed state under $statePath")
+    cachedState(spark, statePath, gens.last)
+      .getOrElse(readGen(spark, statePath, gens.last))
+  }
+
+  /** Apply one micro-batch with a WHOLE-STATE rewrite — the right shape
+    * for group-bounded state only (see the object doc). Skips batches
+    * whose marker already exists (replay after a successful commit);
+    * rewrites the generation wholesale otherwise (replay after a crash
+    * mid-write lands on `overwrite`). */
+  def applyBatch(spark: SparkSession, statePath: String,
                  batchId: Long)(next: Option[DataFrame] => DataFrame): Unit = {
     import java.nio.file.Files
     val marker = commitsDir(statePath).resolve(batchId.toString)
     if (Files.exists(marker)) return
     val prev = committedGens(statePath).filter(_ < batchId)
     val merged = next(prev.lastOption.map(g =>
-      cachedState(statePath, g)
-        .getOrElse(spark.read.parquet(s"$statePath/gen-$g"))))
+      cachedState(spark, statePath, g)
+        .getOrElse(readGen(spark, statePath, g))))
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$statePath/gen-$batchId")
+    // a bucketed predecessor's manifest may reference older generations;
+    // in-flight readers of that (surviving) generation still need them
+    commit(spark, statePath, batchId, merged, prev, keepExtra =
+      prev.lastOption.flatMap(readManifest(statePath, _))
+        .map(_.sources.values.toSet).getOrElse(Set.empty))
+  }
+
+  /** Apply one micro-batch with a BUCKETED incremental rewrite — the
+    * corpus-sized-state shape (see the object doc). `next(prev)` returns
+    * `(newState, changedKeys)`: the full new state frame plus a frame of
+    * the rows whose key changed this batch, projected to `bucketCols`
+    * (same names and types as in the state — the bucket hash must agree).
+    * Only buckets containing changed keys are written; the rest carry
+    * forward by manifest reference. The caller CONTRACT making that
+    * sound: newState restricted to an untouched bucket must equal the
+    * previous state restricted to it — true by construction for merge
+    * algebras whose per-key result changes only when the key is touched
+    * (upsert argmax, rollup monoids, label remaps, count bumps), and
+    * pinned by each maintainer's recompute oracle. `changedKeys = None`
+    * forces a full (still parallel) rewrite — the first batch, a driver
+    * fast path, or any batch where the delta is not cheaply available. */
+  def applyBatchBucketed(spark: SparkSession, statePath: String,
+      batchId: Long, bucketCols: Seq[String])
+      (next: Option[DataFrame] => (DataFrame, Option[DataFrame])): Unit = {
+    import java.nio.file.Files
+    val marker = commitsDir(statePath).resolve(batchId.toString)
+    if (Files.exists(marker)) return
+    val prev = committedGens(statePath).filter(_ < batchId)
+    val prevMan = prev.lastOption.flatMap(readManifest(statePath, _))
+    val (merged, changed) = next(prev.lastOption.map(g =>
+      cachedState(spark, statePath, g)
+        .getOrElse(readGen(spark, statePath, g))))
+
+    // rebase decision: no bucketed prev, manifest spread past the
+    // compaction trigger, or buckets grown fat → pick a fresh N from the
+    // measured on-disk state size and rewrite everything (in parallel)
+    val targetBytes = targetBucketBytes(spark)
+    val prevBytes = prevMan.map(m => m.sources.toSeq.map { case (b, g) =>
+      dirBytes(java.nio.file.Paths.get(s"$statePath/gen-$g/data/__b=$b"))
+    }.sum)
+    val rebase = prevMan.isEmpty || changed.isEmpty ||
+      prevMan.exists(_.sources.values.toSet.size >= RebaseSourceSpread) ||
+      prevBytes.exists(b => prevMan.exists(m =>
+        b / math.max(1, m.buckets) > 4L * targetBytes))
+    val nBuckets =
+      if (rebase)
+        prevBytes.fold(MinBuckets)(b => math.min(MaxBuckets,
+          math.max(MinBuckets, (b / targetBytes).toInt)).toInt)
+      else prevMan.get.buckets
+    val bucketOf = pmod(xxhash64(bucketCols.map(col): _*), lit(nBuckets))
+      .cast("int")
+
+    val touched: Seq[Int] =
+      if (rebase) 0 until nBuckets
+      else changed.get
+        .select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+    val genDir = s"$statePath/gen-$batchId"
+    if (touched.isEmpty)
+      // empty batch: nothing to write — but a crashed earlier attempt may
+      // have left buckets here that the `written` listing must not see
+      deleteTree(java.nio.file.Paths.get(genDir, "data"))
+    else
+      // one task per few buckets: parallel when several buckets changed,
+      // one file per (task, bucket) so file count stays ~|touched|
+      merged.withColumn("__b", bucketOf)
+        .filter(col("__b").isin(touched: _*))
+        .repartition(math.max(1, math.min(touched.size, 32)), col("__b"))
+        .write.mode("overwrite").partitionBy("__b").parquet(s"$genDir/data")
+
+    // dynamic partition dirs exist only for non-empty buckets: a touched
+    // bucket with no surviving rows simply drops out of the manifest
+    val written: Set[Int] = {
+      val d = java.nio.file.Paths.get(genDir, "data")
+      if (!Files.isDirectory(d)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("__b=")).map(_.stripPrefix("__b=").toInt).toSet
+        finally s.close()
+      }
+    }
+    val carried = prevMan.map(_.sources).getOrElse(Map.empty) -- touched
+    val sources = carried ++ written.map(_ -> batchId)
+    writeManifest(statePath, batchId,
+      Manifest(nBuckets, merged.schema.json, sources))
+    commit(spark, statePath, batchId, merged, prev,
+      keepExtra = sources.values.toSet ++
+        prevMan.map(_.sources.values.toSet).getOrElse(Set.empty))
+  }
+
+  /** Shared commit tail: marker, pass-forward cache, pruning. `keepExtra`
+    * holds generations still referenced by the latest (and, for in-flight
+    * readers, the previous) manifest — they survive pruning with their
+    * markers, which keeps `committedGens` resolution stable. */
+  private def commit(spark: SparkSession, statePath: String, batchId: Long,
+      merged: DataFrame, prev: Seq[Long], keepExtra: Set[Long]): Unit = {
+    import java.nio.file.Files
     Files.createDirectories(commitsDir(statePath))
-    Files.createFile(marker)
+    Files.createFile(commitsDir(statePath).resolve(batchId.toString))
     // pass the state forward in memory ONLY when it is already
     // materialized — a localCheckpoint (LogicalRDD) or driver-built rows
     // (LocalRelation, the size-gated operators' output). Caching a live
@@ -95,10 +316,25 @@ private[graft] object GenState {
       lastState.synchronized(lastState.put(statePath, (batchId, merged)): Unit)
     else
       lastState.synchronized(lastState.remove(statePath): Unit)
-    prev.dropRight(1).foreach { g =>
+    // the immediately-previous generation survives one commit for
+    // in-flight readers (and anchors crash recovery); manifest-referenced
+    // generations survive as long as any bucket still points at them
+    val keep = keepExtra ++ prev.lastOption
+    prev.filterNot(keep).foreach { g =>
       deleteTree(java.nio.file.Paths.get(s"$statePath/gen-$g"))
-      Files.deleteIfExists(commitsDir(statePath).resolve(g.toString))
+      Files.deleteIfExists(commitsDir(statePath).resolve(g.toString)): Unit
     }
+  }
+
+  private def dirBytes(root: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    } finally walk.close()
   }
 
   private def deleteTree(root: java.nio.file.Path): Unit = {

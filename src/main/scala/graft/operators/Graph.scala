@@ -372,11 +372,23 @@ object Graph {
     * `prev` must be a CONVERGED label frame (what this function returns —
     * the GenState invariant); nodes unseen before enter as singletons. */
   def incrementalComponents(prev: Option[DataFrame],
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    incrementalComponentsDelta(prev, pairs)._1
+
+  /** [[incrementalComponents]] plus the batch's CHANGED-KEY frame — the
+    * rows whose (doc_id, cluster_id) differs from the previous state:
+    * relabeled members of merged components plus every batch node. Feeds
+    * [[GenState.applyBatchBucketed]] so each micro-batch rewrites only
+    * the state buckets those rows hash into, never the standing corpus
+    * frame (`None` on the first batch — everything is new). The changed
+    * set is relabel-proportional, not state-proportional: only labels in
+    * the non-trivial remap domain pull their members in. */
+  def incrementalComponentsDelta(prev: Option[DataFrame],
+      pairs: DataFrame): (DataFrame, Option[DataFrame]) = {
     val p = pairs.select("doc_a", "doc_b")
     prev match {
-      case None => graft.llm.TextDedup.dedupClusters(p)
-        .select("doc_id", "cluster_id")
+      case None => (graft.llm.TextDedup.dedupClusters(p)
+        .select("doc_id", "cluster_id"), None)
       case Some(st) =>
         val stp = st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -404,9 +416,13 @@ object Graph {
           .join(lab.select(col("doc_id").as("doc_b"), col("l").as("lb")), "doc_b")
           .select(col("la").as("doc_a"), col("lb").as("doc_b"))
         // fixpoint on the CONTRACTED graph only — label count is bounded
-        // by 2·|batch|, so each round is batch-sized whatever the corpus
+        // by 2·|batch|, so each round is batch-sized whatever the corpus.
+        // localCheckpoint: the remap feeds BOTH the state rewrite and the
+        // changed-keys frame below — without it the contracted fixpoint
+        // would run twice per batch
         val remap0 = graft.llm.TextDedup.dedupClusters(labelEdges)
           .select(col("doc_id").as("l"), col("cluster_id").as("root"))
+          .localCheckpoint()
         val remap = if (labCount <= 1000000L) broadcast(remap0) else remap0
         val newcomers = lab.filter(col("is_new"))
           .select(col("doc_id"), col("l").as("cluster_id"))
@@ -415,8 +431,20 @@ object Graph {
           .select(col("doc_id"),
             coalesce(col("root"), col("cluster_id")).as("cluster_id"))
           .localCheckpoint() // materialize before dropping the caches
+        // changed keys: members of components whose label is remapped
+        // away (one broadcast semi-join over the cached state — the
+        // remap domain is batch-bounded) plus every batch node. Checked
+        // to blocks NOW, while stp/lab are still cached — the consumer
+        // (the bucketed state write) runs after they unpersist.
+        val nontrivial = remap0.filter(col("root") =!= col("l"))
+          .select(col("l").as("cluster_id"))
+        val changed = stp
+          .join(broadcast(nontrivial), Seq("cluster_id"), "left_semi")
+          .select("doc_id")
+          .unionByName(lab.select("doc_id"))
+          .localCheckpoint()
         stp.unpersist(); pp.unpersist(); lab.unpersist()
-        out
+        (out, Some(changed))
     }
   }
 
@@ -738,7 +766,17 @@ object Graph {
     * batches — the m41 gate states that with q40's oracle verbatim, and
     * the sbt property test checks random graphs × random splits. */
   def incrTriangles(prev: Option[DataFrame], pairs: DataFrame,
-      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
+      smallGraphCap: Long = RankGraphEdgeCap): DataFrame =
+    incrTrianglesDelta(prev, pairs, smallGraphCap)._1
+
+  /** [[incrTriangles]] plus the batch's CHANGED-KEY frame — (u, v, node)
+    * projections of the state rows this batch adds or rewrites: the new
+    * edges and the nodes whose triangle count was bumped. Feeds
+    * [[GenState.applyBatchBucketed]]: both sets are batch-proportional
+    * (|ΔE| and the owned-wedge endpoints), so the bucketed state write
+    * never rewrites the standing edge set or untouched counts. */
+  def incrTrianglesDelta(prev: Option[DataFrame], pairs: DataFrame,
+      smallGraphCap: Long = RankGraphEdgeCap): (DataFrame, Option[DataFrame]) = {
     val pN = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -805,7 +843,10 @@ object Graph {
         val newSet = newE.toSet
         def pairLt(a: (Long, Long), b: (Long, Long)): Boolean =
           a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
-        def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
+        val bumped = new scala.collection.mutable.HashSet[Long]()
+        def bump(n: Long): Unit = {
+          cnt.update(n, cnt.getOrElse(n, 0L) + 1L); bumped.add(n): Unit
+        }
         newE.foreach { case (u, v) =>
           val (su, sv) = (adj(u), adj(v))
           val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
@@ -839,8 +880,18 @@ object Graph {
         // in every downstream plan (re-serialized per job; measured 2x
         // on the ×10 gate once state crossed ~10^5 rows), while a
         // checkpointed RDD is a normal block-backed scan
-        return pairs.sparkSession.createDataFrame(rows, schema)
-          .localCheckpoint()
+        val changedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", lt),
+          org.apache.spark.sql.types.StructField("v", lt),
+          org.apache.spark.sql.types.StructField("node", lt)))
+        val changedRows: java.util.List[org.apache.spark.sql.Row] =
+          (newE.iterator.map { case (u, v) =>
+            org.apache.spark.sql.Row(u, v, null) } ++
+           bumped.iterator.map(n =>
+            org.apache.spark.sql.Row(null, null, n))).toSeq.asJava
+        return (pairs.sparkSession.createDataFrame(rows, schema)
+          .localCheckpoint(),
+          Some(pairs.sparkSession.createDataFrame(changedRows, changedSchema)))
       }
     }
     val broadcastBatch = dECount <= 1000000L
@@ -871,9 +922,13 @@ object Graph {
       .filter(
         !(col("n1").isNotNull && col("e1") < struct(col("u"), col("v"))) &&
         !(col("n2").isNotNull && col("e2") < struct(col("u"), col("v"))))
+    // localCheckpoint: the per-batch count delta feeds BOTH the state
+    // rewrite and the changed-keys frame — one wedge-closure execution,
+    // batch-bounded blocks
     val dC = owned
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint()
     val counts = cOld.unionByName(dC)
       .groupBy("node").agg(sum("n_tri").as("n_tri"))
     val out = allE
@@ -883,8 +938,15 @@ object Graph {
         lit(null).cast("long").as("u"), lit(null).cast("long").as("v"),
         col("node"), col("n_tri")))
       .localCheckpoint()
+    // changed keys — checkpointed while dE is still cached (the consumer
+    // runs after the unpersist below)
+    val changed = dE
+      .select(col("u"), col("v"), lit(null).cast("long").as("node"))
+      .unionByName(dC.select(lit(null).cast("long").as("u"),
+        lit(null).cast("long").as("v"), col("node")))
+      .localCheckpoint()
     dE.unpersist(); allE.unpersist()
-    out
+    (out, Some(changed))
   }
 
   /** The q40 output face over maintained triangle state. */
@@ -901,8 +963,8 @@ object Graph {
       checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (b, id) => GenState.applyBatch(b.sparkSession, statePath, id)(prev =>
-        incrTriangles(prev, b.toDF()))
+      (b, id) => GenState.applyBatchBucketed(b.sparkSession, statePath, id,
+        Seq("u", "v", "node"))(prev => incrTrianglesDelta(prev, b.toDF()))
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -928,8 +990,8 @@ object Graph {
       checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (b, id) => GenState.applyBatch(b.sparkSession, statePath, id)(prev =>
-        incrementalComponents(prev, b.toDF()))
+      (b, id) => GenState.applyBatchBucketed(b.sparkSession, statePath, id,
+        Seq("doc_id"))(prev => incrementalComponentsDelta(prev, b.toDF()))
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -54,14 +54,21 @@ object KeyedUpsert {
 
   /** foreachBatch body (public for replay/crash tests), persisted through
     * [[GenState]] (generation + commit marker = exactly-once under
-    * checkpoint replay). */
+    * checkpoint replay). The state is CORPUS-sized (one row per key ever
+    * seen), so it goes through the bucketed shape: the changed keys are
+    * exactly the batch's keys (version-argmax leaves every other key's
+    * row untouched), so each batch rewrites batch-proportional bucket
+    * bytes, never the standing table — and the bucket filter on
+    * hash(key) pushes through the argmax aggregate to BOTH union sides,
+    * so untouched state partitions aren't even re-aggregated. */
   def applyBatch(statePath: String, key: String, version: Seq[String])
                 (batch: DataFrame, batchId: Long): Unit =
-    GenState.applyBatch(batch.sparkSession, statePath, batchId) { prev =>
+    GenState.applyBatchBucketed(batch.sparkSession, statePath, batchId,
+        Seq(key)) { prev =>
       val d = delta(batch, key, version)
       prev match {
-        case Some(st) => merge(st, d, key, version)
-        case None     => d
+        case Some(st) => (merge(st, d, key, version), Some(batch.select(key)))
+        case None     => (d, None)
       }
     }
 

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The bucketed generation store ([[graft.operators.GenState
+  * .applyBatchBucketed]]): correctness under replay/crash, manifest
+  * carry-forward, batch-proportional (not state-proportional) write
+  * volume, parallel writes, and rebase compaction. */
+class GenStateSpec extends SparkSpec {
+  import graft.operators.GenState
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_gs_$tag").toString
+
+  private def genBytes(statePath: String, gen: Long): Long = {
+    val root = java.nio.file.Paths.get(s"$statePath/gen-$gen")
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    } finally walk.close()
+  }
+
+  private def bucketDirs(statePath: String, gen: Long): Seq[String] = {
+    val d = java.nio.file.Paths.get(s"$statePath/gen-$gen/data")
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__b=")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  // k-keyed sum state, merged the IncrementalAgg way — the minimal
+  // bucketable merge algebra (keys absent from the batch keep their row)
+  private def sumState(prev: Option[org.apache.spark.sql.DataFrame],
+      batch: org.apache.spark.sql.DataFrame) = {
+    val d = batch.groupBy("k").agg(sum("v").as("s"))
+    prev.fold(d)(st => st.unionByName(d).groupBy("k").agg(sum("s").as("s")))
+  }
+  private def applySum(statePath: String,
+      batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+    GenState.applyBatchBucketed(spark, statePath, id, Seq("k")) { prev =>
+      (sumState(prev, batch), prev.map(_ => batch.select("k")))
+    }
+
+  private def snap(statePath: String): Seq[(Long, Long)] =
+    GenState.readState(spark, statePath)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("bucketed state: small batch against a big standing state writes " +
+      "batch-proportional bytes through >1 task, carried by manifest") {
+    val p = tmp("prop")
+    // 16 KB bucket target so a ~MB state gets a real bucket count — the
+    // same ratio a 100 TB state has against the 4 MB default
+    spark.conf.set("spark.graft.state.targetBucketBytes", "16384")
+    try {
+      // standing state: 200k keys, hash-valued so parquet can't collapse it
+      val big = spark.range(200000).select(col("id").as("k"),
+        xxhash64(col("id"), lit(1)).as("v"))
+      applySum(p, big, 0L) // first write: provisional MinBuckets
+      // fat-bucket trigger: this rewrite re-bases at bytes/16KB buckets
+      applySum(p, spark.range(1).select(col("id").as("k"),
+        lit(1L).as("v")), 1L)
+      val fullBytes = genBytes(p, 1L)
+      val fullBuckets = bucketDirs(p, 1L)
+      assert(fullBuckets.size > 16,
+        s"rebase kept ${fullBuckets.size} buckets — fat-bucket trigger dead")
+      // small batch: 8 keys scattered across the key space
+      val small = spark.range(8).select((col("id") * 401 + 7).as("k"),
+        lit(1L).as("v"))
+      applySum(p, small, 2L)
+      val deltaBytes = genBytes(p, 2L)
+      info(s"rebased state gen: $fullBytes B in ${fullBuckets.size} buckets; " +
+        s"8-key batch gen: $deltaBytes B in ${bucketDirs(p, 2L).size} buckets")
+      assert(deltaBytes * 4 < fullBytes,
+        s"batch write ($deltaBytes B) not clearly below state size " +
+          s"($fullBytes B) — the rewrite is state-proportional")
+      // the carried buckets must resolve through the manifest: every key
+      // still present, touched keys updated
+      val after = GenState.readState(spark, p)
+      assert(after.count() == 200000L, "carry-forward lost rows")
+      val touched = after.filter(col("k") === 401L + 7)
+        .select((col("s") - xxhash64(col("k"), lit(1))).as("d")).head.getLong(0)
+      assert(touched == 1L, s"touched key delta wrong: $touched")
+      val carried = after.filter(col("k") === 400L)
+        .select((col("s") - xxhash64(col("k"), lit(1))).as("d")).head.getLong(0)
+      assert(carried == 0L, s"carried key delta wrong: $carried")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
+  }
+
+  test("bucketed state: replay of a committed batch is a no-op; crash " +
+      "garbage in the gen dir is overwritten on replay") {
+    import spark.implicits._
+    val p = tmp("replay")
+    def b(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong % 64, 1L)).toDF("k", "v")
+    applySum(p, b(0, 512), 0L)
+    applySum(p, b(512, 1024), 1L)
+    val afterTwo = snap(p)
+    applySum(p, b(512, 1024), 1L) // marker short-circuits
+    assert(snap(p) == afterTwo, "replay of a committed batch changed state")
+    // crash mid-write: gen-2 data exists (wrong content), no marker
+    b(0, 7).groupBy("k").count().write.mode("overwrite")
+      .parquet(s"$p/gen-2/data/__b=0")
+    applySum(p, b(1024, 1536), 2L)
+    val expect = sumState(None, b(0, 1536))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap(p) == expect, "crash-replay state diverged from one-shot")
+  }
+
+  test("bucketed state: manifest spread triggers rebase; referenced old " +
+      "generations survive pruning until then") {
+    import spark.implicits._
+    val p = tmp("rebase")
+    // one probe key per bucket (the store's own hash, 16 buckets at this
+    // state size), so each later single-key batch owns a DISTINCT bucket
+    // and the manifest spread grows by exactly one per batch
+    val keyOfBucket: Map[Int, Long] = spark.range(2000)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(16)).cast("int").as("b"))
+      .collect().groupBy(_.getInt(1)).map { case (b, rs) =>
+        b -> rs.map(_.getLong(0)).min }
+    assert(keyOfBucket.size == 16, s"probe missed buckets: ${keyOfBucket.size}")
+    applySum(p, (0 until 4096).map(i => (i.toLong, 1L)).toDF("k", "v"), 0L)
+    (1 to 10).foreach { i =>
+      applySum(p, Seq((keyOfBucket(i % 16), 10L)).toDF("k", "v"), i.toLong)
+    }
+    // gen-0 still holds the untouched buckets → must have survived
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$p/gen-0/data")),
+      "manifest-referenced generation was pruned")
+    assert(snap(p).size == 4096, "carry-forward lost rows")
+    // spread reaches the trigger after 15 distinct single-bucket gens
+    // (+ gen-0) → a rebase collapses sources into one generation and the
+    // NEXT commit prunes everything older
+    (11 to 18).foreach { i =>
+      applySum(p, Seq((keyOfBucket(i % 16), 10L)).toDF("k", "v"), i.toLong)
+    }
+    val gens = GenState.committedGens(p)
+    assert(!gens.contains(0L),
+      s"gen-0 alive after the rebase should have collapsed sources: $gens")
+    val end = snap(p).toMap
+    assert(end.size == 4096, "post-rebase state lost rows")
+    val k1 = keyOfBucket(1)
+    assert(end(k1) == (if (k1 < 4096) 1L else 0L) + 20L,
+      s"key $k1 sum wrong: ${end(k1)}")
+  }
+
+  test("bucketed and whole-state writes interoperate on one statePath") {
+    import spark.implicits._
+    val p = tmp("mixed")
+    def b(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong % 16, 1L))
+      .toDF("k", "v")
+    GenState.applyBatch(spark, p, 0L)(prev => sumState(prev, b(0, 256)))
+    applySum(p, b(256, 512), 1L) // legacy prev → full bucketed rewrite
+    GenState.applyBatch(spark, p, 2L)(prev => sumState(prev, b(512, 768)))
+    applySum(p, b(768, 1024), 3L)
+    val expect = sumState(None, b(0, 1024))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap(p) == expect, "mixed write shapes diverged from one-shot")
+  }
+}
