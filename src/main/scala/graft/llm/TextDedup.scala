@@ -599,8 +599,15 @@ object TextDedup {
     * [[ClusterMaxIters]]); a corpus whose pair graph forms long chains
     * would want the O(log² n) large-star/small-star variant instead —
     * same join primitives, more rounds-parallel pointer jumping. */
-  def dedupClusters(pairs: DataFrame,
+  def dedupClusters(pairs0: DataFrame,
       smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
+    // a null id carries no joinable identity: a half-null pair can glue
+    // nothing, and the two execution paths previously disagreed on it
+    // (the distributed fixpoint dropped such rows through join/aggregate
+    // null semantics; the driver union-find NPE'd). Dropped uniformly
+    // HERE, before the gate, so both paths see identical inputs.
+    val pairs = pairs0.filter(
+      col("doc_a").isNotNull && col("doc_b").isNotNull)
     // symmetric edge list + self-loops, built in ONE pass over the (often
     // expensive — an LSH pipeline) pair frame via explode: a union of
     // re-selects would re-evaluate that pipeline per branch. Per-vertex

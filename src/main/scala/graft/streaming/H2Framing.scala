@@ -187,6 +187,10 @@ object H2Framing {
   // ---------------------------------------------------------- the peer
 
   private case object Eof
+  /** Inbound DATA chunk + the FULL frame length it consumed from the
+    * peer's view of our stream window (padding included): the consumer
+    * acks exactly that many bytes back when it dequeues the chunk. */
+  private final case class Chunk(data: Array[Byte], frameLen: Int)
 
   /** One HTTP/2 connection, either role. The reader loop runs on the
     * caller's thread ([[serveLoop]]) or a daemon ([[H2Client]]); writes
@@ -292,7 +296,13 @@ object H2Framing {
       private var eof = false
       private def fill(): Unit = while (!eof && pos >= cur.length) {
         st.inQ.take() match {
-          case b: Array[Byte] => cur = b; pos = 0
+          case Chunk(b, frameLen) =>
+            cur = b; pos = 0
+            // deferred stream-window ack: the peer may now send the next
+            // frameLen bytes on this stream (see the DATA case)
+            if (!closed && !st.dead && !st.remoteDone)
+              try writeFrame(WINDOW_UPDATE, 0, st.id, be32(frameLen.toLong))
+              catch { case _: IOException => () }
           case _ => eof = true
         }
       }
@@ -486,21 +496,27 @@ object H2Framing {
 
               case DATA =>
                 val d = depadded
-                Option(streams.get(sid)).foreach { st =>
-                  if (d.nonEmpty) st.inQ.put(d)
+                val st0 = streams.get(sid)
+                if (st0 != null) {
+                  if (d.nonEmpty) st0.inQ.put(Chunk(d, len))
                   if ((flags & FlagEndStream) != 0) {
-                    st.remoteDone = true
-                    st.inQ.put(Eof)
-                    reapIfDone(st)
+                    st0.remoteDone = true
+                    st0.inQ.put(Eof)
+                    reapIfDone(st0)
                   }
                 }
-                // instant replenish, both levels, for the FULL frame
-                // length (padding consumes window too) — backpressure is
-                // the blocking queue + TCP, not h2 windows
                 if (len > 0) {
+                  // the CONNECTION window replenishes instantly — it only
+                  // mirrors bytes drained off the socket, and stalling it
+                  // would couple unrelated streams. The STREAM window does
+                  // NOT: its ack is deferred until the serve/consumer
+                  // thread dequeues the chunk (StreamIn.fill), so a peer
+                  // outrunning the consumer stalls at the 64 KiB initial
+                  // window instead of growing inQ without bound.
                   writeFrame(WINDOW_UPDATE, 0, 0, be32(len.toLong))
-                  val st = streams.get(sid)
-                  if (st != null && !st.remoteDone)
+                  if (st0 != null && d.isEmpty && !st0.remoteDone)
+                    // padding-only frame: charged against the stream
+                    // window but nothing reaches the queue — ack it now
                     writeFrame(WINDOW_UPDATE, 0, sid, be32(len.toLong))
                 }
 

@@ -66,6 +66,16 @@ object WsFraming {
         l.substring(name.length + 1).trim
     }
 
+  /** ALL values of a repeatable header, comma-split: RFC 6455 rides on
+    * RFC 7230 §3.2.2 list syntax, so `Sec-WebSocket-Protocol: a, b` and
+    * two separate header lines are equivalent offers — a client putting
+    * grpc_web on its second line must still get its confirmation. */
+  private def headerValues(lines: Seq[String], name: String): Seq[String] =
+    lines.collect {
+      case l if l.regionMatches(true, 0, name + ":", 0, name.length + 1) =>
+        l.substring(name.length + 1)
+    }.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   /** Server side of the upgrade: read the GET, answer 101. Throws on a
     * non-upgrade request (the caller drops the connection).
     *
@@ -89,8 +99,8 @@ object WsFraming {
     // is the uTP byte stream under another name (hdl_grpc_web.go), so
     // it's the one entry; an incompatible offer (say, an MQTT-over-WS
     // client) gets no confirmation instead of a misleading echo
-    val proto = headerValue(lines, "Sec-WebSocket-Protocol")
-      .flatMap(_.split(",").map(_.trim).find(Subprotocols.contains))
+    val proto = headerValues(lines, "Sec-WebSocket-Protocol")
+      .find(Subprotocols.contains)
     val resp = "HTTP/1.1 101 Switching Protocols\r\n" +
       "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
       s"Sec-WebSocket-Accept: ${acceptKey(key.get)}\r\n" +

@@ -292,6 +292,20 @@ class LlmSpec extends SparkSpec {
   }
 
 
+  test("dedupClusters: null-sided pairs drop uniformly on both paths (ADVICE r11)") {
+    import spark.implicits._
+    // previously the driver union-find NPE'd on nulls while the
+    // distributed fixpoint silently shed them — same input, two answers
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (null, 3L), (4L, null), (null, null), (2L, 5L))
+      .toDF("doc_a", "doc_b")
+    def labels(cap: Long) = TextDedup.dedupClusters(pairs, smallGraphCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 1L)
+    assert(labels(TextDedup.SmallGraphEdgeCap) == expect, "driver path")
+    assert(labels(0) == expect, "distributed path")
+  }
+
   test("simhash is deterministic and near-dup pairs respect the hamming bound") {
     val fp1 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
     val fp2 = TextDedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))

@@ -1150,4 +1150,86 @@ class UtpSpec extends SparkSpec {
       db.close()
     }
   }
+
+  test("ws: subprotocol offer split across header lines still confirms (ADVICE r11)") {
+    // RFC 7230 §3.2.2 list syntax: two Sec-WebSocket-Protocol lines ≡ one
+    // comma-joined line — a gorilla-style strict client offering grpc_web
+    // on the SECOND line must still get its confirmation
+    val req = "GET / HTTP/1.1\r\nHost: x\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+      "Sec-WebSocket-Version: 13\r\n" +
+      "Sec-WebSocket-Protocol: mqtt\r\n" +
+      "Sec-WebSocket-Protocol: amqp, grpc_web\r\n\r\n"
+    val out = new java.io.ByteArrayOutputStream()
+    WsFraming.serverHandshake(
+      new java.io.ByteArrayInputStream(req.getBytes("UTF-8")), out)
+    val resp = out.toString("UTF-8")
+    assert(resp.contains("Sec-WebSocket-Protocol: grpc_web"),
+      s"second-line offer not confirmed:\n$resp")
+  }
+
+  test("grpc: a sender outrunning the serve thread stalls on the stream " +
+      "window, not the heap (ADVICE r11)") {
+    // the stream-level WINDOW_UPDATE is deferred until the consumer
+    // dequeues — so with the handler parked, a fast peer must stall at
+    // the 64 KiB initial window instead of growing the inbound queue
+    val ss = new java.net.ServerSocket(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val srvT = new Thread(() => {
+      try {
+        val s = ss.accept()
+        val peer = new H2Framing.H2Peer(
+          s.getInputStream, s.getOutputStream, isServer = true,
+          (_, h2In, _) => {
+            val t = new Thread(() => {
+              gate.await()
+              val buf = new Array[Byte](8192)
+              var n = h2In.read(buf)
+              while (n >= 0) { received.addAndGet(n); n = h2In.read(buf) }
+            }, "bp-consumer")
+            t.setDaemon(true); t.start()
+            true
+          })
+        peer.serveLoop()
+      } catch { case _: Exception => () }
+    }, "bp-server")
+    srvT.setDaemon(true); srvT.start()
+    val sock = new java.net.Socket("127.0.0.1", ss.getLocalPort)
+    sock.setTcpNoDelay(true)
+    try {
+      val (_, gout) = H2Framing.clientStream(
+        sock.getInputStream, sock.getOutputStream, "t")
+      val chunk = new Array[Byte](16 * 1024)
+      val flushes = 32 // 512 KiB total, 8× the initial stream window
+      val wrote = new java.util.concurrent.atomic.AtomicLong(0)
+      val writer = new Thread(() => {
+        var i = 0
+        while (i < flushes) {
+          gout.write(chunk); gout.flush()
+          wrote.addAndGet(chunk.length): Unit
+          i += 1
+        }
+      }, "bp-writer")
+      writer.setDaemon(true); writer.start()
+      Thread.sleep(1500)
+      assert(writer.isAlive, "writer finished with the consumer parked")
+      val stalled = wrote.get()
+      assert(stalled <= 80 * 1024,
+        s"wrote $stalled B against a parked consumer — window not enforced")
+      gate.countDown()
+      writer.join(20000)
+      assert(!writer.isAlive, "writer did not resume after the consumer drained")
+      // every byte arrives (payload + a few framing bytes per flush)
+      val floor = flushes.toLong * chunk.length
+      val ceil = flushes.toLong * (chunk.length + 16)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (received.get() < floor && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(200) // no stragglers past the framing allowance
+      assert(received.get() >= floor && received.get() <= ceil,
+        s"received ${received.get()} B after drain, expected in [$floor, $ceil]")
+    } finally { sock.close(); ss.close() }
+  }
 }
