@@ -72,6 +72,31 @@ object Bench {
     "l66_lm_perplexity", "l9_embdup_lsh", "m37_incr_components",
     "m41_incr_triangles", "q20_unpivot")
 
+  @volatile private var calibSink = 0L
+  /** Host-calibration kernel (VERDICT r11 #3): fixed-work, allocation-free
+    * splitmix64 mixing, timed at run start, middle, and end. The identical
+    * instruction stream on a slower or contended host takes measurably
+    * longer, so `calib` turns cross-host CPU comparisons into a measured
+    * slowdown factor (driver_calib / local_calib) instead of the standing
+    * ~2x ambiguity (l64's executor-CPU offset, VERDICT r11 finding #2).
+    * Single-threaded on purpose: it prices PER-CORE throughput — the unit
+    * executor-thread CPU attribution is denominated in — not scheduler
+    * capacity; three samples bracket the run so a mid-run host phase
+    * shows up as start/mid/end spread. ~0.5 s per sample. */
+  private def calibKernel(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+      x ^= x >>> 27; x *= 0x94d049bb133111ebL
+      x ^= x >>> 31
+      i += 1
+    }
+    calibSink = x // publish: the loop must survive dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Per-OS-thread cumulative CPU seconds, grouped by comm-name prefix
     * (digits/# stripped: "C2 CompilerThre", "GC Thread", "Executor task
     * l"...). Includes JVM-internal threads ThreadMXBean can't see. */
@@ -266,6 +291,11 @@ object Bench {
         if (jit0 >= 0) jitSec - jit0 else -1.0, heapMb, th)
     }
 
+    // calibration sample 1: JIT-warm the kernel once (unrecorded), then
+    // time it — the warm sample is the comparable one across hosts
+    calibKernel()
+    val calibStart = calibKernel()
+
     val cpu0 = procCpuSec
     val wall0 = System.nanoTime()
 
@@ -300,6 +330,8 @@ object Bench {
       name -> s1.wall
     }
 
+    val calibMid = calibKernel()
+
     // VERDICT r10 #2: the r9/r10 suspect cluster gets a wholesale second
     // pass after the sorted order completes. Inflated pass 1 + flat pass 2
     // (same JVM, minutes apart) proves a phase effect from the artifact
@@ -307,6 +339,9 @@ object Bench {
     val secondQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name))
       secondQ(name) = measure(name, fn, recordFailure = false)
+
+    val calibEnd = calibKernel()
+    val calibJson = f"""[$calibStart%.3f,$calibMid%.3f,$calibEnd%.3f]"""
 
     val total = results.map(_._2).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -338,7 +373,7 @@ object Bench {
     val wscJson = cgQ.map { case (k, (_, in, tot)) => s""""$k":"$in/$tot"""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"calib":$calibJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -353,7 +388,7 @@ object Bench {
     val spCompact = secondQ.map { case (k, s) =>
       s""""$k":[${fmt(perQ(k).wall)},${fmt(s.wall)}]""" }.mkString("{", ",", "}")
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"calib":$calibJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {

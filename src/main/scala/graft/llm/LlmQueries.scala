@@ -372,8 +372,13 @@ object LlmQueries {
     // KMV set algebra: cross-source union/jaccard/intersection estimates
     // from merged per-source k-minima — the sketch-MERGE face of l42
     // (what 1000 executors ship to one reducer), exact-intersection audit
+    // default plan = the 100 TB plan: sketch-only set algebra, every join
+    // k·|sources|²-bounded; the exact-intersection audit (the one
+    // full-gram-domain self-join) lives behind the verify-only l63b twin
     "l63_kmv_setops" -> { (s, dir) =>
       TextStats.kmvSetOps(Tables.documents(s, dir)) },
+    "l63b_kmv_exact_audit" -> { (s, dir) =>
+      TextStats.kmvSetOps(Tables.documents(s, dir), exactAudit = true) },
 
     // STREAMING KMV maintenance through the oracle gate: four REAL
     // micro-batches each fold their per-source k-minima into generation-
@@ -1303,6 +1308,67 @@ object LlmQueries {
 
   /** The l42 KMV chain — shared verbatim by the streaming sketch gate
     * (m33): batch-vs-streaming mergeability must be invisible here. */
+  /** l63/l63b oracle: the sketch algebra is shared verbatim; only l63b
+    * appends the full-gram-domain exact-intersection audit (the join the
+    * default plan deliberately omits). */
+  private def kmvSetopsOracleSql(exactAudit: Boolean): String = {
+    val exCte = if (!exactAudit) "" else """,
+      |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+      |         COUNT(*) AS n_exact_inter
+      |       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      |       GROUP BY 1, 2)""".stripMargin
+    val exCol = if (!exactAudit) ""
+      else ",\n  COALESCE(n_exact_inter, 0) AS n_exact_inter"
+    val exJoin = if (!exactAudit) ""
+      else " LEFT JOIN ex USING (source_a, source_b)"
+    s"""WITH sh3 AS (
+      |  SELECT source, [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                  for i in range(1, len(s) - 1)] AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)
+      |  WHERE len(s) >= 3),
+      |d AS (SELECT DISTINCT source, md5(gram) AS h
+      |      FROM (SELECT source, unnest(g) AS gram FROM sh3)),
+      |mins AS (SELECT source, h FROM
+      |         (SELECT source, h,
+      |            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      |          FROM d) WHERE rk <= 256),
+      |srcs AS (SELECT DISTINCT source FROM mins),
+      |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+      |          FROM srcs a JOIN srcs b ON a.source < b.source),
+      |ph AS (
+      |  SELECT source_a, source_b, h, 1 AS side_a
+      |  FROM pairs JOIN mins m ON m.source = pairs.source_a
+      |  UNION ALL
+      |  SELECT source_a, source_b, h, 0 AS side_a
+      |  FROM pairs JOIN mins m ON m.source = pairs.source_b),
+      |mh AS (SELECT source_a, source_b, h,
+      |         MAX(side_a) AS in_a, MAX(1 - side_a) AS in_b
+      |       FROM ph GROUP BY 1, 2, 3),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM mh),
+      |sz AS (SELECT source_a, source_b, COUNT(*) AS n_m,
+      |         LEAST(CAST(256 AS BIGINT), COUNT(*)) AS k_used
+      |       FROM r GROUP BY 1, 2),
+      |st AS (SELECT source_a, source_b, n_m, k_used,
+      |         CAST(SUM(in_a * in_b) AS BIGINT) AS shared_minima,
+      |         MAX(CASE WHEN rn = k_used THEN h END) AS kth_h
+      |       FROM r JOIN sz USING (source_a, source_b)
+      |       WHERE rn <= k_used GROUP BY 1, 2, 3, 4)$exCte
+      |SELECT st.source_a, st.source_b, k_used, shared_minima,
+      |  CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
+      |       ELSE 255.0 * 1152921504606846976.0 /
+      |         CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
+      |  END AS kmv_union_est,
+      |  shared_minima * 1.0 / k_used AS kmv_jacc_est,
+      |  (shared_minima * 1.0 / k_used) *
+      |  (CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
+      |        ELSE 255.0 * 1152921504606846976.0 /
+      |          CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
+      |   END) AS kmv_inter_est$exCol
+      |FROM st$exJoin
+      |ORDER BY source_a, source_b""".stripMargin
+  }
+
   private val kmvOracleSql: String =
     """WITH sh3 AS (
       |  SELECT source, [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
@@ -1853,59 +1919,10 @@ object LlmQueries {
     // KMV set-ops mirror: the same per-source k-minima (row_number over
     // the full distinct sets — identical lists by the subset property),
     // merged per pair, ranked, and fed through the identical estimator
-    // arithmetic; exact intersection from the full gram sets as audit
-    "l63_kmv_setops" ->
-      """WITH sh3 AS (
-        |  SELECT source, [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                  for i in range(1, len(s) - 1)] AS g
-        |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)
-        |  WHERE len(s) >= 3),
-        |d AS (SELECT DISTINCT source, md5(gram) AS h
-        |      FROM (SELECT source, unnest(g) AS gram FROM sh3)),
-        |mins AS (SELECT source, h FROM
-        |         (SELECT source, h,
-        |            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
-        |          FROM d) WHERE rk <= 256),
-        |srcs AS (SELECT DISTINCT source FROM mins),
-        |pairs AS (SELECT a.source AS source_a, b.source AS source_b
-        |          FROM srcs a JOIN srcs b ON a.source < b.source),
-        |ph AS (
-        |  SELECT source_a, source_b, h, 1 AS side_a
-        |  FROM pairs JOIN mins m ON m.source = pairs.source_a
-        |  UNION ALL
-        |  SELECT source_a, source_b, h, 0 AS side_a
-        |  FROM pairs JOIN mins m ON m.source = pairs.source_b),
-        |mh AS (SELECT source_a, source_b, h,
-        |         MAX(side_a) AS in_a, MAX(1 - side_a) AS in_b
-        |       FROM ph GROUP BY 1, 2, 3),
-        |r AS (SELECT *, ROW_NUMBER() OVER
-        |        (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM mh),
-        |sz AS (SELECT source_a, source_b, COUNT(*) AS n_m,
-        |         LEAST(CAST(256 AS BIGINT), COUNT(*)) AS k_used
-        |       FROM r GROUP BY 1, 2),
-        |st AS (SELECT source_a, source_b, n_m, k_used,
-        |         CAST(SUM(in_a * in_b) AS BIGINT) AS shared_minima,
-        |         MAX(CASE WHEN rn = k_used THEN h END) AS kth_h
-        |       FROM r JOIN sz USING (source_a, source_b)
-        |       WHERE rn <= k_used GROUP BY 1, 2, 3, 4),
-        |ex AS (SELECT a.source AS source_a, b.source AS source_b,
-        |         COUNT(*) AS n_exact_inter
-        |       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
-        |       GROUP BY 1, 2)
-        |SELECT st.source_a, st.source_b, k_used, shared_minima,
-        |  CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
-        |       ELSE 255.0 * 1152921504606846976.0 /
-        |         CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
-        |  END AS kmv_union_est,
-        |  shared_minima * 1.0 / k_used AS kmv_jacc_est,
-        |  (shared_minima * 1.0 / k_used) *
-        |  (CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
-        |        ELSE 255.0 * 1152921504606846976.0 /
-        |          CAST(CAST(('0x' || substring(kth_h, 1, 15)) AS BIGINT) AS DOUBLE)
-        |   END) AS kmv_inter_est,
-        |  COALESCE(n_exact_inter, 0) AS n_exact_inter
-        |FROM st LEFT JOIN ex USING (source_a, source_b)
-        |ORDER BY source_a, source_b""".stripMargin,
+    // arithmetic. l63 = the default sketch-only plan; l63b adds the
+    // exact intersection from the full gram sets as audit
+    "l63_kmv_setops" -> kmvSetopsOracleSql(exactAudit = false),
+    "l63b_kmv_exact_audit" -> kmvSetopsOracleSql(exactAudit = true),
 
     // count-min mirror: identical md5 cell derivation, integer counts,
     // min fold over the depth rows — no float anywhere

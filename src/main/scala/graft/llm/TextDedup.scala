@@ -566,8 +566,10 @@ object TextDedup {
     * collected). Chosen well past every contracted-label-graph size a
     * micro-batch can produce at gate scale, and well under driver-memory
     * risk at any scale — a bounded-by-design collect, like the
-    * incrTriangles broadcast threshold. */
-  val SmallGraphEdgeCap: Long = 1L << 18
+    * incrTriangles broadcast threshold. Value and bounding argument live
+    * in [[graft.operators.DriverGates.SmallGraphEdgeCap]] with the other
+    * gate budgets. */
+  val SmallGraphEdgeCap: Long = graft.operators.DriverGates.SmallGraphEdgeCap
 
   /** Connected-components resolution over a near-dup pair list — the step
     * that turns any of the pair families ([[minhashNearDup]],

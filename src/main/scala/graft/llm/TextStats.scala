@@ -788,15 +788,19 @@ object TextStats {
     * hash: such a hash h ∈ A satisfies h ≤ u_k(A∪B) ≤ u_k(A), so h is in
     * minima(A) — no false negatives, the estimator is well-defined.
     *
-    * The exact distinct-gram intersection rides along as the audit column
-    * (the l42/l62 pattern: the output itself measures the sketch's error,
-    * ~1/√k on jaccard). A 100 TB deployment keeps only the sketch side —
-    * the exact audit is the one full-domain self-join here.
+    * With `exactAudit = true` the exact distinct-gram intersection rides
+    * along as an audit column (the l42/l62 pattern: the output itself
+    * measures the sketch's error, ~1/√k on jaccard) — but that audit is
+    * the one full-gram-domain self-join in the operator, so it is OFF by
+    * default: the DEFAULT plan is the 100 TB plan (sketch-only, every
+    * join k·|sources|²-bounded), and the audited form survives as the
+    * verify-only l63b twin.
     *
     * All arithmetic is engine-identical: integer counts, the one-rounding
     * kmvEst division, one integer-ratio division for jacc, and a single
     * double product for inter_est. */
-  def kmvSetOps(docs: DataFrame, k: Int = 256): DataFrame = {
+  def kmvSetOps(docs: DataFrame, k: Int = 256,
+      exactAudit: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val dist = sourceGramHashes(docs)
@@ -831,19 +835,22 @@ object TextStats {
     val unionEst = when(col("n_m") < k, col("n_m").cast("double"))
       .otherwise(kmvEst(k, col("kth_h")))
     val jaccEst = col("shared_minima").cast("double") / col("k_used").cast("double")
-    // exact audit: distinct-gram intersection per pair (gate scale only)
-    val exact = dist.as("da").join(dist.as("db"),
-        col("da.h") === col("db.h") && col("da.source") < col("db.source"))
-      .groupBy(col("da.source").as("source_a"), col("db.source").as("source_b"))
-      .agg(count(lit(1)).as("n_exact_inter"))
-    stats
-      .join(exact, Seq("source_a", "source_b"), "left")
+    val sketch = stats
       .select(col("source_a"), col("source_b"), col("k_used"),
         col("shared_minima"),
         unionEst.as("kmv_union_est"),
         jaccEst.as("kmv_jacc_est"),
-        (jaccEst * unionEst).as("kmv_inter_est"),
-        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+        (jaccEst * unionEst).as("kmv_inter_est"))
+    if (!exactAudit) return sketch.orderBy("source_a", "source_b")
+    // exact audit: distinct-gram intersection per pair — the full-domain
+    // self-join the default plan deliberately omits
+    val exact = dist.as("da").join(dist.as("db"),
+        col("da.h") === col("db.h") && col("da.source") < col("db.source"))
+      .groupBy(col("da.source").as("source_a"), col("db.source").as("source_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    sketch
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .withColumn("n_exact_inter", coalesce(col("n_exact_inter"), lit(0L)))
       .orderBy("source_a", "source_b")
   }
 

@@ -1,0 +1,53 @@
+package graft.operators
+
+/** The one place the size-gated driver fast paths state their budgets.
+  *
+  * Shared policy (the ×10-bench lesson, BENCH_SCALE r11): driver work
+  * must be bounded by the BYTES COLLECTED and the PROBES EXECUTED, never
+  * by an edge count alone — an edge-count cap bounds neither wedge volume
+  * on dense near-clique graphs nor the per-batch driver round-trip of a
+  * growing state. Each constant below carries its own bounding argument;
+  * they were previously magic literals duplicated across Graph.scala and
+  * TextDedup.scala and will now drift together, not apart. Every gated
+  * operator takes its cap as a parameter defaulting to these, so tests
+  * pin BOTH paths (cap 0 forces distributed, cap ∞ forces the driver
+  * side — which the wedge/probe budgets may still veto, by design).
+  */
+object DriverGates {
+
+  /** Edge cap for the rank family's driver fast path (pageRank, weighted,
+    * personalized, HITS, triangleCounts' collect). Bounding argument:
+    * BYTES — 2M edge rows ≈ 100–200 MB transient on an 8 GiB driver, the
+    * same order as a broadcast-join build side. The work per edge is a
+    * handful of integer ops × iters, so once the bytes fit, the driver
+    * loop beats ~16–20 scheduler waves of join+reduce (measured 6–8 s of
+    * pure scheduling on sub-millisecond math at sf0.1). */
+  val RankGraphEdgeCap: Long = 2000000L
+
+  /** Edge cap for dedupClusters' driver union-find. Bounding argument:
+    * BYTES — 2^18 symmetrized edge structs are single-digit MB collected;
+    * union-find is near-linear so work tracks bytes. Sized well past any
+    * contracted-label-graph a micro-batch can produce (≤ 2·|batch|
+    * nodes), well under driver-memory risk at any corpus size. */
+  val SmallGraphEdgeCap: Long = 1L << 18
+
+  /** Probe budget for driver-side wedge closures (triangleCounts and
+    * incrTriangles' set-intersection loops). Bounding argument: PROBES —
+    * wedge volume is Σ min(deg(u), deg(v)) (resp. Σ outdeg²), which an
+    * edge cap does NOT bound on dense near-clique graphs (the
+    * replicated-corpus dedup shape blows it up quadratically while
+    * staying edge-small; measured DOUBLING m41's ×10 wall before this
+    * budget existed). 20M hash-set probes are tens of ms of driver CPU;
+    * over budget the collected arrays are discarded and the 32-way join
+    * plan does the closure. */
+  val WedgeProbeBudget: Long = 20000000L
+
+  /** Row cap for INCREMENTAL driver state (incrTriangles' standing
+    * edges + counts). Bounding argument: ROUND-TRIPS — unlike a one-shot
+    * collect, maintained state crosses the driver EVERY batch (collect +
+    * re-embed), so the win flips to a loss long before the collect
+    * itself hurts: measured at the ×10 gate (313k state rows) the driver
+    * path doubled m41's wall while its wedge math stayed trivial. 2^17
+    * rows keeps the per-batch round-trip in the low-MB, low-ms range. */
+  val IncrStateRowCap: Long = 1L << 17
+}

@@ -55,8 +55,9 @@ object Graph {
     * driver — bounded by design, the same order as a broadcast-join
     * build side (the sf0.1 co-purchase graph is 1.17M symmetrized edge
     * rows; the ×10 bench graph stays distributed, so BOTH paths run
-    * under measurement every round). */
-  val RankGraphEdgeCap: Long = 2000000L
+    * under measurement every round). Value and bounding argument live in
+    * [[DriverGates.RankGraphEdgeCap]] with the other gate budgets. */
+  val RankGraphEdgeCap: Long = DriverGates.RankGraphEdgeCap
 
   /** The shared driver-side fixed point: `rows` carry (src, dst, ...),
     * `contribOf(rank, row)` states the per-edge integer contribution —
@@ -566,7 +567,7 @@ object Graph {
       // and let the 32-way plan below do the closure
       val wedgeBudget = out.valuesIterator
         .map(n => n.length.toLong * n.length).sum
-      if (wedgeBudget <= 20000000L) {
+      if (wedgeBudget <= DriverGates.WedgeProbeBudget) {
         e.unpersist()
         val cnt = new scala.collection.mutable.HashMap[Long, Long]()
         def bump(n: Long): Unit = cnt.update(n, cnt.getOrElse(n, 0L) + 1L)
@@ -814,7 +815,7 @@ object Graph {
     // the plan), so the win flips to a loss long before the collect
     // itself hurts — measured at the ×10 gate (313k state rows): the
     // driver path DOUBLED m41's wall while its wedge math stayed trivial
-    val stateCap = math.min(smallGraphCap, 1L << 17)
+    val stateCap = math.min(smallGraphCap, DriverGates.IncrStateRowCap)
     if (longKeys && smallGraphCap > 0 &&
         eOld.count() + dECount <= stateCap) {
       val newE = dE.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -836,7 +837,7 @@ object Graph {
       // this guard exists for).
       val wedgeBudget = newE.iterator
         .map { case (u, v) => math.min(adj(u).size, adj(v).size).toLong }.sum
-      if (wedgeBudget <= 20000000L) {
+      if (wedgeBudget <= DriverGates.WedgeProbeBudget) {
         dE.unpersist()
         val cnt = new scala.collection.mutable.HashMap[Long, Long]()
         cOld.collect().foreach(r => cnt.update(r.getLong(0), r.getLong(1)))

@@ -1072,9 +1072,20 @@ class LlmSpec extends SparkSpec {
       (200L, "x0 x1 x2 x3 x4", "y_s1"),
       (201L, "x2 x3 x4 x5 x6", "z_s2"))
     val df = (aBig ++ bBig ++ tiny).toDF("doc_id", "text", "source")
-    val out = TextStats.kmvSetOps(df).collect().map { r =>
+    val out = TextStats.kmvSetOps(df, exactAudit = true).collect().map { r =>
       (r.getString(0), r.getString(1)) -> r
     }.toMap
+    // the DEFAULT plan is sketch-only (no full-domain self-join, no audit
+    // column) and its sketch columns match the audited run exactly
+    val dflt = TextStats.kmvSetOps(df)
+    assert(!dflt.columns.contains("n_exact_inter"),
+      "default kmvSetOps still carries the exact-audit column")
+    val dfltRows = dflt.collect().map { r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_inter_est")
+    }.toMap
+    assert(dfltRows.keySet == out.keySet &&
+      dfltRows.forall { case (k, v) => out(k).getAs[Double]("kmv_inter_est") == v },
+      "sketch columns diverge between audited and default plans")
     val bigPair = out(("a_big", "b_big"))
     val nInter = bigPair.getAs[Long]("n_exact_inter")
     assert(nInter == 5 * 598, s"engineered intersection off: $nInter")
@@ -1102,9 +1113,10 @@ class LlmSpec extends SparkSpec {
     assert(cross.getAs[Long]("n_exact_inter") == 0 &&
       cross.getAs[Double]("kmv_jacc_est") == 0.0)
     // partitioning invariance: pure function of the data
-    val again = TextStats.kmvSetOps(df.repartition(13)).collect().map { r =>
-      (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_inter_est")
-    }.toMap
+    val again = TextStats.kmvSetOps(df.repartition(13), exactAudit = true)
+      .collect().map { r =>
+        (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_inter_est")
+      }.toMap
     assert(again(("a_big", "b_big")) == interEst)
   }
 
