@@ -18,10 +18,17 @@ import graft.streaming.{UtpCodec => C}
   * `Unitdb/Stream` bidi rpc, each uTP packet riding one `Packet` proto
   * ([[H2Framing]]). The two flags are mutually exclusive. */
 final class UtpClient(host: String, port: Int, ws: Boolean = false,
-    grpc: Boolean = false) extends AutoCloseable {
+    grpc: Boolean = false,
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   require(!(ws && grpc), "pick one transport")
+  // the server's gRPC face is h2c — cleartext by definition; a TLS h2
+  // face would be a different transport (grpc-go swaps creds for it)
+  require(!(grpc && tls.isDefined), "the grpc face is h2c (cleartext)")
 
-  private val sock = new Socket(host, port)
+  private val sock = tls match {
+    case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
+    case None      => new Socket(host, port)
+  }
   sock.setTcpNoDelay(true)
   private val (in, out) =
     if (grpc) {

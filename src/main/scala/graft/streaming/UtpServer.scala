@@ -55,9 +55,19 @@ import graft.streaming.{UtpCodec => C}
   * gRPC over h2c (`rpc Stream (stream Packet) returns (stream Packet)`,
   * unitdb.proto:7-10 / hdl_grpc.go): [[H2Framing]] handles RFC 7540 +
   * gRPC message framing and each accepted bidi stream runs the same
-  * serve loop — one h2 connection can carry several uTP sessions. */
+  * serve loop — one h2 connection can carry several uTP sessions.
+  *
+  * `tls` mirrors the reference's optional `tls.Config`
+  * (server/internal/net/server.go:84-88, default nil = plaintext): when
+  * set, the tcp and ws listeners accept through the context's
+  * SSLServerSocketFactory — the byte-stream layering above is untouched,
+  * TLS is one more wrapper under [[WsFraming]]/the packet loop. The h2c
+  * face stays cleartext BY NAME (that is what the "c" means): it is the
+  * documented twin of the reference's grpc-go `WithInsecure` default
+  * (hdl_grpc.go:74-76 — its TLS path swaps creds, not framing). */
 final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
-    wsPort: Int = -1, grpcPort: Int = -1) {
+    wsPort: Int = -1, grpcPort: Int = -1,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   /** One live connection: identity key for the registries plus the
     * (possibly transport-wrapped) byte streams the packet loop uses.
@@ -73,10 +83,14 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
     val reliableIds = new AtomicInteger(0)
   }
 
-  private val server = new ServerSocket(port)
+  private def bind(p: Int): ServerSocket = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(p)
+    case None      => new ServerSocket(p)
+  }
+  private val server = bind(port)
   private val wsServer: Option[ServerSocket] =
-    if (wsPort >= 0) Some(new ServerSocket(wsPort)) else None
-  private val grpcServer: Option[ServerSocket] =
+    if (wsPort >= 0) Some(bind(wsPort)) else None
+  private val grpcServer: Option[ServerSocket] = // h2c: cleartext by name
     if (grpcPort >= 0) Some(new ServerSocket(grpcPort)) else None
   private val running = new AtomicBoolean(true)
   private val connIds = new AtomicInteger(0)

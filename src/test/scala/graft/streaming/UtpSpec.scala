@@ -1151,6 +1151,70 @@ class UtpSpec extends SparkSpec {
     }
   }
 
+  test("tls: full sessions run over the wrapped tcp and ws faces; a " +
+      "plaintext intruder drops without killing the listener") {
+    // reference parity: WithTLSConfig (server.go:84-88) wraps the same
+    // listeners; default stays plaintext. Self-signed material comes from
+    // the JDK's own keytool — no fixture files, valid for the test run.
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("graft_tls")
+    val (ksF, certF) = (s"$dir/ks.p12", s"$dir/srv.cer")
+    val keytool = System.getProperty("java.home") + "/bin/keytool"
+    assert(Seq(keytool, "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksF,
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-validity", "2").! == 0, "keytool genkeypair failed")
+    assert(Seq(keytool, "-exportcert", "-alias", "srv", "-keystore", ksF,
+      "-storepass", "changeit", "-file", certF).! == 0, "exportcert failed")
+    val kks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksF)
+    try kks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kks, "changeit".toCharArray)
+    val srvCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    srvCtx.init(kmf.getKeyManagers, null, null)
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val cis = new java.io.FileInputStream(certF)
+    val cert = try cf.generateCertificate(cis) finally cis.close()
+    val tks = java.security.KeyStore.getInstance("PKCS12")
+    tks.load(null, null)
+    tks.setCertificateEntry("srv", cert)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(tks)
+    val cliCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    cliCtx.init(null, tmf.getTrustManagers, null)
+
+    val store = Files.createTempDirectory("graft_utp_tls").toString + "/store"
+    val db = UnitDb.open(spark, store)
+    val srv = new UtpServer(db, port = 0, wsPort = 0, tls = Some(srvCtx))
+    try {
+      // a PLAINTEXT client against the TLS port must fail its handshake
+      // (the uTP CONNECT bytes are not a ClientHello) without taking the
+      // listener down for the real clients below
+      intercept[Exception] {
+        val bad = new UtpClient("127.0.0.1", srv.actualPort)
+        try bad.connect("intruder") finally bad.close()
+      }
+      for (overWs <- Seq(false, true)) {
+        val port = if (overWs) srv.actualWsPort else srv.actualPort
+        val pub = new UtpClient("127.0.0.1", port, ws = overWs,
+          tls = Some(cliCtx))
+        val sub = new UtpClient("127.0.0.1", port, ws = overWs,
+          tls = Some(cliCtx))
+        assert(pub.connect(s"tls-pub-$overWs") > 0)
+        assert(sub.connect(s"tls-sub-$overWs") > 0)
+        sub.subscribe(("tls.a.*", 0))
+        pub.publish(("tls.a.x", s"secret-$overWs".getBytes))
+        val got = sub.nextDelivery()
+        assert(got.map(p => new String(p._2)) == Seq(s"secret-$overWs"),
+          s"ws=$overWs delivery: $got")
+        sub.close(); pub.close()
+      }
+    } finally { srv.close(); db.close() }
+  }
+
   test("ws: subprotocol offer split across header lines still confirms (ADVICE r11)") {
     // RFC 7230 §3.2.2 list syntax: two Sec-WebSocket-Protocol lines ≡ one
     // comma-joined line — a gorilla-style strict client offering grpc_web
