@@ -303,12 +303,18 @@ object Bench {
     // passes none and measures everything). *_distpath names are the
     // distributed-path oracle twins of size-gated operators — correctness
     // entries, not workloads: they re-run their siblings' plans with the
-    // driver fast path forced off, so timing them on gate-scale data
-    // measures only the round waves the gate exists to avoid (the sf1
-    // graphs exceed the caps and time the distributed path with real
-    // data). Explicit args still select them for ad-hoc measurement.
+    // driver fast path forced off, so timing them on GATE-scale data
+    // (sf0.1, the driver's run) measures only the round waves the gate
+    // exists to avoid. On SCALE runs (any other SF dir — the ×10/×100
+    // probes) they ARE included: the scale graphs are supposed to exceed
+    // the caps and run distributed anyway, so the forced twins cost ~one
+    // duplicate measurement and guard against a future cap raise silently
+    // re-gating the scale graphs (VERDICT r11 #7). Explicit args still
+    // select anything by name.
+    val gateScale = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val wanted = if (args.isEmpty)
-                   SparkEntry.queries.filter(!_._1.endsWith("_distpath"))
+                   SparkEntry.queries.filter(kv =>
+                     !gateScale || !kv._1.endsWith("_distpath"))
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val perQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     val rerunQ = scala.collection.mutable.LinkedHashMap[String, (QStat, QStat)]()

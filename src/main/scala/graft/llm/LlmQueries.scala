@@ -478,10 +478,12 @@ object LlmQueries {
       TextDedup.minhashNearDup(Tables.documents(s, dir))
         .select("doc_a", "doc_b")
         .repartition(4).write.parquet(s"$base/src")
-      val schema = s.read.parquet(s"$base/src").schema
+      val srcPq = s.read.parquet(s"$base/src")
+      val schema = srcPq.schema
       // only the streaming fold runs at 8-way partitioning — the LSH
-      // pair-list prep above wants the session's full width
-      graft.queries.QUtil.withStreamParts(s, 8) {
+      // pair-list prep above wants the session's full width, and a
+      // SCALE-sized pair list keeps it too (withStreamPartsFor doc)
+      graft.queries.QUtil.withStreamPartsFor(s, 8, srcPq.count()) {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
         graft.operators.Graph.trianglesMaintain(
@@ -504,9 +506,10 @@ object LlmQueries {
       TextDedup.minhashNearDup(Tables.documents(s, dir))
         .select("doc_a", "doc_b")
         .repartition(4).write.parquet(s"$base/src")
-      val schema = s.read.parquet(s"$base/src").schema
-      // streaming fold at 8-way partitioning (see m41's note)
-      graft.queries.QUtil.withStreamParts(s, 8) {
+      val srcPq = s.read.parquet(s"$base/src")
+      val schema = srcPq.schema
+      // streaming fold at 8-way partitioning when small (see m41's note)
+      graft.queries.QUtil.withStreamPartsFor(s, 8, srcPq.count()) {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
         graft.operators.Graph.componentsMaintain(

@@ -42,6 +42,17 @@ object DriverGates {
     * plan does the closure. */
   val WedgeProbeBudget: Long = 20000000L
 
+  /** Node cap below which the rank family's PER-ROUND score frame gets
+    * an explicit broadcast hint. Bounding argument: BYTES — 4M
+    * (node, long) rows ≈ 130 MB build side, comfortably inside executor
+    * memory. Catalyst's auto-broadcast stops at 10 MB, so past ~600k
+    * nodes it silently switches every round to a sort-merge join that
+    * RE-SORTS the full cached edge frame — measured at the ×100 probe:
+    * q38's 117M-row edge frame paid 8 such sorts (18× wall for 10×
+    * rows). Above the cap the planner/AQE picks freely — a billion-node
+    * score frame must shuffle, not broadcast. */
+  val RankBroadcastNodeCap: Long = 4000000L
+
   /** Row cap for INCREMENTAL driver state (incrTriangles' standing
     * edges + counts). Bounding argument: ROUND-TRIPS — unlike a one-shot
     * collect, maintained state crosses the driver EVERY batch (collect +

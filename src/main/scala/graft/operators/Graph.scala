@@ -236,12 +236,18 @@ object Graph {
     }
     val PreppedEdges(ej, deg, n, _) = prepareEdges(e)
     val teleport = (15L * scale) / (100L * n)
+    // the per-round score frame is broadcast-sized long after the edge
+    // frame stops being: an explicit hint keeps every round a broadcast
+    // hash join over the CACHED edges (no per-round sort/shuffle of the
+    // edge frame — the ×100-probe q38 lesson, DriverGates doc)
+    def rankSide(f: DataFrame): DataFrame =
+      if (n <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
     var i = 0
     while (i < iters) {
       i += 1
-      ranks = ej.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      ranks = ej.join(rankSide(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(85 * r) div (100 * outdeg)")).as("contrib"))
         .select(col("node"), (lit(teleport) + col("contrib")).as("r"))
@@ -333,12 +339,15 @@ object Graph {
     val n = deg.count()
     require(n >= 1, "rank iteration needs a non-empty edge list")
     val teleport = (15L * scale) / (100L * n)
+    // broadcast the round's score frame under the node cap (see pageRank)
+    def rankSide(f: DataFrame): DataFrame =
+      if (n <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
     var i = 0
     while (i < iters) {
       i += 1
-      ranks = ej.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      ranks = ej.join(rankSide(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(((85 * r) div 100) * w) div wdeg")).as("contrib"))
         .select(col("node"), (lit(teleport) + col("contrib")).as("r"))
@@ -484,8 +493,11 @@ object Graph {
         return rankDf(e, "src", ranks, "rank_fp")
       case None => ()
     }
-    val PreppedEdges(ej, deg, _, _) = prepareEdges(e)
+    val PreppedEdges(ej, deg, nNodes, _) = prepareEdges(e)
     val flagged = seedSet.withColumn("__seed", lit(1))
+    // broadcast the round's score frame under the node cap (see pageRank)
+    def rankSide(f: DataFrame): DataFrame =
+      if (nNodes <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
     var ranks = deg.select(col("src").as("node"))
       .join(broadcast(flagged), Seq("node"), "left")
       .select(col("node"),
@@ -494,7 +506,7 @@ object Graph {
     var i = 0
     while (i < iters) {
       i += 1
-      ranks = ej.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      ranks = ej.join(rankSide(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(85 * r) div (100 * outdeg)")).as("contrib"))
         .join(broadcast(flagged), Seq("node"), "left")
@@ -595,15 +607,82 @@ object Graph {
           .orderBy("node")
       }
     }
-    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+    // Distributed path: TRUE-TWIN CONTRACTION first (the ×100-probe
+    // lesson, BENCH_SCALE r12). A replicated / heavily-duplicated corpus
+    // makes the near-dup pair graph CLIQUE-dense: every clone family is
+    // a clique whose wedge volume grows quadratically (measured at the
+    // ×100 probe: Σdeg² = 6.5e9, 27M pairs — the raw wedge join burned
+    // 4,570 CPU-s and OOM'd the executor). Nodes with identical CLOSED
+    // neighborhoods ("true twins" — exactly the clone families: closed-
+    // neighborhood equality implies the class is a clique and is
+    // uniformly adjacent to every neighbor class) contract to one
+    // weighted super-node, and per-node triangle counts expand EXACTLY:
+    // for u in class U (weight wU), with S1 = Σ_{A adj U} wA,
+    // S2 = Σ_{A adj U} C(wA,2), T4(U) = Σ_{A<B adj U, A adj B} wA·wB:
+    //   n_tri(u) = C(wU−1,2) + (wU−1)·S1 + S2 + T4(U)
+    // (the four cases: both co-members; one co-member + one neighbor;
+    // two in one neighbor class; two in distinct adjacent classes). The
+    // wedge enumeration runs ONLY on the contracted simple graph — the
+    // unique-content graph, orders of magnitude smaller under
+    // duplication — so cost is O(|E|) signatures + contracted wedges,
+    // never clone² work. This is the graph-side sibling of the r3
+    // dedup-collapse rule: collapse exact duplicates before any
+    // quadratic step. Class identity rides a 192-bit commutative
+    // signature (size, bit_xor, exact decimal sum of per-neighbor
+    // xxhash64) — the same hash-keyed-grouping trust model as the md5
+    // exact-dedup family.
+    // open-neighborhood aggregation (duplicate-free by e's distinct — no
+    // extra distinct shuffle over 2|E| rows), then the self term is ADDED
+    // ANALYTICALLY to make the signature the CLOSED neighborhood — the
+    // form under which twin classes are provably cliques
+    val sym = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("nbr")),
+        struct(col("v").as("n"), col("u").as("nbr")))).as("p"))
+      .select(col("p.n").as("n"), col("p.nbr").as("nbr"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sig = sym.groupBy("n").agg(
+        count(lit(1)).as("o_deg"),
+        expr("bit_xor(xxhash64(nbr))").as("o_xor"),
+        sum(xxhash64(col("nbr")).cast(dec38)).as("o_sum"))
+      .select(col("n"),
+        (col("o_deg") + 1).as("s_deg"),
+        col("o_xor").bitwiseXOR(xxhash64(col("n"))).as("s_xor"),
+        (col("o_sum") + xxhash64(col("n")).cast(dec38)).as("s_sum"))
+    val sigKey = Seq("s_deg", "s_xor", "s_sum")
+    val classes = sig.groupBy(sigKey.map(col): _*)
+      .agg(min(col("n")).as("cls"), count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodeClass = sig.join(classes, sigKey)
+      .select(col("n"), col("cls"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classW = classes.select(col("cls"), col("w"))
+    val cE = e
+      .join(nodeClass.select(col("n").as("u"), col("cls").as("cu")), "u")
+      .join(nodeClass.select(col("n").as("v"), col("cls").as("cv")), "v")
+      .filter(col("cu") =!= col("cv"))
+      .select(least(col("cu"), col("cv")).as("u"),
+        greatest(col("cu"), col("cv")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // S1/S2 over the contracted adjacency
+    val adjC = cE.select(explode(array(
+        struct(col("u").as("c"), col("v").as("a")),
+        struct(col("v").as("c"), col("u").as("a")))).as("p"))
+      .select(col("p.c").as("cls"), col("p.a").as("a"))
+      .join(classW.select(col("cls").as("a"), col("w").as("wa")), "a")
+    val s12 = adjC.groupBy("cls").agg(
+      sum(col("wa")).as("s1"),
+      sum(expr("(wa * (wa - 1)) div 2")).as("s2"))
+    // T4: the degree-ordered node-iterator on the CONTRACTED graph, with
+    // each found triangle (a,b,c) contributing the OPPOSITE pair's
+    // weight product to every corner
+    val degC = cE.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // orient low-rank → high-rank, carrying both endpoints' degrees so
-    // the wedge join can compare ranks without re-joining deg
     val rankLt = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = cE
+      .join(degC.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(degC.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(
         when(rankLt, col("u")).otherwise(col("v")).as("a"),
         when(rankLt, col("v")).otherwise(col("u")).as("b"),
@@ -618,9 +697,31 @@ object Graph {
     // already holds, so orientation cannot hide the closing edge)
     val closing = oriented.select(col("a").as("b"), col("b").as("c"))
     val tris = wedges.join(closing, Seq("b", "c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .join(classW.select(col("cls").as("a"), col("w").as("wa2")), "a")
+      .join(classW.select(col("cls").as("b"), col("w").as("wb2")), "b")
+      .join(classW.select(col("cls").as("c"), col("w").as("wc2")), "c")
+    val t4 = tris.select(explode(array(
+        struct(col("a").as("cls"), (col("wb2") * col("wc2")).as("t")),
+        struct(col("b").as("cls"), (col("wa2") * col("wc2")).as("t")),
+        struct(col("c").as("cls"), (col("wa2") * col("wb2")).as("t")))).as("p"))
+      .select(col("p.cls").as("cls"), col("p.t").as("t"))
+      .groupBy("cls").agg(sum(col("t")).as("t4"))
+    val perClass = classW
+      .join(s12, Seq("cls"), "left")
+      .join(t4, Seq("cls"), "left")
+      .select(col("cls"),
+        (expr("((w - 1) * (w - 2)) div 2") +
+          (col("w") - 1) * coalesce(col("s1"), lit(0L)) +
+          coalesce(col("s2"), lit(0L)) +
+          coalesce(col("t4"), lit(0L))).as("n_tri"))
+    val out = nodeClass.join(perClass, Seq("cls"))
+      .filter(col("n_tri") > 0)
+      .select(col("n").as("node"), col("n_tri"))
       .orderBy("node")
+      .localCheckpoint()
+    oriented.unpersist(); cE.unpersist(); nodeClass.unpersist()
+    classes.unpersist(); e.unpersist()
+    out
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) — the OTHER classic link
@@ -699,6 +800,18 @@ object Graph {
     val ea = e.repartition(parts, col("auth")).persist(Mem)
     eh.count(); ea.count(); e.unpersist()
     val scale = 1000000000000L
+    // broadcast each round's score frame under the node cap (see
+    // pageRank) — measured on the NODE counts, not m: at the ×100 probe
+    // the edge count (117M) dwarfed the cap while the score frames
+    // (1.6M nodes ≈ 26 MB) were exactly the broadcast-sized side the
+    // hint exists for, and an m-guard left all 16 phases as sort-merge
+    // joins (q42 = 128.6 s vs q43's 64.6 with the hint firing). Two
+    // one-off aggregates over the persisted edge frames buy 16 rounds
+    // of broadcast hash joins.
+    val nScore = math.max(eh.select(col("hub")).distinct().count(),
+      ea.select(col("auth")).distinct().count())
+    def scoreSide(f: DataFrame): DataFrame =
+      if (nScore <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
     def renorm(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))
@@ -729,11 +842,13 @@ object Graph {
       // auth subplan is re-evaluated under hub's renorm — measured
       // 94 → 146 CPU-s when tried lazily (exchange reuse dedupes the
       // shuffles but not the downstream aggregates/joins).
-      auth = renorm(eh.join(hub.withColumnRenamed("node", "hub"), Seq("hub"))
+      auth = renorm(eh.join(scoreSide(hub.withColumnRenamed("node", "hub")),
+          Seq("hub"))
         .groupBy(col("auth").as("node"))
         .agg(rawSum))
         .localCheckpoint()
-      hub = renorm(ea.join(auth.withColumnRenamed("node", "auth"), Seq("auth"))
+      hub = renorm(ea.join(scoreSide(auth.withColumnRenamed("node", "auth")),
+          Seq("auth"))
         .groupBy(col("hub").as("node"))
         .agg(rawSum))
         .localCheckpoint()
@@ -899,6 +1014,57 @@ object Graph {
     def batchSide(f: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(f) else f
     val allE = eOld.unionByName(dE).persist(Mem)
+    // Density gate (the ×100-probe lesson, BENCH_SCALE r12): the wedge
+    // closure below enumerates Σ_{ΔE} |N(u)∩N(v)| candidate rows — on a
+    // clique-dense graph (the replicated-corpus shape) that is quadratic
+    // in duplication while ΔE stays linear; measured 9,065 executor
+    // CPU-s / 2,197 s at the ×100 probe before this gate existed.
+    // Estimated by Σ min(deg u, deg v) over ΔE (two joins on the degree
+    // table, batch-proportional). Past the budget, per-new-edge
+    // accounting LOSES to one O(|E|) twin-contracted recompute of the
+    // whole count table ([[triangleCounts]]' contraction path), so do
+    // exactly that — maintained ≡ one-shot holds trivially, and the
+    // recompute is unique-content-sized, not clone²-sized.
+    val allECount = eOld.count() + dECount
+    val degAll = allE.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(Mem)
+    val wedgeEst = Option(dE
+      .join(degAll.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(degAll.select(col("n").as("v"), col("d").as("dv")), "v")
+      .agg(sum(least(col("du"), col("dv"))).as("s")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    degAll.unpersist()
+    // default budget: the shared probe floor, or 4× the linear recompute
+    // cost — whichever is larger; spark.graft.graph.wedgeRecomputeBudget
+    // overrides with an absolute value (tests pin both branches with it)
+    val recomputeBudget = pairs.sparkSession.conf
+      .get("spark.graft.graph.wedgeRecomputeBudget",
+        math.max(DriverGates.WedgeProbeBudget, 4L * allECount).toString).toLong
+    if (wedgeEst > recomputeBudget) {
+      val cNew = triangleCounts(
+        allE.select(col("u").as("src"), col("v").as("dst")),
+        smallGraphCap = 0) // force the twin-contracted distributed path
+        .select(col("node"), col("n_tri"))
+      val changedCounts = cNew.join(
+        cOld.select(col("node"), col("n_tri").as("__old")), Seq("node"), "left")
+        .filter(col("__old").isNull || col("__old") =!= col("n_tri"))
+        .select(col("node"))
+      val out = allE
+        .select(lit("e").as("kind"), col("u"), col("v"),
+          lit(null).cast("long").as("node"), lit(null).cast("long").as("n_tri"))
+        .unionByName(cNew.select(lit("c").as("kind"),
+          lit(null).cast("long").as("u"), lit(null).cast("long").as("v"),
+          col("node"), col("n_tri")))
+        .localCheckpoint()
+      val changed = dE
+        .select(col("u"), col("v"), lit(null).cast("long").as("node"))
+        .unionByName(changedCounts.select(lit(null).cast("long").as("u"),
+          lit(null).cast("long").as("v"), col("node")))
+        .localCheckpoint()
+      dE.unpersist(); allE.unpersist()
+      return (out, Some(changed))
+    }
     val adj = allE.select(explode(array(
         struct(col("u").as("x"), col("v").as("y")),
         struct(col("v").as("x"), col("u").as("y")))).as("e"))

@@ -86,4 +86,15 @@ object QUtil {
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** [[withStreamParts]], applied only while the source is SMALL: the
+    * narrow width exists to shave the micro-batch scheduler floor at
+    * gate scale, but on a scale run it strangles per-batch data work to
+    * a fraction of the machine (the ×100-probe m41 lesson: an 8-way
+    * fold ran a 27M-row per-batch recompute on a quarter of the cores).
+    * Past the row threshold the session keeps its own width and the
+    * per-batch floor is noise by construction. */
+  def withStreamPartsFor[A](s: SparkSession, n: Int, srcRows: Long)
+      (body: => A): A =
+    if (srcRows <= 2000000L) withStreamParts(s, n)(body) else body
 }

@@ -721,27 +721,31 @@ object TimeSeriesQueries {
     // version-argmax state algebra (KeyedUpsert doc) makes the final
     // table identical under ANY batch split, which is exactly what the
     // full-recompute oracle states.
-    "m29_stream_upsert" -> { (s, dir) => QUtil.withStreamParts(s, 8) {
+    "m29_stream_upsert" -> { (s, dir) =>
       import graft.operators.KeyedUpsert
       val base = java.nio.file.Files.createTempDirectory("graft_m29").toString
       Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(4).write.parquet(s"$base/src")
-      val schema = s.read.parquet(s"$base/src").schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-        .select(col("user_id"), tsec(col("ts")).as("t"),
-          col("event_id").as("eid"), col("event_type"), col("value"),
-          when(col("event_type") === "purchase", "delete")
-            .otherwise("upsert").as("op"))
-      val q = KeyedUpsert.maintain(src, "user_id", Seq("t", "eid"),
-        s"$base/state", s"$base/ckpt",
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination()
+      val srcPq = s.read.parquet(s"$base/src")
+      val schema = srcPq.schema
+      // 8-way only while the change stream is gate-sized (m41's note)
+      QUtil.withStreamPartsFor(s, 8, srcPq.count()) {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+          .select(col("user_id"), tsec(col("ts")).as("t"),
+            col("event_id").as("eid"), col("event_type"), col("value"),
+            when(col("event_type") === "purchase", "delete")
+              .otherwise("upsert").as("op"))
+        val q = KeyedUpsert.maintain(src, "user_id", Seq("t", "eid"),
+          s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
       KeyedUpsert.current(KeyedUpsert.readState(s, s"$base/state"))
         .select("user_id", "t", "eid", "event_type", "value")
         .orderBy("user_id")
-    } },
+    },
 
     // Seasonal profile (m38): the hour-of-day baseline next to m26's
     // trend and m23's robust outliers — per (series, hour) volume, mean,

@@ -51,4 +51,47 @@ class DriverGatesSpec extends SparkSpec {
         h2.toDF("doc_a", "doc_b"), smallGraphCap = cap))
     })
   }
+
+  test("triangle twin-contraction: a replicated (clique-dense) graph lands " +
+      "exactly on the raw driver counts, one-shot and incremental") {
+    import spark.implicits._
+    // replicate a small random graph 6×: clone i of u is adjacent to every
+    // clone of every neighbor of u AND to u's other clones — exactly the
+    // pair graph a duplicated corpus produces (clone families are true
+    // twins, so the contraction path must collapse them)
+    val rnd = new scala.util.Random(20260816)
+    val base = (0 until 40).map { _ =>
+      val a = rnd.nextInt(12).toLong
+      val b = (a + 1 + rnd.nextInt(10)) % 12
+      (math.min(a, b), math.max(a, b))
+    }.distinct.filter(p => p._1 != p._2)
+    val k = 6
+    def clones(n: Long) = (0 until k).map(i => n + 100L * i)
+    val replicated = (base.flatMap { case (u, v) =>
+      for (cu <- clones(u); cv <- clones(v)) yield (cu, cv)
+    } ++ (0L until 12L).flatMap { n =>
+      val cs = clones(n)
+      for (i <- cs.indices; j <- i + 1 until cs.size) yield (cs(i), cs(j))
+    }).map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val df = replicated.toDF("src", "dst")
+    // ground truth: the raw collected driver counter (cap ∞)
+    val truth = Graph.triangleCounts(df, smallGraphCap = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distributed = the twin-contraction path (cap 0)
+    val contracted = Graph.triangleCounts(df, smallGraphCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted == truth, "contraction diverged from raw driver counts")
+    // incremental, with the density gate FORCED into its recompute branch
+    val pairsDf = replicated.map(p => (p._1, p._2))
+    spark.conf.set("spark.graft.graph.wedgeRecomputeBudget", "0")
+    try {
+      val (h1, h2) = pairsDf.splitAt(pairsDf.size / 2)
+      val s1 = Graph.incrTriangles(None, h1.toDF("doc_a", "doc_b"),
+        smallGraphCap = 0)
+      val fin = Graph.incrTrianglesFinalize(Graph.incrTriangles(Some(s1),
+        h2.toDF("doc_a", "doc_b"), smallGraphCap = 0))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin == truth, "recompute-branch incremental diverged")
+    } finally spark.conf.unset("spark.graft.graph.wedgeRecomputeBudget")
+  }
 }
