@@ -244,7 +244,12 @@ private[graft] object GenState {
     val rebase = prevMan.isEmpty || changed.isEmpty ||
       prevMan.exists(_.sources.values.toSet.size >= RebaseSourceSpread) ||
       prevBytes.exists(b => prevMan.exists(m =>
-        b / math.max(1, m.buckets) > 4L * targetBytes))
+        b / math.max(1, m.buckets) > 4L * targetBytes)) ||
+      // a state smaller than ONE bucket target: the touched-bucket
+      // computation below is itself a per-batch Spark job (collect of
+      // distinct bucket ids) costing more than just rewriting the whole
+      // tiny state — full-rewrite is trivially batch-proportional here
+      prevBytes.exists(_ <= targetBytes)
     val nBuckets =
       if (rebase)
         prevBytes.fold(MinBuckets)(b => math.min(MaxBuckets,

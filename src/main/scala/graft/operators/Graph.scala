@@ -1026,21 +1026,30 @@ object Graph {
     // exactly that — maintained ≡ one-shot holds trivially, and the
     // recompute is unique-content-sized, not clone²-sized.
     val allECount = eOld.count() + dECount
-    val degAll = allE.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-      .persist(Mem)
-    val wedgeEst = Option(dE
-      .join(degAll.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(degAll.select(col("n").as("v"), col("d").as("dv")), "v")
-      .agg(sum(least(col("du"), col("dv"))).as("s")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    degAll.unpersist()
     // default budget: the shared probe floor, or 4× the linear recompute
     // cost — whichever is larger; spark.graft.graph.wedgeRecomputeBudget
     // overrides with an absolute value (tests pin both branches with it)
     val recomputeBudget = pairs.sparkSession.conf
       .get("spark.graft.graph.wedgeRecomputeBudget",
         math.max(DriverGates.WedgeProbeBudget, 4L * allECount).toString).toLong
+    // min(deg u, deg v) ≤ |E|, so dECount·allECount bounds the closure
+    // from above with zero jobs — a small graph skips the estimate
+    // entirely (the estimate is itself a per-batch Spark job, a visible
+    // slice of the gate-scale micro-batch floor)
+    val wedgeEst =
+      if (allECount <= recomputeBudget / math.max(1L, dECount)) 0L
+      else {
+        val degAll = allE.select(explode(array(col("u"), col("v"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+          .persist(Mem)
+        val est = Option(dE
+          .join(degAll.select(col("n").as("u"), col("d").as("du")), "u")
+          .join(degAll.select(col("n").as("v"), col("d").as("dv")), "v")
+          .agg(sum(least(col("du"), col("dv"))).as("s")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        degAll.unpersist()
+        est
+      }
     if (wedgeEst > recomputeBudget) {
       val cNew = triangleCounts(
         allE.select(col("u").as("src"), col("v").as("dst")),

@@ -117,6 +117,11 @@ class GenStateSpec extends SparkSpec {
       "generations survive pruning until then") {
     import spark.implicits._
     val p = tmp("rebase")
+    // explicit bucket target so this ~60 KB state sits ABOVE the
+    // tiny-state full-rewrite trigger (state ≤ one bucket target) and
+    // below the fat-bucket one — the regime where carry-forward operates
+    spark.conf.set("spark.graft.state.targetBucketBytes", "16384")
+    try {
     // one probe key per bucket (the store's own hash, 16 buckets at this
     // state size), so each later single-key batch owns a DISTINCT bucket
     // and the manifest spread grows by exactly one per batch
@@ -148,6 +153,7 @@ class GenStateSpec extends SparkSpec {
     val k1 = keyOfBucket(1)
     assert(end(k1) == (if (k1 < 4096) 1L else 0L) + 20L,
       s"key $k1 sum wrong: ${end(k1)}")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
   }
 
   test("bucketed and whole-state writes interoperate on one statePath") {
