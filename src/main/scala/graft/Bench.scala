@@ -72,6 +72,14 @@ object Bench {
     "l66_lm_perplexity", "l9_embdup_lsh", "m37_incr_components",
     "m41_incr_triangles", "q20_unpivot")
 
+  /** Correctness-only entries excluded from EVERY default bench run (not
+    * just gate scale, unlike the `_distpath` twins): their plans contain
+    * a deliberately non-scale-safe audit the default operator omits —
+    * timing them at any SF would charge the bench total with exactly the
+    * join the default plan exists to avoid (l63b's full-gram-domain
+    * exact-intersection self-join). Explicit args still select them. */
+  private val VerifyOnly = Set("l63b_kmv_exact_audit")
+
   @volatile private var calibSink = 0L
   /** Host-calibration kernel (VERDICT r11 #3): fixed-work, allocation-free
     * splitmix64 mixing, timed at run start, middle, and end. The identical
@@ -314,7 +322,8 @@ object Bench {
     val gateScale = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val wanted = if (args.isEmpty)
                    SparkEntry.queries.filter(kv =>
-                     !gateScale || !kv._1.endsWith("_distpath"))
+                     !VerifyOnly.contains(kv._1) &&
+                     (!gateScale || !kv._1.endsWith("_distpath")))
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val perQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     val rerunQ = scala.collection.mutable.LinkedHashMap[String, (QStat, QStat)]()

@@ -53,6 +53,18 @@ object DriverGates {
     * score frame must shuffle, not broadcast. */
   val RankBroadcastNodeCap: Long = 4000000L
 
+  /** Source-row cap below which a streaming fold keeps the NARROW
+    * (8-way) shuffle width ([[graft.queries.QUtil.withStreamPartsFor]]).
+    * Bounding argument: FLOOR vs WIDTH — the narrow width exists to
+    * shave the micro-batch scheduler floor (~32 task launches per
+    * exchange round at session width on near-empty batches), but on a
+    * scale run it strangles per-batch data work to a fraction of the
+    * machine (the ×100-probe m41 lesson: an 8-way fold ran a 27M-row
+    * per-batch recompute on a quarter of the cores). 2M source rows ≈
+    * the point where per-batch data cost dominates the floor at ~500k
+    * rows/batch under the 4-batch trigger split. */
+  val StreamNarrowSourceRowCap: Long = 2000000L
+
   /** Row cap for INCREMENTAL driver state (incrTriangles' standing
     * edges + counts). Bounding argument: ROUND-TRIPS — unlike a one-shot
     * collect, maintained state crosses the driver EVERY batch (collect +

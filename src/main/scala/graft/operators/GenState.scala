@@ -119,16 +119,23 @@ private[graft] object GenState {
   // ---- manifest ---------------------------------------------------------
   //
   // `gen-<b>/manifest` (text, one value per line group):
-  //   v1 <numBuckets>
+  //   v2 <numBuckets>
   //   schema <StructType.json>        (read fallback for an empty state)
-  //   <bucketId> <sourceGen>          (bucket's rows live at
-  //                                    gen-<sourceGen>/data/__b=<bucketId>)
+  //   <bucketId> <sourceGen> <bytes>  (bucket's rows live at
+  //                                    gen-<sourceGen>/data/__b=<bucketId>;
+  //                                    <bytes> = its on-disk size, so the
+  //                                    per-batch rebase predicate is pure
+  //                                    manifest arithmetic — no Files.walk
+  //                                    over thousands of bucket dirs)
   // Absent bucket ids hold no rows. A generation without a manifest is a
   // legacy whole-state write (applyBatch) and is read as a plain parquet
-  // dir — the two shapes interoperate, so a state can migrate.
+  // dir — the two shapes interoperate, so a state can migrate. v1
+  // manifests (no <bytes> field) are still read; their sizes are walked
+  // once on first use, the next write re-records them as v2.
 
+  private case class BucketSrc(gen: Long, bytes: Long)
   private case class Manifest(buckets: Int,
-      schemaJson: String, sources: Map[Int, Long])
+      schemaJson: String, sources: Map[Int, BucketSrc])
 
   private def manifestPath(statePath: String, gen: Long) =
     java.nio.file.Paths.get(s"$statePath/gen-$gen/manifest")
@@ -140,10 +147,16 @@ private[graft] object GenState {
       import scala.jdk.CollectionConverters._
       val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq
       val header = lines.head.split(' ')
-      require(header(0) == "v1", s"unknown manifest version in $p")
+      require(header(0) == "v1" || header(0) == "v2",
+        s"unknown manifest version in $p")
       val schemaJson = lines(1).stripPrefix("schema ")
       val sources = lines.drop(2).map { l =>
-        val a = l.split(' '); a(0).toInt -> a(1).toLong
+        val a = l.split(' ')
+        val b = a(0).toInt
+        val bytes = if (a.length > 2) a(2).toLong
+          else dirBytes(java.nio.file.Paths.get( // v1 migration, paid once
+            s"$statePath/gen-${a(1).toLong}/data/__b=$b"))
+        b -> BucketSrc(a(1).toLong, bytes)
       }.toMap
       Some(Manifest(header(1).toInt, schemaJson, sources))
     }
@@ -151,11 +164,16 @@ private[graft] object GenState {
 
   private def writeManifest(statePath: String, gen: Long,
       m: Manifest): Unit = {
-    val body = (s"v1 ${m.buckets}" +:
+    val body = (s"v2 ${m.buckets}" +:
       s"schema ${m.schemaJson}" +:
-      m.sources.toSeq.sorted.map { case (b, g) => s"$b $g" })
+      m.sources.toSeq.sortBy(_._1).map { case (b, s) =>
+        s"$b ${s.gen} ${s.bytes}" })
       .mkString("\n")
-    java.nio.file.Files.write(manifestPath(statePath, gen),
+    val p = manifestPath(statePath, gen)
+    // an empty batch writes no bucket files, so nothing has created the
+    // generation dir yet — the manifest must not be the thing that fails
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
@@ -166,8 +184,8 @@ private[graft] object GenState {
         // leaf bucket dirs read directly: no partition discovery below
         // them, so `__b` never surfaces as a column — the frame carries
         // exactly the state schema
-        val paths = m.sources.toSeq.sorted.map { case (b, g) =>
-          s"$statePath/gen-$g/data/__b=$b" }
+        val paths = m.sources.toSeq.sortBy(_._1).map { case (b, s) =>
+          s"$statePath/gen-${s.gen}/data/__b=$b" }
         spark.read.parquet(paths: _*)
       case Some(m) => // committed but empty state: schema from the manifest
         spark.createDataFrame(
@@ -205,7 +223,7 @@ private[graft] object GenState {
     // in-flight readers of that (surviving) generation still need them
     commit(spark, statePath, batchId, merged, prev, keepExtra =
       prev.lastOption.flatMap(readManifest(statePath, _))
-        .map(_.sources.values.toSet).getOrElse(Set.empty))
+        .map(_.sources.values.map(_.gen).toSet).getOrElse(Set.empty))
   }
 
   /** Apply one micro-batch with a BUCKETED incremental rewrite — the
@@ -236,13 +254,14 @@ private[graft] object GenState {
 
     // rebase decision: no bucketed prev, manifest spread past the
     // compaction trigger, or buckets grown fat → pick a fresh N from the
-    // measured on-disk state size and rewrite everything (in parallel)
+    // recorded on-disk state size and rewrite everything (in parallel).
+    // Sizes come from the manifest (recorded at write time), so this
+    // predicate costs zero filesystem traffic per batch.
     val targetBytes = targetBucketBytes(spark)
-    val prevBytes = prevMan.map(m => m.sources.toSeq.map { case (b, g) =>
-      dirBytes(java.nio.file.Paths.get(s"$statePath/gen-$g/data/__b=$b"))
-    }.sum)
+    val prevBytes = prevMan.map(_.sources.values.map(_.bytes).sum)
     val rebase = prevMan.isEmpty || changed.isEmpty ||
-      prevMan.exists(_.sources.values.toSet.size >= RebaseSourceSpread) ||
+      prevMan.exists(_.sources.values.map(_.gen).toSet.size >=
+        RebaseSourceSpread) ||
       prevBytes.exists(b => prevMan.exists(m =>
         b / math.max(1, m.buckets) > 4L * targetBytes)) ||
       // a state smaller than ONE bucket target: the touched-bucket
@@ -289,13 +308,23 @@ private[graft] object GenState {
         finally s.close()
       }
     }
-    val carried = prevMan.map(_.sources).getOrElse(Map.empty) -- touched
-    val sources = carried ++ written.map(_ -> batchId)
+    // a rebase rewrote EVERY row under the (possibly different) new N:
+    // nothing carries forward — in particular, when N shrinks, the old
+    // manifest's bucket ids >= N must not ride along (they would
+    // duplicate every one of their rows next to the full rewrite)
+    val carried: Map[Int, BucketSrc] =
+      if (rebase) Map.empty
+      else prevMan.map(_.sources).getOrElse(Map.empty) -- touched
+    // freshly-written bucket sizes: walked now (|touched| dirs just
+    // written — batch-proportional), recorded so future batches never
+    // re-stat them
+    val sources = carried ++ written.map(b => b -> BucketSrc(batchId,
+      dirBytes(java.nio.file.Paths.get(s"$genDir/data/__b=$b"))))
     writeManifest(statePath, batchId,
       Manifest(nBuckets, merged.schema.json, sources))
     commit(spark, statePath, batchId, merged, prev,
-      keepExtra = sources.values.toSet ++
-        prevMan.map(_.sources.values.toSet).getOrElse(Set.empty))
+      keepExtra = sources.values.map(_.gen).toSet ++
+        prevMan.map(_.sources.values.map(_.gen).toSet).getOrElse(Set.empty))
   }
 
   /** Shared commit tail: marker, pass-forward cache, pruning. `keepExtra`

@@ -931,8 +931,11 @@ object Graph {
     // itself hurts — measured at the ×10 gate (313k state rows): the
     // driver path DOUBLED m41's wall while its wedge math stayed trivial
     val stateCap = math.min(smallGraphCap, DriverGates.IncrStateRowCap)
+    // counted ONCE per batch: the standing edge state is corpus-sized, a
+    // second count job is a second full scan of it
+    val eOldCount = eOld.count()
     if (longKeys && smallGraphCap > 0 &&
-        eOld.count() + dECount <= stateCap) {
+        eOldCount + dECount <= stateCap) {
       val newE = dE.collect().map(r => (r.getLong(0), r.getLong(1)))
       val oldE = eOld.collect().map(r => (r.getLong(0), r.getLong(1)))
       val adj = new scala.collection.mutable.HashMap[Long,
@@ -1025,7 +1028,7 @@ object Graph {
     // whole count table ([[triangleCounts]]' contraction path), so do
     // exactly that — maintained ≡ one-shot holds trivially, and the
     // recompute is unique-content-sized, not clone²-sized.
-    val allECount = eOld.count() + dECount
+    val allECount = eOldCount + dECount
     // default budget: the shared probe floor, or 4× the linear recompute
     // cost — whichever is larger; spark.graft.graph.wedgeRecomputeBudget
     // overrides with an absolute value (tests pin both branches with it)

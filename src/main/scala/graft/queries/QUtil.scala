@@ -96,5 +96,7 @@ object QUtil {
     * per-batch floor is noise by construction. */
   def withStreamPartsFor[A](s: SparkSession, n: Int, srcRows: Long)
       (body: => A): A =
-    if (srcRows <= 2000000L) withStreamParts(s, n)(body) else body
+    if (srcRows <= graft.operators.DriverGates.StreamNarrowSourceRowCap)
+      withStreamParts(s, n)(body)
+    else body
 }

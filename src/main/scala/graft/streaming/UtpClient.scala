@@ -26,8 +26,19 @@ final class UtpClient(host: String, port: Int, ws: Boolean = false,
   require(!(grpc && tls.isDefined), "the grpc face is h2c (cleartext)")
 
   private val sock = tls match {
-    case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
-    case None      => new Socket(host, port)
+    case Some(ctx) =>
+      val s = ctx.getSocketFactory.createSocket(host, port)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      // endpoint identification: raw JSSE validates the CHAIN only by
+      // default — without this, any certificate from a trusted CA (for
+      // any name) would pass, and the TLS option's MITM protection is
+      // hostname-blind. "HTTPS" = RFC 2818/6125 rules (SAN dNSName /
+      // iPAddress match against `host`).
+      val p = s.getSSLParameters
+      p.setEndpointIdentificationAlgorithm("HTTPS")
+      s.setSSLParameters(p)
+      s
+    case None => new Socket(host, port)
   }
   sock.setTcpNoDelay(true)
   private val (in, out) =

@@ -156,6 +156,61 @@ class GenStateSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
   }
 
+  test("bucketed state: an empty batch (zero changed keys) commits and " +
+      "carries the whole state forward") {
+    import spark.implicits._
+    val p = tmp("empty")
+    // bucket target small enough that the state sits ABOVE the tiny-state
+    // rebase trigger — the regime where touched=[] writes no bucket files
+    // at all and the manifest alone must carry the generation
+    spark.conf.set("spark.graft.state.targetBucketBytes", "16384")
+    try {
+      applySum(p, (0 until 4096).map(i => (i.toLong, 1L)).toDF("k", "v"), 0L)
+      applySum(p, (0 until 4096).map(i => (i.toLong, 1L)).toDF("k", "v"), 1L)
+      val before = snap(p)
+      // a stream readily produces this: an empty part file under
+      // maxFilesPerTrigger=1 → changedKeys = Some(empty frame)
+      applySum(p, Seq.empty[(Long, Long)].toDF("k", "v"), 2L)
+      assert(GenState.committedGens(p).contains(2L),
+        "empty batch did not commit")
+      assert(snap(p) == before, "empty batch changed state")
+      // and the store keeps working past it
+      applySum(p, Seq((7L, 5L)).toDF("k", "v"), 3L)
+      assert(snap(p).toMap.apply(7L) == 2L + 5L, "post-empty-batch update lost")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
+  }
+
+  test("bucketed state: a rebase that SHRINKS the bucket count does not " +
+      "resurrect old-numbered buckets (no duplicated rows)") {
+    import spark.implicits._
+    val p = tmp("shrink")
+    try {
+      // tiny target → the 50k-row (~800 KB) state rebases into many
+      // buckets (fat trigger: bytes/buckets > 4×target, comfortably met)
+      spark.conf.set("spark.graft.state.targetBucketBytes", "4096")
+      val big = spark.range(50000).select(col("id").as("k"),
+        xxhash64(col("id"), lit(1)).as("v"))
+      applySum(p, big, 0L)
+      applySum(p, Seq((1L, 1L)).toDF("k", "v"), 1L) // fat-bucket rebase
+      val wide = bucketDirs(p, 1L).size
+      assert(wide > 16, s"setup: expected a wide rebase, got $wide buckets")
+      // huge target → the next rebase shrinks to MinBuckets; old bucket
+      // ids >= 16 must NOT carry into the new manifest next to the full
+      // rewrite (every such row would appear twice). changed=None (what a
+      // driver fast path passes) forces that rebase directly.
+      spark.conf.set("spark.graft.state.targetBucketBytes",
+        (64L << 20).toString)
+      GenState.applyBatchBucketed(spark, p, 2L, Seq("k")) { prev =>
+        (sumState(prev, Seq((2L, 1L)).toDF("k", "v")), None)
+      }
+      val st = GenState.readState(spark, p)
+      assert(st.count() == 50000L,
+        s"post-shrink state has ${st.count()} rows — duplicates or loss")
+      assert(st.groupBy("k").count().filter(col("count") > 1).count() == 0L,
+        "shrinking rebase duplicated rows")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
+  }
+
   test("bucketed and whole-state writes interoperate on one statePath") {
     import spark.implicits._
     val p = tmp("mixed")

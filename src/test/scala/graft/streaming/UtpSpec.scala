@@ -1160,9 +1160,12 @@ class UtpSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_tls")
     val (ksF, certF) = (s"$dir/ks.p12", s"$dir/srv.cer")
     val keytool = System.getProperty("java.home") + "/bin/keytool"
+    // SAN iPAddress is what the client's endpoint identification (RFC
+    // 6125 rules) matches for an IP target — CN alone no longer counts
     assert(Seq(keytool, "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
       "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksF,
       "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=ip:127.0.0.1",
       "-validity", "2").! == 0, "keytool genkeypair failed")
     assert(Seq(keytool, "-exportcert", "-alias", "srv", "-keystore", ksF,
       "-storepass", "changeit", "-file", certF).! == 0, "exportcert failed")
