@@ -53,6 +53,16 @@ object DriverGates {
     * score frame must shuffle, not broadcast. */
   val RankBroadcastNodeCap: Long = 4000000L
 
+  /** Row cap below which a BATCH-BOUNDED frame (a micro-batch's new
+    * edges, a contracted label remap) gets an explicit broadcast hint
+    * against a corpus-sized side. Bounding argument: BYTES — 1M two-long
+    * rows ≈ 16–32 MB build side, safely inside executor memory and the
+    * 8 GB driver's broadcast path, while big enough that the steady
+    * micro-batch state (thousands of rows) always qualifies. Above it
+    * (a first batch replaying a large history) the hint is dropped and
+    * the planner/AQE picks a shuffle join. */
+  val BatchBroadcastRowCap: Long = 1000000L
+
   /** Source-row cap below which a streaming fold keeps the NARROW
     * (8-way) shuffle width ([[graft.queries.QUtil.withStreamPartsFor]]).
     * Bounding argument: FLOOR vs WIDTH — the narrow width exists to

@@ -433,7 +433,8 @@ object Graph {
         val remap0 = graft.llm.TextDedup.dedupClusters(labelEdges)
           .select(col("doc_id").as("l"), col("cluster_id").as("root"))
           .localCheckpoint()
-        val remap = if (labCount <= 1000000L) broadcast(remap0) else remap0
+        val remap = if (labCount <= DriverGates.BatchBroadcastRowCap)
+          broadcast(remap0) else remap0
         val newcomers = lab.filter(col("is_new"))
           .select(col("doc_id"), col("l").as("cluster_id"))
         val out = stp.unionByName(newcomers)
@@ -1013,7 +1014,7 @@ object Graph {
           Some(pairs.sparkSession.createDataFrame(changedRows, changedSchema)))
       }
     }
-    val broadcastBatch = dECount <= 1000000L
+    val broadcastBatch = dECount <= DriverGates.BatchBroadcastRowCap
     def batchSide(f: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(f) else f
     val allE = eOld.unionByName(dE).persist(Mem)
