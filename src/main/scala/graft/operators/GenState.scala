@@ -195,6 +195,38 @@ private[graft] object GenState {
       case None => spark.read.parquet(s"$statePath/gen-$gen")
     }
 
+  /** Manifest-only rebase predicates (no filesystem walks, no Spark
+    * jobs): spread past the compaction trigger, buckets grown fat, or a
+    * state smaller than ONE bucket target — for the last, the
+    * touched-bucket computation is itself a per-batch Spark job (collect
+    * of distinct bucket ids) costing more than just rewriting the whole
+    * tiny state, so full-rewrite is trivially batch-proportional there.
+    * Shared verbatim between [[applyBatchBucketed]]'s decision and
+    * [[deltaUseful]]'s pre-decision so the two can never drift. */
+  private def wantsRebase(prevMan: Option[Manifest],
+      targetBytes: Long): Boolean = {
+    val prevBytes = prevMan.map(_.sources.values.map(_.bytes).sum)
+    prevMan.exists(_.sources.values.map(_.gen).toSet.size >=
+      RebaseSourceSpread) ||
+    prevBytes.exists(b => prevMan.exists(m =>
+      b / math.max(1, m.buckets) > 4L * targetBytes)) ||
+    prevBytes.exists(_ <= targetBytes)
+  }
+
+  /** Will the NEXT [[applyBatchBucketed]] on this path actually consume a
+    * changed-keys frame? False when the store would rebase regardless
+    * (first write, spread/fat/tiny triggers) — a producer whose
+    * changed-keys frame costs real per-batch work (an extra join +
+    * checkpoint job) consults this BEFORE building it and passes `None`
+    * instead; the store's own decision logic is unchanged (`None` always
+    * means full rewrite), so a stale answer is never wrong, only
+    * conservative. Manifest-read-only: costs one small file read. */
+  def deltaUseful(spark: SparkSession, statePath: String): Boolean = {
+    val prevMan = committedGens(statePath).lastOption
+      .flatMap(readManifest(statePath, _))
+    prevMan.isDefined && !wantsRebase(prevMan, targetBucketBytes(spark))
+  }
+
   /** The current committed state (error if no batch ever committed). */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
     val gens = committedGens(statePath)
@@ -260,15 +292,7 @@ private[graft] object GenState {
     val targetBytes = targetBucketBytes(spark)
     val prevBytes = prevMan.map(_.sources.values.map(_.bytes).sum)
     val rebase = prevMan.isEmpty || changed.isEmpty ||
-      prevMan.exists(_.sources.values.map(_.gen).toSet.size >=
-        RebaseSourceSpread) ||
-      prevBytes.exists(b => prevMan.exists(m =>
-        b / math.max(1, m.buckets) > 4L * targetBytes)) ||
-      // a state smaller than ONE bucket target: the touched-bucket
-      // computation below is itself a per-batch Spark job (collect of
-      // distinct bucket ids) costing more than just rewriting the whole
-      // tiny state — full-rewrite is trivially batch-proportional here
-      prevBytes.exists(_ <= targetBytes)
+      wantsRebase(prevMan, targetBytes)
     val nBuckets =
       if (rebase)
         prevBytes.fold(MinBuckets)(b => math.min(MaxBuckets,
@@ -287,13 +311,25 @@ private[graft] object GenState {
       // empty batch: nothing to write — but a crashed earlier attempt may
       // have left buckets here that the `written` listing must not see
       deleteTree(java.nio.file.Paths.get(genDir, "data"))
-    else
-      // one task per few buckets: parallel when several buckets changed,
-      // one file per (task, bucket) so file count stays ~|touched|
-      merged.withColumn("__b", bucketOf)
-        .filter(col("__b").isin(touched: _*))
-        .repartition(math.max(1, math.min(touched.size, 32)), col("__b"))
-        .write.mode("overwrite").partitionBy("__b").parquet(s"$genDir/data")
+    else {
+      val bucketed = merged.withColumn("__b", bucketOf)
+      // a KNOWN-tiny rebase (the prev state fit in one bucket target —
+      // the gate-scale steady state) skips the repartition exchange and
+      // writes all its buckets from one task, exactly the old
+      // whole-state write's cost; every other shape repartitions so the
+      // write parallelizes (one task per few buckets, one file per
+      // (task, bucket) keeps file count ~|touched|). A rebase writes
+      // every bucket, so its membership filter would be a no-op — only
+      // the touched path filters.
+      val tinyRebase = rebase && prevBytes.exists(_ <= targetBytes)
+      val toWrite =
+        if (tinyRebase) bucketed.coalesce(1)
+        else if (rebase)
+          bucketed.repartition(math.min(nBuckets, 32), col("__b"))
+        else bucketed.filter(col("__b").isin(touched: _*))
+          .repartition(math.max(1, math.min(touched.size, 32)), col("__b"))
+      toWrite.write.mode("overwrite").partitionBy("__b").parquet(s"$genDir/data")
+    }
 
     // dynamic partition dirs exist only for non-empty buckets: a touched
     // bucket with no surviving rows simply drops out of the manifest

@@ -394,7 +394,8 @@ object Graph {
     * set is relabel-proportional, not state-proportional: only labels in
     * the non-trivial remap domain pull their members in. */
   def incrementalComponentsDelta(prev: Option[DataFrame],
-      pairs: DataFrame): (DataFrame, Option[DataFrame]) = {
+      pairs: DataFrame,
+      wantChanged: Boolean = true): (DataFrame, Option[DataFrame]) = {
     val p = pairs.select("doc_a", "doc_b")
     prev match {
       case None => (graft.llm.TextDedup.dedupClusters(p)
@@ -446,16 +447,23 @@ object Graph {
         // away (one broadcast semi-join over the cached state — the
         // remap domain is batch-bounded) plus every batch node. Checked
         // to blocks NOW, while stp/lab are still cached — the consumer
-        // (the bucketed state write) runs after they unpersist.
-        val nontrivial = remap0.filter(col("root") =!= col("l"))
-          .select(col("l").as("cluster_id"))
-        val changed = stp
-          .join(broadcast(nontrivial), Seq("cluster_id"), "left_semi")
-          .select("doc_id")
-          .unionByName(lab.select("doc_id"))
-          .localCheckpoint()
+        // (the bucketed state write) runs after they unpersist. Skipped
+        // wholesale when the store pre-declared it would rebase anyway
+        // ([[GenState.deltaUseful]]): the frame is an extra per-batch
+        // job, a visible slice of the gate-scale micro-batch floor.
+        val changed =
+          if (!wantChanged) None
+          else {
+            val nontrivial = remap0.filter(col("root") =!= col("l"))
+              .select(col("l").as("cluster_id"))
+            Some(stp
+              .join(broadcast(nontrivial), Seq("cluster_id"), "left_semi")
+              .select("doc_id")
+              .unionByName(lab.select("doc_id"))
+              .localCheckpoint())
+          }
         stp.unpersist(); pp.unpersist(); lab.unpersist()
-        (out, Some(changed))
+        (out, changed)
     }
   }
 
@@ -893,7 +901,8 @@ object Graph {
     * (|ΔE| and the owned-wedge endpoints), so the bucketed state write
     * never rewrites the standing edge set or untouched counts. */
   def incrTrianglesDelta(prev: Option[DataFrame], pairs: DataFrame,
-      smallGraphCap: Long = RankGraphEdgeCap): (DataFrame, Option[DataFrame]) = {
+      smallGraphCap: Long = RankGraphEdgeCap,
+      wantChanged: Boolean = true): (DataFrame, Option[DataFrame]) = {
     val pN = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -1004,14 +1013,19 @@ object Graph {
           org.apache.spark.sql.types.StructField("u", lt),
           org.apache.spark.sql.types.StructField("v", lt),
           org.apache.spark.sql.types.StructField("node", lt)))
-        val changedRows: java.util.List[org.apache.spark.sql.Row] =
-          (newE.iterator.map { case (u, v) =>
-            org.apache.spark.sql.Row(u, v, null) } ++
-           bumped.iterator.map(n =>
-            org.apache.spark.sql.Row(null, null, n))).toSeq.asJava
+        val changed =
+          if (!wantChanged) None
+          else {
+            val changedRows: java.util.List[org.apache.spark.sql.Row] =
+              (newE.iterator.map { case (u, v) =>
+                org.apache.spark.sql.Row(u, v, null) } ++
+               bumped.iterator.map(n =>
+                org.apache.spark.sql.Row(null, null, n))).toSeq.asJava
+            Some(pairs.sparkSession
+              .createDataFrame(changedRows, changedSchema))
+          }
         return (pairs.sparkSession.createDataFrame(rows, schema)
-          .localCheckpoint(),
-          Some(pairs.sparkSession.createDataFrame(changedRows, changedSchema)))
+          .localCheckpoint(), changed)
       }
     }
     val broadcastBatch = dECount <= DriverGates.BatchBroadcastRowCap
@@ -1059,10 +1073,6 @@ object Graph {
         allE.select(col("u").as("src"), col("v").as("dst")),
         smallGraphCap = 0) // force the twin-contracted distributed path
         .select(col("node"), col("n_tri"))
-      val changedCounts = cNew.join(
-        cOld.select(col("node"), col("n_tri").as("__old")), Seq("node"), "left")
-        .filter(col("__old").isNull || col("__old") =!= col("n_tri"))
-        .select(col("node"))
       val out = allE
         .select(lit("e").as("kind"), col("u"), col("v"),
           lit(null).cast("long").as("node"), lit(null).cast("long").as("n_tri"))
@@ -1070,13 +1080,22 @@ object Graph {
           lit(null).cast("long").as("u"), lit(null).cast("long").as("v"),
           col("node"), col("n_tri")))
         .localCheckpoint()
-      val changed = dE
-        .select(col("u"), col("v"), lit(null).cast("long").as("node"))
-        .unionByName(changedCounts.select(lit(null).cast("long").as("u"),
-          lit(null).cast("long").as("v"), col("node")))
-        .localCheckpoint()
+      val changed =
+        if (!wantChanged) None
+        else {
+          val changedCounts = cNew.join(
+            cOld.select(col("node"), col("n_tri").as("__old")),
+            Seq("node"), "left")
+            .filter(col("__old").isNull || col("__old") =!= col("n_tri"))
+            .select(col("node"))
+          Some(dE
+            .select(col("u"), col("v"), lit(null).cast("long").as("node"))
+            .unionByName(changedCounts.select(lit(null).cast("long").as("u"),
+              lit(null).cast("long").as("v"), col("node")))
+            .localCheckpoint())
+        }
       dE.unpersist(); allE.unpersist()
-      return (out, Some(changed))
+      return (out, changed)
     }
     val adj = allE.select(explode(array(
         struct(col("u").as("x"), col("v").as("y")),
@@ -1119,14 +1138,17 @@ object Graph {
         col("node"), col("n_tri")))
       .localCheckpoint()
     // changed keys — checkpointed while dE is still cached (the consumer
-    // runs after the unpersist below)
-    val changed = dE
-      .select(col("u"), col("v"), lit(null).cast("long").as("node"))
-      .unionByName(dC.select(lit(null).cast("long").as("u"),
-        lit(null).cast("long").as("v"), col("node")))
-      .localCheckpoint()
+    // runs after the unpersist below); skipped when the store
+    // pre-declared a rebase ([[GenState.deltaUseful]])
+    val changed =
+      if (!wantChanged) None
+      else Some(dE
+        .select(col("u"), col("v"), lit(null).cast("long").as("node"))
+        .unionByName(dC.select(lit(null).cast("long").as("u"),
+          lit(null).cast("long").as("v"), col("node")))
+        .localCheckpoint())
     dE.unpersist(); allE.unpersist()
-    (out, Some(changed))
+    (out, changed)
   }
 
   /** The q40 output face over maintained triangle state. */
@@ -1143,8 +1165,13 @@ object Graph {
       checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (b, id) => GenState.applyBatchBucketed(b.sparkSession, statePath, id,
-        Seq("u", "v", "node"))(prev => incrTrianglesDelta(prev, b.toDF()))
+      (b, id) => {
+        // skip the changed-keys job when the store will rebase anyway
+        val want = GenState.deltaUseful(b.sparkSession, statePath)
+        GenState.applyBatchBucketed(b.sparkSession, statePath, id,
+          Seq("u", "v", "node"))(prev =>
+            incrTrianglesDelta(prev, b.toDF(), wantChanged = want))
+      }
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1170,8 +1197,13 @@ object Graph {
       checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (b, id) => GenState.applyBatchBucketed(b.sparkSession, statePath, id,
-        Seq("doc_id"))(prev => incrementalComponentsDelta(prev, b.toDF()))
+      (b, id) => {
+        // skip the changed-keys job when the store will rebase anyway
+        val want = GenState.deltaUseful(b.sparkSession, statePath)
+        GenState.applyBatchBucketed(b.sparkSession, statePath, id,
+          Seq("doc_id"))(prev =>
+            incrementalComponentsDelta(prev, b.toDF(), wantChanged = want))
+      }
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

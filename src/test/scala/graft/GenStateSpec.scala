@@ -211,6 +211,71 @@ class GenStateSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
   }
 
+  test("tiny-state rebase writes every bucket from ONE task (no " +
+      "repartition exchange); deltaUseful pre-declares the store's need") {
+    import spark.implicits._
+    val p = tmp("tiny")
+    // default 4 MB bucket target: this ~KB state is permanently tiny, so
+    // every batch takes the full-rewrite path — the gate-scale floor
+    assert(!GenState.deltaUseful(spark, p), "deltaUseful true with no state")
+    applySum(p, (0 until 256).map(i => (i.toLong % 16, 1L)).toDF("k", "v"), 0L)
+    assert(!GenState.deltaUseful(spark, p),
+      "deltaUseful true for a state below one bucket target")
+    applySum(p, Seq((3L, 5L)).toDF("k", "v"), 1L)
+    // single-task write: every part file carries the coalesced task's
+    // part-00000 prefix (a repartition would spread the id range)
+    val gen1 = java.nio.file.Paths.get(s"$p/gen-1/data")
+    val walk = java.nio.file.Files.walk(gen1)
+    val parts = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSeq
+    } finally walk.close()
+    assert(parts.nonEmpty && parts.forall(_.startsWith("part-00000")),
+      s"tiny-state rebase used >1 writer task: $parts")
+    assert(snap(p).toMap.apply(3L) == 16L + 5L, "tiny-state update lost")
+    // a properly bucketed big state flips deltaUseful on
+    val p2 = tmp("tinybig")
+    spark.conf.set("spark.graft.state.targetBucketBytes", "16384")
+    try {
+      val big = spark.range(50000).select(col("id").as("k"),
+        xxhash64(col("id"), lit(1)).as("v"))
+      applySum(p2, big, 0L)
+      applySum(p2, Seq((1L, 1L)).toDF("k", "v"), 1L) // fat-bucket rebase
+      assert(GenState.deltaUseful(spark, p2),
+        "deltaUseful false for a bucketed state above one target")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
+  }
+
+  test("maintainer deltas honor wantChanged=false with identical state " +
+      "(the store rebases; the answer cannot depend on the flag)") {
+    import spark.implicits._
+    val pairs1 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val pairs2 = Seq((3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def run(want: Boolean): (Seq[(Long, Long)], Boolean) = {
+      val (s1, _) = graft.operators.Graph.incrTrianglesDelta(None, pairs1)
+      val (s2, ch) = graft.operators.Graph.incrTrianglesDelta(
+        Some(s1), pairs2, wantChanged = want)
+      (graft.operators.Graph.incrTrianglesFinalize(s2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        ch.isDefined)
+    }
+    val (withDelta, chT) = run(true)
+    val (without, chF) = run(false)
+    assert(chT && !chF, "wantChanged flag not honored")
+    assert(withDelta == without, "state diverged on wantChanged")
+    val (c1, _) = graft.operators.Graph.incrementalComponentsDelta(
+      None, pairs1)
+    val (c2a, cchT) = graft.operators.Graph.incrementalComponentsDelta(
+      Some(c1), pairs2, wantChanged = true)
+    val (c2b, cchF) = graft.operators.Graph.incrementalComponentsDelta(
+      Some(c1), pairs2, wantChanged = false)
+    assert(cchT.isDefined && cchF.isEmpty, "components flag not honored")
+    assert(c2a.orderBy("doc_id").collect().toSeq ==
+      c2b.orderBy("doc_id").collect().toSeq,
+      "components state diverged on wantChanged")
+  }
+
   test("bucketed and whole-state writes interoperate on one statePath") {
     import spark.implicits._
     val p = tmp("mixed")
