@@ -127,6 +127,17 @@ object Graph {
     }
   }
 
+  /** The rank family's per-round broadcast hint, applied in ONE place
+    * (pageRank, weighted, personalized, HITS): a node-count-bounded score
+    * frame gets an explicit broadcast against the cached edge frame so no
+    * round re-sorts/re-shuffles the edges (the ×100-probe q38/q42
+    * lesson); past [[DriverGates.RankBroadcastNodeCap]] the hint drops
+    * and the planner/AQE picks the shuffle join. The guard must measure
+    * the SCORE frame's domain (nodes), never the edge count — see the
+    * HITS note at its call site. */
+  private def rankBroadcastSide(nodeCount: Long)(f: DataFrame): DataFrame =
+    if (nodeCount <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
+
   /** Big-graph preparation over the ALREADY-distincted, persisted edge
     * frame [[collectedEdges]] hands back when the cap doesn't fire. */
   private def prepareEdges(e: DataFrame): PreppedEdges = {
@@ -240,8 +251,7 @@ object Graph {
     // frame stops being: an explicit hint keeps every round a broadcast
     // hash join over the CACHED edges (no per-round sort/shuffle of the
     // edge frame — the ×100-probe q38 lesson, DriverGates doc)
-    def rankSide(f: DataFrame): DataFrame =
-      if (n <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
+    val rankSide: DataFrame => DataFrame = rankBroadcastSide(n)
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
     var i = 0
@@ -340,8 +350,7 @@ object Graph {
     require(n >= 1, "rank iteration needs a non-empty edge list")
     val teleport = (15L * scale) / (100L * n)
     // broadcast the round's score frame under the node cap (see pageRank)
-    def rankSide(f: DataFrame): DataFrame =
-      if (n <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
+    val rankSide: DataFrame => DataFrame = rankBroadcastSide(n)
     var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
       .localCheckpoint()
     var i = 0
@@ -396,7 +405,13 @@ object Graph {
   def incrementalComponentsDelta(prev: Option[DataFrame],
       pairs: DataFrame,
       wantChanged: Boolean = true): (DataFrame, Option[DataFrame]) = {
+    // null-sided pairs drop HERE so both batch positions see the rule
+    // dedupClusters applies (TextDedup.scala's null filter): without it
+    // the first batch (dedupClusters) drops them while the incremental
+    // path would explode a null doc_id into the label state — maintained
+    // state would permanently diverge from the one-shot recompute oracle
     val p = pairs.select("doc_a", "doc_b")
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
     prev match {
       case None => (graft.llm.TextDedup.dedupClusters(p)
         .select("doc_id", "cluster_id"), None)
@@ -454,10 +469,16 @@ object Graph {
         val changed =
           if (!wantChanged) None
           else {
-            val nontrivial = remap0.filter(col("root") =!= col("l"))
+            // same broadcast gate as the remap join above: nontrivial is
+            // a subset of remap0 (≤ labCount rows), and a huge catch-up
+            // batch must not force a multi-million-row broadcast
+            val nontrivial0 = remap0.filter(col("root") =!= col("l"))
               .select(col("l").as("cluster_id"))
+            val nontrivial =
+              if (labCount <= DriverGates.BatchBroadcastRowCap)
+                broadcast(nontrivial0) else nontrivial0
             Some(stp
-              .join(broadcast(nontrivial), Seq("cluster_id"), "left_semi")
+              .join(nontrivial, Seq("cluster_id"), "left_semi")
               .select("doc_id")
               .unionByName(lab.select("doc_id"))
               .localCheckpoint())
@@ -505,8 +526,7 @@ object Graph {
     val PreppedEdges(ej, deg, nNodes, _) = prepareEdges(e)
     val flagged = seedSet.withColumn("__seed", lit(1))
     // broadcast the round's score frame under the node cap (see pageRank)
-    def rankSide(f: DataFrame): DataFrame =
-      if (nNodes <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
+    val rankSide: DataFrame => DataFrame = rankBroadcastSide(nNodes)
     var ranks = deg.select(col("src").as("node"))
       .join(broadcast(flagged), Seq("node"), "left")
       .select(col("node"),
@@ -819,8 +839,7 @@ object Graph {
     // of broadcast hash joins.
     val nScore = math.max(eh.select(col("hub")).distinct().count(),
       ea.select(col("auth")).distinct().count())
-    def scoreSide(f: DataFrame): DataFrame =
-      if (nScore <= DriverGates.RankBroadcastNodeCap) broadcast(f) else f
+    val scoreSide: DataFrame => DataFrame = rankBroadcastSide(nScore)
     def renorm(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))

@@ -304,6 +304,22 @@ class LlmSpec extends SparkSpec {
     val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 1L)
     assert(labels(TextDedup.SmallGraphEdgeCap) == expect, "driver path")
     assert(labels(0) == expect, "distributed path")
+    // and the INCREMENTAL path (m37's maintainer) applies the same rule
+    // in batch position 2+: a null-sided micro-batch pair must neither
+    // insert a null label row nor strand its non-null side — maintained
+    // state has to land exactly on the one-shot recompute
+    val batch1 = Seq[(java.lang.Long, java.lang.Long)]((1L, 2L))
+      .toDF("doc_a", "doc_b")
+    val batch2 = Seq[(java.lang.Long, java.lang.Long)](
+      (null, 3L), (4L, null), (null, null), (2L, 5L)).toDF("doc_a", "doc_b")
+    val (st1, _) = graft.operators.Graph.incrementalComponentsDelta(
+      None, batch1)
+    val (st2, _) = graft.operators.Graph.incrementalComponentsDelta(
+      Some(st1), batch2)
+    val maintained = st2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained == expect,
+      s"incremental path diverged on null pairs: $maintained")
   }
 
   test("simhash is deterministic and near-dup pairs respect the hamming bound") {
