@@ -105,6 +105,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-BANDWIDTH calibration kernel — the blind spot of
+    * [[calibKernel]]: that loop is register/cache-resident, so a
+    * co-tenant saturating the DRAM bus (the r11 finding-#2 signature:
+    * executor CPU inflated 2×, steal ≈ 0, calib flat) slows it not at
+    * all. This kernel strides a 256 MB long array at cache-line steps —
+    * every read is a DRAM transaction — so its throughput drops by
+    * roughly the same factor bandwidth contention inflates memory-bound
+    * executor CPU. Reported as `calib_bw` (seconds per pass; ~4 GB/s
+    * single-thread traffic healthy). The array allocates ONCE at first
+    * use and is reused, so repeat samples cost no GC churn. */
+  private lazy val bwArray: Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024) // 256 MB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9e3779b97f4a7c15L; i += 1 }
+    a
+  }
+  private def bwKernel(): Double = {
+    val a = bwArray
+    val t0 = System.nanoTime()
+    var s = 0L
+    var pass = 0
+    while (pass < 4) { // 4 × 256 MB with a line-step stride: 1 GB+ touched
+      var i = (pass * 2) % 8
+      while (i < a.length) { s += a(i); i += 8 } // 8 longs = one cache line
+      pass += 1
+    }
+    calibSink = s
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Per-OS-thread cumulative CPU seconds, grouped by comm-name prefix
     * (digits/# stripped: "C2 CompilerThre", "GC Thread", "Executor task
     * l"...). Includes JVM-internal threads ThreadMXBean can't see. */
@@ -299,10 +329,11 @@ object Bench {
         if (jit0 >= 0) jitSec - jit0 else -1.0, heapMb, th)
     }
 
-    // calibration sample 1: JIT-warm the kernel once (unrecorded), then
-    // time it — the warm sample is the comparable one across hosts
-    calibKernel()
+    // calibration sample 1: JIT-warm the kernels once (unrecorded), then
+    // time them — the warm samples are the comparable ones across hosts
+    calibKernel(); bwKernel()
     val calibStart = calibKernel()
+    val bwStart = bwKernel()
 
     val cpu0 = procCpuSec
     val wall0 = System.nanoTime()
@@ -354,6 +385,7 @@ object Bench {
     }
 
     val calibMid = calibKernel()
+    val bwMid = bwKernel()
 
     // VERDICT r10 #2: the r9/r10 suspect cluster gets a wholesale second
     // pass after the sorted order completes. Inflated pass 1 + flat pass 2
@@ -364,7 +396,9 @@ object Bench {
       secondQ(name) = measure(name, fn, recordFailure = false)
 
     val calibEnd = calibKernel()
+    val bwEnd = bwKernel()
     val calibJson = f"""[$calibStart%.3f,$calibMid%.3f,$calibEnd%.3f]"""
+    val bwJson = f"""[$bwStart%.3f,$bwMid%.3f,$bwEnd%.3f]"""
 
     val total = results.map(_._2).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -372,7 +406,7 @@ object Bench {
     // (mid-run drift is the point of calibMid) — subtract their known
     // single-thread cost so cpu_sec keeps attributing to queries only,
     // the residue the calib field exists to eliminate
-    val calibSpin = calibMid + calibEnd
+    val calibSpin = calibMid + calibEnd + bwMid + bwEnd
     val cpuSec =
       if (cpu0 >= 0) math.max(0.0, procCpuSec - cpu0 - calibSpin) else -1.0
     val wallSec = (System.nanoTime() - wall0) / 1e9 - calibSpin
@@ -402,7 +436,7 @@ object Bench {
     val wscJson = cgQ.map { case (k, (_, in, tot)) => s""""$k":"$in/$tot"""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"calib":$calibJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -417,7 +451,7 @@ object Bench {
     val spCompact = secondQ.map { case (k, s) =>
       s""""$k":[${fmt(perQ(k).wall)},${fmt(s.wall)}]""" }.mkString("{", ",", "}")
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"calib":$calibJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {
