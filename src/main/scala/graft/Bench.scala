@@ -80,6 +80,17 @@ object Bench {
     * exact-intersection self-join). Explicit args still select them. */
   private val VerifyOnly = Set("l63b_kmv_exact_audit")
 
+  /** `_distpath` twins promoted into the DEFAULT gate-scale run (VERDICT
+    * r12 #6): without one timed forced-distributed rank entry in every
+    * registry artifact, a future `RankGraphEdgeCap` raise could silently
+    * re-gate the sf0.1 graphs and no bench number would notice until the
+    * next ×100 probe. q38b re-runs the q38 pageRank plan with the driver
+    * fast path forced off, so its gate-scale wall is the distributed
+    * 8-round loop's floor (~3–5 s at sf0.1 — exchange + per-round wave
+    * scheduling, the cost the gate exists to avoid); its value here is
+    * the TREND, not the magnitude. */
+  private val PromotedDistpath = Set("q38b_pagerank_distpath")
+
   @volatile private var calibSink = 0L
   /** Host-calibration kernel (VERDICT r11 #3): fixed-work, allocation-free
     * splitmix64 mixing, timed at run start, middle, and end. The identical
@@ -109,30 +120,62 @@ object Bench {
     * [[calibKernel]]: that loop is register/cache-resident, so a
     * co-tenant saturating the DRAM bus (the r11 finding-#2 signature:
     * executor CPU inflated 2×, steal ≈ 0, calib flat) slows it not at
-    * all. This kernel strides a 256 MB long array at cache-line steps —
+    * all. This kernel strides a 256 MB buffer at cache-line steps —
     * every read is a DRAM transaction — so its throughput drops by
     * roughly the same factor bandwidth contention inflates memory-bound
-    * executor CPU. Reported as `calib_bw` (seconds per pass; ~4 GB/s
-    * single-thread traffic healthy). The array allocates ONCE at first
-    * use and is reused, so repeat samples cost no GC churn. */
-  private lazy val bwArray: Array[Long] = {
-    val a = new Array[Long](32 * 1024 * 1024) // 256 MB
-    var i = 0
-    while (i < a.length) { a(i) = i.toLong * 0x9e3779b97f4a7c15L; i += 1 }
-    a
-  }
+    * executor CPU. Reported as `calib_bw` (seconds per 1 GB touched;
+    * ~0.10–0.14 s healthy on this host). The buffer is DIRECT (off-heap,
+    * ADVICE r12): the r12 long[] version pinned 256 MB of HEAP for the
+    * JVM's life after first use, inflating every later query's
+    * `heap_mb_q` and GC pressure; a direct ByteBuffer costs the same
+    * DRAM traffic but lives outside the heap and the collector's sight.
+    * (heap_mb_q values from the r12 artifact carry that +256 MB bias —
+    * ledgered in BENCH_SCALE.md.) Allocates ONCE at first use. */
+  private var bwBuf: java.nio.ByteBuffer = null
   private def bwKernel(): Double = {
-    val a = bwArray
+    if (bwBuf == null) {
+      val b = java.nio.ByteBuffer.allocateDirect(256 << 20)
+        .order(java.nio.ByteOrder.nativeOrder())
+      var i = 0
+      while (i < (32 << 20)) { b.putLong(i << 3, i.toLong * 0x9e3779b97f4a7c15L); i += 1 }
+      bwBuf = b
+    }
+    val b = bwBuf
+    val n = 32 << 20 // longs
     val t0 = System.nanoTime()
     var s = 0L
     var pass = 0
     while (pass < 4) { // 4 × 256 MB with a line-step stride: 1 GB+ touched
       var i = (pass * 2) % 8
-      while (i < a.length) { s += a(i); i += 8 } // 8 longs = one cache line
+      while (i < n) { s += b.getLong(i << 3); i += 8 } // 8 longs = one line
       pass += 1
     }
     calibSink = s
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Kernel spin accounting (ADVICE r12): every calibration sample taken
+    * INSIDE the measured cpu0/wall0 window accumulates its wall here and
+    * its MEASURED thread-CPU (ThreadMXBean, this thread) — so `cpu_sec`
+    * subtracts what the kernels actually consumed, not their wall. Under
+    * host steal the two diverge exactly when it matters: a stolen kernel
+    * spins less CPU than wall, and the r12 wall-based subtraction
+    * over-corrected precisely in the contended runs the telemetry exists
+    * to diagnose. `wall_sec` is now left RAW (r12 subtracted spin from it
+    * too, breaking comparability with earlier ledgered runs); the spin
+    * travels as its own `calib_spin_sec`/`calib_spin_cpu` fields. */
+  private var kernelWallInWindow = 0.0
+  private var kernelCpuInWindow = 0.0
+  private val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
+  private def timedKernel(k: () => Double): Double = {
+    val c0 = if (threadBean.isCurrentThreadCpuTimeSupported)
+      threadBean.getCurrentThreadCpuTime else -1L
+    val w = k()
+    kernelWallInWindow += w
+    if (c0 >= 0)
+      kernelCpuInWindow += (threadBean.getCurrentThreadCpuTime - c0) / 1e9
+    else kernelCpuInWindow += w // no thread-CPU clock: wall is the bound
+    w
   }
 
   /** Per-OS-thread cumulative CPU seconds, grouped by comm-name prefix
@@ -177,6 +220,63 @@ object Bench {
     }
   } catch { case _: Throwable => Map.empty }
 
+  /** Machine-wide counters (USER_HZ jiffies → seconds): steal = CPU the
+    * hypervisor gave another tenant; busy = all non-idle. A query with
+    * wall ≫ its own cpu AND host busy/steal high is the machine's fault;
+    * both low means WE blocked (lock, disk, scheduler) — distinguishable
+    * per query from the artifact alone. */
+  private def hostStat(): (Double, Double) = try {
+    val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+").drop(1).map(_.toDouble)
+    val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
+    val steal = if (f.length > 7) f(7) else 0.0
+    (steal / 100.0, (f.sum - idle) / 100.0)
+  } catch { case _: Throwable => (-1.0, -1.0) }
+
+  private final case class PreflightAttempt(calib: Double, bw: Double,
+    stealD: Double, pass: Boolean)
+
+  /** Contention pre-flight gate (VERDICT r12 #1): all six r12 registry
+    * attempts STARTED into contended windows (75–256 s cumulative steal;
+    * the official artifact's own calib triplet ends at 1.443/0.291) and
+    * the round closed without a comparable wall number. This gate takes
+    * the BENCH_SCALE probe — warm calib kernel, warm bandwidth kernel,
+    * /proc/stat steal across a short sleep — BEFORE the first query is
+    * timed, and refuses to start while the host is visibly contended:
+    * calib > 0.95 s (healthy ≈ 0.85) or calib_bw > 0.16 s (healthy
+    * 0.10–0.14) or steal > 0.25 s across the ~3.5 s probe window (a run
+    * that accrues steal at that rate lands ≈ 20+ s contaminated —
+    * double the "total steal < 10 s" clean-run bar). On a contended
+    * probe it sleeps 30 s and retries until the budget
+    * (`SPARK_GRAFT_PREFLIGHT_SEC`, default 900) is spent; the full
+    * attempt trail and the verdict land in the artifact either way, so
+    * a run that had to start dirty SAYS so instead of asking a reader
+    * to reverse-engineer it from per-query steal. */
+  private def preflight(budgetSec: Double): (Boolean, Double, Seq[PreflightAttempt]) = {
+    calibKernel(); bwKernel() // JIT/alloc warm, unrecorded
+    val t0 = System.nanoTime()
+    val attempts = scala.collection.mutable.ListBuffer[PreflightAttempt]()
+    var pass = false
+    var done = false
+    while (!done) {
+      val (s0, _) = hostStat()
+      val c = calibKernel()
+      val bw = bwKernel()
+      Thread.sleep(2000)
+      val (s1, _) = hostStat()
+      val stealD = if (s0 >= 0 && s1 >= 0) s1 - s0 else 0.0
+      pass = c <= 0.95 && bw <= 0.16 && stealD <= 0.25
+      attempts += PreflightAttempt(c, bw, stealD, pass)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (pass || elapsed > budgetSec) done = true
+      else {
+        System.err.println(f"[bench] PREFLIGHT contended: calib=$c%.3f bw=$bw%.3f stealD=$stealD%.2f — waiting 30 s (${budgetSec - elapsed}%.0f s budget left)")
+        Thread.sleep(30000)
+      }
+    }
+    ((pass, (System.nanoTime() - t0) / 1e9, attempts.toSeq))
+  }
+
   /** Interpreted-path signature counters on the plan the query will execute:
     * CodegenFallback expression instances + WholeStageCodegen node coverage.
     * AdaptiveSparkPlanExec hides its physical plan from TreeNode.collect
@@ -207,6 +307,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // full-registry runs (no args — the driver's shape) gate on the host
+    // being quiet; explicit-subset local iteration skips the gate unless
+    // forced. Unrecognized values fail fast (ADVICE r12: GATE_SCALE
+    // silently ignored "true"), not silently default.
+    val wantPreflight = sys.env.get("SPARK_GRAFT_PREFLIGHT") match {
+      case Some("1") => true
+      case Some("0") => false
+      case None => args.isEmpty
+      case Some(v) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_PREFLIGHT=$v: expected 1 or 0")
+    }
+    val (pfPass, pfWaited, pfAttempts) =
+      if (wantPreflight)
+        preflight(sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_SEC", "900").toDouble)
+      else (true, 0.0, Seq.empty[PreflightAttempt])
+    if (wantPreflight)
+      System.err.println(f"[bench] preflight ${if (pfPass) "PASS" else "FAIL (budget spent — timing anyway, annotated)"} after ${pfWaited}%.0f s, ${pfAttempts.size} attempt(s)")
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -255,18 +374,6 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
       case _ => -1.0
     }
-    // machine-wide counters (USER_HZ jiffies → seconds): steal = CPU the
-    // hypervisor gave another tenant; busy = all non-idle. A query with
-    // wall ≫ its own cpu AND host busy/steal high is the machine's fault;
-    // both low means WE blocked (lock, disk, scheduler) — distinguishable
-    // per query from the artifact alone.
-    def hostStat(): (Double, Double) = try {
-      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .trim.split("\\s+").drop(1).map(_.toDouble)
-      val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
-      val steal = if (f.length > 7) f(7) else 0.0
-      (steal / 100.0, (f.sum - idle) / 100.0)
-    } catch { case _: Throwable => (-1.0, -1.0) }
     // JVM-health counters, per query (r9 verdict: six queries showed
     // 2-10x CPU in one run and not another, zero steal — the artifact
     // must be able to tell real plan work from GC pressure and from
@@ -353,19 +460,32 @@ object Bench {
     // SPARK_GRAFT_GATE_SCALE=1/0 overrides the default dir-name sniff —
     // a renamed/symlinked copy of the gate dataset (or a scale dir whose
     // name happens to end in "sf0.1") would otherwise silently flip which
-    // queries the default run measures
+    // queries the default run measures. Unrecognized values fail fast
+    // (ADVICE r12: "true" silently fell through to the sniff the
+    // variable exists to override).
     val gateScale = sys.env.get("SPARK_GRAFT_GATE_SCALE") match {
       case Some("1") => true
       case Some("0") => false
-      case _ => sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+      case None => sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+      case Some(v) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_GATE_SCALE=$v: expected 1 or 0")
     }
     val wanted = if (args.isEmpty)
                    SparkEntry.queries.filter(kv =>
                      !VerifyOnly.contains(kv._1) &&
-                     (!gateScale || !kv._1.endsWith("_distpath")))
+                     (!gateScale || !kv._1.endsWith("_distpath") ||
+                       PromotedDistpath.contains(kv._1)))
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val perQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
-    val rerunQ = scala.collection.mutable.LinkedHashMap[String, (QStat, QStat)]()
+    // anomaly rerun record: (first, rerun, bw-kernel sample taken
+    // IMMEDIATELY before the rerun). VERDICT r12 #4: `calib_bw`'s three
+    // run-bracketing samples can't pin a mid-run bandwidth window (the
+    // run-F 0.464 catch) to the queries it inflated the way
+    // `host_steal_q` pins steal — so the ~0.12 s kernel now also fires
+    // right where the evidence is needed: between a flagged first pass
+    // and its in-JVM re-run. First pass slow + bw sample high + rerun
+    // flat convicts a bandwidth phase from the artifact alone.
+    val rerunQ = scala.collection.mutable.LinkedHashMap[String, (QStat, QStat, Double)]()
     var rerunBudget = 15 // a fully contaminated run must not double itself
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s1 = measure(name, fn, recordFailure = true)
@@ -376,16 +496,17 @@ object Bench {
       refTimes.get(name).foreach { ref =>
         if (s1.wall > math.max(3 * ref, ref + 2.0) && rerunBudget > 0) {
           rerunBudget -= 1
-          System.err.println(f"[bench] ANOMALY $name wall=${s1.wall}%.2f ref=$ref%.2f cpu=${s1.cpu}%.1f — re-running in-JVM")
+          val bwNow = timedKernel(() => bwKernel())
+          System.err.println(f"[bench] ANOMALY $name wall=${s1.wall}%.2f ref=$ref%.2f cpu=${s1.cpu}%.1f bw_now=$bwNow%.3f — re-running in-JVM")
           val s2 = measure(name, fn, recordFailure = false)
-          rerunQ(name) = (s1, s2)
+          rerunQ(name) = (s1, s2, bwNow)
         }
       }
       name -> s1.wall
     }
 
-    val calibMid = calibKernel()
-    val bwMid = bwKernel()
+    val calibMid = timedKernel(() => calibKernel())
+    val bwMid = timedKernel(() => bwKernel())
 
     // VERDICT r10 #2: the r9/r10 suspect cluster gets a wholesale second
     // pass after the sorted order completes. Inflated pass 1 + flat pass 2
@@ -395,21 +516,24 @@ object Bench {
     if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name))
       secondQ(name) = measure(name, fn, recordFailure = false)
 
-    val calibEnd = calibKernel()
-    val bwEnd = bwKernel()
+    val calibEnd = timedKernel(() => calibKernel())
+    val bwEnd = timedKernel(() => bwKernel())
     val calibJson = f"""[$calibStart%.3f,$calibMid%.3f,$calibEnd%.3f]"""
     val bwJson = f"""[$bwStart%.3f,$bwMid%.3f,$bwEnd%.3f]"""
 
     val total = results.map(_._2).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    // the mid/end calibration samples spin INSIDE the cpu0/wall0 window
-    // (mid-run drift is the point of calibMid) — subtract their known
-    // single-thread cost so cpu_sec keeps attributing to queries only,
-    // the residue the calib field exists to eliminate
-    val calibSpin = calibMid + calibEnd + bwMid + bwEnd
+    // the mid/end (and per-rerun) calibration samples spin INSIDE the
+    // cpu0/wall0 window — subtract their MEASURED thread-CPU (not wall:
+    // ADVICE r12 — under steal a kernel consumes less CPU than wall, so
+    // the wall-based subtraction over-corrected exactly in contended
+    // runs) so cpu_sec keeps attributing to queries only. wall_sec is
+    // RAW again (comparable with the pre-r12 ledger); the spin travels
+    // as its own fields.
     val cpuSec =
-      if (cpu0 >= 0) math.max(0.0, procCpuSec - cpu0 - calibSpin) else -1.0
-    val wallSec = (System.nanoTime() - wall0) / 1e9 - calibSpin
+      if (cpu0 >= 0) math.max(0.0, procCpuSec - cpu0 - kernelCpuInWindow)
+      else -1.0
+    val wallSec = (System.nanoTime() - wall0) / 1e9
     val load1m = osBean.getSystemLoadAverage
     // JIT-health telemetry: if the code cache fills, HotSpot disables the
     // compiler for the rest of the JVM's life and every later query runs
@@ -426,8 +550,8 @@ object Bench {
       val th = s.threads.map { case (n, c) => f""""$n":$c%.1f""" }.mkString("{", ",", "}")
       f"""{"wall":${s.wall}%.2f,"cpu":${s.cpu}%.2f,"steal":${s.steal}%.2f,"gc":${s.gc}%.2f,"jit":${s.jit}%.2f,"threads":$th}"""
     }
-    val rerunJson = rerunQ.map { case (k, (a, b)) =>
-      s""""$k":{"first":${statJson(a)},"rerun":${statJson(b)}}""" }.mkString("{", ",", "}")
+    val rerunJson = rerunQ.map { case (k, (a, b, bw)) =>
+      f""""$k":{"first":${statJson(a)},"bw_before_rerun":$bw%.3f,"rerun":${statJson(b)}}""" }.mkString("{", ",", "}")
     val secondJson = secondQ.map { case (k, s) => s""""$k":${statJson(s)}""" }.mkString("{", ",", "}")
     val threadsJson = perQ.collect { case (k, s) if s.threads.nonEmpty =>
       s""""$k":${s.threads.map { case (n, c) => f""""$n":$c%.1f""" }.mkString("{", ",", "}")}"""
@@ -435,8 +559,14 @@ object Bench {
     val cgfbJson = cgQ.map { case (k, (fb, _, _)) => s""""$k":$fb""" }.mkString("{", ",", "}")
     val wscJson = cgQ.map { case (k, (_, in, tot)) => s""""$k":"$in/$tot"""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
+    val pfJson = {
+      val a = pfAttempts.map(p =>
+        f"""{"calib":${p.calib}%.3f,"bw":${p.bw}%.3f,"steal_d":${p.stealD}%.2f,"pass":${p.pass}}""")
+        .mkString("[", ",", "]")
+      f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":$a}"""
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"load1m":$load1m,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":$kernelCpuInWindow%.2f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -446,12 +576,14 @@ object Bench {
     // then slowest queries until the budget is spent
     def fmt(v: Double) = f"$v%.2f"
     val budget = 1800
-    val rrCompact = rerunQ.map { case (k, (a, b)) =>
-      s""""$k":[${fmt(a.wall)},${fmt(b.wall)}]""" }.mkString("{", ",", "}")
+    val rrCompact = rerunQ.map { case (k, (a, b, bw)) =>
+      s""""$k":[${fmt(a.wall)},${fmt(b.wall)},${fmt(bw)}]""" }.mkString("{", ",", "}")
     val spCompact = secondQ.map { case (k, s) =>
       s""""$k":[${fmt(perQ(k).wall)},${fmt(s.wall)}]""" }.mkString("{", ",", "}")
+    val pfCompact =
+      f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size}}"""
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** ×N scale probe for the STREAMING STATE family (VERDICT r12 #2) — the
+  * one heavy family the graph/dedup ×100 probes never touched: watermark
+  * eviction state under stream-stream joins (m17/m21/m30/m31),
+  * sessionization (m13/m40), and streaming dedup (m14), under the
+  * production RocksDB state-store provider.
+  *
+  * Why a separate main instead of timing the registry queries on the
+  * scale dir: the GATE queries bound their state on purpose
+  * (`user_id < 30/40`) so the oracle output stays stable across scale
+  * factors — but [[ScaleData]] shifts user ids per copy, so at ×100
+  * those bounds select exactly the copy-0 users and the state machine
+  * never feels the decade. This probe runs the SAME operator shapes
+  * (same watermarks, same join intervals, same session gaps — the
+  * registered queries' Scaladoc is the spec) UNBOUNDED, which is what a
+  * production deployment of S2's per-client session tracking looks like.
+  *
+  * Probe shape:
+  *  - events are re-laid-out as `Slices` time-contiguous single-file
+  *    slices written in time order (modification-time order is what the
+  *    file source replays), so `maxFilesPerTrigger=1` yields real
+  *    micro-batches with a monotonically advancing watermark — each
+  *    batch both GROWS state (new rows) and EVICTS it (watermark
+  *    passing), the regime the gate's one-batch complete-mode runs
+  *    never reach.
+  *  - sinks are noop; nothing driver-side accumulates.
+  *  - per-batch `StreamingQueryProgress.stateOperators` is harvested:
+  *    peak/final state rows, total evictions, peak state-store bytes
+  *    (RocksDB memory + SST where reported), and per-batch wall — the
+  *    no-superlinear evidence is (a) ×100/×10 wall ratio ≈ data ratio,
+  *    (b) peak state rows ≪ input rows (eviction works), (c) per-batch
+  *    wall flat across batches (state cost amortized, not compounding).
+  *
+  * Usage: runMain graft.StreamScaleProbe <scaleDir> [queries...]
+  * Output: one JSON line per query + a `probe_total` line (stdout), full
+  * detail appended to stream_probe.json in the working directory.
+  */
+object StreamScaleProbe {
+
+  private val Slices = 16
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/.benchdata/sf1")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // the production provider — the probe's whole point is RocksDB
+      // state behavior at corpus-scale keys
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- arrival-ordered slices -----------------------------------------
+    val base = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = ev.agg(min(unix_timestamp(col("ts"))),
+      max(unix_timestamp(col("ts")))).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val width = math.max(1L, (t1 - t0) / Slices)
+    val prep0 = System.nanoTime()
+    (0 until Slices).foreach { i =>
+      val lo = t0 + i * width
+      val hi = if (i == Slices - 1) t1 else t0 + (i + 1) * width
+      ev.filter(unix_timestamp(col("ts")) >= lo &&
+          unix_timestamp(col("ts")) < hi)
+        .coalesce(1).write.mode("overwrite").parquet(f"$base/ev/s$i%02d")
+    }
+    val evSchema = spark.read.parquet(s"$base/ev/s00").schema
+    System.err.println(f"[probe] slice prep ${(System.nanoTime() - prep0) / 1e9}%.1f s → $base")
+    def evStream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/ev/*")
+      .withColumn("tsec", timestamp_seconds(unix_timestamp(col("ts"))))
+
+    // documents for the m14 face: sliced the same way on a synthetic
+    // arrival time (the corpus has no event time — like the gate, dedup
+    // state is NEVER evicted, so its metric of interest is the standing
+    // fingerprint set's size in RocksDB, not eviction)
+    def docSlices(): Unit = {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val n = docs.count()
+      val per = math.max(1L, n / Slices)
+      (0 until Slices).foreach { i =>
+        val lo = i * per
+        val hi = if (i == Slices - 1) Long.MaxValue else (i + 1) * per
+        docs.filter(pmod(col("doc_id"), lit(n)) >= lo &&
+            pmod(col("doc_id"), lit(n)) < hi)
+          .coalesce(1).write.mode("overwrite").parquet(f"$base/doc/s$i%02d")
+      }
+    }
+
+    // ---- the probed shapes (gate Scaladocs are the spec) ----------------
+    def clicks = evStream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tsec").as("c_tsec"))
+      .withWatermark("c_tsec", "4 hours")
+    def purchases = evStream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("tsec").as("p_tsec"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_tsec", "4 hours")
+    def intervalJoin(kind: String) = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_tsec") >= col("c_tsec") - expr("INTERVAL 2 HOURS") &&
+      col("p_tsec") <= col("c_tsec"), kind)
+
+    val shapes: Seq[(String, () => DataFrame)] = Seq(
+      "m13_session" -> (() => evStream
+        .withWatermark("tsec", "4 hours")
+        .groupBy(session_window(col("tsec"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))),
+      "m40_dyn_session" -> (() => evStream
+        .withWatermark("tsec", "4 hours")
+        .groupBy(session_window(col("tsec"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))),
+      "m14_dedup" -> { () =>
+        docSlices()
+        val docSchema = spark.read.parquet(s"$base/doc/s00").schema
+        val src = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/doc/*")
+          .withColumn("ts",
+            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        graft.llm.TextDedup.dedupStream(src, tsCol = "ts")
+          .select("fingerprint")
+      },
+      "m17_join_inner" -> (() => intervalJoin("inner")),
+      "m21_join_outer" -> (() => intervalJoin("left_outer")),
+      "m30_join_semi" -> (() => intervalJoin("left_semi")),
+      "m31_join_full" -> (() => intervalJoin("full_outer")))
+
+    // ---- run + harvest ---------------------------------------------------
+    val out = new StringBuilder
+    var total = 0.0
+    shapes.filter(s => only.isEmpty || only(s._1)).foreach { case (name, mk) =>
+      val ckpt = s"$base/ckpt/$name"
+      val w0 = System.nanoTime()
+      val q = mk().writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - w0) / 1e9
+      total += wall
+      val progs = q.recentProgress.toSeq
+      val st = progs.flatMap(_.stateOperators.toSeq)
+      def sumL(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+        st.map(f).sum
+      val peakRows = if (st.isEmpty) 0L
+        else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val endRows = progs.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val peakMem = if (st.isEmpty) 0L
+        else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+      val inRows = progs.map(_.numInputRows).sum
+      val perBatchWall = progs.map(p =>
+        p.durationMs.getOrDefault("triggerExecution", 0L).toLong / 1e3)
+      val j =
+        f"""{"q":"$name","wall":$wall%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":${sumL(_.numRowsRemoved)},"rows_updated":${sumL(_.numRowsUpdated)},"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
+      println(j)
+      out.append(j).append('\n')
+    }
+    println(f"""{"q":"probe_total","wall":$total%.1f,"dir":"$dir"}""")
+    val w = new java.io.FileWriter("stream_probe.json", true)
+    try w.write(s"""# $dir\n$out""") finally w.close()
+    spark.stop()
+  }
+}

@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * argument as LSM compaction. The bucket function is pinned per
   * manifest (pmod(xxhash64(keys), N)), so carry-forward always uses the
   * PREVIOUS manifest's N; only a rebase may change it.
+  *
+  * A state that fits in ONE bucket target (the gate-scale steady state)
+  * sits at the ladder's bottom rung: N = 1, written as a single file by
+  * a single task with no partitionBy — the whole-state write's exact
+  * cost, with the manifest still recording size and schema. wantsRebase
+  * treats N = 1 as always-rebase, so the state re-buckets wide the
+  * moment it outgrows a target (and `deltaUseful` stays false meanwhile,
+  * keeping producers from building changed-keys frames nobody reads).
   */
 private[graft] object GenState {
 
@@ -140,7 +148,27 @@ private[graft] object GenState {
   private def manifestPath(statePath: String, gen: Long) =
     java.nio.file.Paths.get(s"$statePath/gen-$gen/manifest")
 
+  /** Parsed-manifest memo (VERDICT r12 #3): a (statePath, gen) manifest
+    * is IMMUTABLE once its commit marker exists, yet every micro-batch
+    * used to re-read and re-parse it at least twice (`deltaUseful` in
+    * the streaming fn, then `applyBatchBucketed`; three times counting
+    * the read-back) — and a v1 manifest re-ran its dirBytes migration
+    * walk on EVERY read (ADVICE r12). Write-through on [[writeManifest]]
+    * so the next batch's reads never touch the filesystem at all;
+    * LRU-capped like the state cache. Replays/other-writer reads miss
+    * and fall back to the file — correctness never depends on a hit. */
+  private val MaxCachedManifests = 64
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), Manifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+        size > MaxCachedManifests
+    }
+
   private def readManifest(statePath: String, gen: Long): Option[Manifest] = {
+    val hit = manifestCache.synchronized(
+      Option(manifestCache.get((statePath, gen))))
+    if (hit.isDefined) return hit
     val p = manifestPath(statePath, gen)
     if (!java.nio.file.Files.isRegularFile(p)) None
     else {
@@ -153,12 +181,16 @@ private[graft] object GenState {
       val sources = lines.drop(2).map { l =>
         val a = l.split(' ')
         val b = a(0).toInt
+        // v1 migration: sizes walked once per JVM (memoized below); the
+        // next write re-records them as v2
         val bytes = if (a.length > 2) a(2).toLong
-          else dirBytes(java.nio.file.Paths.get( // v1 migration, paid once
+          else dirBytes(java.nio.file.Paths.get(
             s"$statePath/gen-${a(1).toLong}/data/__b=$b"))
         b -> BucketSrc(a(1).toLong, bytes)
       }.toMap
-      Some(Manifest(header(1).toInt, schemaJson, sources))
+      val m = Manifest(header(1).toInt, schemaJson, sources)
+      manifestCache.synchronized(manifestCache.put((statePath, gen), m): Unit)
+      Some(m)
     }
   }
 
@@ -175,6 +207,7 @@ private[graft] object GenState {
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    manifestCache.synchronized(manifestCache.put((statePath, gen), m): Unit)
   }
 
   private def readGen(spark: SparkSession, statePath: String,
@@ -210,7 +243,12 @@ private[graft] object GenState {
       RebaseSourceSpread) ||
     prevBytes.exists(b => prevMan.exists(m =>
       b / math.max(1, m.buckets) > 4L * targetBytes)) ||
-    prevBytes.exists(_ <= targetBytes)
+    prevBytes.exists(_ <= targetBytes) ||
+    // a single-bucket (tiny-ladder) state always rebases: an incremental
+    // pass over one bucket IS a full rewrite, so the delta bookkeeping
+    // would be pure overhead — and the rebase is what promotes the state
+    // to a real bucket count once it outgrows one target
+    prevMan.exists(_.buckets <= 1)
   }
 
   /** Will the NEXT [[applyBatchBucketed]] on this path actually consume a
@@ -226,6 +264,16 @@ private[graft] object GenState {
       .flatMap(readManifest(statePath, _))
     prevMan.isDefined && !wantsRebase(prevMan, targetBucketBytes(spark))
   }
+
+  /** Cheap input-size estimate for a micro-batch frame, for
+    * [[applyBatchBucketed]]'s `batchBytesHint`: the optimizer's
+    * sizeInBytes (file-source batches report real file bytes — no job
+    * runs). `None` when the plan can't say (the default Long.MaxValue
+    * sentinel), so an unknown never masquerades as huge OR tiny. */
+  def batchBytes(batch: DataFrame): Option[Long] = try {
+    val s = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s >= BigInt(Long.MaxValue) / 2 || s < 0) None else Some(s.toLong)
+  } catch { case _: Throwable => None }
 
   /** The current committed state (error if no batch ever committed). */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
@@ -249,7 +297,28 @@ private[graft] object GenState {
     val merged = next(prev.lastOption.map(g =>
       cachedState(spark, statePath, g)
         .getOrElse(readGen(spark, statePath, g))))
-    merged.coalesce(1).write.mode("overwrite")
+    // Misuse guard (VERDICT r12 #3): this overload's contract is
+    // GROUP-BOUNDED state (rollups, sketches) — nothing used to fail
+    // loudly if a maintainer with corpus-sized state picked it, and the
+    // coalesce(1) would then serialize an ever-growing whole-state
+    // rewrite through one task every batch (the exact r11 scale-killer
+    // the bucketed shape replaced). When the PREVIOUS generation's
+    // recorded size already exceeds a few bucket targets, warn and drop
+    // the coalesce so at least the write parallelizes; the warning names
+    // the fix (applyBatchBucketed).
+    val guardBytes = 8L * targetBucketBytes(spark)
+    val prevStateBytes = prev.lastOption.map { g =>
+      readManifest(statePath, g).map(_.sources.values.map(_.bytes).sum)
+        .getOrElse(dirBytes(java.nio.file.Paths.get(s"$statePath/gen-$g")))
+    }.getOrElse(0L)
+    val big = prevStateBytes > guardBytes
+    if (big)
+      System.err.println(s"[GenState] WARN applyBatch($statePath) is " +
+        s"rewriting ${prevStateBytes / (1 << 20)} MB of standing state " +
+        s"wholesale per batch — this overload is for group-bounded state; " +
+        s"corpus-sized state belongs in applyBatchBucketed. Writing " +
+        s"in parallel (no coalesce) to bound the damage.")
+    (if (big) merged else merged.coalesce(1)).write.mode("overwrite")
       .parquet(s"$statePath/gen-$batchId")
     // a bucketed predecessor's manifest may reference older generations;
     // in-flight readers of that (surviving) generation still need them
@@ -271,9 +340,19 @@ private[graft] object GenState {
     * (upsert argmax, rollup monoids, label remaps, count bumps), and
     * pinned by each maintainer's recompute oracle. `changedKeys = None`
     * forces a full (still parallel) rewrite — the first batch, a driver
-    * fast path, or any batch where the delta is not cheaply available. */
+    * fast path, or any batch where the delta is not cheaply available.
+    *
+    * `batchBytesHint` is the producer's estimate of THIS batch's input
+    * bytes (micro-batch plan stats — free). It gates the single-task
+    * tiny-state path from the other side (ADVICE r12): the r12 shape
+    * keyed only on the PREVIOUS state's bytes, so a large catch-up batch
+    * landing on a tiny state wrote the whole new (possibly huge) state
+    * through one task. With the hint, a big batch takes the parallel
+    * rebase path no matter how small the prior state was; `None` (no
+    * cheap estimate) preserves the prev-bytes-only behavior. */
   def applyBatchBucketed(spark: SparkSession, statePath: String,
-      batchId: Long, bucketCols: Seq[String])
+      batchId: Long, bucketCols: Seq[String],
+      batchBytesHint: Option[Long] = None)
       (next: Option[DataFrame] => (DataFrame, Option[DataFrame])): Unit = {
     import java.nio.file.Files
     val marker = commitsDir(statePath).resolve(batchId.toString)
@@ -293,11 +372,32 @@ private[graft] object GenState {
     val prevBytes = prevMan.map(_.sources.values.map(_.bytes).sum)
     val rebase = prevMan.isEmpty || changed.isEmpty ||
       wantsRebase(prevMan, targetBytes)
+    // KNOWN-tiny rebase (the gate-scale steady state): prior state fits
+    // in one bucket target AND the batch brings nothing big (hint-gated,
+    // see above). Such a state is written as ONE bucket, ONE task, ONE
+    // file with no partitionBy — the r12 shape still paid a 16-way
+    // dynamic-partition commit (16 parquet footers + 16 dir renames per
+    // micro-batch) for state that a single file carries; that commit
+    // overhead was most of the maintainers' r12 gate-floor regression.
+    // The single-bucket manifest keeps the generation inside the
+    // bucketed protocol (readGen, carry-forward, size records), and
+    // wantsRebase's buckets<=1 trigger re-promotes it the moment it
+    // outgrows a target.
+    val tiny = rebase &&
+      (prevBytes.exists(_ <= targetBytes) ||
+        // a TRUE first write (no prior generation at all) is tiny only on
+        // the hint's positive say-so — absent a hint it takes the wide
+        // path, so a big unhinted first batch is never serialized
+        (prev.isEmpty && batchBytesHint.exists(_ <= targetBytes))) &&
+      batchBytesHint.forall(_ <= 4L * targetBytes)
     val nBuckets =
-      if (rebase)
-        prevBytes.fold(MinBuckets)(b => math.min(MaxBuckets,
-          math.max(MinBuckets, (b / targetBytes).toInt)).toInt)
-      else prevMan.get.buckets
+      if (tiny) 1
+      else if (rebase) {
+        val sizeGuess = math.max(prevBytes.getOrElse(0L),
+          batchBytesHint.getOrElse(0L))
+        math.min(MaxBuckets,
+          math.max(MinBuckets, (sizeGuess / targetBytes).toInt)).toInt
+      } else prevMan.get.buckets
     val bucketOf = pmod(xxhash64(bucketCols.map(col): _*), lit(nBuckets))
       .cast("int")
 
@@ -311,20 +411,21 @@ private[graft] object GenState {
       // empty batch: nothing to write — but a crashed earlier attempt may
       // have left buckets here that the `written` listing must not see
       deleteTree(java.nio.file.Paths.get(genDir, "data"))
-    else {
+    else if (tiny) {
+      // single-bucket write: clear any crashed attempt's leftover bucket
+      // dirs first (the overwrite below only replaces __b=0)
+      deleteTree(java.nio.file.Paths.get(genDir, "data"))
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$genDir/data/__b=0")
+    } else {
       val bucketed = merged.withColumn("__b", bucketOf)
-      // a KNOWN-tiny rebase (the prev state fit in one bucket target —
-      // the gate-scale steady state) skips the repartition exchange and
-      // writes all its buckets from one task, exactly the old
-      // whole-state write's cost; every other shape repartitions so the
-      // write parallelizes (one task per few buckets, one file per
-      // (task, bucket) keeps file count ~|touched|). A rebase writes
-      // every bucket, so its membership filter would be a no-op — only
-      // the touched path filters.
-      val tinyRebase = rebase && prevBytes.exists(_ <= targetBytes)
+      // a rebase writes every bucket from a bounded repartition (one
+      // task per few buckets, one file per (task, bucket) keeps file
+      // count ~|touched|); the incremental path filters to touched
+      // buckets first. A rebase's membership filter would be a no-op —
+      // only the touched path filters.
       val toWrite =
-        if (tinyRebase) bucketed.coalesce(1)
-        else if (rebase)
+        if (rebase)
           bucketed.repartition(math.min(nBuckets, 32), col("__b"))
         else bucketed.filter(col("__b").isin(touched: _*))
           .repartition(math.max(1, math.min(touched.size, 32)), col("__b"))
@@ -393,6 +494,7 @@ private[graft] object GenState {
     prev.filterNot(keep).foreach { g =>
       deleteTree(java.nio.file.Paths.get(s"$statePath/gen-$g"))
       Files.deleteIfExists(commitsDir(statePath).resolve(g.toString)): Unit
+      manifestCache.synchronized(manifestCache.remove((statePath, g)): Unit)
     }
   }
 

@@ -1188,7 +1188,7 @@ object Graph {
         // skip the changed-keys job when the store will rebase anyway
         val want = GenState.deltaUseful(b.sparkSession, statePath)
         GenState.applyBatchBucketed(b.sparkSession, statePath, id,
-          Seq("u", "v", "node"))(prev =>
+          Seq("u", "v", "node"), GenState.batchBytes(b.toDF()))(prev =>
             incrTrianglesDelta(prev, b.toDF(), wantChanged = want))
       }
     src.writeStream
@@ -1220,7 +1220,7 @@ object Graph {
         // skip the changed-keys job when the store will rebase anyway
         val want = GenState.deltaUseful(b.sparkSession, statePath)
         GenState.applyBatchBucketed(b.sparkSession, statePath, id,
-          Seq("doc_id"))(prev =>
+          Seq("doc_id"), GenState.batchBytes(b.toDF()))(prev =>
             incrementalComponentsDelta(prev, b.toDF(), wantChanged = want))
       }
     src.writeStream

@@ -64,7 +64,7 @@ object KeyedUpsert {
   def applyBatch(statePath: String, key: String, version: Seq[String])
                 (batch: DataFrame, batchId: Long): Unit =
     GenState.applyBatchBucketed(batch.sparkSession, statePath, batchId,
-        Seq(key)) { prev =>
+        Seq(key), GenState.batchBytes(batch)) { prev =>
       val d = delta(batch, key, version)
       prev match {
         case Some(st) => (merge(st, d, key, version), Some(batch.select(key)))

@@ -276,6 +276,66 @@ class GenStateSpec extends SparkSpec {
       "components state diverged on wantChanged")
   }
 
+  test("tiny steady state writes ONE bucket as ONE file; a big " +
+      "batch-bytes hint forces the parallel path off the tiny state") {
+    import spark.implicits._
+    val p = tmp("tinyhint")
+    // default 4 MB target: this state is tiny, so after the first commit
+    // every unhinted batch takes the single-bucket rung
+    applySum(p, (0 until 256).map(i => (i.toLong % 16, 1L)).toDF("k", "v"), 0L)
+    applySum(p, Seq((3L, 5L)).toDF("k", "v"), 1L)
+    assert(bucketDirs(p, 1L) == Seq("__b=0"),
+      s"tiny steady state not single-bucket: ${bucketDirs(p, 1L)}")
+    // a catch-up batch DECLARED big (hint > 4× target) must not ride the
+    // single-task rung no matter how small the prior state was (ADVICE
+    // r12: the one-task whole-state stall) — the rebase goes wide
+    GenState.applyBatchBucketed(spark, p, 2L, Seq("k"),
+        batchBytesHint = Some(64L << 20)) { prev =>
+      (sumState(prev, Seq((4L, 2L)).toDF("k", "v")), None)
+    }
+    // 16 buckets chosen; only the non-empty ones materialize as dirs —
+    // any spread past one dir proves the wide path ran
+    assert(bucketDirs(p, 2L).size > 1,
+      s"big-hinted batch stayed on the tiny path: ${bucketDirs(p, 2L)}")
+    // and a true FIRST write with a tiny hint starts on the bottom rung
+    val p2 = tmp("tinyfirst")
+    GenState.applyBatchBucketed(spark, p2, 0L, Seq("k"),
+        batchBytesHint = Some(1024L)) { prev =>
+      (sumState(prev, Seq((1L, 1L)).toDF("k", "v")), None)
+    }
+    assert(bucketDirs(p2, 0L) == Seq("__b=0"),
+      s"tiny-hinted first write went wide: ${bucketDirs(p2, 0L)}")
+    assert(snap(p).toMap.apply(3L) == 16L + 5L &&
+      snap(p).toMap.apply(4L) == 16L + 2L, "tiny/wide ladder lost updates")
+  }
+
+  test("applyBatch on corpus-sized state warns and drops the single-task " +
+      "coalesce (the misuse guard)") {
+    val p = tmp("guard")
+    // 16 KB target → guard threshold 128 KB; this ~1.6 MB state crosses it
+    spark.conf.set("spark.graft.state.targetBucketBytes", "16384")
+    try {
+      val big = spark.range(100000).select(col("id").as("k"),
+        xxhash64(col("id"), lit(1)).as("s"))
+      GenState.applyBatch(spark, p, 0L)(_ => big)
+      // gen-0's recorded size is above the guard threshold, so the NEXT
+      // applyBatch must keep the merged frame's parallelism: >1 part
+      // file written (the unguarded shape coalesces to exactly 1)
+      GenState.applyBatch(spark, p, 1L)(prev => prev.get.repartition(4))
+      val gen1 = java.nio.file.Paths.get(s"$p/gen-1")
+      val walk = java.nio.file.Files.walk(gen1)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq
+      } finally walk.close()
+      assert(parts.size > 1,
+        s"guard did not parallelize a ${parts.size}-file big-state rewrite")
+      assert(GenState.readState(spark, p).count() == 100000L,
+        "guarded write lost rows")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
+  }
+
   test("bucketed and whole-state writes interoperate on one statePath") {
     import spark.implicits._
     val p = tmp("mixed")

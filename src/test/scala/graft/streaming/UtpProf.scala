@@ -10,18 +10,58 @@ import graft.streaming.{UtpCodec => C}
 /** Scratch profiler for the uTP wire path (test scope, manual runMain):
   * loopback clients pushing batched PUBLISH frames through the full
   * decode → putEntry → sync pipeline.
-  * Args: [messages] [batch] [conns] [syncEvery] [transport: tcp|ws|grpc]
-  * — the transport arg drives the SAME workload through the WebSocket
-  * or gRPC/h2c face, so the three listeners' throughput is comparable
-  * from one harness. */
+  * Args: [messages] [batch] [conns] [syncEvery]
+  * [transport: tcp|tcps|ws|grpc] — the transport arg drives the SAME
+  * workload through the WebSocket or gRPC/h2c face, so the listeners'
+  * throughput is comparable from one harness. `tcps` is the tcp face
+  * under TLS (ephemeral keytool material, the UtpSpec recipe): the
+  * priced delta vs `tcp` is the JSSE record layer, completing the
+  * BASELINE wire table's parity story (VERDICT r12 #7). */
 object UtpProf {
+
+  /** Self-signed server context + trusting client factory, built the
+    * way the TLS spec does it (keytool, SAN=ip) — valid for the run. */
+  private def tlsPair(): (javax.net.ssl.SSLContext, javax.net.ssl.SSLSocketFactory) = {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prof_tls")
+    val (ksF, certF) = (s"$dir/ks.p12", s"$dir/srv.cer")
+    val keytool = System.getProperty("java.home") + "/bin/keytool"
+    require(Seq(keytool, "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksF,
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=ip:127.0.0.1", "-validity", "2").! == 0, "keytool failed")
+    require(Seq(keytool, "-exportcert", "-alias", "srv", "-keystore", ksF,
+      "-storepass", "changeit", "-file", certF).! == 0, "exportcert failed")
+    val kks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksF)
+    try kks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kks, "changeit".toCharArray)
+    val srvCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    srvCtx.init(kmf.getKeyManagers, null, null)
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val cis = new java.io.FileInputStream(certF)
+    val cert = try cf.generateCertificate(cis) finally cis.close()
+    val tks = java.security.KeyStore.getInstance("PKCS12")
+    tks.load(null, null)
+    tks.setCertificateEntry("srv", cert)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(tks)
+    val cliCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    cliCtx.init(null, tmf.getTrustManagers, null)
+    (srvCtx, cliCtx.getSocketFactory)
+  }
+
   def main(args: Array[String]): Unit = {
     val total = args.headOption.map(_.toInt).getOrElse(2000000)
     val batch = args.lift(1).map(_.toInt).getOrElse(200)
     val conns = args.lift(2).map(_.toInt).getOrElse(4)
     val syncEvery = args.lift(3).map(_.toInt).getOrElse(1000000)
     val transport = args.lift(4).getOrElse("tcp")
-    require(Set("tcp", "ws", "grpc")(transport), s"unknown transport $transport")
+    require(Set("tcp", "tcps", "ws", "grpc")(transport),
+      s"unknown transport $transport")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,17 +73,32 @@ object UtpProf {
     // partition otherwise — a single-task parquet write)
     val db = UnitDb.open(spark, base + "/store", autoFlushRows = 2000000,
       writeSaltBuckets = 8)
+    val (srvTls, cliSsl) =
+      if (transport == "tcps") { val (a, b) = tlsPair(); (Some(a), Some(b)) }
+      else (None, None)
     val srv = new UtpServer(db, port = 0, syncEveryPuts = syncEvery,
       wsPort = if (transport == "ws") 0 else -1,
-      grpcPort = if (transport == "grpc") 0 else -1)
+      grpcPort = if (transport == "grpc") 0 else -1,
+      tls = srvTls)
     val perConn = total / conns
     val payload = ("x" * 64).getBytes
 
     val t0 = System.nanoTime()
     val threads = (0 until conns).map { ci =>
       val t = new Thread(() => {
-        if (transport == "tcp") {
-          val sock = new Socket("127.0.0.1", srv.actualPort)
+        if (transport == "tcp" || transport == "tcps") {
+          val sock = cliSsl match {
+            case Some(f) =>
+              val s = f.createSocket("127.0.0.1", srv.actualPort)
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              // same endpoint-identification posture as UtpClient's TLS
+              val p = s.getSSLParameters
+              p.setEndpointIdentificationAlgorithm("HTTPS")
+              s.setSSLParameters(p)
+              s.startHandshake()
+              s
+            case None => new Socket("127.0.0.1", srv.actualPort)
+          }
           sock.setTcpNoDelay(true)
           val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
           val in = sock.getInputStream
