@@ -83,23 +83,6 @@ object StreamScaleProbe {
       .parquet(s"$base/ev/*")
       .withColumn("tsec", timestamp_seconds(unix_timestamp(col("ts"))))
 
-    // documents for the m14 face: sliced the same way on a synthetic
-    // arrival time (the corpus has no event time — like the gate, dedup
-    // state is NEVER evicted, so its metric of interest is the standing
-    // fingerprint set's size in RocksDB, not eviction)
-    def docSlices(): Unit = {
-      val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      val n = docs.count()
-      val per = math.max(1L, n / Slices)
-      (0 until Slices).foreach { i =>
-        val lo = i * per
-        val hi = if (i == Slices - 1) Long.MaxValue else (i + 1) * per
-        docs.filter(pmod(col("doc_id"), lit(n)) >= lo &&
-            pmod(col("doc_id"), lit(n)) < hi)
-          .coalesce(1).write.mode("overwrite").parquet(f"$base/doc/s$i%02d")
-      }
-    }
-
     // ---- the probed shapes (gate Scaladocs are the spec) ----------------
     def clicks = evStream.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -127,16 +110,18 @@ object StreamScaleProbe {
           when(col("event_type") === "purchase", "60 minutes")
             .otherwise("30 minutes")).as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))),
-      "m14_dedup" -> { () =>
-        docSlices()
-        val docSchema = spark.read.parquet(s"$base/doc/s00").schema
-        val src = spark.readStream.schema(docSchema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$base/doc/*")
-          .withColumn("ts",
-            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        graft.llm.TextDedup.dedupStream(src, tsCol = "ts")
-          .select("fingerprint")
-      },
+      // m14's state machine (dropDuplicatesWithinWatermark: keyed
+      // fingerprint state + watermark eviction) probed over the EVENT
+      // stream: [[ScaleData]] multiplies doc IDs but not doc TEXTS, so
+      // the gate's bag-of-words fingerprint state tops out at the base
+      // corpus's ~4k distinct fingerprints at ANY factor — event_id is
+      // the key that actually scales ×100, and the events' real
+      // timestamps exercise the eviction leg the gate's constant-ts
+      // corpus never can. Same operator, same watermark discipline.
+      "m14_dedup" -> (() => evStream
+        .withWatermark("tsec", "4 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "value")),
       "m17_join_inner" -> (() => intervalJoin("inner")),
       "m21_join_outer" -> (() => intervalJoin("left_outer")),
       "m30_join_semi" -> (() => intervalJoin("left_semi")),

@@ -443,12 +443,15 @@ object Graph {
           .select(col("la").as("doc_a"), col("lb").as("doc_b"))
         // fixpoint on the CONTRACTED graph only — label count is bounded
         // by 2·|batch|, so each round is batch-sized whatever the corpus.
-        // localCheckpoint: the remap feeds BOTH the state rewrite and the
-        // changed-keys frame below — without it the contracted fixpoint
-        // would run twice per batch
-        val remap0 = graft.llm.TextDedup.dedupClusters(labelEdges)
+        // localCheckpoint only when the remap feeds BOTH the state
+        // rewrite and the changed-keys frame below — without it the
+        // contracted fixpoint would run twice per batch. When the store
+        // pre-declared a rebase (wantChanged=false, the tiny-state
+        // steady state) the remap has ONE consumer and the checkpoint
+        // would be a pure extra per-batch job on the gate floor.
+        val remapRaw = graft.llm.TextDedup.dedupClusters(labelEdges)
           .select(col("doc_id").as("l"), col("cluster_id").as("root"))
-          .localCheckpoint()
+        val remap0 = if (wantChanged) remapRaw.localCheckpoint() else remapRaw
         val remap = if (labCount <= DriverGates.BatchBroadcastRowCap)
           broadcast(remap0) else remap0
         val newcomers = lab.filter(col("is_new"))
@@ -1140,13 +1143,15 @@ object Graph {
       .filter(
         !(col("n1").isNotNull && col("e1") < struct(col("u"), col("v"))) &&
         !(col("n2").isNotNull && col("e2") < struct(col("u"), col("v"))))
-    // localCheckpoint: the per-batch count delta feeds BOTH the state
-    // rewrite and the changed-keys frame — one wedge-closure execution,
-    // batch-bounded blocks
-    val dC = owned
+    // localCheckpoint only when the per-batch count delta feeds BOTH the
+    // state rewrite and the changed-keys frame — one wedge-closure
+    // execution, batch-bounded blocks. With wantChanged=false (the store
+    // pre-declared a rebase — tiny-state steady state) dC has a single
+    // consumer and the checkpoint would be an extra per-batch job.
+    val dCraw = owned
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .localCheckpoint()
+    val dC = if (wantChanged) dCraw.localCheckpoint() else dCraw
     val counts = cOld.unionByName(dC)
       .groupBy("node").agg(sum("n_tri").as("n_tri"))
     val out = allE
