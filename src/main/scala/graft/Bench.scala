@@ -167,14 +167,18 @@ object Bench {
   private var kernelWallInWindow = 0.0
   private var kernelCpuInWindow = 0.0
   private val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
+  private val kernelCpuSupported = threadBean.isCurrentThreadCpuTimeSupported
   private def timedKernel(k: () => Double): Double = {
-    val c0 = if (threadBean.isCurrentThreadCpuTimeSupported)
-      threadBean.getCurrentThreadCpuTime else -1L
+    val c0 = if (kernelCpuSupported) threadBean.getCurrentThreadCpuTime else -1L
     val w = k()
     kernelWallInWindow += w
+    // no thread-CPU clock ⇒ subtract NOTHING (cpu_sec then includes the
+    // kernels' spin, the pre-r12 semantics — a bounded overcount), never
+    // the wall: charging wall would silently reinstate the r12
+    // over-correction exactly in contended runs. calib_spin_cpu reads -1
+    // in the artifact so the degraded accounting is visible.
     if (c0 >= 0)
       kernelCpuInWindow += (threadBean.getCurrentThreadCpuTime - c0) / 1e9
-    else kernelCpuInWindow += w // no thread-CPU clock: wall is the bound
     w
   }
 
@@ -437,8 +441,10 @@ object Bench {
     }
 
     // calibration sample 1: JIT-warm the kernels once (unrecorded), then
-    // time them — the warm samples are the comparable ones across hosts
-    calibKernel(); bwKernel()
+    // time them — the warm samples are the comparable ones across hosts.
+    // A preflighted run already ran both kernels ≥ 2× moments ago, so
+    // the warm pass would be ~1.4 s of duplicate spin there.
+    if (!wantPreflight) { calibKernel(); bwKernel() }
     val calibStart = calibKernel()
     val bwStart = bwKernel()
 
@@ -566,7 +572,7 @@ object Bench {
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":$a}"""
     }
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":$kernelCpuInWindow%.2f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()

@@ -62,10 +62,17 @@ object StreamScaleProbe {
 
     // ---- arrival-ordered slices -----------------------------------------
     val base = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
+    // persisted: the 16 slice writes below must stay SEQUENTIAL (the
+    // file source replays in modification-time order — one partitionBy
+    // job would give every slice the same mtime), but they should filter
+    // a cached frame, not re-scan the source parquet 16 times
     val ev = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = ev.agg(min(unix_timestamp(col("ts"))),
       max(unix_timestamp(col("ts")))).head()
+    require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
+      s"no events (or all-null ts) under $dir — nothing to probe")
     val (t0, t1) = (bounds.getLong(0), bounds.getLong(1) + 1)
     val width = math.max(1L, (t1 - t0) / Slices)
     val prep0 = System.nanoTime()
@@ -76,6 +83,7 @@ object StreamScaleProbe {
           unix_timestamp(col("ts")) < hi)
         .coalesce(1).write.mode("overwrite").parquet(f"$base/ev/s$i%02d")
     }
+    ev.unpersist()
     val evSchema = spark.read.parquet(s"$base/ev/s00").schema
     System.err.println(f"[probe] slice prep ${(System.nanoTime() - prep0) / 1e9}%.1f s → $base")
     def evStream = spark.readStream.schema(evSchema)

@@ -57,6 +57,18 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   */
 private[graft] object GenState {
 
+  /** SPARK_GRAFT_TRACE=1: per-batch phase timings on stderr (delta
+    * compute, state write, commit tail) — the gate-floor profiling
+    * instrument; zero cost when off. Unrecognized values fail fast,
+    * the same contract as Bench's env switches (a silently-ignored
+    * "true" would read as "the phases are not where the time goes"). */
+  private val trace = sys.env.get("SPARK_GRAFT_TRACE") match {
+    case Some("1") => true
+    case Some("0") | None => false
+    case Some(v) => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_TRACE=$v: expected 1 or 0")
+  }
+
   /** Target on-disk bytes per bucket file (override with
     * `spark.graft.state.targetBucketBytes`). Small enough that rewriting
     * the buckets a micro-batch touches is batch-proportional work; large
@@ -305,11 +317,13 @@ private[graft] object GenState {
     // the bucketed shape replaced). When the PREVIOUS generation's
     // recorded size already exceeds a few bucket targets, warn and drop
     // the coalesce so at least the write parallelizes; the warning names
-    // the fix (applyBatchBucketed).
+    // the fix (applyBatchBucketed). Legacy (manifest-less) gen sizes are
+    // memoized per (path, gen) — immutable once committed — so the
+    // guard costs ONE walk per generation, not one per batch.
     val guardBytes = 8L * targetBucketBytes(spark)
     val prevStateBytes = prev.lastOption.map { g =>
       readManifest(statePath, g).map(_.sources.values.map(_.bytes).sum)
-        .getOrElse(dirBytes(java.nio.file.Paths.get(s"$statePath/gen-$g")))
+        .getOrElse(legacyGenBytes(statePath, g))
     }.getOrElse(0L)
     val big = prevStateBytes > guardBytes
     if (big)
@@ -357,11 +371,13 @@ private[graft] object GenState {
     import java.nio.file.Files
     val marker = commitsDir(statePath).resolve(batchId.toString)
     if (Files.exists(marker)) return
+    val tT0 = System.nanoTime()
     val prev = committedGens(statePath).filter(_ < batchId)
     val prevMan = prev.lastOption.flatMap(readManifest(statePath, _))
     val (merged, changed) = next(prev.lastOption.map(g =>
       cachedState(spark, statePath, g)
         .getOrElse(readGen(spark, statePath, g))))
+    val tNext = System.nanoTime()
 
     // rebase decision: no bucketed prev, manifest spread past the
     // compaction trigger, or buckets grown fat → pick a fresh N from the
@@ -459,9 +475,14 @@ private[graft] object GenState {
       dirBytes(java.nio.file.Paths.get(s"$genDir/data/__b=$b"))))
     writeManifest(statePath, batchId,
       Manifest(nBuckets, merged.schema.json, sources))
+    val tWrite = System.nanoTime()
     commit(spark, statePath, batchId, merged, prev,
       keepExtra = sources.values.map(_.gen).toSet ++
         prevMan.map(_.sources.values.map(_.gen).toSet).getOrElse(Set.empty))
+    if (trace) System.err.println(f"[GenState] $statePath b$batchId " +
+      f"tiny=$tiny touched=${touched.size}/$nBuckets " +
+      f"next=${(tNext - tT0) / 1e9}%.2f write=${(tWrite - tNext) / 1e9}%.2f " +
+      f"commit=${(System.nanoTime() - tWrite) / 1e9}%.2f")
   }
 
   /** Shared commit tail: marker, pass-forward cache, pruning. `keepExtra`
@@ -495,6 +516,26 @@ private[graft] object GenState {
       deleteTree(java.nio.file.Paths.get(s"$statePath/gen-$g"))
       Files.deleteIfExists(commitsDir(statePath).resolve(g.toString)): Unit
       manifestCache.synchronized(manifestCache.remove((statePath, g)): Unit)
+    }
+  }
+
+  /** On-disk bytes of a manifest-less (whole-state) generation, memoized:
+    * a committed generation never changes, so the walk is paid once per
+    * (path, gen) per JVM instead of once per micro-batch. */
+  private val MaxCachedSizes = 64
+  private val sizeCache = // j.l.Long values: a missing key must be null,
+    new java.util.LinkedHashMap[(String, Long), java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry( // not a silently-unboxed 0
+          e: java.util.Map.Entry[(String, Long), java.lang.Long]): Boolean =
+        size > MaxCachedSizes
+    }
+  private def legacyGenBytes(statePath: String, gen: Long): Long = {
+    val k = (statePath, gen)
+    val hit = sizeCache.synchronized(Option(sizeCache.get(k)))
+    hit.map(_.longValue).getOrElse {
+      val b = dirBytes(java.nio.file.Paths.get(s"$statePath/gen-$gen"))
+      sizeCache.synchronized(sizeCache.put(k, b): Unit)
+      b
     }
   }
 
