@@ -482,6 +482,34 @@ object Bench {
                      (!gateScale || !kv._1.endsWith("_distpath") ||
                        PromotedDistpath.contains(kv._1)))
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    // Mid-run storm wait: the pre-flight gate can only refuse a dirty
+    // START, and 3 of this round's 7 registry attempts were contaminated
+    // by storms arriving MINUTES into the run (17.9→331.6 s in-artifact
+    // steal). When a query's window just absorbed real steal, the next
+    // query is overwhelmingly likely to absorb more — so pause UNTIMED
+    // between queries until the host quiets, up to a total budget
+    // (SPARK_GRAFT_STORM_WAIT_SEC, default 300; 0 disables). The wait
+    // sits outside every measured window (queries, cpu0/wall0 is raw
+    // wall anyway and `storm_wait_sec` travels in the artifact), so a
+    // quiet run is byte-identical to before and a stormy run trades
+    // bounded wall for a usable artifact.
+    var stormWaitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_STORM_WAIT_SEC", "300").toDouble
+    var stormWaited = 0.0
+    def stormWait(lastSteal: Double): Unit = {
+      if (lastSteal < 0.5 || stormWaitBudget <= 0) return
+      System.err.println(f"[bench] STORM: last query absorbed $lastSteal%.1f s steal — waiting for quiet (${stormWaitBudget}%.0f s budget)")
+      var quiet = false
+      while (!quiet && stormWaitBudget > 0) {
+        val (s0, _) = hostStat()
+        Thread.sleep(5000)
+        val (s1, _) = hostStat()
+        stormWaitBudget -= 5; stormWaited += 5
+        if (s0 >= 0 && s1 - s0 < 0.05) quiet = true
+        else { Thread.sleep(10000); stormWaitBudget -= 10; stormWaited += 10 }
+      }
+    }
+
     val perQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     // anomaly rerun record: (first, rerun, bw-kernel sample taken
     // IMMEDIATELY before the rerun). VERDICT r12 #4: `calib_bw`'s three
@@ -496,6 +524,7 @@ object Bench {
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s1 = measure(name, fn, recordFailure = true)
       perQ(name) = s1
+      stormWait(s1.steal)
       // VERDICT r10 #1(a): catch the anomaly in the act — an outlier vs
       // the committed clean reference re-runs IMMEDIATELY in this JVM.
       // Flat re-run ⇒ phase (JVM/host state); slow re-run ⇒ the plan.
@@ -519,8 +548,10 @@ object Bench {
     // (same JVM, minutes apart) proves a phase effect from the artifact
     // alone; an inflated pass 2 convicts the query.
     val secondQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
-    if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name))
+    if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name)) {
       secondQ(name) = measure(name, fn, recordFailure = false)
+      stormWait(secondQ(name).steal)
+    }
 
     val calibEnd = timedKernel(() => calibKernel())
     val bwEnd = timedKernel(() => bwKernel())
@@ -572,7 +603,7 @@ object Bench {
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":$a}"""
     }
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -589,7 +620,7 @@ object Bench {
     val pfCompact =
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size}}"""
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"storm_wait_sec":${fmt(stormWaited)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {
