@@ -531,7 +531,16 @@ object Bench {
       refTimes.get(name).foreach { ref =>
         if (s1.wall > math.max(3 * ref, ref + 2.0) && rerunBudget > 0) {
           rerunBudget -= 1
-          val bwNow = timedKernel(() => bwKernel())
+          var bwNow = timedKernel(() => bwKernel())
+          // a re-run fired INTO the same storm proves nothing and spends
+          // the budget — when the bandwidth kernel reads contended, wait
+          // (untimed, shared storm budget) for a clean sample so the
+          // first-vs-rerun pair is a sharp conviction either way
+          while (bwNow > 0.16 && stormWaitBudget > 0) {
+            System.err.println(f"[bench] ANOMALY $name: bw_now=$bwNow%.3f contended — delaying re-run (${stormWaitBudget}%.0f s budget)")
+            Thread.sleep(10000); stormWaitBudget -= 10; stormWaited += 10
+            bwNow = timedKernel(() => bwKernel())
+          }
           System.err.println(f"[bench] ANOMALY $name wall=${s1.wall}%.2f ref=$ref%.2f cpu=${s1.cpu}%.1f bw_now=$bwNow%.3f — re-running in-JVM")
           val s2 = measure(name, fn, recordFailure = false)
           rerunQ(name) = (s1, s2, bwNow)
