@@ -252,7 +252,11 @@ object Bench {
     * that accrues steal at that rate lands ≈ 20+ s contaminated —
     * double the "total steal < 10 s" clean-run bar). On a contended
     * probe it sleeps 30 s and retries until the budget
-    * (`SPARK_GRAFT_PREFLIGHT_SEC`, default 900) is spent; the full
+    * (`SPARK_GRAFT_PREFLIGHT_SEC`, default 420 — bounded so the gate +
+    * storm waits + a full registry stay comfortably inside any outer
+    * harness timeout; an unattended run that can't start clean within
+    * 7 min runs annotated rather than risking no artifact at all) is
+    * spent; the full
     * attempt trail and the verdict land in the artifact either way, so
     * a run that had to start dirty SAYS so instead of asking a reader
     * to reverse-engineer it from per-query steal. */
@@ -325,7 +329,7 @@ object Bench {
     }
     val (pfPass, pfWaited, pfAttempts) =
       if (wantPreflight)
-        preflight(sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_SEC", "900").toDouble)
+        preflight(sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_SEC", "420").toDouble)
       else (true, 0.0, Seq.empty[PreflightAttempt])
     if (wantPreflight)
       System.err.println(f"[bench] preflight ${if (pfPass) "PASS" else "FAIL (budget spent — timing anyway, annotated)"} after ${pfWaited}%.0f s, ${pfAttempts.size} attempt(s)")
