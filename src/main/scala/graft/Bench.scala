@@ -276,10 +276,14 @@ object Bench {
       pass = c <= 0.95 && bw <= 0.16 && stealD <= 0.25
       attempts += PreflightAttempt(c, bw, stealD, pass)
       val elapsed = (System.nanoTime() - t0) / 1e9
-      if (pass || elapsed > budgetSec) done = true
+      if (pass || elapsed >= budgetSec) done = true
       else {
-        System.err.println(f"[bench] PREFLIGHT contended: calib=$c%.3f bw=$bw%.3f stealD=$stealD%.2f — waiting 30 s (${budgetSec - elapsed}%.0f s budget left)")
-        Thread.sleep(30000)
+        // clamped to the remaining budget (ADVICE r13: a fixed 30 s sleep
+        // could overshoot it by up to ~30 s)
+        val sleepMs = math.max(0L,
+          math.min(30000L, ((budgetSec - elapsed) * 1000).toLong))
+        System.err.println(f"[bench] PREFLIGHT contended: calib=$c%.3f bw=$bw%.3f stealD=$stealD%.2f — waiting ${sleepMs / 1000}%d s (${budgetSec - elapsed}%.0f s budget left)")
+        Thread.sleep(sleepMs)
       }
     }
     ((pass, (System.nanoTime() - t0) / 1e9, attempts.toSeq))
@@ -327,10 +331,24 @@ object Bench {
       case Some(v) => throw new IllegalArgumentException(
         s"SPARK_GRAFT_PREFLIGHT=$v: expected 1 or 0")
     }
+    // One shared clock for ALL untimed waiting (VERDICT r13 stretch #8):
+    // without it, a 420 s preflight + its recheck + a 300 s storm budget
+    // can stack to ~12 min of waiting in an unattended run. When
+    // SPARK_GRAFT_QUIET_BUDGET_SEC is set, every wait pool below is
+    // clamped to what remains of it; unset, the per-pool defaults stand
+    // (back-compatible: the pools still bound the worst case on their
+    // own, just not jointly).
+    val quietBudgetTotal = sys.env.get("SPARK_GRAFT_QUIET_BUDGET_SEC").map(_.toDouble)
+    var quietSpent = 0.0
+    def quietClamp(poolBudget: Double): Double =
+      quietBudgetTotal.map(t => math.min(poolBudget, math.max(0.0, t - quietSpent)))
+        .getOrElse(poolBudget)
+
+    val pfBudget = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_SEC", "420").toDouble
     val (pfPass, pfWaited, pfAttempts) =
-      if (wantPreflight)
-        preflight(sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_SEC", "420").toDouble)
+      if (wantPreflight) preflight(quietClamp(pfBudget))
       else (true, 0.0, Seq.empty[PreflightAttempt])
+    quietSpent += pfWaited
     if (wantPreflight)
       System.err.println(f"[bench] preflight ${if (pfPass) "PASS" else "FAIL (budget spent — timing anyway, annotated)"} after ${pfWaited}%.0f s, ${pfAttempts.size} attempt(s)")
 
@@ -374,8 +392,38 @@ object Bench {
     try SparkEntry.queries("s1_engine_roundtrip")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // sacrificial JIT warm (VERDICT r13 #4): c11_lineage runs SECOND in
+    // sorted order, so its timed window absorbed the run's C2 compilation
+    // storm every round (~31 jit-s charged against 15 CPU-s of flat
+    // executor work — a standing +1–3 s artifact that distorted every
+    // cross-round comparison). One untimed pass compiles its hot paths the
+    // way the calibration kernels warm themselves; every other query
+    // already gets this implicitly by running later in the sequence.
+    try run("warm_c11", SparkEntry.queries("c11_lineage")) catch { case _: Throwable => }
     spark.catalog.clearCache()
     cgQ.clear()
+
+    // …and let the compiler DRAIN before the first timed window: C2 is
+    // asynchronous, so compilation queued by the warmups otherwise spills
+    // into whichever queries run first (the c11 signature above is partly
+    // this spillover). Bounded poll, untimed (sits before wall0): proceed
+    // once the JVM compiles < 0.2 s per 2 s sample or the 60 s budget is
+    // spent. No-op when compilation-time monitoring is unsupported.
+    {
+      val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (cb != null && cb.isCompilationTimeMonitoringSupported) {
+        val t0 = System.nanoTime()
+        var prev = cb.getTotalCompilationTime
+        var settled = false
+        while (!settled && (System.nanoTime() - t0) / 1e9 < 60.0) {
+          Thread.sleep(2000)
+          val now = cb.getTotalCompilationTime
+          settled = now - prev < 200
+          prev = now
+        }
+        System.err.println(f"[bench] JIT drain: ${if (settled) "settled" else "budget spent"} after ${(System.nanoTime() - t0) / 1e9}%.0f s")
+      }
+    }
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def procCpuSec: Double = osBean match {
@@ -444,10 +492,25 @@ object Bench {
         if (jit0 >= 0) jitSec - jit0 else -1.0, heapMb, th)
     }
 
+    // Preflight RE-CHECK (ADVICE r13): session bringup + warmup + the JIT
+    // drain put minutes between the gate's PASS and the first timed
+    // window, and the storm-wait machinery is reactive — a storm landing
+    // in that gap was only caught after the first query absorbed it. One
+    // more probe here, spending whatever preflight budget remains if it
+    // reads contended (a spent budget still records one attempt), so the
+    // verdict that travels with the artifact is taken AT the measurement
+    // boundary, not minutes before it.
+    val (rcPass, rcWaited, rcAttempts) =
+      if (wantPreflight) preflight(quietClamp(math.max(0.0, pfBudget - pfWaited)))
+      else (true, 0.0, Seq.empty[PreflightAttempt])
+    quietSpent += rcWaited
+    if (wantPreflight)
+      System.err.println(f"[bench] preflight recheck ${if (rcPass) "PASS" else "FAIL (budget spent — timing anyway, annotated)"} after ${rcWaited}%.0f s, ${rcAttempts.size} attempt(s)")
+
     // calibration sample 1: JIT-warm the kernels once (unrecorded), then
     // time them — the warm samples are the comparable ones across hosts.
-    // A preflighted run already ran both kernels ≥ 2× moments ago, so
-    // the warm pass would be ~1.4 s of duplicate spin there.
+    // A preflighted run already ran both kernels ≥ 2× moments ago (the
+    // recheck above), so the warm pass would be ~1.4 s of duplicate spin.
     if (!wantPreflight) { calibKernel(); bwKernel() }
     val calibStart = calibKernel()
     val bwStart = bwKernel()
@@ -493,12 +556,15 @@ object Bench {
     // query is overwhelmingly likely to absorb more — so pause UNTIMED
     // between queries until the host quiets, up to a total budget
     // (SPARK_GRAFT_STORM_WAIT_SEC, default 300; 0 disables). The wait
-    // sits outside every measured window (queries, cpu0/wall0 is raw
-    // wall anyway and `storm_wait_sec` travels in the artifact), so a
-    // quiet run is byte-identical to before and a stormy run trades
-    // bounded wall for a usable artifact.
+    // sits outside every PER-QUERY window but inside the raw `wall_sec`
+    // (which also absorbs the anomaly bw-delay sleeps below) — so the
+    // artifact carries `storm_wait_sec` and a pre-subtracted
+    // `wall_net_sec` (ADVICE r13), and ledger-to-ledger wall comparisons
+    // read the net field instead of having to know what to subtract. A
+    // quiet run is byte-identical to before; a stormy run trades bounded
+    // wall for a usable artifact.
     var stormWaitBudget =
-      sys.env.getOrElse("SPARK_GRAFT_STORM_WAIT_SEC", "300").toDouble
+      quietClamp(sys.env.getOrElse("SPARK_GRAFT_STORM_WAIT_SEC", "300").toDouble)
     var stormWaited = 0.0
     def stormWait(lastSteal: Double): Unit = {
       if (lastSteal < 0.5 || stormWaitBudget <= 0) return
@@ -609,14 +675,15 @@ object Bench {
     val cgfbJson = cgQ.map { case (k, (fb, _, _)) => s""""$k":$fb""" }.mkString("{", ",", "}")
     val wscJson = cgQ.map { case (k, (_, in, tot)) => s""""$k":"$in/$tot"""" }.mkString("{", ",", "}")
     val detail = "bench_full.json"
-    val pfJson = {
-      val a = pfAttempts.map(p =>
+    def pfAttemptsJson(as: Seq[PreflightAttempt]): String =
+      as.map(p =>
         f"""{"calib":${p.calib}%.3f,"bw":${p.bw}%.3f,"steal_d":${p.stealD}%.2f,"pass":${p.pass}}""")
         .mkString("[", ",", "]")
-      f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":$a}"""
-    }
+    val pfJson =
+      f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttemptsJson(pfAttempts)},"recheck":{"pass":$rcPass,"waited_sec":$rcWaited%.0f,"attempts":${pfAttemptsJson(rcAttempts)}}}"""
+    val wallNetSec = wallSec - stormWaited
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -631,7 +698,7 @@ object Bench {
     val spCompact = secondQ.map { case (k, s) =>
       s""""$k":[${fmt(perQ(k).wall)},${fmt(s.wall)}]""" }.mkString("{", ",", "}")
     val pfCompact =
-      f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size}}"""
+      f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size},"recheck_pass":$rcPass,"recheck_waited_sec":$rcWaited%.0f}"""
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"storm_wait_sec":${fmt(stormWaited)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"

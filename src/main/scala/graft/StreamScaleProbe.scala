@@ -7,8 +7,10 @@ import org.apache.spark.sql.streaming.Trigger
 /** ×N scale probe for the STREAMING STATE family (VERDICT r12 #2) — the
   * one heavy family the graph/dedup ×100 probes never touched: watermark
   * eviction state under stream-stream joins (m17/m21/m30/m31),
-  * sessionization (m13/m40), and streaming dedup (m14), under the
-  * production RocksDB state-store provider.
+  * sessionization (m13/m40), streaming dedup (m14), and — since r14
+  * (VERDICT r13 #3) — the arbitrary-keyed-state API (m18,
+  * `flatMapGroupsWithState`), under the production RocksDB state-store
+  * provider.
   *
   * Why a separate main instead of timing the registry queries on the
   * scale dir: the GATE queries bound their state on purpose
@@ -36,13 +38,76 @@ import org.apache.spark.sql.streaming.Trigger
   *    (b) peak state rows ≪ input rows (eviction works), (c) per-batch
   *    wall flat across batches (state cost amortized, not compounding).
   *
+  * Eviction is ASSERTED, not just reported (VERDICT r13 #6): every probed
+  * shape is watermark- or timeout-bounded, so a face whose state neither
+  * ticks `numRowsRemoved` NOR collapses from peak to end is a broken
+  * eviction path — the probe fails loudly instead of recording a number a
+  * reader must second-guess. The peak→end-collapse arm exists because
+  * RocksDB full-outer joins (m31) report `numRowsRemoved = 0` while
+  * demonstrably evicting (upstream metrics accounting gap, BENCH_SCALE
+  * §r13 note a); a future provider change that silently breaks eviction
+  * now fails the probe instead of reading as "metrics gap".
+  *
   * Usage: runMain graft.StreamScaleProbe <scaleDir> [queries...]
   * Output: one JSON line per query + a `probe_total` line (stdout), full
-  * detail appended to stream_probe.json in the working directory.
+  * detail appended to stream_probe.json in the working directory (valid
+  * JSONL — the scale dir travels as a `dir` field in every line; r13
+  * wrote it as `#`-comment lines, which broke JSON parsers, ADVICE r13).
   */
 object StreamScaleProbe {
 
   private val Slices = 16
+
+  /** Typed probe row: the event-time column RIDES IN THE ROW (the
+    * watermark attribute must survive into the typed plan — selecting it
+    * away before the fold fails analysis for event-time timeouts). */
+  case class ProbeEvent(user_id: Long, tsec: java.sql.Timestamp, v: BigDecimal)
+
+  /** m18's arbitrary-keyed-state fold (per-user running profile in
+    * `flatMapGroupsWithState` — `TimeSeriesQueries.userProfileStream` is
+    * the registered shape), probed with EVENT-TIME TIMEOUT expiry: a
+    * profile whose user goes quiet for 2 h past the watermark is emitted
+    * once and its state REMOVED. The registered gate runs NoTimeout over
+    * bounded keys (the oracle needs every profile in the output);
+    * an unbounded production deployment of the same API bounds its state
+    * exactly this way (the reference's TTL'd per-client sessions), and
+    * the timeout leg is the one code path the bounded oracle can never
+    * exercise. Same fold algebra (count/min/max/exact-decimal sum, all
+    * commutative), same 4 h watermark as every other probed face. */
+  private def profileWithExpiry(
+      src: org.apache.spark.sql.Dataset[ProbeEvent])
+      : org.apache.spark.sql.Dataset[graft.queries.TimeSeriesQueries.UserProfile] = {
+    import graft.queries.TimeSeriesQueries.UserProfile
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val pEnc = Encoders.product[UserProfile]
+    src.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val fin = state.get
+            state.remove()
+            Iterator.single(fin)
+          } else {
+            val prev = state.getOption.getOrElse(
+              UserProfile(user, 0L, Long.MaxValue, Long.MinValue, BigDecimal(0)))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              val t = r.tsec.getTime / 1000L
+              UserProfile(user, acc.n + 1, math.min(acc.min_t, t),
+                math.max(acc.max_t, t), acc.sum_value + r.v)
+            }
+            state.update(next)
+            // expire 2 h of event time after the user's last event; a
+            // timeout timestamp must sit past the current watermark (the
+            // engine rejects earlier ones), so clamp for groups whose
+            // late-but-in-watermark rows trail it
+            state.setTimeoutTimestamp(math.max(next.max_t * 1000L + 7200L * 1000L,
+              state.getCurrentWatermarkMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/.benchdata/sf1")
@@ -133,10 +198,22 @@ object StreamScaleProbe {
       "m17_join_inner" -> (() => intervalJoin("inner")),
       "m21_join_outer" -> (() => intervalJoin("left_outer")),
       "m30_join_semi" -> (() => intervalJoin("left_semi")),
-      "m31_join_full" -> (() => intervalJoin("full_outer")))
+      "m31_join_full" -> (() => intervalJoin("full_outer")),
+      // the arbitrary-keyed-state API (see profileWithExpiry's doc):
+      // user_id is the key ScaleData actually multiplies, so state keys
+      // scale ×N and the timeout leg evicts as the watermark advances
+      "m18_profile_state" -> (() => {
+        import spark.implicits._
+        profileWithExpiry(evStream
+          .select(col("user_id"), col("tsec"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .withWatermark("tsec", "4 hours")
+          .as[ProbeEvent]).toDF()
+      }))
 
     // ---- run + harvest ---------------------------------------------------
     val out = new StringBuilder
+    val evictBroken = scala.collection.mutable.ListBuffer[String]()
     var total = 0.0
     shapes.filter(s => only.isEmpty || only(s._1)).foreach { case (name, mk) =>
       val ckpt = s"$base/ckpt/$name"
@@ -162,14 +239,28 @@ object StreamScaleProbe {
       val inRows = progs.map(_.numInputRows).sum
       val perBatchWall = progs.map(p =>
         p.durationMs.getOrDefault("triggerExecution", 0L).toLong / 1e3)
+      // eviction assertion (VERDICT r13 #6, object doc): every probed
+      // shape is watermark/timeout-bounded, so state must either tick the
+      // removal counter or collapse from peak to end. The collapse arm is
+      // what convicts m31 (RocksDB full-outer reports numRowsRemoved=0
+      // while evicting); a shape where NEITHER holds is a broken eviction
+      // path and the probe refuses to record it as a clean row.
+      val removed = sumL(_.numRowsRemoved)
+      val evictOk = removed > 0 || (peakRows > 0 && endRows < peakRows)
       val j =
-        f"""{"q":"$name","wall":$wall%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":${sumL(_.numRowsRemoved)},"rows_updated":${sumL(_.numRowsUpdated)},"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
+        f"""{"q":"$name","dir":"$dir","wall":$wall%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":$removed,"rows_updated":${sumL(_.numRowsUpdated)},"evict_ok":$evictOk,"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
       println(j)
       out.append(j).append('\n')
+      if (!evictOk) evictBroken += name
     }
     println(f"""{"q":"probe_total","wall":$total%.1f,"dir":"$dir"}""")
     val w = new java.io.FileWriter("stream_probe.json", true)
-    try w.write(s"""# $dir\n$out""") finally w.close()
+    try w.write(out.toString) finally w.close()
     spark.stop()
+    // asserted AFTER every face ran and every row landed, so one broken
+    // shape doesn't hide the others' evidence — but the probe still exits
+    // nonzero instead of leaving a reader to spot evict_ok:false
+    require(evictBroken.isEmpty, s"eviction broken (rows_removed=0 and no " +
+      s"peak→end state collapse) for: ${evictBroken.mkString(", ")}")
   }
 }

@@ -363,7 +363,10 @@ private[graft] object GenState {
     * landing on a tiny state wrote the whole new (possibly huge) state
     * through one task. With the hint, a big batch takes the parallel
     * rebase path no matter how small the prior state was; `None` (no
-    * cheap estimate) preserves the prev-bytes-only behavior. */
+    * cheap estimate) falls back to the merged plan's own optimizer stats,
+    * and when those are unknown too (both at the stats sentinel) the
+    * prev-bytes-only decision stands — worst case ONE single-task batch,
+    * after which the recorded oversize re-promotes to the wide path. */
   def applyBatchBucketed(spark: SparkSession, statePath: String,
       batchId: Long, bucketCols: Seq[String],
       batchBytesHint: Option[Long] = None)
@@ -399,13 +402,27 @@ private[graft] object GenState {
     // bucketed protocol (readGen, carry-forward, size records), and
     // wantsRebase's buckets<=1 trigger re-promotes it the moment it
     // outgrows a target.
+    // the batch-size gate consults the hint, and — when the producer had
+    // none (non-file micro-batch sources, post-shuffle plans hitting the
+    // Long.MaxValue stats sentinel) — the MERGED plan's own optimizer
+    // stats as a second cheap signal (ADVICE r13: a large unhinted
+    // catch-up batch onto a tiny state otherwise serialized the whole new
+    // state through one task). When BOTH are unknown the tiny path is
+    // still taken on the prev-bytes evidence alone: the residual is ONE
+    // stalled batch, because the oversized single bucket it writes records
+    // its true size in the manifest and wantsRebase's buckets<=1 trigger
+    // re-promotes the very next batch to the wide path.
+    val batchLooksSmall = batchBytesHint match {
+      case Some(b) => b <= 4L * targetBytes
+      case None => batchBytes(merged).forall(_ <= 4L * targetBytes)
+    }
     val tiny = rebase &&
       (prevBytes.exists(_ <= targetBytes) ||
         // a TRUE first write (no prior generation at all) is tiny only on
         // the hint's positive say-so — absent a hint it takes the wide
         // path, so a big unhinted first batch is never serialized
         (prev.isEmpty && batchBytesHint.exists(_ <= targetBytes))) &&
-      batchBytesHint.forall(_ <= 4L * targetBytes)
+      batchLooksSmall
     val nBuckets =
       if (tiny) 1
       else if (rebase) {
