@@ -407,21 +407,29 @@ object Bench {
     // asynchronous, so compilation queued by the warmups otherwise spills
     // into whichever queries run first (the c11 signature above is partly
     // this spillover). Bounded poll, untimed (sits before wall0): proceed
-    // once the JVM compiles < 0.2 s per 2 s sample or the 60 s budget is
-    // spent. No-op when compilation-time monitoring is unsupported.
-    {
+    // once the JVM compiles < 0.2 s per 2 s sample or the budget — 60 s,
+    // clamped to the shared quiet clock and charged against it — is
+    // spent. Full-registry runs only (the comparable artifacts; a
+    // subset iteration run shouldn't eat a mandatory 2 s+ sleep), and a
+    // no-op when compilation-time monitoring is unsupported. The drained
+    // wall travels as `jit_drain_sec`.
+    var jitDrainSec = 0.0
+    if (args.isEmpty) {
       val cb = java.lang.management.ManagementFactory.getCompilationMXBean
       if (cb != null && cb.isCompilationTimeMonitoringSupported) {
+        val budget = quietClamp(60.0)
         val t0 = System.nanoTime()
         var prev = cb.getTotalCompilationTime
         var settled = false
-        while (!settled && (System.nanoTime() - t0) / 1e9 < 60.0) {
+        while (!settled && (System.nanoTime() - t0) / 1e9 < budget) {
           Thread.sleep(2000)
           val now = cb.getTotalCompilationTime
           settled = now - prev < 200
           prev = now
         }
-        System.err.println(f"[bench] JIT drain: ${if (settled) "settled" else "budget spent"} after ${(System.nanoTime() - t0) / 1e9}%.0f s")
+        jitDrainSec = (System.nanoTime() - t0) / 1e9
+        quietSpent += jitDrainSec
+        System.err.println(f"[bench] JIT drain: ${if (settled) "settled" else "budget spent"} after $jitDrainSec%.0f s")
       }
     }
 
@@ -683,7 +691,7 @@ object Bench {
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttemptsJson(pfAttempts)},"recheck":{"pass":$rcPass,"waited_sec":$rcWaited%.0f,"attempts":${pfAttemptsJson(rcAttempts)}}}"""
     val wallNetSec = wallSec - stormWaited
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()

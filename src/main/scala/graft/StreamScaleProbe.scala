@@ -40,9 +40,9 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Eviction is ASSERTED, not just reported (VERDICT r13 #6): every probed
   * shape is watermark- or timeout-bounded, so a face whose state neither
-  * ticks `numRowsRemoved` NOR collapses from peak to end is a broken
-  * eviction path — the probe fails loudly instead of recording a number a
-  * reader must second-guess. The peak→end-collapse arm exists because
+  * ticks `numRowsRemoved` NOR shrinks between any pair of batches is a
+  * broken eviction path — the probe fails loudly instead of recording a
+  * number a reader must second-guess. The step-down arm exists because
   * RocksDB full-outer joins (m31) report `numRowsRemoved = 0` while
   * demonstrably evicting (upstream metrics accounting gap, BENCH_SCALE
   * §r13 note a); a future provider change that silently breaks eviction
@@ -90,13 +90,13 @@ object StreamScaleProbe {
             state.remove()
             Iterator.single(fin)
           } else {
+            // the SHARED gate algebra (TimeSeriesQueries.foldProfile) —
+            // only the expiry policy differs from the registered m18
             val prev = state.getOption.getOrElse(
-              UserProfile(user, 0L, Long.MaxValue, Long.MinValue, BigDecimal(0)))
-            val next = rows.foldLeft(prev) { (acc, r) =>
-              val t = r.tsec.getTime / 1000L
-              UserProfile(user, acc.n + 1, math.min(acc.min_t, t),
-                math.max(acc.max_t, t), acc.sum_value + r.v)
-            }
+              graft.queries.TimeSeriesQueries.emptyProfile(user))
+            val next = rows.foldLeft(prev)((acc, r) =>
+              graft.queries.TimeSeriesQueries.foldProfile(
+                acc, r.tsec.getTime / 1000L, r.v))
             state.update(next)
             // expire 2 h of event time after the user's last event; a
             // timeout timestamp must sit past the current watermark (the
@@ -214,6 +214,8 @@ object StreamScaleProbe {
     // ---- run + harvest ---------------------------------------------------
     val out = new StringBuilder
     val evictBroken = scala.collection.mutable.ListBuffer[String]()
+    // the artifact must stay valid JSONL whatever path the caller passed
+    val dirJ = dir.replace("\\", "\\\\").replace("\"", "\\\"")
     var total = 0.0
     shapes.filter(s => only.isEmpty || only(s._1)).foreach { case (name, mk) =>
       val ckpt = s"$base/ckpt/$name"
@@ -241,26 +243,31 @@ object StreamScaleProbe {
         p.durationMs.getOrDefault("triggerExecution", 0L).toLong / 1e3)
       // eviction assertion (VERDICT r13 #6, object doc): every probed
       // shape is watermark/timeout-bounded, so state must either tick the
-      // removal counter or collapse from peak to end. The collapse arm is
-      // what convicts m31 (RocksDB full-outer reports numRowsRemoved=0
-      // while evicting); a shape where NEITHER holds is a broken eviction
-      // path and the probe refuses to record it as a clean row.
+      // removal counter or shrink BETWEEN SOME PAIR of batches (any
+      // step-down, not just peak→end: on a corpus whose densest slice is
+      // the last one, the final batch legitimately holds the peak while
+      // mid-run eviction already proved the path works). The step-down
+      // arm is what convicts m31 (RocksDB full-outer reports
+      // numRowsRemoved=0 while evicting); a shape where NEITHER holds is
+      // a broken eviction path and the probe exits nonzero.
       val removed = sumL(_.numRowsRemoved)
-      val evictOk = removed > 0 || (peakRows > 0 && endRows < peakRows)
+      val rowsByBatch = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val evictOk = removed > 0 ||
+        rowsByBatch.sliding(2).exists(w => w.size == 2 && w(1) < w(0))
       val j =
-        f"""{"q":"$name","dir":"$dir","wall":$wall%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":$removed,"rows_updated":${sumL(_.numRowsUpdated)},"evict_ok":$evictOk,"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
+        f"""{"q":"$name","dir":"$dirJ","wall":$wall%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":$removed,"rows_updated":${sumL(_.numRowsUpdated)},"evict_ok":$evictOk,"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
       println(j)
       out.append(j).append('\n')
       if (!evictOk) evictBroken += name
     }
-    println(f"""{"q":"probe_total","wall":$total%.1f,"dir":"$dir"}""")
+    println(f"""{"q":"probe_total","wall":$total%.1f,"dir":"$dirJ"}""")
     val w = new java.io.FileWriter("stream_probe.json", true)
     try w.write(out.toString) finally w.close()
     spark.stop()
     // asserted AFTER every face ran and every row landed, so one broken
     // shape doesn't hide the others' evidence — but the probe still exits
     // nonzero instead of leaving a reader to spot evict_ok:false
-    require(evictBroken.isEmpty, s"eviction broken (rows_removed=0 and no " +
-      s"peak→end state collapse) for: ${evictBroken.mkString(", ")}")
+    require(evictBroken.isEmpty, s"eviction broken (rows_removed=0 and " +
+      s"state rows never shrank between batches) for: ${evictBroken.mkString(", ")}")
   }
 }

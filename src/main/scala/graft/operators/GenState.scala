@@ -363,10 +363,11 @@ private[graft] object GenState {
     * landing on a tiny state wrote the whole new (possibly huge) state
     * through one task. With the hint, a big batch takes the parallel
     * rebase path no matter how small the prior state was; `None` (no
-    * cheap estimate) falls back to the merged plan's own optimizer stats,
-    * and when those are unknown too (both at the stats sentinel) the
-    * prev-bytes-only decision stands — worst case ONE single-task batch,
-    * after which the recorded oversize re-promotes to the wide path. */
+    * cheap estimate) tightens the proven-bytes bound instead (prior
+    * state must sit at ≤ half a bucket target) — worst case ONE
+    * single-task batch when an unhinted huge batch lands on a provably
+    * small state, after which the recorded oversize re-promotes to the
+    * wide path. */
   def applyBatchBucketed(spark: SparkSession, statePath: String,
       batchId: Long, bucketCols: Seq[String],
       batchBytesHint: Option[Long] = None)
@@ -402,22 +403,28 @@ private[graft] object GenState {
     // bucketed protocol (readGen, carry-forward, size records), and
     // wantsRebase's buckets<=1 trigger re-promotes it the moment it
     // outgrows a target.
-    // the batch-size gate consults the hint, and — when the producer had
-    // none (non-file micro-batch sources, post-shuffle plans hitting the
-    // Long.MaxValue stats sentinel) — the MERGED plan's own optimizer
-    // stats as a second cheap signal (ADVICE r13: a large unhinted
-    // catch-up batch onto a tiny state otherwise serialized the whole new
-    // state through one task). When BOTH are unknown the tiny path is
-    // still taken on the prev-bytes evidence alone: the residual is ONE
-    // stalled batch, because the oversized single bucket it writes records
-    // its true size in the manifest and wantsRebase's buckets<=1 trigger
-    // re-promotes the very next batch to the wide path.
-    val batchLooksSmall = batchBytesHint match {
-      case Some(b) => b <= 4L * targetBytes
-      case None => batchBytes(merged).forall(_ <= 4L * targetBytes)
+    // the batch-size gate consults the hint; with NO hint (non-file
+    // micro-batch sources, post-shuffle plans at the Long.MaxValue stats
+    // sentinel) it falls back to PROVEN bytes, not estimates (ADVICE
+    // r13): the tiny path then additionally requires the prior state to
+    // sit at half a bucket target or less, so an unhinted batch landing
+    // on a state already NEAR the target goes wide. (The merged plan's
+    // own stats were considered and rejected as the fallback signal:
+    // they inherit the batch's sentinel in exactly the unhinted case —
+    // no information — and a join-inflated estimate over genuinely tiny
+    // state would permanently defeat the tiny path, reinstating the r12
+    // per-batch 16-way-commit floor this path exists to avoid.) The
+    // residual: an unhinted HUGE catch-up batch onto a provably-small
+    // state still serializes through one task for ONE batch — the
+    // oversized single bucket records its true size in the manifest and
+    // wantsRebase's buckets<=1 trigger re-promotes the very next batch.
+    val batchLooksSmall = batchBytesHint.forall(_ <= 4L * targetBytes)
+    val prevSmallEnough = batchBytesHint match {
+      case Some(_) => prevBytes.exists(_ <= targetBytes)
+      case None => prevBytes.exists(_ <= targetBytes / 2)
     }
     val tiny = rebase &&
-      (prevBytes.exists(_ <= targetBytes) ||
+      (prevSmallEnough ||
         // a TRUE first write (no prior generation at all) is tiny only on
         // the hint's positive say-so — absent a hint it takes the wide
         // path, so a big unhinted first batch is never serialized

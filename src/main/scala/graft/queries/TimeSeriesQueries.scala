@@ -799,6 +799,16 @@ object TimeSeriesQueries {
   case class UserProfile(user_id: Long, n: Long, min_t: Long, max_t: Long,
       sum_value: BigDecimal)
 
+  /** The m18 fold algebra, factored so the registered gate below and
+    * StreamScaleProbe's unbounded timeout variant call the SAME code —
+    * the probe's scale evidence can't silently drift from the state
+    * machine the oracle actually pins. */
+  def emptyProfile(user: Long): UserProfile =
+    UserProfile(user, 0L, Long.MaxValue, Long.MinValue, BigDecimal(0))
+  def foldProfile(acc: UserProfile, t: Long, v: BigDecimal): UserProfile =
+    UserProfile(acc.user_id, acc.n + 1, math.min(acc.min_t, t),
+      math.max(acc.max_t, t), acc.sum_value + v)
+
   /** Per-user running profile in `flatMapGroupsWithState` keyed state —
     * the m18 transform, shared with StreamingSpec's cross-batch test.
     * Each invocation folds the group's new rows into the stored profile
@@ -813,12 +823,8 @@ object TimeSeriesQueries {
       .flatMapGroupsWithState[UserProfile, UserProfile](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user, rows, state) =>
-          val prev = state.getOption.getOrElse(
-            UserProfile(user, 0L, Long.MaxValue, Long.MinValue, BigDecimal(0)))
-          val next = rows.foldLeft(prev) { (acc, r) =>
-            UserProfile(user, acc.n + 1, math.min(acc.min_t, r.t),
-              math.max(acc.max_t, r.t), acc.sum_value + r.v)
-          }
+          val prev = state.getOption.getOrElse(emptyProfile(user))
+          val next = rows.foldLeft(prev)((acc, r) => foldProfile(acc, r.t, r.v))
           state.update(next)
           Iterator.single(next)
       }
