@@ -58,6 +58,20 @@ object StreamScaleProbe {
 
   private val Slices = 16
 
+  /** Machine-wide steal/busy seconds (USER_HZ jiffies → s), the Bench
+    * telemetry pattern: each face's JSON line brackets its own window, so
+    * a face that ran quiet is usable evidence even when a co-tenant storm
+    * landed elsewhere in the run — the r13 ×100 leg had to annotate ALL
+    * its walls as upper bounds because the probe couldn't say WHICH faces
+    * the ~268 s of steal hit. */
+  private def hostStat(): (Double, Double) = try {
+    val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+").drop(1).map(_.toDouble)
+    val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
+    val steal = if (f.length > 7) f(7) else 0.0
+    (steal / 100.0, (f.sum - idle) / 100.0)
+  } catch { case _: Throwable => (-1.0, -1.0) }
+
   /** Typed probe row: the event-time column RIDES IN THE ROW (the
     * watermark attribute must survive into the typed plan — selecting it
     * away before the fold fails analysis for event-time timeouts). */
@@ -219,6 +233,7 @@ object StreamScaleProbe {
     var total = 0.0
     shapes.filter(s => only.isEmpty || only(s._1)).foreach { case (name, mk) =>
       val ckpt = s"$base/ckpt/$name"
+      val (st0, bz0) = hostStat()
       val w0 = System.nanoTime()
       val q = mk().writeStream.format("noop")
         .option("checkpointLocation", ckpt)
@@ -227,6 +242,10 @@ object StreamScaleProbe {
         .start()
       q.awaitTermination()
       val wall = (System.nanoTime() - w0) / 1e9
+      val (st1, bz1) = hostStat()
+      val (faceSteal, faceBusy) =
+        (if (st0 >= 0 && st1 >= 0) st1 - st0 else -1.0,
+         if (bz0 >= 0 && bz1 >= 0) bz1 - bz0 else -1.0)
       total += wall
       val progs = q.recentProgress.toSeq
       val st = progs.flatMap(_.stateOperators.toSeq)
@@ -255,7 +274,7 @@ object StreamScaleProbe {
       val evictOk = removed > 0 ||
         rowsByBatch.sliding(2).exists(w => w.size == 2 && w(1) < w(0))
       val j =
-        f"""{"q":"$name","dir":"$dirJ","wall":$wall%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":$removed,"rows_updated":${sumL(_.numRowsUpdated)},"evict_ok":$evictOk,"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
+        f"""{"q":"$name","dir":"$dirJ","wall":$wall%.1f,"host_steal":$faceSteal%.1f,"host_busy":$faceBusy%.1f,"batches":${progs.size},"input_rows":$inRows,"state_rows_peak":$peakRows,"state_rows_end":$endRows,"rows_removed":$removed,"rows_updated":${sumL(_.numRowsUpdated)},"evict_ok":$evictOk,"state_mem_peak_mb":${peakMem / (1 << 20)},"batch_sec":[${perBatchWall.map(v => f"$v%.1f").mkString(",")}]}"""
       println(j)
       out.append(j).append('\n')
       if (!evictOk) evictBroken += name
