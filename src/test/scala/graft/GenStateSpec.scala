@@ -309,6 +309,62 @@ class GenStateSpec extends SparkSpec {
       snap(p).toMap.apply(4L) == 16L + 2L, "tiny/wide ladder lost updates")
   }
 
+  test("an UNHINTED rebase keeps the tiny rung only while the prior state " +
+      "sits at half a bucket target or less") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.state.targetBucketBytes", "32768")
+    try {
+      // build a state in (target/2, target]: small enough that a
+      // small-HINTED batch still rides the single-bucket rung, big
+      // enough that an UNHINTED one must go wide (the review fix: plan
+      // estimates were rejected as the no-hint signal — PROVEN bytes
+      // with a tightened half-target bound decide instead)
+      val p = tmp("nohint")
+      val rows = spark.range(2300).select(col("id").as("k"),
+        xxhash64(col("id"), lit(7)).as("v"))
+      GenState.applyBatchBucketed(spark, p, 0L, Seq("k"),
+          batchBytesHint = Some(1024L)) { prev => (sumState(prev, rows), None) }
+      assert(bucketDirs(p, 0L) == Seq("__b=0"),
+        s"fixture not on the tiny rung: ${bucketDirs(p, 0L)}")
+      // guard the fixture against parquet-encoding drift: the test only
+      // tests the half-target band if the state actually lands in it
+      val bytes = {
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$p/gen-0/data"))
+        try w.iterator().asScala.filter(f =>
+            f.getFileName.toString.startsWith("part-"))
+          .map(java.nio.file.Files.size).sum
+        finally w.close()
+      }
+      assert(bytes > 16384 && bytes <= 32768,
+        s"fixture drifted out of (target/2, target]: state is $bytes B")
+      // small HINTED batch onto that state: tiny rung (prev <= target)
+      GenState.applyBatchBucketed(spark, p, 1L, Seq("k"),
+          batchBytesHint = Some(1024L)) { prev =>
+        (sumState(prev, Seq((1L, 1L)).toDF("k", "v")), None)
+      }
+      assert(bucketDirs(p, 1L) == Seq("__b=0"),
+        s"small-hinted batch left the tiny rung: ${bucketDirs(p, 1L)}")
+      // the SAME state, UNHINTED: nothing can vouch for the batch and
+      // the state is past half a target — the rebase must go wide
+      GenState.applyBatchBucketed(spark, p, 2L, Seq("k")) { prev =>
+        (sumState(prev, Seq((2L, 2L)).toDF("k", "v")), None)
+      }
+      assert(bucketDirs(p, 2L).size > 1,
+        s"unhinted rebase on a near-target state stayed single-task: ${bucketDirs(p, 2L)}")
+      val m = snap(p).toMap
+      assert(m(1L) == xxhash64Val(1L) + 1L && m(2L) == xxhash64Val(2L) + 2L,
+        "tiny/wide ladder lost updates")
+    } finally spark.conf.unset("spark.graft.state.targetBucketBytes")
+  }
+
+  /** The hash the fixture above seeds v with, evaluated driver-side. */
+  private def xxhash64Val(k: Long): Long = {
+    import spark.implicits._
+    Seq(k).toDF("id").select(xxhash64(col("id"), lit(7))).head().getLong(0)
+  }
+
   test("applyBatch on corpus-sized state warns and drops the single-task " +
       "coalesce (the misuse guard)") {
     val p = tmp("guard")
