@@ -1416,12 +1416,17 @@ object LlmQueries {
     "l3_ann_brute" -> bruteOracleSql(5),
 
     // cosines are the bit-exact fold chain, so the tau cut and the
-    // argmax tiebreak (smallest bench_id) are seam-free
+    // argmax tiebreak (smallest bench_id) are seam-free; the bench slice
+    // carries the same fixed id ceiling as the engine (EvalIdBound — a
+    // no-op at every driver SF, where all ids sit below it)
     "l68_semantic_decontam" ->
       s"""WITH $embCte,
         |b AS (SELECT vec_id AS bench_id, v AS bv, nv AS bnv FROM n
-        |      WHERE vec_id % 50 = 0 AND nv > 0),
-        |c AS (SELECT vec_id, v, nv FROM n WHERE vec_id % 50 <> 0 AND nv > 0),
+        |      WHERE vec_id % 50 = 0 AND vec_id < ${Similarity.EvalIdBound}
+        |        AND nv > 0),
+        |c AS (SELECT vec_id, v, nv FROM n
+        |      WHERE NOT (vec_id % 50 = 0 AND vec_id < ${Similarity.EvalIdBound})
+        |        AND nv > 0),
         |s AS (SELECT c.vec_id, b.bench_id,
         |        ${duckCosine.format("c.v", "b.bv", "c.nv", "b.bnv")} AS cosine
         |      FROM c, b),
@@ -1431,7 +1436,8 @@ object LlmQueries {
         |best AS (SELECT vec_id, cosine AS max_cos, bench_id FROM r WHERE rn = 1)
         |SELECT e.vec_id,
         |  COALESCE(max_cos >= 0.4, false) AS contaminated, max_cos, bench_id
-        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) e
+        |FROM (SELECT vec_id FROM embeddings
+        |      WHERE NOT (vec_id % 50 = 0 AND vec_id < ${Similarity.EvalIdBound})) e
         |LEFT JOIN best USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
 

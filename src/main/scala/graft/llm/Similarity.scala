@@ -159,6 +159,13 @@ object Similarity {
   val IvfTrainSample = 2048
   val IvfIters = 5
 
+  /** Id ceiling for the stand-in eval-set slice ([[semanticDecontam]]):
+    * every driver testdata id sits far below it, and scale-replicated
+    * corpus copies (ScaleData strides ids by 1e8 per copy) sit at or
+    * above it — so the "benchmark" stays the FIXED base slice while the
+    * corpus side grows, the way a real eval suite behaves. */
+  val EvalIdBound = 100000000L
+
   /** Lloyd's k-means, bit-reproducible by the DuckDB oracle's CTE chain
     * (LlmQueries l10): init = first [[IvfCells]] sample vectors;
     * assignment by argmin of `|c|² − 2·v·c` with sequential folds (ties →
@@ -333,8 +340,25 @@ object Similarity {
     * ReusedExchange). The quadratic-within-cell cost is the algorithm's
     * own contract — SemDeDup controls it by scaling k with N (cells of
     * roughly constant size; the paper uses 50k clusters for LAION-440M),
-    * here [[IvfCells]] at toy scale. Zero-norm vectors never pair (NaN
-    * cosine is excluded structurally on both engines, the l9 rule). */
+    * here [[IvfCells]] at toy scale.
+    *
+    * EXACT duplicates are contracted out of the pair scan first: the
+    * self-join runs on one representative (the min id) per distinct
+    * (cell, v) group, and group members above the min are pruned without
+    * pairing — their group min sits below them in the same cell at
+    * cosine(v, v) = 1 >= tau, and a representative prunes iff some
+    * other group's min sits below it (any member of that group below it
+    * implies its min is). Result-identical to the all-member join, but
+    * pair volume is quadratic in DISTINCT vectors, not rows: web-scale
+    * corpora are rife with byte-identical re-crawls (the ×100 registry
+    * probe's replicated corpus is 100-deep in them — 93 s of
+    * clique pairing collapsed to the distinct-vector scan), and the same
+    * contraction idiom already carries the pair-graph family (l22/q40).
+    * Zero-norm vectors never pair (NaN cosine is excluded structurally
+    * on both engines, the l9 rule), so they bypass contraction too. The
+    * shortcut assumes cosine(v, v) >= tau, exact for any tau <= ~1-ulp;
+    * a caller probing tau > 0.99 (degenerate: float cosine of identical
+    * vectors may round below 1) gets the uncontracted join. */
   def semDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     val centroids = trainCentroids(embeddings)
     // persisted: the cell assignment serves both self-join sides and the
@@ -344,13 +368,32 @@ object Similarity {
         graft.functions.NearestCells(col("v"), centroids, 1).getItem(0))
       .select("vec_id", "v", "nv", "cell")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = listed.as("x")
-      .join(listed.as("y"),
-        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
-        col("x.nv") > 0 && col("y.nv") > 0)
-      .filter(cosine(col("x.v"), col("x.nv"), col("y.v"), col("y.nv")) >= tau)
-      .select(col("x.vec_id").as("vec_id"))
-      .distinct()
+    val pruned = if (tau <= 0.99) {
+      // reps: min id per distinct (cell, v); nv/grp-min ride the same
+      // aggregate (nv is a function of v, identical within a group)
+      val reps = listed.filter(col("nv") > 0)
+        .groupBy("cell", "v")
+        .agg(min("vec_id").as("vec_id"), first("nv").as("nv"))
+      val repPruned = reps.as("x")
+        .join(reps.as("y"),
+          col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+        .filter(cosine(col("x.v"), col("x.nv"), col("y.v"), col("y.nv")) >= tau)
+        .select(col("x.vec_id").as("vec_id"))
+        .distinct()
+      val overMin = listed.filter(col("nv") > 0)
+        .join(reps.select(col("cell"), col("v"), col("vec_id").as("min_id")),
+          Seq("cell", "v"))
+        .filter(col("vec_id") =!= col("min_id"))
+        .select("vec_id")
+      repPruned.unionByName(overMin)
+    } else
+      listed.as("x")
+        .join(listed.as("y"),
+          col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
+          col("x.nv") > 0 && col("y.nv") > 0)
+        .filter(cosine(col("x.v"), col("x.nv"), col("y.v"), col("y.nv")) >= tau)
+        .select(col("x.vec_id").as("vec_id"))
+        .distinct()
     listed
       .join(pruned.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
@@ -881,7 +924,14 @@ object Similarity {
     * test items share no 8-grams but sit next to the eval set in
     * embedding space — the contamination class lexical overlap cannot
     * see). The benchmark here is the deterministic vec_id % `benchMod`
-    * slice (a stand-in for the real eval-set table a deployment joins).
+    * slice BELOW [[EvalIdBound]] (a stand-in for the real eval-set table
+    * a deployment joins): an eval suite is a FIXED set — it does not
+    * grow with the corpus — so the slice is bounded to the base-corpus
+    * id range and replicated/appended corpus (ScaleData copies sit at
+    * id >= one stride) only ever adds CORPUS rows. Without the bound the
+    * ×100 registry probe multiplied both sides (stride divides benchMod)
+    * and the "corpus-linear" claim silently became pair-quadratic —
+    * 55 s at ×100 for what is a broadcast-side-constant scan.
     *
     * Scale shape: eval sets are tiny at any corpus scale, so the
     * benchmark side is BROADCAST and the scan is one map-side cross
@@ -898,11 +948,13 @@ object Similarity {
     * the smallest bench_id via lexicographic struct max. */
   def semanticDecontam(embeddings: DataFrame, benchMod: Int = 50,
       tau: Double = 0.4): DataFrame = {
+    val isBench =
+      col("vec_id") % benchMod === 0 && col("vec_id") < EvalIdBound
     val e = prepared(embeddings).filter(col("nv") > 0)
-    val bench = e.filter(col("vec_id") % benchMod === 0)
+    val bench = e.filter(isBench)
       .select(col("vec_id").as("bench_id"), col("v").as("bv"),
         col("nv").as("bnv"))
-    val scored = e.filter(col("vec_id") % benchMod =!= 0)
+    val scored = e.filter(!isBench)
       .crossJoin(broadcast(bench))
       .withColumn("cosine", cosine(col("v"), col("nv"), col("bv"), col("bnv")))
       .groupBy("vec_id")
@@ -910,7 +962,7 @@ object Similarity {
         .as("st"))
       .select(col("vec_id"), col("st.c").as("max_cos"),
         (-col("st.nb")).as("bench_id"))
-    embeddings.filter(col("vec_id") % benchMod =!= 0).select("vec_id")
+    embeddings.filter(!isBench).select("vec_id")
       .join(scored, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("max_cos") >= tau, lit(false)).as("contaminated"),

@@ -399,6 +399,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: exact-duplicate contraction is result-identical on a " +
+      "replicated corpus (ScaleData shape: identical vectors, shifted ids)") {
+    // three byte-identical copies of every vector (zero-norm ones
+    // included) — every (cell, v) group is 3 deep, so the contracted
+    // pair scan runs on a third of the rows while the output must match
+    // the all-member rule exactly: copy-0 of each vector keeps the
+    // original verdict, copies 1-2 are pruned by their own group min
+    // (cosine 1 >= tau) unless zero-norm (never pruned, the l9 rule)
+    val tau = 0.4
+    val stride = 100000000L
+    val rep = (0 until 3).map(i => embs.select(
+        (col("vec_id") + lit(i * stride)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val out = Similarity.semDedup(rep, tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.length == embs.count() * 3, "one row per replicated vector")
+    val vecs = rep.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cell, pruned) =>
+      val expect = vecs.keys.exists(y => y < id && cellOf(y) == cell &&
+        cos(vecs(id), vecs(y)) >= tau)
+      assert(pruned == expect, s"vec $id: pruned=$pruned, brute=$expect")
+    }
+    // replicas of a nonzero vector are always pruned; zero-norm never
+    val zeroIds = vecs.collect { case (id, v) if v.forall(_ == 0.0) => id }
+    out.foreach { case (id, _, pruned) =>
+      if (zeroIds.exists(z => z % stride == id % stride))
+        assert(!pruned, s"zero-norm vec $id must never prune")
+      else if (id >= stride)
+        assert(pruned, s"replica $id has its copy-0 twin below it")
+    }
+  }
+
   test("cluster profile partitions the corpus and agrees with semdedup cells") {
     val prof = Similarity.clusterProfile(embs).collect()
     assert(prof.map(_.getLong(1)).sum == embs.count())

@@ -130,6 +130,28 @@ class ResampleSpec extends SparkSpec {
     assert(out === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("semanticDecontam: the eval slice is FIXED — a bench-shaped id at or " +
+      "past EvalIdBound is corpus, not benchmark") {
+    import spark.implicits._
+    val bound = graft.llm.Similarity.EvalIdBound
+    // id 0 is the one real eval vector; `bound` (also % 50 == 0) is a
+    // ScaleData-replica id and must be SCORED like any corpus row — it
+    // duplicates eval 0, so it flags; `bound + 2` is orthogonal to the
+    // eval set and must NOT flag even though it duplicates corpus id 2
+    // (corpus-corpus similarity is l21's job, not decontam's)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (bound, Array(1f, 0f, 0f)),
+      (bound + 2L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.semanticDecontam(emb)
+      .select("vec_id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out === Map(2L -> false, bound -> true, (bound + 2L) -> false),
+      s"got $out")
+  }
+
   test("dynamic session gap: a purchase holds the session open where a click would not") {
     import spark.implicits._
     // purchase at t=0 (gap 3600) + click at t=2400 → ONE session ending
