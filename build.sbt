@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW instead of re-logging it
+// with sbt's "[info] " prefix: the driver captures the stdout tail and
+// json-parses lines — every round through r14 the Bench compact line was
+// complete in the tail yet recorded "parsed": null, because the prefix
+// made the line non-JSON. StdoutOutput is the fix (program stderr passes
+// through too, keeping telemetry off stdout). Project-scoped so both
+// `run` and `runMain` (and forked tests) resolve it by delegation.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

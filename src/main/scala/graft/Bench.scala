@@ -14,14 +14,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
   * order for reproducibility.
   *
   * Output contract: the driver captures only the TAIL of stdout (observed:
-  * last 2000 chars, with sbt's `[success]` epilogue inside it), so the
-  * final printed JSON line is kept under ~1800 chars — headline totals plus
-  * as many per-query timings as fit, slowest first (the informative ones),
-  * with `"queries_omitted"` counting the rest. The COMPLETE full-precision
-  * per-query map is written to `bench_full.json` in the working directory
-  * (`"detail"` field). Rounds 1–5 printed the full 83-query line and the
-  * driver recorded `"parsed": null` every time — the line's head fell off
-  * the tail window.
+  * last 2000 chars, with sbt's `[success]` epilogue inside it) and
+  * json-parses lines from it. Three defenses (VERDICT r14 #4 — every round
+  * through r14 recorded `"parsed": null`): (1) build.sbt sets
+  * `outputStrategy := StdoutOutput` so the JSON lines arrive RAW, not
+  * re-logged under sbt's `[info] ` prefix (the r6–r14 parse killer — the
+  * line was complete in the tail but never valid JSON); (2) the compact
+  * line is budgeted to 1400 chars — headline totals plus as many per-query
+  * timings as fit, slowest first, `"queries_omitted"` counting the rest;
+  * (3) a final ~450-char mini summary line follows it, so compact + mini +
+  * epilogue all fit the window complete and ANY line the driver's scanner
+  * lands on parses. The COMPLETE full-precision per-query map is written
+  * to `bench_full.json` in the working directory (`"detail"` field).
   *
   * == Self-defending measurement (VERDICT r10 #1/#2) ==
   * The official driver runs of rounds 9 and 10 both showed a
@@ -52,6 +56,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
   *     m37 m41 q20) is re-run wholesale; `second_q` carries the pairs.
   *     Name-contiguous inflation in pass 1 + a flat pass 2 proves a phase;
   *     an inflated pass 2 proves the plan and points the profiler.
+  *  5. Bandwidth conviction (VERDICT r14 #1): every query's window closes
+  *     with a ~0.12 s DRAM micro-sample (`bw_q`), the per-query analogue
+  *     of `host_steal_q` — a DRAM-pressure phase (wall ×3–4, steal 0, cpu
+  *     tripled; the r14 m4–m8 block) is machine-flagged (`bw_convicted`),
+  *     the next window is protected by an untimed bandwidth storm-wait,
+  *     and a convicted window re-runs under a TIGHTENED anomaly bar
+  *     (2×ref / ref+0.3 s; wall ≥ 2 s on ref-less scale runs). The
+  *     headline gains `value_bwnet`: convicted queries with a clean
+  *     re-measure counted at the re-run wall — the solo re-measure
+  *     protocol applied by the artifact instead of by hand.
   *
   * Environment telemetry (`load1m`, `cpu_sec`, `cpus`) travels with the
   * numbers: r5's driver run measured q1_agg at 23.3 s where an identical
@@ -467,7 +481,7 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     final case class QStat(wall: Double, cpu: Double, steal: Double,
       busy: Double, gc: Double, jit: Double, heap: Double,
-      threads: Seq[(String, Double)])
+      threads: Seq[(String, Double)], bwAfter: Double)
 
     /** One measured execution, with thread-CPU attribution kept when the
       * query is CPU-heavy (the anomaly's signature) — ~1 ms of /proc reads
@@ -492,12 +506,22 @@ object Bench {
       val (st1, bz1) = hostStat()
       val th = if (cpu > 10.0 || refTimes.get(name).exists(r => dt > math.max(3 * r, r + 2.0)))
         topThreadDelta(th0, threadCpu()) else Nil
+      // per-window bandwidth sample (VERDICT r14 #1): one ~0.12 s DRAM
+      // micro-sample IMMEDIATELY after the window closes, so a memory-
+      // pressure phase (the m4–m8 signature: wall ×3.4–4.0, steal 0, cpu
+      // tripled) is convicted by the artifact — `bw_q` is the per-query
+      // analogue of `host_steal_q`. Taken before clearCache so nothing
+      // sits between the window and its evidence; spin accounting rides
+      // timedKernel (wall in calib_spin_sec, measured CPU subtracted
+      // from cpu_sec). ~20 s of untimed spin per full registry run —
+      // outside every per-query wall and the headline `value`.
+      val bwAfter = timedKernel(() => bwKernel())
       // leftover cached blocks from one query must not tax the next
       // (each query's own caching cost is inside its measured time;
       // the clear itself is untimed bookkeeping)
       spark.catalog.clearCache()
       QStat(dt, cpu, st1 - st0, bz1 - bz0, gcSec - gc0,
-        if (jit0 >= 0) jitSec - jit0 else -1.0, heapMb, th)
+        if (jit0 >= 0) jitSec - jit0 else -1.0, heapMb, th, bwAfter)
     }
 
     // Preflight RE-CHECK (ADVICE r13): session bringup + warmup + the JIT
@@ -599,30 +623,65 @@ object Bench {
     // flat convicts a bandwidth phase from the artifact alone.
     val rerunQ = scala.collection.mutable.LinkedHashMap[String, (QStat, QStat, Double)]()
     var rerunBudget = 15 // a fully contaminated run must not double itself
+    // Bandwidth conviction threshold: same bar the preflight gate holds
+    // the run's START to (healthy 0.10–0.14 s/GB on this host). A query
+    // whose post-window sample exceeds it lands in `bw_convicted`.
+    val BwCap = 0.16
+    val bwConvicted = scala.collection.mutable.ListBuffer[String]()
+    // bandwidth analogue of stormWait: when a window CLOSED contended
+    // (bw_q over the cap), the next query is overwhelmingly likely to
+    // absorb the same DRAM phase — pause untimed, re-sampling the ~0.12 s
+    // kernel, until the bus quiets or the shared storm budget is spent.
+    def bwStormWait(lastBw: Double): Unit = {
+      if (lastBw <= BwCap || stormWaitBudget <= 0) return
+      System.err.println(f"[bench] BW PHASE: post-window sample $lastBw%.3f s/GB — waiting for quiet bus (${stormWaitBudget}%.0f s budget)")
+      var bwNow = lastBw
+      while (bwNow > BwCap && stormWaitBudget > 0) {
+        Thread.sleep(5000); stormWaitBudget -= 5; stormWaited += 5
+        bwNow = timedKernel(() => bwKernel())
+      }
+    }
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s1 = measure(name, fn, recordFailure = true)
       perQ(name) = s1
+      val convicted = s1.bwAfter > BwCap
+      if (convicted) bwConvicted += name
       stormWait(s1.steal)
-      // VERDICT r10 #1(a): catch the anomaly in the act — an outlier vs
-      // the committed clean reference re-runs IMMEDIATELY in this JVM.
-      // Flat re-run ⇒ phase (JVM/host state); slow re-run ⇒ the plan.
-      refTimes.get(name).foreach { ref =>
-        if (s1.wall > math.max(3 * ref, ref + 2.0) && rerunBudget > 0) {
-          rerunBudget -= 1
-          var bwNow = timedKernel(() => bwKernel())
-          // a re-run fired INTO the same storm proves nothing and spends
-          // the budget — when the bandwidth kernel reads contended, wait
-          // (untimed, shared storm budget) for a clean sample so the
-          // first-vs-rerun pair is a sharp conviction either way
-          while (bwNow > 0.16 && stormWaitBudget > 0) {
-            System.err.println(f"[bench] ANOMALY $name: bw_now=$bwNow%.3f contended — delaying re-run (${stormWaitBudget}%.0f s budget)")
-            Thread.sleep(10000); stormWaitBudget -= 10; stormWaited += 10
-            bwNow = timedKernel(() => bwKernel())
-          }
-          System.err.println(f"[bench] ANOMALY $name wall=${s1.wall}%.2f ref=$ref%.2f cpu=${s1.cpu}%.1f bw_now=$bwNow%.3f — re-running in-JVM")
-          val s2 = measure(name, fn, recordFailure = false)
-          rerunQ(name) = (s1, s2, bwNow)
+      bwStormWait(s1.bwAfter)
+      // VERDICT r10 #1(a) + r14 #1: catch the anomaly in the act — an
+      // outlier re-runs IMMEDIATELY in this JVM. Flat re-run ⇒ phase
+      // (JVM/host state); slow re-run ⇒ the plan. Three triggers:
+      //   1. ref-based: wall > max(3×ref, ref+2 s) — the standing rule;
+      //   2. ref-based, bw-CONVICTED window: the bar tightens to
+      //      max(2×ref, ref+0.3 s). The m4–m8 block (sub-second refs
+      //      inflated ×3.4–4.0 under a DRAM phase) sat under ref+2 s and
+      //      was only diagnosed by hand — a convicted window plus any
+      //      real inflation now triggers the solo re-measure from the
+      //      artifact itself;
+      //   3. no refs (scale runs): a convicted window with wall ≥ 2 s
+      //      re-runs — the first ×100 cast's m4/m5/q20/q21 false
+      //      outliers are exactly this shape.
+      val anomalous = refTimes.get(name) match {
+        case Some(ref) =>
+          s1.wall > math.max(3 * ref, ref + 2.0) ||
+            (convicted && s1.wall > math.max(2 * ref, ref + 0.3))
+        case None => convicted && s1.wall >= 2.0
+      }
+      if (anomalous && rerunBudget > 0) {
+        rerunBudget -= 1
+        var bwNow = timedKernel(() => bwKernel())
+        // a re-run fired INTO the same storm proves nothing and spends
+        // the budget — when the bandwidth kernel reads contended, wait
+        // (untimed, shared storm budget) for a clean sample so the
+        // first-vs-rerun pair is a sharp conviction either way
+        while (bwNow > BwCap && stormWaitBudget > 0) {
+          System.err.println(f"[bench] ANOMALY $name: bw_now=$bwNow%.3f contended — delaying re-run (${stormWaitBudget}%.0f s budget)")
+          Thread.sleep(10000); stormWaitBudget -= 10; stormWaited += 10
+          bwNow = timedKernel(() => bwKernel())
         }
+        System.err.println(f"[bench] ANOMALY $name wall=${s1.wall}%.2f ref=${refTimes.getOrElse(name, -1.0)}%.2f cpu=${s1.cpu}%.1f bw_window=${s1.bwAfter}%.3f bw_now=$bwNow%.3f — re-running in-JVM")
+        val s2 = measure(name, fn, recordFailure = false)
+        rerunQ(name) = (s1, s2, bwNow)
       }
       name -> s1.wall
     }
@@ -638,6 +697,7 @@ object Bench {
     if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name)) {
       secondQ(name) = measure(name, fn, recordFailure = false)
       stormWait(secondQ(name).steal)
+      bwStormWait(secondQ(name).bwAfter)
     }
 
     val calibEnd = timedKernel(() => calibKernel())
@@ -672,7 +732,7 @@ object Bench {
       perQ.map { case (k, t) => f""""$k":${pick(t)}%.2f""" }.mkString("{", ",", "}")
     def statJson(s: QStat): String = {
       val th = s.threads.map { case (n, c) => f""""$n":$c%.1f""" }.mkString("{", ",", "}")
-      f"""{"wall":${s.wall}%.2f,"cpu":${s.cpu}%.2f,"steal":${s.steal}%.2f,"gc":${s.gc}%.2f,"jit":${s.jit}%.2f,"threads":$th}"""
+      f"""{"wall":${s.wall}%.2f,"cpu":${s.cpu}%.2f,"steal":${s.steal}%.2f,"gc":${s.gc}%.2f,"jit":${s.jit}%.2f,"bw":${s.bwAfter}%.3f,"threads":$th}"""
     }
     val rerunJson = rerunQ.map { case (k, (a, b, bw)) =>
       f""""$k":{"first":${statJson(a)},"bw_before_rerun":$bw%.3f,"rerun":${statJson(b)}}""" }.mkString("{", ",", "}")
@@ -690,17 +750,40 @@ object Bench {
     val pfJson =
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttemptsJson(pfAttempts)},"recheck":{"pass":$rcPass,"waited_sec":$rcWaited%.0f,"attempts":${pfAttemptsJson(rcAttempts)}}}"""
     val wallNetSec = wallSec - stormWaited
+    // bandwidth-conviction summary (VERDICT r14 #1): `bw_q` carries every
+    // query's post-window DRAM sample, `bw_convicted` the names over
+    // BwCap, and `value_bwnet` re-states the headline with each CONVICTED
+    // query that earned a clean re-measure (bw clean both immediately
+    // before the re-run and at its own window close) counted at the
+    // re-run wall — the machine-applied version of the "solo re-measure"
+    // protocol the r13/r14 ledgers applied by hand. Non-convicted
+    // queries always count at their first wall, so a quiet run has
+    // value_bwnet == value exactly.
+    val bwQJson = perQ.map { case (k, t) => f""""$k":${t.bwAfter}%.3f""" }.mkString("{", ",", "}")
+    val bwConvictedJson = bwConvicted.map(n => s""""$n"""").mkString("[", ",", "]")
+    val totalBwNet = perQ.iterator.map { case (k, s) =>
+      rerunQ.get(k) match {
+        case Some((first, rerun, bwBefore))
+          if first.bwAfter > BwCap && bwBefore <= BwCap && rerun.bwAfter <= BwCap =>
+          rerun.wall
+        case _ => s.wall
+      }
+    }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] $detail write failed: $e") }
 
     // compact line: anomaly-rerun pairs first (the story the judge needs),
-    // then slowest queries until the budget is spent
+    // then slowest queries until the budget is spent. Budget 1400 (was
+    // 1800): the driver's 2000-char stdout tail must hold this line PLUS
+    // the mini summary line below PLUS sbt's epilogue in full, so that
+    // whichever line the driver's parser picks, it picks a complete one
+    // (VERDICT r14 #4 — every round through r14 recorded "parsed": null).
     def fmt(v: Double) = f"$v%.2f"
-    val budget = 1800
+    val budget = 1400
     val rrCompact = rerunQ.map { case (k, (a, b, bw)) =>
       s""""$k":[${fmt(a.wall)},${fmt(b.wall)},${fmt(bw)}]""" }.mkString("{", ",", "}")
     val spCompact = secondQ.map { case (k, s) =>
@@ -708,7 +791,7 @@ object Bench {
     val pfCompact =
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size},"recheck_pass":$rcPass,"recheck_waited_sec":$rcWaited%.0f}"""
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"storm_wait_sec":${fmt(stormWaited)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"bw_convicted":$bwConvictedJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {
@@ -718,6 +801,14 @@ object Bench {
     val omitted = results.size - kept.size
     val compactQs = kept.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
     println(head.replace(""""queries_omitted":NNN""", s""""queries_omitted":$omitted""") + compactQs + "}}")
+    // mini summary line, guaranteed well under the driver's tail window
+    // even after the compact line and sbt's epilogue: headline totals +
+    // the top-5 walls. The driver parses SOME complete JSON line from
+    // the tail whichever one its scanner lands on.
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"failed_n":${failed.size},"bw_convicted_n":${bwConvicted.size},"queries_omitted":${math.max(0, results.size - 5)},"detail":"$detail","queries":{$top5}}""")
     spark.stop()
   }
 }

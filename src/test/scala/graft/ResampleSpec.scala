@@ -152,6 +152,31 @@ class ResampleSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("semanticDecontam: eval-table seam — eval arrives as its own DataFrame, " +
+      "no id arithmetic in the operator") {
+    import spark.implicits._
+    // eval ids are an arbitrary namespace (5 is NOT % 50 == 0 — nothing
+    // slice-shaped survives in the primary seam); corpus 13 ties at
+    // cos 1/sqrt(2) to both eval vectors → smallest bench_id (0) wins
+    val corpus = Seq(
+      (10L, Array(2f, 0f, 0f)),
+      (11L, Array(0f, 1f, 0f)),
+      (12L, Array(0f, 0f, 3f)),
+      (13L, Array(1f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.semanticDecontam(corpus, eval, tau = 0.9)
+      .select("vec_id", "contaminated", "bench_id")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      10L -> ((true, Some(0L))), 11L -> ((false, Some(0L))),
+      12L -> ((true, Some(5L))), 13L -> ((false, Some(0L)))))
+  }
+
   test("dynamic session gap: a purchase holds the session open where a click would not") {
     import spark.implicits._
     // purchase at t=0 (gap 3600) + click at t=2400 → ONE session ending

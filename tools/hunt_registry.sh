@@ -13,21 +13,36 @@
 dir=$1; mem=$2; tag=$3; max=$4; cap=${5:-30}
 cd "$(dirname "$0")/.."
 i=0
+refusals=0
 while [ $i -lt $max ]; do
   # pre-probe refusals do NOT consume launch attempts — a stormy hour
   # should delay the hunt, not exhaust it (Bench's own preflight is the
   # second gate; this outer probe just avoids burning a ~1 h run into a
-  # window that is visibly hopeless from the first 45 s)
+  # window that is visibly hopeless from the first 45 s). They DO have
+  # a ceiling (ADVICE r14): an unattended hunt on a host with sustained
+  # steal must terminate, not spin forever — 40 refusals ≈ 1.8 h of
+  # probe+wait is long past any storm worth outlasting.
   s0=$(awk '/^cpu /{print $9}' /proc/stat); sleep 45; s1=$(awk '/^cpu /{print $9}' /proc/stat)
   d=$((s1-s0))
-  echo "[reg-$tag] $(date +%H:%M:%S) pre-probe steal delta/45s = $d jiffies (launches used: $i/$max)"
-  if [ "$d" -ge 60 ]; then echo "[reg-$tag] very contended, waiting 120 s"; sleep 120; continue; fi
+  echo "[reg-$tag] $(date +%H:%M:%S) pre-probe steal delta/45s = $d jiffies (launches used: $i/$max, refusals: $refusals/40)"
+  if [ "$d" -ge 60 ]; then
+    refusals=$((refusals+1))
+    if [ $refusals -ge 40 ]; then echo "[reg-$tag] GIVING UP: 40 consecutive contended pre-probes"; break; fi
+    echo "[reg-$tag] very contended, waiting 120 s"; sleep 120; continue
+  fi
+  refusals=0
   i=$((i+1))
   cp bench_full.json /tmp/bf_backup_${tag}.json
+  # a crashed sbt/Bench must leave NO artifact in cwd (ADVICE r14): the
+  # committed/restored bench_full.json would otherwise be copied out and
+  # judged CLEAN under the new tag — remove it so the parser's
+  # DIRTY-no-artifact path fires on a crash, and gate on rc=0 too
+  rm -f bench_full.json
   SPARK_DRIVER_MEM=$mem SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_STORM_WAIT_SEC=900 \
     sbt -batch "runMain graft.Bench" > /tmp/bench_${tag}_$i.log 2>&1
   rc=$?
-  [ -f bench_full.json ] && cp bench_full.json /tmp/bench_${tag}_$i.json
+  rm -f /tmp/bench_${tag}_$i.json
+  [ -f bench_full.json ] && [ $rc -eq 0 ] && cp bench_full.json /tmp/bench_${tag}_$i.json
   cp /tmp/bf_backup_${tag}.json bench_full.json
   verdict=$(python3 - /tmp/bench_${tag}_$i.json $cap <<'PYEOF'
 import json,sys
