@@ -641,8 +641,35 @@ object Bench {
         bwNow = timedKernel(() => bwKernel())
       }
     }
+    // input-density telemetry (VERDICT r14 #4): gates that stage a pair
+    // list record its path via graft.Telemetry; after the measured window
+    // the counts are computed UNTIMED — edges = pair rows, wedges =
+    // Σ d(v)·(d(v)−1)/2 over the undirected degree distribution (the
+    // size of the triangle maintainer's closing workload). Replicated
+    // testdata densifies superlinearly by construction, so raw m37/m41
+    // walls across decades are only comparable normalized by these.
+    val densityQ = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    def priceDensity(name: String): Unit =
+      graft.Telemetry.drainPath(name).foreach { path =>
+        try {
+          val e = spark.read.parquet(path)
+          val Seq(a, b) = e.columns.take(2).toSeq
+          val edges = e.count()
+          val wedges = e.select(org.apache.spark.sql.functions.col(a).as("n"))
+            .unionAll(e.select(org.apache.spark.sql.functions.col(b).as("n")))
+            .groupBy("n").count()
+            .agg(org.apache.spark.sql.functions.expr(
+              "CAST(sum((count * (count - 1)) DIV 2) AS LONG)"))
+            .head().getLong(0)
+          densityQ(name) = (edges, wedges)
+          System.err.println(s"[bench] $name input density: edges=$edges wedges=$wedges")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name density probe failed: ${e.getMessage}")
+        }
+      }
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s1 = measure(name, fn, recordFailure = true)
+      priceDensity(name)
       perQ(name) = s1
       val convicted = s1.bwAfter > BwCap
       if (convicted) bwConvicted += name
@@ -681,6 +708,7 @@ object Bench {
         }
         System.err.println(f"[bench] ANOMALY $name wall=${s1.wall}%.2f ref=${refTimes.getOrElse(name, -1.0)}%.2f cpu=${s1.cpu}%.1f bw_window=${s1.bwAfter}%.3f bw_now=$bwNow%.3f — re-running in-JVM")
         val s2 = measure(name, fn, recordFailure = false)
+        graft.Telemetry.drainPath(name) // first window priced it already
         rerunQ(name) = (s1, s2, bwNow)
       }
       name -> s1.wall
@@ -696,6 +724,7 @@ object Bench {
     val secondQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
     if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name)) {
       secondQ(name) = measure(name, fn, recordFailure = false)
+      graft.Telemetry.drainPath(name) // first window priced it already
       stormWait(secondQ(name).steal)
       bwStormWait(secondQ(name).bwAfter)
     }
@@ -761,6 +790,8 @@ object Bench {
     // value_bwnet == value exactly.
     val bwQJson = perQ.map { case (k, t) => f""""$k":${t.bwAfter}%.3f""" }.mkString("{", ",", "}")
     val bwConvictedJson = bwConvicted.map(n => s""""$n"""").mkString("[", ",", "]")
+    val densityJson = densityQ.map { case (k, (e, w)) =>
+      s""""$k":{"edges":$e,"wedges":$w}""" }.mkString("{", ",", "}")
     val totalBwNet = perQ.iterator.map { case (k, s) =>
       rerunQ.get(k) match {
         case Some((first, rerun, bwBefore))
@@ -770,7 +801,7 @@ object Bench {
       }
     }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"density_q":$densityJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()

@@ -389,13 +389,14 @@ object LlmQueries {
     // of the same staged corpus as the audit column.
     "m33_stream_kmv" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val base = java.nio.file.Files.createTempDirectory("graft_m33").toString
-      Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
+      graft.queries.QUtil.tracedPhase("m33 stage-src") {
+        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-      TextStats.kmvMaintain(src, s"$base/state", s"$base/ckpt",
-          org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .awaitTermination()
+      graft.queries.QUtil.awaitTraced("m33",
+        TextStats.kmvMaintain(src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       val est = TextStats.kmvEstimate(
         graft.operators.GenState.readState(s, s"$base/state"))
       val exact = TextStats.sourceGramHashes(s.read.parquet(s"$base/src"))
@@ -419,13 +420,14 @@ object LlmQueries {
     // must land bit-identically on l64's one-shot oracle
     "m34_stream_countmin" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val base = java.nio.file.Files.createTempDirectory("graft_m34").toString
-      Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
+      graft.queries.QUtil.tracedPhase("m34 stage-src") {
+        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-      TextStats.countMinMaintain(src, s"$base/state", s"$base/ckpt",
-          org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .awaitTermination()
+      graft.queries.QUtil.awaitTraced("m34",
+        TextStats.countMinMaintain(src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       val sketch = graft.operators.GenState.readState(s, s"$base/state")
       val top = s.read.parquet(s"$base/src")
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -478,6 +480,7 @@ object LlmQueries {
       TextDedup.minhashNearDup(Tables.documents(s, dir))
         .select("doc_a", "doc_b")
         .repartition(4).write.parquet(s"$base/src")
+      graft.Telemetry.recordPath("m41_incr_triangles", s"$base/src")
       val srcPq = s.read.parquet(s"$base/src")
       val schema = srcPq.schema
       // only the streaming fold runs at 8-way partitioning — the LSH
@@ -486,10 +489,10 @@ object LlmQueries {
       graft.queries.QUtil.withStreamPartsFor(s, 8, srcPq.count()) {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-        graft.operators.Graph.trianglesMaintain(
+        graft.queries.QUtil.awaitTraced("m41",
+          graft.operators.Graph.trianglesMaintain(
             src, s"$base/state", s"$base/ckpt",
-            org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .awaitTermination()
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
       graft.operators.Graph.incrTrianglesFinalize(
         graft.operators.GenState.readState(s, s"$base/state"))
@@ -506,16 +509,17 @@ object LlmQueries {
       TextDedup.minhashNearDup(Tables.documents(s, dir))
         .select("doc_a", "doc_b")
         .repartition(4).write.parquet(s"$base/src")
+      graft.Telemetry.recordPath("m37_incr_components", s"$base/src")
       val srcPq = s.read.parquet(s"$base/src")
       val schema = srcPq.schema
       // streaming fold at 8-way partitioning when small (see m41's note)
       graft.queries.QUtil.withStreamPartsFor(s, 8, srcPq.count()) {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-        graft.operators.Graph.componentsMaintain(
+        graft.queries.QUtil.awaitTraced("m37",
+          graft.operators.Graph.componentsMaintain(
             src, s"$base/state", s"$base/ckpt",
-            org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .awaitTermination()
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
       graft.operators.Graph.componentsFinalize(
         graft.operators.GenState.readState(s, s"$base/state"))
@@ -523,13 +527,14 @@ object LlmQueries {
 
     "m36_stream_bloom" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
       val base = java.nio.file.Files.createTempDirectory("graft_m36").toString
-      Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src")
+      graft.queries.QUtil.tracedPhase("m36 stage-src") {
+        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-      TextStats.bloomMaintain(src, s"$base/state", s"$base/ckpt",
-          org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .awaitTermination()
+      graft.queries.QUtil.awaitTraced("m36",
+        TextStats.bloomMaintain(src, s"$base/state", s"$base/ckpt",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       TextStats.bloomAuditFromState(
         graft.operators.GenState.readState(s, s"$base/state"),
         s.read.parquet(s"$base/src"))

@@ -54,10 +54,19 @@ fails=d.get('failed',[])
 pf=d.get('preflight',{})
 ok=(not fails) and pf.get('pass') and pf.get('recheck',{}).get('pass') \
    and steal < cap and max(d.get('calib',[9])) <= 0.93
-print(('CLEAN' if ok else 'DIRTY')+
-      f" total={d.get('value'):.1f}s steal={steal:.1f}s fails={len(fails)}"
-      f" calib={max(d.get('calib',[9])):.3f} bw={max(d.get('calib_bw',[9])):.3f}"
-      f" storm_wait={d.get('storm_wait_sec')}")
+out=('CLEAN' if ok else 'DIRTY')+\
+      f" total={d.get('value'):.1f}s steal={steal:.1f}s fails={len(fails)}"\
+      f" calib={max(d.get('calib',[9])):.3f} bw={max(d.get('calib_bw',[9])):.3f}"\
+      f" storm_wait={d.get('storm_wait_sec')}"\
+      f" bw_convicted={len(d.get('bw_convicted',[]))}"
+# density-NORMALIZED maintainer rates (ADVICE/VERDICT r14 #4): raw m37/m41
+# walls across scale decades are incomparable because replicated testdata
+# densifies the pair graph superlinearly — judge ns-per-wedge instead
+for q in ('m37_incr_components','m41_incr_triangles'):
+    den=d.get('density_q',{}).get(q); w=d.get('queries',{}).get(q)
+    if den and w and den.get('wedges'):
+        out+=f" {q.split('_')[0]}_ns_per_wedge={w*1e9/den['wedges']:.0f}"
+print(out)
 PYEOF
 )
   echo "[reg-$tag] attempt $i: rc=$rc $verdict"
