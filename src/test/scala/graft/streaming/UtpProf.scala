@@ -11,12 +11,21 @@ import graft.streaming.{UtpCodec => C}
   * loopback clients pushing batched PUBLISH frames through the full
   * decode → putEntry → sync pipeline.
   * Args: [messages] [batch] [conns] [syncEvery]
-  * [transport: tcp|tcps|ws|grpc] — the transport arg drives the SAME
-  * workload through the WebSocket or gRPC/h2c face, so the listeners'
-  * throughput is comparable from one harness. `tcps` is the tcp face
-  * under TLS (ephemeral keytool material, the UtpSpec recipe): the
-  * priced delta vs `tcp` is the JSSE record layer, completing the
-  * BASELINE wire table's parity story (VERDICT r12 #7). */
+  * [transport: tcp|tcps|ws|grpc] [window] — the transport arg drives the
+  * SAME workload through the WebSocket or gRPC/h2c face, so the
+  * listeners' throughput is comparable from one harness. `tcps` is the
+  * tcp face under TLS (ephemeral keytool material, the UtpSpec recipe):
+  * the priced delta vs `tcp` is the JSSE record layer, completing the
+  * BASELINE wire table's parity story (VERDICT r12 #7).
+  *
+  * `window` (tcp/tcps only, default 1) pipelines PUBLISH: up to that
+  * many batches stay in flight while a reader thread drains acks — the
+  * VERDICT r14 stretch-#8 experiment probing whether the synchronous
+  * loop's residue is the ack round-trip. window=1 is bit-identical to
+  * the historical send→ack workload; window>1 is a DIFFERENT workload
+  * (a client that defers delivery confirmation) and its numbers are NOT
+  * comparable to the r11/r13 ledger rows — BASELINE.md labels them as a
+  * distinct profile. */
 object UtpProf {
 
   /** Self-signed server context + trusting client factory, built the
@@ -62,6 +71,10 @@ object UtpProf {
     val transport = args.lift(4).getOrElse("tcp")
     require(Set("tcp", "tcps", "ws", "grpc")(transport),
       s"unknown transport $transport")
+    val window = args.lift(5).map(_.toInt).getOrElse(1)
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(window == 1 || transport == "tcp" || transport == "tcps",
+      "pipelined window only implemented for the tcp/tcps faces")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -104,16 +117,41 @@ object UtpProf {
           val in = sock.getInputStream
           var sent = 0
           var mid = 0
-          while (sent < perConn) {
-            val n = math.min(batch, perConn - sent)
-            mid += 1
-            val msgs = (0 until n).map(i => C.PublishMessage(
-              s"prof.c$ci.t${(sent + i) % 100}", payload, ""))
-            out.write(C.encodePacket(C.PUBLISH, C.NONE,
-              C.encodePublish(C.Publish(mid & 0xffff, 0, msgs))))
-            out.flush()
-            C.readPacket(in) // wait for the ack — real client behavior
-            sent += n
+          if (window <= 1) {
+            while (sent < perConn) {
+              val n = math.min(batch, perConn - sent)
+              mid += 1
+              val msgs = (0 until n).map(i => C.PublishMessage(
+                s"prof.c$ci.t${(sent + i) % 100}", payload, ""))
+              out.write(C.encodePacket(C.PUBLISH, C.NONE,
+                C.encodePublish(C.Publish(mid & 0xffff, 0, msgs))))
+              out.flush()
+              C.readPacket(in) // wait for the ack — real client behavior
+              sent += n
+            }
+          } else {
+            // pipelined: up to `window` unacked batches in flight; a
+            // reader drains every ack so the server's per-batch PUBACK
+            // cost is still paid, just off the send path
+            val nBatches = (perConn + batch - 1) / batch
+            val sem = new java.util.concurrent.Semaphore(window)
+            val reader = new Thread(() => {
+              var got = 0
+              while (got < nBatches) { C.readPacket(in); sem.release(); got += 1 }
+            })
+            reader.start()
+            while (sent < perConn) {
+              val n = math.min(batch, perConn - sent)
+              mid += 1
+              sem.acquire()
+              val msgs = (0 until n).map(i => C.PublishMessage(
+                s"prof.c$ci.t${(sent + i) % 100}", payload, ""))
+              out.write(C.encodePacket(C.PUBLISH, C.NONE,
+                C.encodePublish(C.Publish(mid & 0xffff, 0, msgs))))
+              out.flush()
+              sent += n
+            }
+            reader.join()
           }
           sock.close()
         } else {
