@@ -516,6 +516,10 @@ object Bench {
       // from cpu_sec). ~20 s of untimed spin per full registry run —
       // outside every per-query wall and the headline `value`.
       val bwAfter = timedKernel(() => bwKernel())
+      // one line per window close (stderr, untimed) — live progress for
+      // long runs, and the injected-pressure validation protocol keys
+      // its injection timing off these lines
+      System.err.println(f"[bench] window $name wall=$dt%.2f cpu=$cpu%.1f steal=${st1 - st0}%.1f bw=$bwAfter%.3f")
       // leftover cached blocks from one query must not tax the next
       // (each query's own caching cost is inside its measured time;
       // the clear itself is untimed bookkeeping)

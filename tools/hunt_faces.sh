@@ -23,7 +23,9 @@ for i in $(seq 1 $max); do
     > /tmp/sprobeF_${tag}_$i.log 2>&1
   rc=$?
   cp /tmp/sp_backup_${tag}.json stream_probe.json
-  grep -h '^\[info\] {"q"' /tmp/sprobeF_${tag}_$i.log | sed 's/^\[info\] //' >> $pool
+  # r15's outputStrategy := StdoutOutput dropped sbt's "[info] " prefix
+  # from forked stdout — accept both forms so old logs stay parseable
+  grep -hE '^(\[info\] )?\{"q"' /tmp/sprobeF_${tag}_$i.log | sed 's/^\[info\] //' >> $pool
   missing=$(python3 - "$pool" <<'PYEOF'
 import json,sys
 want={'m13_session','m40_dyn_session','m14_dedup','m17_join_inner','m21_join_outer','m30_join_semi','m31_join_full','m18_profile_state'}

@@ -18,27 +18,41 @@ import argparse, multiprocessing, time
 import numpy as np
 
 
-def thrash(stop_at: float) -> None:
+def thrash(seconds: float, gate: str) -> None:
     buf = np.arange(64 << 20, dtype=np.int64)  # 512 MB
-    s = 0
+    if gate:
+        # armed mode: buffers allocated, pressure held until the gate
+        # file appears — onset is then ~instant, so a phase can be
+        # dropped INSIDE a chosen query window (the ~5 s of per-worker
+        # allocation otherwise smears the ramp across several windows)
+        import os
+        while not os.path.exists(gate):
+            time.sleep(0.05)
+    stop_at = time.time() + seconds
+    view = buf[::8]
     while time.time() < stop_at:
-        # stride 8 longs = one 64-byte line: pure bandwidth, no cache reuse
-        s += int(buf[::8].sum())
-    del s
+        # stride 8 longs = one 64-byte line, read-MODIFY-write: each line
+        # costs a read plus a writeback, twice the traffic of a pure
+        # stream — a dozen read-only summers measurably don't saturate
+        # this host's bus (walls inflate ~25% but the 0.12 s/GB kernel
+        # barely moves); RMW workers do
+        np.add(view, 1, out=view)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--wait-for", default="",
+                    help="arm workers, thrash only once this file exists")
     a = ap.parse_args()
-    stop_at = time.time() + a.seconds
-    ps = [multiprocessing.Process(target=thrash, args=(stop_at,))
+    ps = [multiprocessing.Process(target=thrash, args=(a.seconds, a.wait_for))
           for _ in range(a.workers)]
     for p in ps:
         p.start()
-    print(f"[inject] {a.workers} workers thrashing DRAM for {a.seconds:.0f}s",
-          flush=True)
+    print(f"[inject] {a.workers} workers "
+          f"{'armed on ' + a.wait_for if a.wait_for else 'thrashing DRAM'} "
+          f"for {a.seconds:.0f}s", flush=True)
     for p in ps:
         p.join()
     print("[inject] done", flush=True)
