@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * gate stays on the driver's own parquet; this exists purely to time the
   * same plans at 10× the rows.
   *
-  * Usage: runMain graft.ScaleData <inDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleData <inDir> <outDir> <factor> [tables]
+  * `tables` (optional, comma-separated) restricts generation to a subset —
+  * the streaming-state probe only reads `events`, so its ×1000 decade
+  * doesn't have to materialize 600M lineitem rows it never scans.
   */
 object ScaleData {
 
@@ -36,8 +39,16 @@ object ScaleData {
     "region"     -> Nil)
 
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, factorS) = args
+    val Array(inDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
+    val only: Set[String] = args.lift(3) match {
+      case Some(csv) =>
+        val t = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = t -- shiftCols.keySet
+        require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+        t
+      case None => shiftCols.keySet
+    }
     val spark = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,7 +58,7 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    shiftCols.foreach { case (name, keys) =>
+    shiftCols.view.filterKeys(only).foreach { case (name, keys) =>
       val src = spark.read.parquet(s"$inDir/$name.parquet")
       val copies = if (keys.isEmpty) 1 else factor
       val out = (0 until copies).map { i =>
