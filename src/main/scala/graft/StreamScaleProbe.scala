@@ -140,34 +140,49 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- arrival-ordered slices -----------------------------------------
+    // Checkpoints ALWAYS live in a fresh temp dir (a reused checkpoint
+    // would resume mid-stream and silently skip batches); the slice
+    // layout alone may be reused across attempts via
+    // SPARK_GRAFT_PROBE_SLICES_DIR — at ×1000 the prep writes ~1.6 GB,
+    // and its dirty-page flush bleeds host I/O pressure (read as steal
+    // under this hypervisor) into the FIRST face's measurement window,
+    // so an assembly hunt re-running a storm-hit face shouldn't re-pay
+    // (or re-suffer) the layout.
     val base = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
-    // persisted: the 16 slice writes below must stay SEQUENTIAL (the
-    // file source replays in modification-time order — one partitionBy
-    // job would give every slice the same mtime), but they should filter
-    // a cached frame, not re-scan the source parquet 16 times
-    val ev = Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = ev.agg(min(unix_timestamp(col("ts"))),
-      max(unix_timestamp(col("ts")))).head()
-    require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
-      s"no events (or all-null ts) under $dir — nothing to probe")
-    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1) + 1)
-    val width = math.max(1L, (t1 - t0) / Slices)
-    val prep0 = System.nanoTime()
-    (0 until Slices).foreach { i =>
-      val lo = t0 + i * width
-      val hi = if (i == Slices - 1) t1 else t0 + (i + 1) * width
-      ev.filter(unix_timestamp(col("ts")) >= lo &&
-          unix_timestamp(col("ts")) < hi)
-        .coalesce(1).write.mode("overwrite").parquet(f"$base/ev/s$i%02d")
+    val sliceBase = sys.env.getOrElse("SPARK_GRAFT_PROBE_SLICES_DIR", base)
+    val doneMarker = java.nio.file.Paths.get(s"$sliceBase/ev_layout_done")
+    if (java.nio.file.Files.exists(doneMarker)) {
+      System.err.println(s"[probe] reusing slice layout at $sliceBase/ev")
+    } else {
+      // persisted: the 16 slice writes below must stay SEQUENTIAL (the
+      // file source replays in modification-time order — one partitionBy
+      // job would give every slice the same mtime), but they should filter
+      // a cached frame, not re-scan the source parquet 16 times
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = ev.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
+        s"no events (or all-null ts) under $dir — nothing to probe")
+      val (t0, t1) = (bounds.getLong(0), bounds.getLong(1) + 1)
+      val width = math.max(1L, (t1 - t0) / Slices)
+      val prep0 = System.nanoTime()
+      (0 until Slices).foreach { i =>
+        val lo = t0 + i * width
+        val hi = if (i == Slices - 1) t1 else t0 + (i + 1) * width
+        ev.filter(unix_timestamp(col("ts")) >= lo &&
+            unix_timestamp(col("ts")) < hi)
+          .coalesce(1).write.mode("overwrite").parquet(f"$sliceBase/ev/s$i%02d")
+      }
+      ev.unpersist()
+      java.nio.file.Files.createFile(doneMarker): Unit
+      System.err.println(f"[probe] slice prep ${(System.nanoTime() - prep0) / 1e9}%.1f s → $sliceBase")
     }
-    ev.unpersist()
-    val evSchema = spark.read.parquet(s"$base/ev/s00").schema
-    System.err.println(f"[probe] slice prep ${(System.nanoTime() - prep0) / 1e9}%.1f s → $base")
+    val evSchema = spark.read.parquet(s"$sliceBase/ev/s00").schema
     def evStream = spark.readStream.schema(evSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$base/ev/*")
+      .parquet(s"$sliceBase/ev/*")
       .withColumn("tsec", timestamp_seconds(unix_timestamp(col("ts"))))
 
     // ---- the probed shapes (gate Scaladocs are the spec) ----------------
