@@ -298,6 +298,12 @@ object StreamScaleProbe {
     val w = new java.io.FileWriter("stream_probe.json", true)
     try w.write(out.toString) finally w.close()
     spark.stop()
+    // per-run scratch (checkpoints + RocksDB working dirs + slices when
+    // no SLICES_DIR pins them elsewhere) is ~25 GB at ×1000 — stale
+    // dirs from a hunt's attempts filled the disk mid-round and
+    // ENOSPC-killed a run, so a FINISHED probe cleans up after itself;
+    // a pinned external slice layout is never touched
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)): Unit
     // asserted AFTER every face ran and every row landed, so one broken
     // shape doesn't hide the others' evidence — but the probe still exits
     // nonzero instead of leaving a reader to spot evict_ok:false

@@ -19,7 +19,14 @@ for i in $(seq 1 $max); do
   echo "[faces-$tag] $(date +%H:%M:%S) attempt $i pre-probe steal delta/45s = $d jiffies"
   if [ "$d" -ge 60 ]; then echo "[faces-$tag] very contended, waiting 90 s"; sleep 90; continue; fi
   cp stream_probe.json /tmp/sp_backup_${tag}.json
-  SPARK_DRIVER_MEM=$mem sbt -batch "runMain graft.StreamScaleProbe $dir" \
+  # stale scratch from storm-killed attempts is ~25 GB each at x1000 and
+  # ENOSPC-killed a run mid-hunt (r15); finished probes self-clean, but
+  # killed ones can't — sweep before every launch. The slice layout is
+  # pinned per tag so attempts after the first skip the ~170 s prep
+  # (whose 1.6 GB flush reads as steal inside the first face's window).
+  rm -rf /tmp/graft_sprobe*
+  SPARK_GRAFT_PROBE_SLICES_DIR=/tmp/graft_slices_${tag} SPARK_DRIVER_MEM=$mem \
+    sbt -batch "runMain graft.StreamScaleProbe $dir" \
     > /tmp/sprobeF_${tag}_$i.log 2>&1
   rc=$?
   cp /tmp/sp_backup_${tag}.json stream_probe.json
