@@ -579,12 +579,47 @@ object Bench {
       case Some(v) => throw new IllegalArgumentException(
         s"SPARK_GRAFT_GATE_SCALE=$v: expected 1 or 0")
     }
+    // SPARK_GRAFT_EXCLUDE: comma-separated query names dropped from the
+    // ARGLESS full-registry set (explicit args already say exactly what
+    // runs). Exists for the ×1000 decade, where two documented families
+    // cannot be timed meaningfully: the l2-style near-dup PAIR queries,
+    // whose OUTPUT is quadratic in replica depth by construction (no
+    // plan makes a (1000g choose 2)-row answer linear), and m41, whose
+    // wedge workload grows ~cubically with the replica factor (priced by
+    // density projection instead — BENCH_SCALE §r16). No silent caps:
+    // the names land in the artifact's `excluded` field and the compact
+    // line carries `excluded_n`, so a reader of bench_x1000_full.json
+    // sees what was dropped without consulting the launch script.
+    // Unknown names fail fast — a typo must not silently run the query
+    // it meant to exclude.
+    val excluded: Set[String] = sys.env.get("SPARK_GRAFT_EXCLUDE") match {
+      case Some(csv) =>
+        val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_EXCLUDE names not in the registry: ${unknown.mkString(",")}")
+        names
+      case None => Set.empty
+    }
     val wanted = if (args.isEmpty)
                    SparkEntry.queries.filter(kv =>
                      !VerifyOnly.contains(kv._1) &&
+                     !excluded.contains(kv._1) &&
                      (!gateScale || !kv._1.endsWith("_distpath") ||
                        PromotedDistpath.contains(kv._1)))
                  else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    // SPARK_GRAFT_SECOND_PASS=0 skips the r10 suspect-cluster wholesale
+    // second pass (default 1 — every sf0.1/×10/×100 ledger artifact ran
+    // it). At ×1000 the pass re-times m37's ~multi-hundred-second wall
+    // for phase-conviction value the per-query steal/bw brackets already
+    // provide — the switch records itself as `second_pass` so an
+    // artifact without `second_q` entries says why. Fails fast on junk.
+    val secondPass = sys.env.get("SPARK_GRAFT_SECOND_PASS") match {
+      case Some("1") | None => true
+      case Some("0") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SECOND_PASS=$v: expected 1 or 0")
+    }
     // Mid-run storm wait: the pre-flight gate can only refuse a dirty
     // START, and 3 of this round's 7 registry attempts were contaminated
     // by storms arriving MINUTES into the run (17.9→331.6 s in-artifact
@@ -726,7 +761,7 @@ object Bench {
     // (same JVM, minutes apart) proves a phase effect from the artifact
     // alone; an inflated pass 2 convicts the query.
     val secondQ = scala.collection.mutable.LinkedHashMap[String, QStat]()
-    if (args.isEmpty) for (name <- Suspects; fn <- wanted.get(name)) {
+    if (args.isEmpty && secondPass) for (name <- Suspects; fn <- wanted.get(name)) {
       secondQ(name) = measure(name, fn, recordFailure = false)
       graft.Telemetry.drainPath(name) // first window priced it already
       stormWait(secondQ(name).steal)
@@ -804,8 +839,9 @@ object Bench {
         case _ => s.wall
       }
     }.sum
+    val excludedJson = excluded.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"density_q":$densityJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"excluded":$excludedJson,"second_pass":$secondPass,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"density_q":$densityJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -826,7 +862,7 @@ object Bench {
     val pfCompact =
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size},"recheck_pass":$rcPass,"recheck_waited_sec":$rcWaited%.0f}"""
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"bw_convicted":$bwConvictedJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"excluded_n":${excluded.size},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"bw_convicted":$bwConvictedJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
     var used = head.length + 2 // closing "}}"
     val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
     for ((k, v) <- results.sortBy(-_._2)) {

@@ -151,9 +151,41 @@ object StreamScaleProbe {
     val base = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
     val sliceBase = sys.env.getOrElse("SPARK_GRAFT_PROBE_SLICES_DIR", base)
     val doneMarker = java.nio.file.Paths.get(s"$sliceBase/ev_layout_done")
+    // the marker carries WHAT was sliced (canonical source dir + the
+    // events file's size and mtime — cheap, no Spark read), and reuse
+    // REQUIRES it to match (ADVICE r15): a pinned SLICES_DIR surviving a
+    // dataset switch or a .benchdata regeneration would otherwise
+    // silently benchmark stale slices while the JSON rows record the new
+    // `dir`, corrupting committed evidence. Old markers (r15 wrote an
+    // empty file) fail the match too — better to re-lay once than trust
+    // an unprovenanced layout.
+    def sliceFingerprint(): String = {
+      val ev = new java.io.File(s"$dir/events.parquet")
+      s"""{"src":"${new java.io.File(dir).getCanonicalPath.replace("\"", "\\\"")}","bytes":${ev.length},"mtime":${ev.lastModified}}"""
+    }
     if (java.nio.file.Files.exists(doneMarker)) {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(doneMarker), "UTF-8").trim
+      require(recorded == sliceFingerprint(),
+        s"pinned slice layout at $sliceBase was built from a DIFFERENT " +
+        s"dataset generation (marker: $recorded, current: " +
+        s"${sliceFingerprint()}) — delete $sliceBase to re-lay")
       System.err.println(s"[probe] reusing slice layout at $sliceBase/ev")
     } else {
+      // single-writer lock (ADVICE r15): two probes sharing a SLICES_DIR
+      // could both pass the marker-absent check and clobber each other's
+      // slice mtimes (the replay order). Files.createFile is atomic —
+      // the loser fails loudly here instead of at the done-marker write.
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(sliceBase))
+      try java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$sliceBase/ev_layout_lock"))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"another probe is laying out slices under $sliceBase " +
+          "(ev_layout_lock exists) — hunts sharing a SLICES_DIR must be " +
+          "serialized; delete the lock only if that probe is dead")
+      }
       // persisted: the 16 slice writes below must stay SEQUENTIAL (the
       // file source replays in modification-time order — one partitionBy
       // job would give every slice the same mtime), but they should filter
@@ -176,7 +208,10 @@ object StreamScaleProbe {
           .coalesce(1).write.mode("overwrite").parquet(f"$sliceBase/ev/s$i%02d")
       }
       ev.unpersist()
-      java.nio.file.Files.createFile(doneMarker): Unit
+      java.nio.file.Files.write(doneMarker,
+        sliceFingerprint().getBytes("UTF-8")): Unit
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$sliceBase/ev_layout_lock")): Unit
       System.err.println(f"[probe] slice prep ${(System.nanoTime() - prep0) / 1e9}%.1f s → $sliceBase")
     }
     val evSchema = spark.read.parquet(s"$sliceBase/ev/s00").schema
@@ -243,8 +278,12 @@ object StreamScaleProbe {
     // ---- run + harvest ---------------------------------------------------
     val out = new StringBuilder
     val evictBroken = scala.collection.mutable.ListBuffer[String]()
-    // the artifact must stay valid JSONL whatever path the caller passed
-    val dirJ = dir.replace("\\", "\\\\").replace("\"", "\\\"")
+    // the artifact must stay valid JSONL whatever path the caller passed,
+    // and the recorded dir is CANONICAL (ADVICE r15: ×1000 rows carried
+    // `.benchdata/sf100` where every prior row was absolute, so tooling
+    // keying on (q, dir) treated same-data rows as different datasets)
+    val dirJ = new java.io.File(dir).getCanonicalPath
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     var total = 0.0
     shapes.filter(s => only.isEmpty || only(s._1)).foreach { case (name, mk) =>
       val ckpt = s"$base/ckpt/$name"

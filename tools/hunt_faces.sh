@@ -13,6 +13,11 @@ dir=$1; mem=$2; tag=$3; max=$4
 pool=/tmp/facepool_${tag}.jsonl
 : > $pool
 cd "$(dirname "$0")/.."
+# the pinned slice layout (~1.6 GB at x1000) is reused ACROSS this hunt's
+# attempts but has no self-clean of its own (ADVICE r15: layouts
+# accumulated per tag on a disk the round already ENOSPC-killed once) —
+# sweep it when the hunt exits, however it exits
+trap 'rm -rf /tmp/graft_slices_${tag}' EXIT
 for i in $(seq 1 $max); do
   s0=$(awk '/^cpu /{print $9}' /proc/stat); sleep 45; s1=$(awk '/^cpu /{print $9}' /proc/stat)
   d=$((s1-s0))
@@ -21,10 +26,16 @@ for i in $(seq 1 $max); do
   cp stream_probe.json /tmp/sp_backup_${tag}.json
   # stale scratch from storm-killed attempts is ~25 GB each at x1000 and
   # ENOSPC-killed a run mid-hunt (r15); finished probes self-clean, but
-  # killed ones can't — sweep before every launch. The slice layout is
-  # pinned per tag so attempts after the first skip the ~170 s prep
-  # (whose 1.6 GB flush reads as steal inside the first face's window).
-  rm -rf /tmp/graft_sprobe*
+  # killed ones can't — sweep before every launch. Scoped to dirs with
+  # NO file written in 30 min anywhere inside (ADVICE r15: a blanket
+  # rm -rf killed the live checkpoint / RocksDB dirs of any CONCURRENT
+  # probe under a different tag — a live probe's micro-batches write
+  # state far more often than every 30 min, while this hunt's own killed
+  # attempt only waits one sweep cycle to be reclaimed).
+  for d in /tmp/graft_sprobe*; do
+    [ -d "$d" ] || continue
+    [ -z "$(find "$d" -mmin -30 -print -quit 2>/dev/null)" ] && rm -rf "$d"
+  done
   SPARK_GRAFT_PROBE_SLICES_DIR=/tmp/graft_slices_${tag} SPARK_DRIVER_MEM=$mem \
     sbt -batch "runMain graft.StreamScaleProbe $dir" \
     > /tmp/sprobeF_${tag}_$i.log 2>&1
@@ -49,4 +60,8 @@ PYEOF
   if [ "$missing" = "NONE" ]; then echo "[faces-$tag] ALL FACES CLEAN"; break; fi
   sleep 20
 done
-echo "[faces-$tag] done — assemble min-steal rows per face from $pool"
+# rule-stamped winners (VERDICT r15 #5): every selected row carries
+# "rule":"min-steal"|"min-wall" and the cap, so cross-decade tooling can
+# see which selection regime produced it instead of inferring from lore
+echo "[faces-$tag] done — rule-stamped winners (append to stream_probe.json):"
+python3 tools/assemble_probe.py faces $pool --cap 2.0
