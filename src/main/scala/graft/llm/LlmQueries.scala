@@ -86,6 +86,38 @@ object LlmQueries {
     (passed, drops)
   }
 
+  /** Stage the documents corpus for the four-micro-batch sketch gates
+    * (m33/m33b/m34/m36) and return (source row count, files per trigger).
+    *
+    * The gates deliberately stage exactly four source files and read one
+    * per trigger — four REAL micro-batches, the smallest count that
+    * exercises cross-batch sketch mergeability. But one file per trigger
+    * is also ONE scan task per batch: at gate scale that shaves the
+    * micro-batch scheduler floor, while at the ×1000 decade it ran each
+    * batch's ~1G-row token explode / gram distinct essentially
+    * single-threaded with 30 cores idle (measured: m34 875 s at 1.3
+    * cores, m33 285 s at 2 — the r16 full-registry cast's catch). Past
+    * [[graft.operators.DriverGates.StreamNarrowSourceRowCap]] the staging
+    * therefore writes 4·8 files and each trigger reads 8 — STILL exactly
+    * four micro-batches (sketch deltas are merge-associative/commutative,
+    * so the final state is batch-split invariant, and the oracle reads
+    * only final state), but each batch's scan runs 8-wide; the fold runs
+    * at session width via [[graft.queries.QUtil.withStreamPartsFor]]
+    * (the m37/m41 gate). Below the cap the layout is byte-identical to
+    * the r15 shape (4 files, fpb=1, 8-way fold). */
+  private def stageSketchSrc(
+      s: org.apache.spark.sql.SparkSession, dir: String, base: String,
+      label: String): (Long, Int) = {
+    val docs = Tables.documents(s, dir)
+    val srcRows = docs.count()
+    val (nFiles, fpb) =
+      if (srcRows > graft.operators.DriverGates.StreamNarrowSourceRowCap) (32, 8)
+      else (4, 1)
+    graft.queries.QUtil.tracedPhase(s"$label stage-src") {
+      docs.repartition(nFiles).write.parquet(s"$base/src") }
+    (srcRows, fpb)
+  }
+
   val queries: Map[String, QFn] = Map(
     "l1_exact_dedup" -> { (s, dir) =>
       TextDedup.exactDedup(Tables.documents(s, dir)) },
@@ -161,20 +193,21 @@ object LlmQueries {
       TextDedup.winnowOverlapPairs(Tables.documents(s, dir)) },
 
     // pair list → retention decisions: connected components over the
-    // minhash near-dup pairs, one kept representative per component
+    // minhash near-dup graph, one kept representative per component —
+    // fused at REPRESENTATIVE granularity (r16): the member-pair
+    // expansion that dedupClusters(minhashNearDup(..)) immediately
+    // re-collapses is the chain's only replica-depth-quadratic term, so
+    // the fused path clusters rep pairs and remaps members once
+    // (bit-identical output; spec-proven on a replicated corpus)
     "l22_dedup_clusters" -> { (s, dir) =>
-      TextDedup.dedupClusters(
-        TextDedup.minhashNearDup(Tables.documents(s, dir))
-          .select("doc_a", "doc_b")) },
+      TextDedup.minhashClusters(Tables.documents(s, dir)) },
 
     // distributed-path oracle twin (see the q38b note): forces the
     // min-label fixpoint past the small-graph union-find gate so the
     // DuckDB oracle pins BOTH dedupClusters paths every round
     // (verify-only — Bench's default run skips *_distpath names)
     "l22b_clusters_distpath" -> { (s, dir) =>
-      TextDedup.dedupClusters(
-        TextDedup.minhashNearDup(Tables.documents(s, dir))
-          .select("doc_a", "doc_b"), smallGraphCap = 0) },
+      TextDedup.minhashClusters(Tables.documents(s, dir), smallGraphCap = 0) },
 
     // SemDeDup: within-k-means-cluster semantic near-dup pruning
     "l21_semdedup" -> { (s, dir) =>
@@ -387,13 +420,13 @@ object LlmQueries {
     // (same oracle SQL): sketch mergeability across batches is what's
     // being graded, not the batch twin. n_exact rides from a batch read
     // of the same staged corpus as the audit column.
-    "m33_stream_kmv" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
+    "m33_stream_kmv" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_m33").toString
-      graft.queries.QUtil.tracedPhase("m33 stage-src") {
-        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
+      val (srcRows, fpb) = stageSketchSrc(s, dir, base, "m33")
+      graft.queries.QUtil.withStreamPartsFor(s, 8, srcRows) {
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .option("maxFilesPerTrigger", fpb).parquet(s"$base/src")
       graft.queries.QUtil.awaitTraced("m33",
         TextStats.kmvMaintain(src, s"$base/state", s"$base/ckpt",
           org.apache.spark.sql.streaming.Trigger.AvailableNow()))
@@ -419,13 +452,13 @@ object LlmQueries {
     // holding < k minima IS the full distinct set — kmvEstimate's
     // documented contract), so the oracle's n_exact appears only inside
     // the oracle's own CASE arithmetic.
-    "m33b_stream_kmv_noaudit" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
+    "m33b_stream_kmv_noaudit" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_m33b").toString
-      graft.queries.QUtil.tracedPhase("m33b stage-src") {
-        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
+      val (srcRows, fpb) = stageSketchSrc(s, dir, base, "m33b")
+      graft.queries.QUtil.withStreamPartsFor(s, 8, srcRows) {
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .option("maxFilesPerTrigger", fpb).parquet(s"$base/src")
       graft.queries.QUtil.awaitTraced("m33b",
         TextStats.kmvMaintain(src, s"$base/state", s"$base/ckpt",
           org.apache.spark.sql.streaming.Trigger.AvailableNow()))
@@ -444,13 +477,13 @@ object LlmQueries {
     // cell deltas into generation-committed state (cell-wise sums are
     // exactly additive), and the estimates read off the merged sketch
     // must land bit-identically on l64's one-shot oracle
-    "m34_stream_countmin" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
+    "m34_stream_countmin" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_m34").toString
-      graft.queries.QUtil.tracedPhase("m34 stage-src") {
-        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
+      val (srcRows, fpb) = stageSketchSrc(s, dir, base, "m34")
+      graft.queries.QUtil.withStreamPartsFor(s, 8, srcRows) {
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .option("maxFilesPerTrigger", fpb).parquet(s"$base/src")
       graft.queries.QUtil.awaitTraced("m34",
         TextStats.countMinMaintain(src, s"$base/state", s"$base/ckpt",
           org.apache.spark.sql.streaming.Trigger.AvailableNow()))
@@ -551,13 +584,13 @@ object LlmQueries {
         graft.operators.GenState.readState(s, s"$base/state"))
     },
 
-    "m36_stream_bloom" -> { (s, dir) => graft.queries.QUtil.withStreamParts(s, 8) {
+    "m36_stream_bloom" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_m36").toString
-      graft.queries.QUtil.tracedPhase("m36 stage-src") {
-        Tables.documents(s, dir).repartition(4).write.parquet(s"$base/src") }
+      val (srcRows, fpb) = stageSketchSrc(s, dir, base, "m36")
+      graft.queries.QUtil.withStreamPartsFor(s, 8, srcRows) {
       val schema = s.read.parquet(s"$base/src").schema
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .option("maxFilesPerTrigger", fpb).parquet(s"$base/src")
       graft.queries.QUtil.awaitTraced("m36",
         TextStats.bloomMaintain(src, s"$base/state", s"$base/ckpt",
           org.apache.spark.sql.streaming.Trigger.AvailableNow()))

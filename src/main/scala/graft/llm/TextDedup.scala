@@ -187,6 +187,22 @@ object TextDedup {
     * replaces the candidate `distinct`, so it costs nothing extra. */
   private def lshVerifiedPairs(
       hashSets: DataFrame, threshold: Double, minBandMatches: Int = 1): DataFrame = {
+    val (withRep, vpairs) = lshRepPairs(hashSets, threshold, minBandMatches)
+    expandMemberPairs(withRep, vpairs)
+  }
+
+  /** The collapse + LSH + verify stages of [[lshVerifiedPairs]], stopped
+    * at REPRESENTATIVE granularity: returns (the cached hset-collapsed
+    * frame `(doc_id, hset, rep, grp_n)`, the verified unique-set pairs
+    * `(doc_a, doc_b, jaccard)` over representatives only). Callers that
+    * need a member-level pair LIST expand via [[expandMemberPairs]];
+    * callers that only need member-level COMPONENTS ([[minhashClusters]])
+    * must NOT — the expansion is the pair family's one term quadratic in
+    * replica depth (a verified rep pair between groups of d₁ and d₂
+    * copies is d₁·d₂ member rows), and components re-collapse it
+    * immediately. */
+  private def lshRepPairs(
+      hashSets: DataFrame, threshold: Double, minBandMatches: Int): (DataFrame, DataFrame) = {
     // one linear shuffle, keyed by the gram-set itself — unconditional
     // set equality, no hash-collision caveat. Windows (not
     // groupBy+collect_list) keep the member mapping FLAT: a group is
@@ -248,7 +264,12 @@ object TextDedup {
         col("inter") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    (withRep, vpairs)
+  }
 
+  /** Expand [[lshRepPairs]]' representative pairs back to the member-level
+    * pair list (the lshVerifiedPairs output contract). */
+  private def expandMemberPairs(withRep: DataFrame, vpairs: DataFrame): DataFrame = {
     // expand representative pairs back to member pairs (groups are
     // disjoint, so least/greatest just restores doc_a < doc_b) ...
     val ma = withRep.select(col("rep").as("doc_a"), col("doc_id").as("m_a"))
@@ -734,6 +755,54 @@ object TextDedup {
       edges.unpersist()
     }
     out
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "n_members", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Fused [[minhashNearDup]] → [[dedupClusters]]: retention decisions
+    * straight from the minhash near-dup graph, clustered at
+    * REPRESENTATIVE granularity. Output is bit-identical to
+    * `dedupClusters(minhashNearDup(docs).select("doc_a","doc_b"))`
+    * (the replication-equivalence spec leg proves it on a replicated
+    * corpus including over-cap and empty-gram groups) — but the member
+    * EXPANSION, the pair list's one term quadratic in replica depth,
+    * never happens: components run over the verified rep pairs and ONE
+    * member remap join restores document granularity, so pair volume is
+    * quadratic in DISTINCT documents only. Identity arguments:
+    *
+    *  - cross pairs connect every member of group A to every member of
+    *    group B exactly when (repA, repB) verified — at member level the
+    *    two whole groups land in one component, which is what labeling
+    *    every member with its rep's component computes directly;
+    *  - intra pairs clique a group of 2..[[MinhashBucketCap]] members
+    *    with a nonempty gram set — a singleton rep component when the
+    *    rep has no cross pair (over-cap / empty-gram groups expand no
+    *    intra pairs, so a rep-pair-less such group appears in NO pair
+    *    and must be absent from the output — and is);
+    *  - cluster ids agree because a group's rep IS its min doc_id, so
+    *    min over a rep component = min over its member component. */
+  def minhashClusters(docs: DataFrame,
+      smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
+    val (withRep, vpairs) = lshRepPairs(
+      docs.select(col("doc_id"),
+        graft.functions.TrigramHashes(split(col("text"), " ")).as("hset")),
+      threshold = 0.8, minBandMatches = 1)
+    val repLabels = dedupClusters(
+        vpairs.select("doc_a", "doc_b"), smallGraphCap)
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    // groups whose intra clique is their only edges: exactly the intra-
+    // expansion-eligible groups whose rep is in no verified pair
+    val intraOnly = withRep
+      .filter(col("doc_id") === col("rep") &&
+        col("grp_n").between(2, MinhashBucketCap) && size(col("hset")) > 0)
+      .select(col("rep"))
+      .join(repLabels.select("rep"), Seq("rep"), "left_anti")
+      .select(col("rep"), col("rep").as("cluster_id"))
+    withRep.select(col("doc_id"), col("rep"))
+      .join(repLabels.unionByName(intraOnly), "rep")
       .withColumn("n_members", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .withColumn("keep", col("doc_id") === col("cluster_id"))

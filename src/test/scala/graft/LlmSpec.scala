@@ -229,6 +229,56 @@ class LlmSpec extends SparkSpec {
     assert(clustered.count() == docsInPairs)
   }
 
+  test("minhashClusters: rep-granularity fusion is bit-identical to " +
+      "dedupClusters(minhashNearDup), incl. replicated/over-cap/empty-gram groups") {
+    import spark.implicits._
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Boolean]("keep"))).toSet
+    def expanded(d: org.apache.spark.sql.DataFrame, cap: Long = TextDedup.SmallGraphEdgeCap) =
+      rowsOf(TextDedup.dedupClusters(
+        TextDedup.minhashNearDup(d).select("doc_a", "doc_b"), cap))
+    def fused(d: org.apache.spark.sql.DataFrame, cap: Long = TextDedup.SmallGraphEdgeCap) =
+      rowsOf(TextDedup.minhashClusters(d, cap))
+
+    // real corpus, both execution paths
+    assert(fused(docs) === expanded(docs))
+    assert(fused(docs, cap = 0) === expanded(docs, cap = 0))
+
+    // adversarial corpus: an over-cap identical group (> MinhashBucketCap
+    // copies, intra expansion suppressed) whose rep near-dups a distinct
+    // doc; an under-cap identical group with NO cross pair (intra clique
+    // is its only edges); an empty-gram group (must appear in NO output);
+    // and a singleton with no pairs
+    val boiler = "breaking news subscribe to our channel for more daily updates and offers today"
+    val overCap = (1L to (TextDedup.MinhashBucketCap + 4L)).map(i => (i, boiler))
+    val nearRep = Seq((5001L,
+      "breaking news subscribe to our channel for more daily updates and offers tonight"))
+    val isolatedDup = Seq((6001L, "x"), (6002L, "x"), (6003L, "x")) // < 3 tokens → empty grams
+    val soloDup = (7001L to 7003L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val lone = Seq((8001L, "completely unrelated text about catalyst expression codegen internals"))
+    val adv = (overCap ++ nearRep ++ isolatedDup ++ soloDup ++ lone).toDF("doc_id", "text")
+    val advFused = fused(adv)
+    assert(advFused === expanded(adv))
+    // the suppressed-intra group must still cluster via its rep's cross
+    // pair when one exists; 5001 joins that component
+    val advLbl = advFused.map(t => t._1 -> t._2).toMap
+    if (advLbl.contains(5001L)) assert(advLbl(5001L) == 1L)
+    // empty-gram copies appear nowhere; the intra-only group keeps its min
+    assert(!advLbl.contains(6001L) && !advLbl.contains(6002L))
+    assert(advLbl.get(7001L).contains(7001L) &&
+      advFused.contains((7003L, 7001L, 3L, false)))
+    assert(!advLbl.contains(8001L))
+
+    // ScaleData-shaped replication: every doc doubled at a stride — the
+    // exact shape whose member-pair expansion is quadratic in replica depth
+    val offset = 10000L
+    val doubled = docs.select("doc_id", "text")
+      .unionByName(docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
+    assert(fused(doubled) === expanded(doubled))
+  }
+
   test("chunk dedup: planted verbatim chunk found, intra-doc repeat is not cross-doc") {
     import spark.implicits._
     val span = (1 to TextDedup.ChunkTokens).map("t" + _).mkString(" ")
