@@ -96,6 +96,13 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
   private val connIds = new AtomicInteger(0)
   private val putsSinceSync = new AtomicLong(0)
 
+  /** Every live connection on any face, for the varz wire snapshot —
+    * [[liveSubs]] only holds connections WITH subscriptions, and a
+    * pipelined publisher typically has none. Registered at serve()
+    * entry, removed in its finally. */
+  private val liveConns =
+    new java.util.concurrent.ConcurrentHashMap[Conn, java.lang.Boolean]()
+
   /** Live subscriptions per connection: bare pattern → delivery mode.
     * Fan-out happens on the publisher's thread against this registry
     * (the reference's subscription trie collapsed to a per-connection
@@ -342,6 +349,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
 
   private def serve(conn: Conn, connId: Int): Unit = {
     val in = conn.in
+    liveConns.put(conn, java.lang.Boolean.TRUE)
     try {
       var open = true
       while (open && running.get()) {
@@ -508,6 +516,7 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
         // drop the connection (the reference's readLoop does the same);
         // never let one bad peer take down the acceptor or the store
     } finally {
+      liveConns.remove(conn)
       liveSubs.remove(conn)
       reliableOut.remove(conn)
       batchers.remove(conn)
@@ -688,12 +697,31 @@ final class UtpServer(db: UnitDb, port: Int = 0, syncEveryPuts: Int = 256,
             s""""short5p_us":${l.short5pUs},"min_us":${l.minUs},""" +
             s""""max_us":${l.maxUs},"range_us":${l.rangeUs},""" +
             s""""stddev_us":${l.stddevUs}}"""
+        // wire snapshot (VERDICT r15 #8): per-connection receive backlog
+        // at sampling time — bytes a peer has pushed past what the serve
+        // loop has consumed, i.e. the observable in-flight depth of a
+        // pipelined publisher (UtpProf window>1). InputStream.available()
+        // is a floor on TLS (only decrypted-buffered counts); snapshot
+        // cost is one syscall per live connection, paid only on varz.
+        var wireConns = 0
+        var wireInflight = 0L
+        var wireInflightMax = 0L
+        liveConns.keys().asIterator().forEachRemaining { c =>
+          wireConns += 1
+          val avail = try c.in.available().toLong catch { case _: Exception => 0L }
+          wireInflight += avail
+          if (avail > wireInflightMax) wireInflightMax = avail
+        }
         s"""{"status":200,"puts":${v.puts},"gets":${v.gets},""" +
           s""""deletes":${v.deletes},"syncs":${v.syncs},""" +
           s""""entries_read":${v.entriesRead},""" +
           s""""bytes_written":${v.bytesWritten},"bytes_read":${v.bytesRead},""" +
           s""""file_size":${v.fileSize},"aborts":${v.aborts},""" +
-          s""""recovers":${v.recovers},"latency":${lat(v.latency)},""" +
+          s""""recovers":${v.recovers},""" +
+          s""""wire":{"connections":$wireConns,""" +
+          s""""inflight_bytes":$wireInflight,""" +
+          s""""inflight_conn_max_bytes":$wireInflightMax},""" +
+          s""""latency":${lat(v.latency)},""" +
           s""""put_latency":${lat(v.putLatency)},""" +
           s""""get_latency":${lat(v.getLatency)},""" +
           s""""sync_latency":${lat(v.syncLatency)}}"""

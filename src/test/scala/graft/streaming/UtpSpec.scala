@@ -550,6 +550,14 @@ class UtpSpec extends SparkSpec {
       assert(putLat.get("p50_us").asDouble() > 0.0)
       assert(v.get("latency").get("p99_us").asDouble() >=
         v.get("latency").get("p50_us").asDouble())
+      // wire snapshot (VERDICT r15 #8): the asking connection itself is
+      // live, and the backlog gauges are present and sane (≥ 0; a
+      // request/ack client has nothing pipelined at snapshot time)
+      val wire = v.get("wire")
+      assert(wire.get("connections").asInt() >= 1, v.toString)
+      assert(wire.get("inflight_bytes").asLong() >= 0L)
+      assert(wire.get("inflight_conn_max_bytes").asLong() <=
+        math.max(wire.get("inflight_bytes").asLong(), 0L))
       cli.close()
     } finally {
       srv.close()
