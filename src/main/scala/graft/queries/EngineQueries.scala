@@ -148,16 +148,24 @@ object EngineQueries {
       val in = StreamIngest.start(db, src, base + "/ckpt_in",
         queryName = "s4in", trigger = Trigger.AvailableNow())
       in.awaitTermination()
+      // parquet sink, NOT the memory sink: s4 is the one streaming gate
+      // that passes raw rows through (every other memory-sink gate emits
+      // gate-small aggregates), and the memory sink materializes every
+      // row on the driver — at the ×1000 cast it shipped ~1 GiB of task
+      // results and died on spark.driver.maxResultSize (the r16 cast's
+      // second catch). The file sink keeps the tail distributed; the
+      // read-back is the same rows under the same oracle.
       val out = db.tail(Query("tl..."))
         .select(col("topic"), tsec(col("ts")).as("t"),
           col("payload").cast("string").as("eid"))
-        .writeStream.format("memory").queryName("s4_tail")
+        .writeStream.format("parquet")
+        .option("path", base + "/tail_out")
         .outputMode("append")
         .option("checkpointLocation", base + "/ckpt_tail")
         .trigger(Trigger.AvailableNow())
         .start()
       out.awaitTermination()
-      s.table("s4_tail").orderBy(desc("t"), desc("eid"))
+      s.read.parquet(base + "/tail_out").orderBy(desc("t"), desc("eid"))
     },
 
     // Time travel through the oracle gate (s5): clicks are ingested and
