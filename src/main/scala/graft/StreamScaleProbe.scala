@@ -46,7 +46,13 @@ import org.apache.spark.sql.streaming.Trigger
   * RocksDB full-outer joins (m31) report `numRowsRemoved = 0` while
   * demonstrably evicting (upstream metrics accounting gap, BENCH_SCALE
   * §r13 note a); a future provider change that silently breaks eviction
-  * now fails the probe instead of reading as "metrics gap".
+  * now fails the probe instead of reading as "metrics gap". The gap is
+  * PROVIDER-INDEPENDENT and reproduces against stock Spark 4.1.2 with
+  * zero library code — `tools/repro_m31_rows_removed.scala` (bare
+  * spark-shell, rate source, watermarked full-outer join) shows the
+  * HDFS-backed provider stepping state down 1000 rows across batches
+  * with `numRowsRemoved` stuck at 0, so the fence cites the operator's
+  * metrics path, not the RocksDB provider.
   *
   * Usage: runMain graft.StreamScaleProbe <scaleDir> [queries...]
   * Output: one JSON line per query + a `probe_total` line (stdout), full
