@@ -723,11 +723,13 @@ object TextStats {
     * place (one codegen call per row, no per-position HOF lambda, no gram
     * string allocation — the HOF plan this replaces was the query's CPU
     * driver: 90-111 CPU-s on l63/m33 at sf1). */
-  private[llm] def sourceGramHashes(docs: DataFrame): DataFrame =
+  private[llm] def sourceGramHashesRaw(docs: DataFrame): DataFrame =
     spread(docs)
       .select(col("source"),
         explode(graft.functions.WordTrigramMd5(col("text"))).as("h"))
-      .distinct()
+
+  private[llm] def sourceGramHashes(docs: DataFrame): DataFrame =
+    sourceGramHashesRaw(docs).distinct()
 
   /** (k−1)·2⁶⁰ / u_k with u_k read from the kth md5's first 15 hex chars.
     * Both numerator factors are double-exact ((k−1) ≤ 2¹¹, 2⁶⁰ a power of
@@ -736,33 +738,39 @@ object TextStats {
     lit((k - 1).toDouble) * lit(1152921504606846976.0) /
       conv(substring(kthH, 1, 15), 16, 10).cast("long").cast("double")
 
-  /** Per-source k smallest hashes of a distinct (source, h) frame — the
-    * shared two-phase tournament (phase 1 bounds every task's output at
-    * k rows; phase 2 ranks the ≤ k·P survivors). One implementation for
-    * all sketch faces (l42 cardinality, l63 set algebra, m33 streaming
-    * delta) so a kernel fix can never leave the faces divergent. */
-  private def kMinima(dist: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w1 = Window.partitionBy(col("source"), col("__pid")).orderBy(col("h"))
-    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
-    dist
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
-      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
-      .select(col("source"), col("h"))
-  }
+  /** Per-source k smallest DISTINCT hashes — the shared sketch kernel of
+    * all KMV faces (l42 cardinality, l63 set algebra, m33 streaming
+    * delta), so a kernel fix can never leave the faces divergent.
+    *
+    * Implementation (r16 optimization): the set-semantic mergeable
+    * [[graft.functions.KmvMinima]] aggregate (bounded sorted insert +
+    * bounded sorted set-union — SketchExprSpec pins it equal to the old
+    * two-phase window tournament). The aggregate partial-aggregates
+    * map-side, so each task ships ≤ k hashes per source through the
+    * exchange and NOTHING is sorted — where the window tournament
+    * re-shuffled and sorted the ENTIRE gram frame (plus WindowExec's
+    * per-task evaluator-factory codegen, the measured CPU driver of the
+    * sketch family at gate scale: 54/60 runnable executor stack samples
+    * inside windowFrameExpressionFactoryPairs). Input need not be
+    * distinct: `reduce` drops duplicates, which also lets one-shot
+    * callers skip their corpus-wide DISTINCT exchange entirely. */
+  private def kMinima(hashes: DataFrame, k: Int): DataFrame =
+    hashes.groupBy("source")
+      .agg(graft.functions.KmvMinima.minima(col("h"), k).as("__m"))
+      .select(col("source"), explode(col("__m")).as("h"))
 
   def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val dist = sourceGramHashes(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = dist.groupBy("source").agg(count(lit(1)).as("n_exact"))
-    val w2 = Window.partitionBy(col("source")).orderBy(col("h"))
-    val kth = kMinima(dist, k)
-      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") === k)
-      .select(col("source"), col("h").as("kth_h"))
-    exact.join(kth, Seq("source"), "left")
+    // one pass over the distinct gram frame: the exact count and the
+    // k-minima sketch ride the SAME ObjectHashAggregate (the distinct
+    // exchange stays — n_exact needs it — but the window tournament and
+    // its second full-width exchange+sort are gone; same output).
+    val kth = sourceGramHashes(docs).groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.KmvMinima.minima(col("h"), k).as("__m"))
+      .select(col("source"), col("n_exact"),
+        when(size(col("__m")) === k, element_at(col("__m"), k)).as("kth_h"))
+    kth
       .select(col("source"), col("n_exact"),
         when(col("kth_h").isNull, col("n_exact").cast("double"))
           .otherwise(kmvEst(k, col("kth_h"))).as("kmv_est"))
@@ -803,9 +811,16 @@ object TextStats {
       exactAudit: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val dist = sourceGramHashes(docs)
+    // default (100 TB) plan: the set-semantic k-minima aggregate reads the
+    // RAW gram stream — the corpus-wide DISTINCT exchange the tournament
+    // needed is redundant (duplicates die map-side inside the aggregate),
+    // so the only full-width work left is the scan+hash itself. The audit
+    // twin (l63b, verify-only) still builds the distinct frame: its exact
+    // intersection is defined on the distinct gram domain.
+    lazy val dist = sourceGramHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minima = kMinima(dist, k)
+    val minima = kMinima(
+        if (exactAudit) dist else sourceGramHashesRaw(docs), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcs = minima.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
@@ -1072,7 +1087,7 @@ object TextStats {
     * k smallest distinct gram hashes of THIS batch (the l42 two-phase
     * tournament). ≤ k·|sources| rows whatever the batch size. */
   def kmvDelta(docs: DataFrame, k: Int = 256): DataFrame =
-    kMinima(sourceGramHashes(docs), k)
+    kMinima(sourceGramHashesRaw(docs), k) // set-semantic agg: no distinct
 
   /** Merge two KMV states: per-source k smallest of the set union. Exact
     * by the subset property (the union's k-th minimum can only come from
@@ -1081,30 +1096,26 @@ object TextStats {
     * mergeability that lets 1000 executors (or 1000 micro-batches — m33)
     * each contribute ≤ k rows per source. State is k·|sources|-bounded:
     * a plain per-source rank, no tournament needed. */
-  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("h"))
-    a.unionByName(b).distinct()
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("source"), col("h"))
-  }
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    kMinima(a.unionByName(b), k) // set-union semantics live in the agg
 
   /** Read the sketch: per-source estimate from the k-th minimum — the
     * exact l42 arithmetic. A state holding fewer than k hashes for a
     * source IS that source's full distinct set (nothing was ever
     * dropped), so the sub-k path returns the exact count. */
-  def kmvEstimate(state: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+  def kmvEstimate(state: DataFrame, k: Int = 256): DataFrame =
+    // state rows are distinct by construction (kmvMerge is a set union),
+    // so count + k-th minimum ride one ObjectHashAggregate — no window
     state
-      .withColumn("__rk", row_number().over(w))
       .groupBy("source")
       .agg(count(lit(1)).as("n_state"),
-        max(when(col("__rk") === k, col("h"))).as("kth_h"))
+        graft.functions.KmvMinima.minima(col("h"), k).as("__m"))
+      .select(col("source"),
+        when(size(col("__m")) === k, element_at(col("__m"), k)).as("kth_h"),
+        col("n_state"))
       .select(col("source"),
         when(col("kth_h").isNull, col("n_state").cast("double"))
           .otherwise(kmvEst(k, col("kth_h"))).as("kmv_est"))
-  }
 
   /** Maintain the KMV sketch under a streaming source (the m33 gate):
     * each micro-batch folds [[kmvDelta]] into generation-committed state
