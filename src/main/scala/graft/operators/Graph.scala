@@ -59,30 +59,79 @@ object Graph {
     * [[DriverGates.RankGraphEdgeCap]] with the other gate budgets. */
   val RankGraphEdgeCap: Long = DriverGates.RankGraphEdgeCap
 
-  /** The shared driver-side fixed point: `rows` carry (src, dst, ...),
-    * `contribOf(rank, row)` states the per-edge integer contribution —
-    * exactly the distributed round's inner join (absent src ⇒ no
-    * contribution) + groupBy dst sum + teleport add. */
-  private def driverRankLoop(rows: Array[org.apache.spark.sql.Row],
+  /** The shared driver-side fixed point — index-array form (r16
+    * optimization): node keys map to dense ints ONCE, then every round is
+    * a primitive-array pass (the boxed HashMap[Any, Long] rounds were the
+    * single largest phase of each gated rank query — 1.3 s of the q38
+    * gate's 2.9 s at sf0.1, measured by phase split). The recurrence is
+    * UNCHANGED: a node absent from `ranks` contributes nothing (hasRank),
+    * a node receiving no contribution this round drops out of the next
+    * (hasContrib — a zero-valued contribution still counts as present,
+    * exactly like the old map's getOrElse+update), the teleport adds only
+    * onto present nodes, and all arithmetic is the same Long floor math.
+    * `contribOf(rank, edgeIdx)` is a primitive-specialized closure over
+    * per-edge arrays; `init`/`teleportOf` keep the old per-key contract.
+    * Exactness: integer sums are order-free, so array edge order vs map
+    * iteration order cannot change a single bit. */
+  private final class DriverGraph(rows: Array[org.apache.spark.sql.Row]) {
+    val m = rows.length
+    val nodeOf = new scala.collection.mutable.HashMap[Any, Int]()
+    val srcIdx = new Array[Int](m)
+    val dstIdx = new Array[Int](m)
+    private def idx(k: Any): Int =
+      nodeOf.getOrElseUpdate(k, nodeOf.size)
+    // sources first: the source set IS the init/outdeg domain
+    var e = 0
+    while (e < m) { srcIdx(e) = idx(rows(e).get(0)); e += 1 }
+    val nSrc = nodeOf.size
+    e = 0
+    while (e < m) { dstIdx(e) = idx(rows(e).get(1)); e += 1 }
+    val n = nodeOf.size // sources ∪ destinations
+    val keys = new Array[Any](n)
+    nodeOf.foreach { case (k, i) => keys(i) = k }
+    val outdeg = new Array[Long](n)
+    e = 0
+    while (e < m) { outdeg(srcIdx(e)) += 1L; e += 1 }
+  }
+
+  private def driverRankLoop(g: DriverGraph,
       init: Iterable[(Any, Long)], teleportOf: Any => Long, iters: Int,
-      contribOf: (Long, org.apache.spark.sql.Row) => Long)
+      contribOf: (Long, Int) => Long)
       : scala.collection.mutable.HashMap[Any, Long] = {
-    var ranks = scala.collection.mutable.HashMap[Any, Long](init.toSeq: _*)
-    var i = 0
-    while (i < iters) {
-      i += 1
-      val contrib = new scala.collection.mutable.HashMap[Any, Long]()
-      rows.foreach { row =>
-        ranks.get(row.get(0)).foreach { r =>
-          val d = row.get(1)
-          contrib.update(d, contrib.getOrElse(d, 0L) + contribOf(r, row))
+    val n = g.n
+    var ranks = new Array[Long](n)
+    var hasRank = new Array[Boolean](n)
+    init.foreach { case (k, v) =>
+      val i = g.nodeOf(k); ranks(i) = v; hasRank(i) = true }
+    val teleport = new Array[Long](n)
+    var j = 0
+    while (j < n) { teleport(j) = teleportOf(g.keys(j)); j += 1 }
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val contrib = new Array[Long](n)
+      val hasContrib = new Array[Boolean](n)
+      var e = 0
+      while (e < g.m) {
+        val s = g.srcIdx(e)
+        if (hasRank(s)) {
+          val d = g.dstIdx(e)
+          contrib(d) += contribOf(ranks(s), e)
+          hasContrib(d) = true
         }
+        e += 1
       }
-      val next = new scala.collection.mutable.HashMap[Any, Long]()
-      contrib.foreach { case (nd, c) => next.update(nd, teleportOf(nd) + c) }
-      ranks = next
+      j = 0
+      while (j < n) {
+        if (hasContrib(j)) contrib(j) += teleport(j)
+        j += 1
+      }
+      ranks = contrib; hasRank = hasContrib
     }
-    ranks
+    val out = new scala.collection.mutable.HashMap[Any, Long]()
+    j = 0
+    while (j < n) { if (hasRank(j)) out.update(g.keys(j), ranks(j)); j += 1 }
+    out
   }
 
   private def rankDf(template: DataFrame, keyCol: String,
@@ -175,21 +224,20 @@ object Graph {
     } else (e, None)
   }
 
-  private def driverOutdeg(rows: Array[org.apache.spark.sql.Row],
-      validate: Boolean): scala.collection.mutable.HashMap[Any, Long] = {
-    val outdeg = new scala.collection.mutable.HashMap[Any, Long]()
-    rows.foreach { r =>
-      outdeg.update(r.get(0), outdeg.getOrElse(r.get(0), 0L) + 1L)
-    }
-    if (validate) rows.foreach { r =>
-      require(outdeg.contains(r.get(1)),
-        "rank iteration requires dst-set ⊆ src-set (symmetrize the " +
-          "edge list for undirected graphs); found destination node(s) " +
-          "with no out-edges — their rank would silently vanish after " +
-          "round 1")
-    }
-    require(outdeg.nonEmpty, "rank iteration needs a non-empty edge list")
-    outdeg
+  /** Build the indexed driver graph and apply the shared contract checks
+    * (same failure messages as the distributed path). The symmetry check
+    * is structural: a destination never seen as a source indexes past
+    * nSrc, so `n == nSrc` IS "dst-set ⊆ src-set". */
+  private def driverGraph(rows: Array[org.apache.spark.sql.Row],
+      validate: Boolean): DriverGraph = {
+    val g = new DriverGraph(rows)
+    if (validate) require(g.n == g.nSrc,
+      "rank iteration requires dst-set ⊆ src-set (symmetrize the " +
+        "edge list for undirected graphs); found destination node(s) " +
+        "with no out-edges — their rank would silently vanish after " +
+        "round 1")
+    require(g.nSrc > 0, "rank iteration needs a non-empty edge list")
+    g
   }
 
   private def validateConf(df: DataFrame): Boolean =
@@ -236,12 +284,12 @@ object Graph {
     val (e, small) = collectedEdges(edges, smallGraphCap)
     small match {
       case Some(rows) =>
-        val outdeg = driverOutdeg(rows, validateConf(e))
-        val n = outdeg.size
+        val g = driverGraph(rows, validateConf(e))
+        val n = g.nSrc
         val teleport = (15L * scale) / (100L * n)
-        val init = outdeg.keys.map(_ -> scale / n)
-        val ranks = driverRankLoop(rows, init.toSeq, _ => teleport, iters,
-          (r, row) => (85L * r) / (100L * outdeg(row.get(0))))
+        val init = (0 until g.nSrc).map(i => g.keys(i) -> scale / n)
+        val ranks = driverRankLoop(g, init, _ => teleport, iters,
+          (r, ei) => (85L * r) / (100L * g.outdeg(g.srcIdx(ei))))
         return rankDf(e, "src", ranks, "rank_fp")
       case None => ()
     }
@@ -303,24 +351,17 @@ object Graph {
         s"weightedPageRank needs positive integer weights <= 1e7 after " +
           s"per-(src,dst) summing (overflow-safe fixed point); got " +
           s"min=$wMin max=$wMax")
-      val wdeg = new scala.collection.mutable.HashMap[Any, Long]()
-      rows.foreach { r =>
-        wdeg.update(r.get(0), wdeg.getOrElse(r.get(0), 0L) + r.getLong(2))
-      }
-      if (validateConf(e)) rows.foreach { r =>
-        require(wdeg.contains(r.get(1)),
-          "rank iteration requires dst-set ⊆ src-set (symmetrize the " +
-            "edge list for undirected graphs); found destination node(s) " +
-            "with no out-edges — their rank would silently vanish after " +
-            "round 1")
-      }
-      val n = wdeg.size
+      val g = driverGraph(rows, validateConf(e))
+      val wdeg = new Array[Long](g.n)
+      var ei = 0
+      while (ei < g.m) { wdeg(g.srcIdx(ei)) += ws(ei); ei += 1 }
+      val n = g.nSrc
       val teleport = (15L * scale) / (100L * n)
-      val init = wdeg.keys.map(_ -> scale / n)
+      val init = (0 until g.nSrc).map(i => g.keys(i) -> scale / n)
       // the stated inner-div-first order, verbatim: overflow-safe for
       // any w ≤ 1e7 (enforced above), floors identical to the SQL div
-      val ranks = driverRankLoop(rows, init.toSeq, _ => teleport, iters,
-        (r, row) => (((85L * r) / 100L) * row.getLong(2)) / wdeg(row.get(0)))
+      val ranks = driverRankLoop(g, init, _ => teleport, iters,
+        (r, eidx) => (((85L * r) / 100L) * ws(eidx)) / wdeg(g.srcIdx(eidx)))
       return rankDf(e, "src", ranks, "rank_fp")
     }
     val parts = sizedParts(e)
@@ -517,12 +558,14 @@ object Graph {
         // (their count above is already a driver scalar); under the edge
         // cap they are dwarfed by the edge collect anyway
         val seedVals = seedSet.collect().map(_.get(0)).toSet
-        val outdeg = driverOutdeg(rows, validateConf(e))
-        val init = outdeg.keys.map(nd =>
-          nd -> (if (seedVals(nd)) scale / k else 0L))
-        val ranks = driverRankLoop(rows, init.toSeq,
+        val g = driverGraph(rows, validateConf(e))
+        val init = (0 until g.nSrc).map { i =>
+          val nd = g.keys(i)
+          nd -> (if (seedVals(nd)) scale / k else 0L)
+        }
+        val ranks = driverRankLoop(g, init,
           nd => if (seedVals(nd)) teleport else 0L, iters,
-          (r, row) => (85L * r) / (100L * outdeg(row.get(0))))
+          (r, ei) => (85L * r) / (100L * g.outdeg(g.srcIdx(ei))))
         return rankDf(e, "src", ranks, "rank_fp")
       case None => ()
     }
@@ -792,38 +835,97 @@ object Graph {
           org.apache.spark.sql.types.LongType, nullable = false)))
       e.unpersist()
       val sc = BigInt(1000000000000L)
-      var hubM = scala.collection.mutable.HashMap[Any, Long](
-        pairs.iterator.map(_.get(0)).toSeq.distinct
-          .map(_ -> 1000000000000L): _*)
-      var authM = scala.collection.mutable.HashMap[Any, Long]()
-      var i = 0
-      while (i < iters && pairs.nonEmpty) {
-        i += 1
-        // raw sums in BigInt (the DECIMAL(38,0) twin), normalization
-        // (raw · S) div max with the same positive-integer floor
-        def phase(keyOf: org.apache.spark.sql.Row => Any,
-            scoreOf: org.apache.spark.sql.Row => Option[Long])
-            : scala.collection.mutable.HashMap[Any, Long] = {
-          val raw = new scala.collection.mutable.HashMap[Any, BigInt]()
-          pairs.foreach { p =>
-            scoreOf(p).foreach { s =>
-              val k = keyOf(p)
-              raw.update(k, raw.getOrElse(k, BigInt(0)) + s)
-            }
-          }
-          val mx = raw.values.max
-          raw.map { case (k, v) => k -> ((v * sc) / mx).toLong }
-            .to(scala.collection.mutable.HashMap)
+      // index-array phases (r16 optimization — the rank-family rewrite
+      // applied to the bipartite recurrence): hubs and auths index into
+      // separate dense int domains; each phase is one primitive pass over
+      // the pair arrays. Raw sums accumulate in Long via addExact — exact
+      // whenever they fit (scores ≤ 10¹², so any graph under ~9.2M edges
+      // per receiving node cannot wrap), with a per-phase BigInt fallback
+      // that reproduces the old arithmetic verbatim if one ever does.
+      // Normalization stays BigInt per NODE ((raw · S) div max, same
+      // floor), so every emitted value is bit-identical to the old
+      // all-BigInt phases.
+      val mP = pairs.length
+      val hubOf = new scala.collection.mutable.HashMap[Any, Int]()
+      val authOf = new scala.collection.mutable.HashMap[Any, Int]()
+      val hIdx = new Array[Int](mP)
+      val aIdx = new Array[Int](mP)
+      var pi = 0
+      while (pi < mP) {
+        hIdx(pi) = hubOf.getOrElseUpdate(pairs(pi).get(0), hubOf.size)
+        aIdx(pi) = authOf.getOrElseUpdate(pairs(pi).get(1), authOf.size)
+        pi += 1
+      }
+      val nHub = hubOf.size
+      val nAuth = authOf.size
+      var hubS = Array.fill(nHub)(1000000000000L)
+      var hubHas = Array.fill(nHub)(true)
+      var authS = new Array[Long](nAuth)
+      var authHas = new Array[Boolean](nAuth)
+      // one Long-exact phase: sum scoreOf over pairs into the out domain,
+      // then normalize by the max. Falls back to BigInt sums on overflow.
+      def phase(nOut: Int, outIdx: Array[Int], inIdx: Array[Int],
+          inS: Array[Long], inHas: Array[Boolean])
+          : (Array[Long], Array[Boolean]) = {
+        val has = new Array[Boolean](nOut)
+        val outV = new Array[Long](nOut)
+        def normalize(raw: Int => BigInt): Unit = {
+          var mx = BigInt(0)
+          var j = 0
+          while (j < nOut) {
+            if (has(j) && raw(j) > mx) mx = raw(j); j += 1 }
+          j = 0
+          while (j < nOut) {
+            if (has(j)) outV(j) = ((raw(j) * sc) / mx).toLong; j += 1 }
         }
-        authM = phase(_.get(1), p => hubM.get(p.get(0)))
-        hubM = phase(_.get(0), p => authM.get(p.get(1)))
+        try {
+          val rawL = new Array[Long](nOut)
+          var e2 = 0
+          while (e2 < mP) {
+            val s = inIdx(e2)
+            if (inHas(s)) {
+              val d = outIdx(e2)
+              rawL(d) = Math.addExact(rawL(d), inS(s))
+              has(d) = true
+            }
+            e2 += 1
+          }
+          normalize(j => BigInt(rawL(j)))
+        } catch { case _: ArithmeticException =>
+          java.util.Arrays.fill(has, false)
+          val rawB = Array.fill(nOut)(BigInt(0))
+          var e2 = 0
+          while (e2 < mP) {
+            val s = inIdx(e2)
+            if (inHas(s)) {
+              val d = outIdx(e2)
+              rawB(d) += inS(s)
+              has(d) = true
+            }
+            e2 += 1
+          }
+          normalize(rawB)
+        }
+        (outV, has)
+      }
+      var i = 0
+      while (i < iters && mP > 0) {
+        i += 1
+        val (a, ah) = phase(nAuth, aIdx, hIdx, hubS, hubHas)
+        authS = a; authHas = ah
+        val (h, hh) = phase(nHub, hIdx, aIdx, authS, authHas)
+        hubS = h; hubHas = hh
       }
       import scala.jdk.CollectionConverters._
+      val authKeys = new Array[Any](nAuth)
+      authOf.foreach { case (k, j) => authKeys(j) = k }
+      val hubKeys = new Array[Any](nHub)
+      hubOf.foreach { case (k, j) => hubKeys(j) = k }
       val rows: java.util.List[org.apache.spark.sql.Row] =
-        (authM.toSeq.map { case (k, v) =>
-          org.apache.spark.sql.Row("auth", k, v) } ++
-         hubM.toSeq.map { case (k, v) =>
-          org.apache.spark.sql.Row("hub", k, v) }).asJava
+        ((0 until nAuth).iterator.filter(authHas).map(j =>
+          org.apache.spark.sql.Row("auth", authKeys(j), authS(j))).toSeq ++
+         (0 until nHub).iterator.filter(hubHas).map(j =>
+          org.apache.spark.sql.Row("hub", hubKeys(j), hubS(j))).toSeq).asJava
       return e.sparkSession.createDataFrame(rows, outSchema)
         .orderBy("kind", "node")
     }

@@ -409,12 +409,17 @@ class PlanShapeSpec extends SparkSpec {
       "the run-length fold must stay per-row")
   }
 
-  test("l42: kmv k-smallest is two-phase — partial window on (source, pid)") {
+  test("l42: kmv k-smallest partial-aggregates map-side — no window, no sort") {
     val p = plan("l42_kmv_distinct")
-    // a source's whole gram-hash set must never sort in one task
-    assert(p.contains("pid"), p.take(1200))
-    val windows = p.linesIterator.count(_.contains("Window"))
-    assert(windows >= 2, s"expected two window stages, plan:\n${p.take(1200)}")
+    // the set-semantic KmvMinima aggregate must run as a two-phase
+    // ObjectHashAggregate (partial map-side, final after a k-bounded
+    // exchange) — a source's whole gram-hash set must never sort in one
+    // task, and the window tournament must not come back (its per-task
+    // evaluator-factory codegen was the sketch family's measured CPU
+    // driver at gate scale)
+    val oha = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(oha >= 2, s"expected partial+final ObjectHashAggregate:\n${p.take(1200)}")
+    assert(!p.contains("Window"), s"window tournament resurfaced:\n${p.take(1200)}")
   }
 
   test("l43: containment pairs on hashed postings — no nested loop, partial aggs") {
