@@ -369,6 +369,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // always use the serialized sort shuffle writer (r16, guide §2.2):
+      // below the 200-partition default threshold the bypass writer
+      // creates, maps and concatenates one file PER REDUCE PARTITION per
+      // map task — stack-sampled as the top executor frames across the
+      // l-family at gate scale (19/26 runnable samples in
+      // BypassMergeSortShuffleWriter map0/unmap0/write0). Any production
+      // shuffle (>200 partitions) already takes the sort-writer path, so
+      // this makes the gate-scale writer match the at-scale one; measured
+      // −3.6% on a 20-query batch subset, 3 of 4 interleaved pairs.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.session.timeZone", "UTC")
       // q37's recursive sessionization: depth = max session length, which
       // the default limit (100) could cap on denser-than-testdata corpora

@@ -20,6 +20,7 @@ object PlanDump {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.cteRecursionLevelLimit", "10000")
       .config("spark.ui.enabled", "false")
