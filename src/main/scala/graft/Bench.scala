@@ -379,6 +379,16 @@ object Bench {
       // this makes the gate-scale writer match the at-scale one; measured
       // −3.6% on a 20-query batch subset, 3 of 4 interleaved pairs.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // in-process chmod for file:// writes (r16): without libhadoop,
+      // RawLocalFileSystem forks /bin/chmod per directory/file on every
+      // local write — 16/35 runnable executor samples across the engine
+      // gates sat in ProcessImpl.forkAndExec under that stack. The
+      // subclass sets the identical mode bits via NIO; HDFS/S3 paths
+      // never touch it. See graft.engine.NoForkLocalFs.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.engine.NoForkLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.engine.NoForkLocalFs")
       .config("spark.sql.session.timeZone", "UTC")
       // q37's recursive sessionization: depth = max session length, which
       // the default limit (100) could cap on denser-than-testdata corpora
