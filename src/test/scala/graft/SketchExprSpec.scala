@@ -48,6 +48,41 @@ class SketchExprSpec extends SparkSpec {
     expected.foreach { case (s0, want) => assert(viaSql(s0) == want, s0) }
   }
 
+  test("kmv_minima survives ObjectHashAggregate's sort-based fallback (>128 groups/task)") {
+    // the r16 KMV rewrite runs the operators' k-minima selection through
+    // this aggregate; past spark.sql.objectHashAggregate.sortBased.
+    // fallbackThreshold (default 128) distinct groups in one task, the
+    // partial aggregate SPILLS to sort-based execution, serializing the
+    // Array[String] buffer mid-stream — a path 20-source gate data never
+    // exercises. 300 groups forced into one partition must land on the
+    // brute-force per-group answer exactly.
+    import spark.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    val k = 8
+    val rows = (0 until 300).flatMap { g =>
+      (0 until 40).map(i => (s"g$g", s"v${(i * 7 + g) % 25}"))
+    }
+    val df = rows.toDF("source", "v")
+      .select($"source", md5($"v").as("h"))
+      .repartition(1) // all 300 groups through ONE partial-agg task
+    // belt and braces: force the fallback at 2 hash-map keys so the test
+    // can't silently stop covering it if the default threshold moves
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    val got =
+      try df.groupBy("source")
+        .agg(graft.functions.KmvMinima.minima(col("h"), k).as("m"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      finally spark.conf.set(key, prev)
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(v => org.apache.commons.codec.digest.DigestUtils.md5Hex(v._2))
+        .distinct.sorted.take(k).toSeq
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, w) => assert(got(g) == w, g) }
+  }
+
   test("trigram_hashes: <3 tokens -> empty; duplicates dedup; order matters") {
     val df = Seq(
       (1L, Seq("a", "b")),                       // too short
