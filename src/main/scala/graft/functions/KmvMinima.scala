@@ -15,11 +15,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * binary-search insert that drops anything not below the current k-th
   * minimum, `merge` a bounded sorted set-union — both associative and
   * commutative, which is the mergeability that lets Spark run this
-  * map-side (partial aggregation) exactly like the tournament's phase 1.
-  * The plan-level tournament remains the operators' execution path (pure
-  * codegen'd window machinery, no per-row JVM boxing); this face exists
-  * for the user-facing aggregate surface and is proven equivalent in
-  * SketchExprSpec.
+  * map-side (partial aggregation), shipping ≤ k hashes per (group ×
+  * partition) through the exchange. Since r16 this IS the operators'
+  * execution path (TextStats.kMinima): the old two-phase window
+  * tournament re-shuffled and sorted the whole gram frame and paid
+  * WindowExec's per-task evaluator-factory codegen — the sketch
+  * family's measured CPU driver at gate scale. Equivalence to the
+  * tournament, and exactness under ObjectHashAggregate's sort-based
+  * fallback, are pinned in SketchExprSpec.
   */
 final class KmvMinima(k: Int)
     extends Aggregator[String, Array[String], Array[String]] {

@@ -702,18 +702,17 @@ object TextStats {
     * arithmetic step ((k−1)·2⁶⁰ exact in a double mantissa, one IEEE
     * division) is engine-identical.
     *
-    * Scale shape: the k-smallest selection is the m5/l3 two-phase
-    * tournament per (source, input partition) — no task ever sorts a
-    * source's whole gram set. The sketch is MERGEABLE: the k smallest of a
-    * union is a subset of the per-partition k-smallest sets, which is
-    * exactly what phase 2 computes — 1000 executors each contribute ≤ k
-    * hashes per source. The exact count audits the sketch at gate scale;
-    * a 100 TB deployment keeps only the sketch side (drop the groupBy
-    * count — the one corpus-sized aggregate here).
-    *
-    * The distinct gram scan persists MEMORY_AND_DISK (read by the exact
-    * count and the tournament) — see [[TextDedup]]'s cache-lifecycle
-    * note. */
+    * Scale shape (r16): the k-smallest selection is the set-semantic
+    * [[graft.functions.KmvMinima]] aggregate — partial aggregation bounds
+    * every task's contribution at k hashes per source and nothing ever
+    * sorts, so no task touches a source's whole gram set. The sketch is
+    * MERGEABLE: the k smallest of a union is a subset of the per-partition
+    * k-smallest sets, which is exactly what the final aggregate merges —
+    * 1000 executors each contribute ≤ k hashes per source. The exact count
+    * audits the sketch at gate scale; a 100 TB deployment keeps only the
+    * sketch side (drop the count — the one corpus-sized aggregate here,
+    * and with it the distinct exchange, which the set-semantic aggregate
+    * does not need). */
   /** Distinct (source, md5(word-trigram)) pairs — the shared sketch domain
     * of l42 (per-source cardinality), l63 (cross-source set algebra) and
     * m33 (streaming delta + exact audit). The hash must stay md5 (the
