@@ -366,34 +366,11 @@ object Bench {
     if (wantPreflight)
       System.err.println(f"[bench] preflight ${if (pfPass) "PASS" else "FAIL (budget spent — timing anyway, annotated)"} after ${pfWaited}%.0f s, ${pfAttempts.size} attempt(s)")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // always use the serialized sort shuffle writer (r16, guide §2.2):
-      // below the 200-partition default threshold the bypass writer
-      // creates, maps and concatenates one file PER REDUCE PARTITION per
-      // map task — stack-sampled as the top executor frames across the
-      // l-family at gate scale (19/26 runnable samples in
-      // BypassMergeSortShuffleWriter map0/unmap0/write0). Any production
-      // shuffle (>200 partitions) already takes the sort-writer path, so
-      // this makes the gate-scale writer match the at-scale one; measured
-      // −3.6% on a 20-query batch subset, 3 of 4 interleaved pairs.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      // in-process chmod for file:// writes (r16): without libhadoop,
-      // RawLocalFileSystem forks /bin/chmod per directory/file on every
-      // local write — 16/35 runnable executor samples across the engine
-      // gates sat in ProcessImpl.forkAndExec under that stack. The
-      // subclass sets the identical mode bits via NIO; HDFS/S3 paths
-      // never touch it. See graft.engine.NoForkLocalFs.
-      .config("spark.hadoop.fs.file.impl",
-        "graft.engine.NoForkLocalFileSystem")
-      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-        "graft.engine.NoForkLocalFs")
-      .config("spark.sql.session.timeZone", "UTC")
-      // q37's recursive sessionization: depth = max session length, which
-      // the default limit (100) could cap on denser-than-testdata corpora
-      .config("spark.sql.cteRecursionLevelLimit", "10000")
-      .config("spark.ui.enabled", "false")
+    // shared session configs (sort writer, no-fork FS, partitions policy)
+    // live in GraftSession (VERDICT r16 #3) so Bench/Verify/PlanDump run
+    // the same execution environment; stack-sample provenance for the
+    // r16 fixes is documented there and in OPTIMIZATION_r16.md.
+    val spark = GraftSession.builder(cpus)
       // production state-store config for the streaming gates: RocksDB
       // spills instead of holding every key on-heap and snapshots
       // incrementally (2.4x on the sf1 dedup gate, identical results —
@@ -656,6 +633,7 @@ object Bench {
     // wall for a usable artifact.
     var stormWaitBudget =
       quietClamp(sys.env.getOrElse("SPARK_GRAFT_STORM_WAIT_SEC", "300").toDouble)
+    val stormBudgetTotal = stormWaitBudget
     var stormWaited = 0.0
     def stormWait(lastSteal: Double): Unit = {
       if (lastSteal < 0.5 || stormWaitBudget <= 0) return
@@ -861,37 +839,68 @@ object Bench {
     }.sum
     val excludedJson = excluded.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"excluded":$excludedJson,"second_pass":$secondPass,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"density_q":$densityJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus,"excluded":$excludedJson,"second_pass":$secondPass,"wall_sec":$wallSec,"wall_net_sec":$wallNetSec%.1f,"cpu_sec":$cpuSec,"value_bwnet":$totalBwNet%.2f,"calib_spin_sec":$kernelWallInWindow%.2f,"calib_spin_cpu":${if (kernelCpuSupported) f"$kernelCpuInWindow%.2f" else "-1"},"storm_wait_sec":$stormWaited%.0f,"contaminated":${(stormBudgetTotal > 0 && stormWaitBudget <= 0) || rerunQ.size > 10},"jit_drain_sec":$jitDrainSec%.0f,"load1m":$load1m,"preflight":$pfJson,"calib":$calibJson,"calib_bw":$bwJson,"cpu_q":${qmap(_.cpu)},"host_steal_q":${qmap(_.steal)},"host_busy_q":${qmap(_.busy)},"bw_q":$bwQJson,"bw_convicted":$bwConvictedJson,"density_q":$densityJson,"gc_q":${qmap(_.gc)},"jit_q":${qmap(_.jit)},"heap_mb_q":${qmap(_.heap)},"code_cache_mb":${math.round(codeCacheMb)},"cgfb_q":$cgfbJson,"wsc_q":$wscJson,"threads_q":$threadsJson,"rerun_q":$rerunJson,"second_q":$secondJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detail, "UTF-8")
       try w.println(fullLine) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] $detail write failed: $e") }
 
-    // compact line: anomaly-rerun pairs first (the story the judge needs),
-    // then slowest queries until the budget is spent. Budget 1400 (was
-    // 1800): the driver's 2000-char stdout tail must hold this line PLUS
-    // the mini summary line below PLUS sbt's epilogue in full, so that
-    // whichever line the driver's parser picks, it picks a complete one
-    // (VERDICT r14 #4 — every round through r14 recorded "parsed": null).
+    // compact line: budget 1400 (was 1800): the driver's 2000-char stdout
+    // tail must hold this line PLUS the mini summary line below PLUS sbt's
+    // epilogue in full, so that whichever line the driver's parser picks,
+    // it picks a complete one (VERDICT r14 #4 — every round through r14
+    // recorded "parsed": null).
+    //
+    // r17 (VERDICT r16 #1): diagnostics must not starve the per-query map.
+    // The r16 driver run fired 15 anomaly reruns, their rerun_q/second_q
+    // entries were serialized BEFORE the query walls, and only 4 of 172
+    // walls survived the budget — the round-over-round comparison went
+    // blind exactly when scrutiny mattered most (PERF_r16 degraded to
+    // n_common=2 and mislabeled 3 ran-and-passing queries "dropped").
+    // Now: (1) the top `MinWalls` query walls are reserved FIRST and are
+    // unconditional; (2) rerun_q/second_q are capped at 4 entries each
+    // (slowest first attempt first) and admitted only into the budget
+    // that remains; (3) leftover budget takes more walls. The complete
+    // maps always live in bench_full.json. `contaminated` additionally
+    // flags a run that spent its whole storm budget or needed >10 anomaly
+    // reruns, so the driver can discount it mechanically instead of
+    // forensically (the r16 reading required the latter).
     def fmt(v: Double) = f"$v%.2f"
     val budget = 1400
-    val rrCompact = rerunQ.map { case (k, (a, b, bw)) =>
-      s""""$k":[${fmt(a.wall)},${fmt(b.wall)},${fmt(bw)}]""" }.mkString("{", ",", "}")
-    val spCompact = secondQ.map { case (k, s) =>
-      s""""$k":[${fmt(perQ(k).wall)},${fmt(s.wall)}]""" }.mkString("{", ",", "}")
+    val contaminated =
+      (stormBudgetTotal > 0 && stormWaitBudget <= 0) || rerunQ.size > 10
+    val rrEntries = rerunQ.toSeq.sortBy { case (_, (a, _, _)) => -a.wall }
+      .take(4).map { case (k, (a, b, bw)) =>
+        s""""$k":[${fmt(a.wall)},${fmt(b.wall)},${fmt(bw)}]""" }
+    val spEntries = secondQ.toSeq.sortBy { case (k, _) => -perQ(k).wall }
+      .take(4).map { case (k, s) =>
+        s""""$k":[${fmt(perQ(k).wall)},${fmt(s.wall)}]""" }
     val pfCompact =
       f"""{"enabled":$wantPreflight,"pass":$pfPass,"waited_sec":$pfWaited%.0f,"attempts":${pfAttempts.size},"recheck_pass":$rcPass,"recheck_waited_sec":$rcWaited%.0f}"""
-    val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"excluded_n":${excluded.size},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"bw_convicted":$bwConvictedJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_q":$rrCompact,"second_q":$spCompact,"queries_omitted":NNN,"queries":{"""
-    var used = head.length + 2 // closing "}}"
-    val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
-    for ((k, v) <- results.sortBy(-_._2)) {
-      val e = k.length + fmt(v).length + 4 // quotes, colon, comma
-      if (used + e <= budget) { kept += ((k, v)); used += e }
+    val wallEntries = results.sortBy(-_._2)
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }
+    val MinWalls = 20
+    def headFor(rr: Seq[String], sp: Seq[String]): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"contaminated":$contaminated,"excluded_n":${excluded.size},"load1m":${fmt(load1m)},"preflight":$pfCompact,"calib":$calibJson,"calib_bw":$bwJson,"bw_convicted":$bwConvictedJson,"code_cache_mb":${math.round(codeCacheMb)},"detail":"$detail","failed":$failedJson,"rerun_n":${rerunQ.size},"rerun_q":${rr.mkString("{", ",", "}")},"second_n":${secondQ.size},"second_q":${sp.mkString("{", ",", "}")},"queries_omitted":NNN,"queries":{"""
+    // pass 1: reserve the guaranteed walls against a diagnostics-free head
+    val guaranteed = wallEntries.take(MinWalls)
+    var used = headFor(Nil, Nil).length + 2 + // closing "}}"
+      guaranteed.map(_.length + 1).sum
+    // pass 2: admit capped diagnostics entries into what remains
+    def admit(es: Seq[String]): Seq[String] = es.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
     }
-    val omitted = results.size - kept.size
-    val compactQs = kept.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
-    println(head.replace(""""queries_omitted":NNN""", s""""queries_omitted":$omitted""") + compactQs + "}}")
+    val rrKept = admit(rrEntries)
+    val spKept = admit(spEntries)
+    // pass 3: leftover budget takes more walls
+    val extraWalls = admit(wallEntries.drop(MinWalls))
+    val keptWalls = guaranteed ++ extraWalls
+    val omitted = results.size - keptWalls.size
+    println(headFor(rrKept, spKept)
+      .replace(""""queries_omitted":NNN""", s""""queries_omitted":$omitted""")
+      + keptWalls.mkString(",") + "}}")
     // mini summary line, guaranteed well under the driver's tail window
     // even after the compact line and sbt's epilogue: headline totals +
     // the top-5 walls. The driver parses SOME complete JSON line from
@@ -899,7 +908,7 @@ object Bench {
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"failed_n":${failed.size},"bw_convicted_n":${bwConvicted.size},"queries_omitted":${math.max(0, results.size - 5)},"detail":"$detail","queries":{$top5}}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"cpu_sec":${fmt(cpuSec)},"value_bwnet":${fmt(totalBwNet)},"storm_wait_sec":${fmt(stormWaited)},"contaminated":$contaminated,"failed_n":${failed.size},"bw_convicted_n":${bwConvicted.size},"queries_omitted":${math.max(0, results.size - 5)},"detail":"$detail","queries":{$top5}}""")
     spark.stop()
   }
 }

@@ -17,17 +17,17 @@ object PlanDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outDir = Paths.get(args(0))
     Files.createDirectories(outDir)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.cteRecursionLevelLimit", "10000")
-      .config("spark.ui.enabled", "false")
+    // shared configs via GraftSession (VERDICT r16 #3) so the committed
+    // plan is dumped under exactly the session Bench times it with
+    val spark = GraftSession.builder(cpus)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a failed dump must fail the run (ADVICE r16 #1): a committed
+    // plans/*.txt artifact silently missing or stale after a query
+    // regression defeats the point of committing plans
+    var failures = 0
     for (name <- args.drop(1)) {
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query: $name"))
@@ -38,9 +38,14 @@ object PlanDump {
         Files.writeString(outDir.resolve(s"$name.txt"), txt)
         System.err.println(s"[plandump] wrote $name (${txt.length} chars)")
       } catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"[plandump] $failures dump(s) FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -8,14 +8,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional: run just these queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // q37's recursive sessionization: depth = max session length, which
-      // the default limit (100) could cap on denser-than-testdata corpora
-      .config("spark.sql.cteRecursionLevelLimit", "10000")
-      .config("spark.ui.enabled", "false")
+    // shared configs via GraftSession (VERDICT r16 #3 / ADVICE r16 #3):
+    // the oracle-checked configuration now runs the same sort-writer +
+    // no-fork-FS environment the bench times, end to end. Verify keeps
+    // the DEFAULT state-store provider deliberately — the oracle gate
+    // covers that path while Bench covers RocksDB (parity pinned in
+    // StreamingSpec).
+    val spark = GraftSession.builder(cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
