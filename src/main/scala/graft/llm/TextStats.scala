@@ -808,7 +808,6 @@ object TextStats {
     * double product for inter_est. */
   def kmvSetOps(docs: DataFrame, k: Int = 256,
       exactAudit: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"KMV needs k >= 2, got $k")
     // default (100 TB) plan: the set-semantic k-minima aggregate reads the
     // RAW gram stream — the corpus-wide DISTINCT exchange the tournament
@@ -818,34 +817,52 @@ object TextStats {
     // intersection is defined on the distinct gram domain.
     lazy val dist = sourceGramHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minima = kMinima(
-        if (exactAudit) dist else sourceGramHashesRaw(docs), k)
+    // r17: the pair algebra runs directly on the per-source minima ARRAYS
+    // (sorted, ≤ k elements — the aggregate's output before any explode).
+    // The r16 shape exploded the arrays back to rows and recomputed facts
+    // that are pure array arithmetic on two k-bounded sorted lists: it
+    // paid a (pair, h) exchange, a row_number window whose subtree the
+    // planner DUPLICATED (it fed both the per-pair sizes aggregate and
+    // the top-k filter, each a full copy — the 2 surviving Window nodes
+    // of the r16 plan), and a SortMergeJoin to re-attach k_used. Every
+    // per-pair statistic below is a per-ROW expression over the two
+    // arrays; the only exchange left on the sketch path is the k-bounded
+    // partial-aggregate one. Estimator unchanged (Beyer et al. 2007):
+    //   merged   = set-union of the two minima lists (sorted),
+    //   n_m      = |merged|, k_used = min(k, n_m),
+    //   top-k    = the k_used smallest of merged (= slice(merged, 1, k)),
+    //   shared   = |{h in top-k present in BOTH lists}|,
+    //   kth_h    = merged[k_used].
+    val minima = (if (exactAudit) dist else sourceGramHashesRaw(docs))
+      .groupBy("source")
+      .agg(graft.functions.KmvMinima.minima(col("h"), k).as("__m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val srcs = minima.select(col("source")).distinct()
+    val srcs = minima.select(col("source")) // group keys: already distinct
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))
-    // tag each minima hash with the pairs + side it serves (two broadcast
-    // equi-joins — never an OR-condition nested loop)
-    val phA = pairs.join(minima.withColumnRenamed("source", "source_a"),
-      Seq("source_a")).withColumn("side_a", lit(1))
-    val phB = pairs.join(minima.withColumnRenamed("source", "source_b"),
-      Seq("source_b")).withColumn("side_a", lit(0))
-    val merged = phA.select(col("source_a"), col("source_b"), col("h"), col("side_a"))
-      .unionByName(phB.select(col("source_a"), col("source_b"), col("h"), col("side_a")))
-      .groupBy("source_a", "source_b", "h")
-      .agg(max(col("side_a")).as("in_a"),
-        max(lit(1) - col("side_a")).as("in_b"))
-    val wp = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
-    val ranked = merged.withColumn("rn", row_number().over(wp))
-    val sizes = ranked.groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_m"))
+    val withArrs = pairs
+      .join(minima.select(col("source").as("source_a"), col("__m").as("__ma")),
+        Seq("source_a"))
+      .join(minima.select(col("source").as("source_b"), col("__m").as("__mb")),
+        Seq("source_b"))
+      // KmvMinima arrays are sorted; array_union keeps first-then-appended
+      // order, so one sort_array restores ascending-hash order (binary
+      // UTF8 comparison — the same ordering the window's ORDER BY h used)
+      .withColumn("__u", sort_array(array_union(col("__ma"), col("__mb"))))
+      .withColumn("n_m", size(col("__u")).cast("long"))
       .withColumn("k_used", least(lit(k.toLong), col("n_m")))
-    val top = ranked.join(sizes, Seq("source_a", "source_b"))
-      .filter(col("rn") <= col("k_used"))
-    val stats = top.groupBy("source_a", "source_b", "n_m", "k_used")
-      .agg(sum((col("in_a") * col("in_b")).cast("long")).as("shared_minima"),
-        max(when(col("rn") === col("k_used"), col("h"))).as("kth_h"))
+      // slice(_, 1, k) of an n_m < k array returns all n_m = k_used
+      // elements, so this IS the top-k_used prefix in both regimes
+      .withColumn("__topk", slice(col("__u"), 1, k))
+    val stats = withArrs.select(
+      col("source_a"), col("source_b"), col("n_m"), col("k_used"),
+      // membership in a side's minima list is exact for every merged-top-k
+      // hash (h ≤ u_k(A∪B) ≤ u_k(A) ⇒ h ∈ minima(A)), so intersecting the
+      // prefix with both arrays counts exactly the old in_a·in_b rows
+      size(array_intersect(array_intersect(col("__topk"), col("__ma")),
+        col("__mb"))).cast("long").as("shared_minima"),
+      expr("element_at(__u, cast(k_used as int))").as("kth_h"))
     val unionEst = when(col("n_m") < k, col("n_m").cast("double"))
       .otherwise(kmvEst(k, col("kth_h")))
     val jaccEst = col("shared_minima").cast("double") / col("k_used").cast("double")
@@ -1103,15 +1120,17 @@ object TextStats {
     * source IS that source's full distinct set (nothing was ever
     * dropped), so the sub-k path returns the exact count. */
   def kmvEstimate(state: DataFrame, k: Int = 256): DataFrame =
-    // state rows are distinct by construction (kmvMerge is a set union),
-    // so count + k-th minimum ride one ObjectHashAggregate — no window
+    // state rows are distinct by construction (kmvMerge is a set union);
+    // the sub-k "exact" branch reads the DEDUPLICATING aggregate's size,
+    // not a raw row count (ADVICE r16 #2), so out-of-contract duplicate
+    // state rows can't inflate it — identical output on contract inputs,
+    // and one aggregate expression instead of two
     state
       .groupBy("source")
-      .agg(count(lit(1)).as("n_state"),
-        graft.functions.KmvMinima.minima(col("h"), k).as("__m"))
+      .agg(graft.functions.KmvMinima.minima(col("h"), k).as("__m"))
       .select(col("source"),
         when(size(col("__m")) === k, element_at(col("__m"), k)).as("kth_h"),
-        col("n_state"))
+        size(col("__m")).cast("long").as("n_state"))
       .select(col("source"),
         when(col("kth_h").isNull, col("n_state").cast("double"))
           .otherwise(kmvEst(k, col("kth_h"))).as("kmv_est"))
@@ -1160,13 +1179,15 @@ object TextStats {
     * Engine-invariance: cells are md5-derived (the l42 contract), counts
     * and the min fold are integers — no float anywhere. */
   /** (r, cell) struct list for a token — the shared md5 cell derivation
-    * of every count-min face (l64 one-shot, m34 streaming). */
+    * of every count-min face (l64 one-shot, m34 streaming). Since r17 it
+    * is the [[graft.functions.CmCells]] library kernel: one codegen call
+    * and one digest pass per token, replacing depth separate
+    * md5+substring+conv+pmod expression trees (each building a concat'd
+    * string, a 32-char hex string and conv's radix string round-trip per
+    * token) in per-query generated code. Byte-equality to the composed
+    * plan is pinned in SketchExprSpec. */
   private def cmCells(tok: Column, depth: Int, width: Int): Column =
-    explode(array((0 until depth).map { r =>
-      struct(lit(r).as("r"),
-        pmod(conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 15), 16, 10)
-          .cast("long"), lit(width.toLong)).as("cell"))
-    }: _*))
+    explode(graft.functions.CmCells(tok, depth, width))
 
   /** One batch's count-min cells: (r, cell, c) — ≤ depth·width rows
     * whatever the batch size (the partial aggregate IS the sketch). */
@@ -1253,14 +1274,14 @@ object TextStats {
     * reference's read-path short-circuit (consult the bloom, touch the
     * store only on a hit). md5-derived everything, boolean output —
     * engine-exact. */
-  /** md5-derived bit position i for fingerprint `fp` — the shared cell
-    * derivation of every bloom face (l65 one-shot, m36 streaming). */
-  private def bloomPos(i: Int, fp: Column, bits: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"$i:"), fp)), 1, 15), 16, 10)
-      .cast("long"), lit(bits.toLong))
-
+  /** md5-derived bit positions for fingerprint `fp` — the shared cell
+    * derivation of every bloom face (l65 one-shot, m36 streaming). Since
+    * r17 the [[graft.functions.BloomPositions]] kernel: one codegen call
+    * and one reused digest per fingerprint instead of nh separate
+    * md5+substring+conv+pmod trees (the cm_cells pattern; bit parity with
+    * the composed plan pinned in SketchExprSpec). */
   private def bloomPositions(fp: Column, bits: Int, nh: Int): Column =
-    explode(array((0 until nh).map(i => bloomPos(i, fp, bits)): _*))
+    explode(graft.functions.BloomPositions(fp, nh, bits))
 
   /** The l65 membership rule: the even-doc_id half of the corpus is the
     * indexed set, every document is a probe. */

@@ -63,6 +63,18 @@ object DriverGates {
     * the planner/AQE picks a shuffle join. */
   val BatchBroadcastRowCap: Long = 1000000L
 
+  /** Input-BYTES cap below which a micro-batch's batch-bounded derived
+    * frames (the contracted label remap and its nontrivial subset) get
+    * the broadcast hint from the batch's plan-stats size alone — no
+    * per-batch count job. Bounding argument: BYTES — a pair row costs
+    * ≥ ~16 bytes on disk (two ids + parquet framing), so 8 MB of batch
+    * input bounds the derived label frame at ≈ 2·(8 MB/16 B) = 1M rows,
+    * the same build-side budget as [[BatchBroadcastRowCap]], while steady
+    * micro-batches (KBs) always qualify. A caller with no cheap size
+    * estimate falls back to counting against the row cap — the decision
+    * is a hint either way, so a conservative answer is never wrong. */
+  val BatchBroadcastByteCap: Long = 8L << 20
+
   /** Source-row cap below which a streaming fold keeps the NARROW
     * (8-way) shuffle width ([[graft.queries.QUtil.withStreamPartsFor]]).
     * Bounding argument: FLOOR vs WIDTH — the narrow width exists to

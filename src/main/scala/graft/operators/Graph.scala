@@ -445,7 +445,8 @@ object Graph {
     * the non-trivial remap domain pull their members in. */
   def incrementalComponentsDelta(prev: Option[DataFrame],
       pairs: DataFrame,
-      wantChanged: Boolean = true): (DataFrame, Option[DataFrame]) = {
+      wantChanged: Boolean = true,
+      batchBytesHint: Option[Long] = None): (DataFrame, Option[DataFrame]) = {
     // null-sided pairs drop HERE so both batch positions see the rule
     // dedupClusters applies (TextDedup.scala's null filter): without it
     // the first batch (dedupClusters) drops them while the incremental
@@ -472,12 +473,20 @@ object Graph {
             coalesce(col("cluster_id"), col("doc_id")).as("l"),
             col("cluster_id").isNull.as("is_new"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // batch-bounded by construction (≤ 2·|batch| rows); the count
-        // materializes the cache the three reuses below want anyway and
-        // decides the remap-join strategy, the incrTriangles rule: small
-        // ⇒ explicit broadcast (the state NEVER shuffles for the remap),
-        // huge first-batch replay ⇒ drop the hint, let AQE pick.
-        val labCount = lab.count()
+        // remap-join strategy, the incrTriangles rule: small batch ⇒
+        // explicit broadcast (the state NEVER shuffles for the remap),
+        // huge first-batch replay ⇒ drop the hint, let the planner pick.
+        // Since r17 the steady-state decision reads the CALLER's plan-
+        // stats byte hint (free) instead of running a per-batch count job
+        // on the gate floor; lab is batch-bounded by construction
+        // (≤ 2·|batch| rows, ≥ ~16 B/pair on disk ⇒ 8 MB input bounds it
+        // at ~1M rows, the row cap's own budget). Unhinted callers keep
+        // the counted gate — the lazy val runs its job only on that path
+        // (the persist still materializes on first action either way).
+        lazy val labSmall = batchBytesHint match {
+          case Some(bytes) => bytes <= DriverGates.BatchBroadcastByteCap
+          case None => lab.count() <= DriverGates.BatchBroadcastRowCap
+        }
         val labelEdges = pp
           .join(lab.select(col("doc_id").as("doc_a"), col("l").as("la")), "doc_a")
           .join(lab.select(col("doc_id").as("doc_b"), col("l").as("lb")), "doc_b")
@@ -493,8 +502,7 @@ object Graph {
         val remapRaw = graft.llm.TextDedup.dedupClusters(labelEdges)
           .select(col("doc_id").as("l"), col("cluster_id").as("root"))
         val remap0 = if (wantChanged) remapRaw.localCheckpoint() else remapRaw
-        val remap = if (labCount <= DriverGates.BatchBroadcastRowCap)
-          broadcast(remap0) else remap0
+        val remap = if (labSmall) broadcast(remap0) else remap0
         val newcomers = lab.filter(col("is_new"))
           .select(col("doc_id"), col("l").as("cluster_id"))
         val out = stp.unionByName(newcomers)
@@ -514,13 +522,12 @@ object Graph {
           if (!wantChanged) None
           else {
             // same broadcast gate as the remap join above: nontrivial is
-            // a subset of remap0 (≤ labCount rows), and a huge catch-up
+            // a subset of remap0 (label-bounded), and a huge catch-up
             // batch must not force a multi-million-row broadcast
             val nontrivial0 = remap0.filter(col("root") =!= col("l"))
               .select(col("l").as("cluster_id"))
             val nontrivial =
-              if (labCount <= DriverGates.BatchBroadcastRowCap)
-                broadcast(nontrivial0) else nontrivial0
+              if (labSmall) broadcast(nontrivial0) else nontrivial0
             Some(stp
               .join(nontrivial, Seq("cluster_id"), "left_semi")
               .select("doc_id")
@@ -1326,9 +1333,13 @@ object Graph {
       (b, id) => {
         // skip the changed-keys job when the store will rebase anyway
         val want = GenState.deltaUseful(b.sparkSession, statePath)
+        // one plan-stats read feeds both the store's tiny-path gate and
+        // the delta's broadcast gate (no per-batch count job, r17)
+        val hint = GenState.batchBytes(b.toDF())
         GenState.applyBatchBucketed(b.sparkSession, statePath, id,
-          Seq("doc_id"), GenState.batchBytes(b.toDF()))(prev =>
-            incrementalComponentsDelta(prev, b.toDF(), wantChanged = want))
+          Seq("doc_id"), hint)(prev =>
+            incrementalComponentsDelta(prev, b.toDF(), wantChanged = want,
+              batchBytesHint = hint))
       }
     src.writeStream
       .option("checkpointLocation", checkpoint)

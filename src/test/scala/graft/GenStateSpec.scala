@@ -274,6 +274,20 @@ class GenStateSpec extends SparkSpec {
     assert(c2a.orderBy("doc_id").collect().toSeq ==
       c2b.orderBy("doc_id").collect().toSeq,
       "components state diverged on wantChanged")
+    // r17: the remap broadcast gate reads the caller's byte hint instead
+    // of a per-batch count job — small hint (broadcast), huge hint (no
+    // broadcast) and unhinted (counted) must land on identical labels
+    val c2c = graft.operators.Graph.incrementalComponentsDelta(
+      Some(c1), pairs2, wantChanged = true, batchBytesHint = Some(1024L))._1
+    val c2d = graft.operators.Graph.incrementalComponentsDelta(
+      Some(c1), pairs2, wantChanged = true,
+      batchBytesHint = Some(Long.MaxValue / 4))._1
+    assert(c2a.orderBy("doc_id").collect().toSeq ==
+      c2c.orderBy("doc_id").collect().toSeq,
+      "components state diverged on small byte hint")
+    assert(c2a.orderBy("doc_id").collect().toSeq ==
+      c2d.orderBy("doc_id").collect().toSeq,
+      "components state diverged on huge byte hint")
   }
 
   test("tiny steady state writes ONE bucket as ONE file; a big " +

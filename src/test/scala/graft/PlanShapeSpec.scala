@@ -793,4 +793,28 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
     assert(df.head().getBoolean(0))
   }
+
+  test("l63: pair algebra is array expressions over the minima arrays — no Window") {
+    // the r17 shape computes every per-pair statistic (merged size,
+    // shared minima, k-th hash) as per-row array expressions over the two
+    // k-bounded minima lists; the r16 row/window tournament (a duplicated
+    // row_number subtree + a SortMergeJoin against the per-pair sizes)
+    // must not come back
+    val p = plan("l63_kmv_setops")
+    assert(!p.contains("Window"), s"pair-algebra window resurfaced:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"k-bounded pair frames must never sort-merge:\n${p.take(1500)}")
+    val oha = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(oha >= 2, s"expected partial+final kmv_minima aggregate:\n${p.take(1500)}")
+  }
+
+  test("l64: count-min cells derive through the cm_cells kernel, one digest per token") {
+    // the composed derivation (depth separate md5+substring+conv+pmod
+    // trees per token) must not come back — it was the l64/m34 first-pass
+    // CPU driver (4 string round-trips per token in generated code)
+    val p = plan("l64_countmin")
+    assert(p.contains("cm_cells"), s"cm_cells kernel missing:\n${p.take(1200)}")
+    assert(!p.contains("md5("), s"composed md5 cell trees resurfaced:\n${p.take(1200)}")
+    assert(!p.contains("conv("), s"conv radix round-trip resurfaced:\n${p.take(1200)}")
+  }
 }

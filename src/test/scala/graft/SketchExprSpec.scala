@@ -321,4 +321,117 @@ class SketchExprSpec extends SparkSpec {
     val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
     assert(nulls.select(explode(WordTrigramMd5($"text"))).count() == 0L)
   }
+
+  test("cm_cells: bit parity with the composed md5/substring/conv/pmod plan") {
+    import graft.functions.CmCells
+    // the r17 count-min cell kernel must reproduce the l64/m34 derivation
+    // exactly for every (depth, width) in use and for adversarial tokens:
+    // empty, multibyte UTF-8, long, digits, punctuation
+    val toks = Seq("", "a", "the", "café", "ünïcode-тест", "7", ":",
+      "0:prefix-collision", "a-very-much-longer-token-string-here",
+      "é中文") ++
+      (0 until 200).map(i => s"tok$i")
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok")
+    for ((depth, width) <- Seq((4, 1024), (2, 16), (5, 3))) {
+      val viaKernel = df.select($"id", explode(CmCells($"tok", depth, width)).as("p"))
+        .select($"id", $"p.r", $"p.cell")
+      val viaPlan = df.select($"id", explode(array((0 until depth).map { r =>
+          struct(lit(r).as("r"),
+            pmod(conv(substring(md5(concat(lit(s"$r:"), $"tok")), 1, 15), 16, 10)
+              .cast("long"), lit(width.toLong)).as("cell"))
+        }: _*)).as("p"))
+        .select($"id", $"p.r", $"p.cell")
+      val k = viaKernel.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val c = viaPlan.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(k == c, s"depth=$depth width=$width diverged")
+      // interpreted path agrees with codegen
+      val interp = noCodegen {
+        df.select($"id", explode(CmCells($"tok", depth, width)).as("p"))
+          .select($"id", $"p.r", $"p.cell")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      }
+      assert(k == interp)
+    }
+    // the flat bloom-positions face: same derivation, no row index
+    import graft.functions.BloomPositions
+    for ((nh, bits) <- Seq((3, 4096), (5, 64))) {
+      val viaKernel = df.select($"id", explode(BloomPositions($"tok", nh, bits)).as("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val viaPlan = df.select($"id", explode(array((0 until nh).map { i =>
+          pmod(conv(substring(md5(concat(lit(s"$i:"), $"tok")), 1, 15), 16, 10)
+            .cast("long"), lit(bits.toLong))
+        }: _*)).as("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(viaKernel == viaPlan, s"nh=$nh bits=$bits diverged")
+    }
+  }
+
+  test("kmvSetOps array algebra: bit parity with the r16 row/window pair algebra") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.llm.TextStats
+    // the r17 shape computes the per-pair statistics as array expressions
+    // over the per-source minima lists; this reference re-runs the r16
+    // exploded-row shape (union-tag → group → row_number window → sizes
+    // join → aggregate) over the SAME minima state (kmvDelta) and must
+    // agree bit-for-bit, doubles included. k=8 so both regimes (n_m < k
+    // and n_m >= k) appear among the pairs.
+    val k = 8
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = ((0 until 120).map { i =>
+      val src = s"src${i % 5}"
+      val words = (0 until 4 + rnd.nextInt(10))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (src, s"d$i", words)
+    } ++ Seq( // sub-k sources: 1 and 2 distinct trigrams → pairs with n_m < k
+      ("tiny1", "t1", "w0 w1 w2"),
+      ("tiny2", "t2", "w0 w1 w2 w3"))).toDF("source", "doc_id", "text")
+    val got = TextStats.kmvSetOps(docs, k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // reference: the r16 implementation, verbatim algebra
+    val minima = TextStats.kmvDelta(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = minima.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val phA = pairs.join(minima.withColumnRenamed("source", "source_a"),
+      Seq("source_a")).withColumn("side_a", lit(1))
+    val phB = pairs.join(minima.withColumnRenamed("source", "source_b"),
+      Seq("source_b")).withColumn("side_a", lit(0))
+    val merged = phA.select(col("source_a"), col("source_b"), col("h"), col("side_a"))
+      .unionByName(phB.select(col("source_a"), col("source_b"), col("h"), col("side_a")))
+      .groupBy("source_a", "source_b", "h")
+      .agg(max(col("side_a")).as("in_a"), max(lit(1) - col("side_a")).as("in_b"))
+    val wp = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
+    val ranked = merged.withColumn("rn", row_number().over(wp))
+    val sizes = ranked.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_m"))
+      .withColumn("k_used", least(lit(k.toLong), col("n_m")))
+    val top = ranked.join(sizes, Seq("source_a", "source_b"))
+      .filter(col("rn") <= col("k_used"))
+    val kmvRefEst = lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+      conv(substring(col("kth_h"), 1, 15), 16, 10).cast("long").cast("double")
+    val stats = top.groupBy("source_a", "source_b", "n_m", "k_used")
+      .agg(sum((col("in_a") * col("in_b")).cast("long")).as("shared_minima"),
+        max(when(col("rn") === col("k_used"), col("h"))).as("kth_h"))
+    val unionEst = when(col("n_m") < k, col("n_m").cast("double"))
+      .otherwise(kmvRefEst)
+    val jaccEst = col("shared_minima").cast("double") / col("k_used").cast("double")
+    val want = stats
+      .select(col("source_a"), col("source_b"), col("k_used"),
+        col("shared_minima"), unionEst.as("kmv_union_est"),
+        jaccEst.as("kmv_jacc_est"), (jaccEst * unionEst).as("kmv_inter_est"))
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    minima.unpersist()
+    assert(got.nonEmpty && got == want)
+    // both n_m regimes actually exercised: full sketches (k_used == k)
+    // and sub-k pairs (k_used < k, the exact-union branch)
+    assert(got.exists(_._3 == k.toLong))
+    assert(got.exists(_._3 < k.toLong))
+  }
 }
