@@ -212,10 +212,22 @@ object Graph {
     * [[prepareEdges]], whose own distinct reuses this cache. Out-degrees
     * and the symmetry contract are driver-side arithmetic on the
     * collected array (same check, same failure message, honoring the
-    * same validateEdges switch). */
-  private def collectedEdges(edges: DataFrame, cap: Long)
+    * same validateEdges switch).
+    *
+    * `assumeDistinct` (r17, guide §2.4 "a distinct on data that is
+    * already unique"): a caller that can PROVE its edge list is
+    * duplicate-free skips the dedup — a full-width exchange + hash
+    * aggregate over the whole edge frame, the single largest phase of
+    * every gated rank query (measured 1.35–1.75 s of q38b's ~3.5 s warm
+    * wall at sf0.1, and a corpus-width shuffle at any scale). The
+    * contract mirrors validateEdges: opt-in, default-off, and a wrong
+    * claim double-counts contributions — callers must state their proof
+    * at the call site. */
+  private def collectedEdges(edges: DataFrame, cap: Long,
+      assumeDistinct: Boolean = false)
       : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
-    val e = edges.select("src", "dst").distinct().persist(Mem)
+    val sel = edges.select("src", "dst")
+    val e = (if (assumeDistinct) sel else sel.distinct()).persist(Mem)
     val m = e.count()
     if (m <= cap) {
       val rows = e.collect()
@@ -278,10 +290,11 @@ object Graph {
     * are only grouped/joined). Output: (node, rank_fp) — exact BIGINT
     * picoranks, ordered by node. */
   def pageRank(edges: DataFrame, iters: Int = 8,
-      smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
+      smallGraphCap: Long = RankGraphEdgeCap,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     val scale = 1000000000000L
-    val (e, small) = collectedEdges(edges, smallGraphCap)
+    val (e, small) = collectedEdges(edges, smallGraphCap, assumeDistinct)
     small match {
       case Some(rows) =>
         val g = driverGraph(rows, validateConf(e))
@@ -551,14 +564,15 @@ object Graph {
     * count in the normalization — both faces of that choice are stated
     * identically in the oracle. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 8, smallGraphCap: Long = RankGraphEdgeCap): DataFrame = {
+      iters: Int = 8, smallGraphCap: Long = RankGraphEdgeCap,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint()
     val k = seedSet.count()
     require(k >= 1, "personalizedPageRank needs at least one seed")
     val scale = 1000000000000L
     val teleport = (15L * scale) / (100L * k)
-    val (e, small) = collectedEdges(edges, smallGraphCap)
+    val (e, small) = collectedEdges(edges, smallGraphCap, assumeDistinct)
     small match {
       case Some(rows) =>
         // the seed VALUES are cohort-sized by the operator's contract

@@ -715,7 +715,13 @@ object AnalyticsQueries {
     // connected components (fixed 8 rounds of join+reduce, integer fixed
     // point so both engines land bit-identically; see operators/Graph).
     "q38_pagerank" -> { (s, dir) =>
-      graft.operators.Graph.pageRank(coPurchaseEdges(s, dir))
+      // assumeDistinct (r17): coPurchaseEdges' rows are duplicate-free by
+      // construction — e0 is DISTINCT (custkey·2, suppkey·2+1) pairs and
+      // the symmetrization emits (even,odd) ∪ (odd,even), parity-disjoint
+      // halves each unique — so the operator's dedup exchange would hash
+      // the full edge frame to remove nothing (guide §2.4)
+      graft.operators.Graph.pageRank(coPurchaseEdges(s, dir),
+          assumeDistinct = true)
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
         .orderBy("node")
     },
@@ -753,8 +759,10 @@ object AnalyticsQueries {
       val seeds = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
         .select((col("c_custkey").cast("long") * 2).as("node"))
+      // assumeDistinct: coPurchaseEdges is duplicate-free by construction
+      // (see the q38 proof)
       graft.operators.Graph.personalizedPageRank(
-        coPurchaseEdges(s, dir), seeds)
+        coPurchaseEdges(s, dir), seeds, assumeDistinct = true)
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
         .orderBy("node")
     },
@@ -792,8 +800,9 @@ object AnalyticsQueries {
     // twice would say nothing new; the sf1 bench graphs exceed the cap
     // and measure the distributed path with real data instead).
     "q38b_pagerank_distpath" -> { (s, dir) =>
+      // assumeDistinct: same by-construction proof as q38
       graft.operators.Graph.pageRank(coPurchaseEdges(s, dir),
-          smallGraphCap = 0)
+          smallGraphCap = 0, assumeDistinct = true)
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
         .orderBy("node")
     },
@@ -802,8 +811,10 @@ object AnalyticsQueries {
       val seeds = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
         .select((col("c_custkey").cast("long") * 2).as("node"))
+      // assumeDistinct: same by-construction proof as q38
       graft.operators.Graph.personalizedPageRank(
-          coPurchaseEdges(s, dir), seeds, smallGraphCap = 0)
+          coPurchaseEdges(s, dir), seeds, smallGraphCap = 0,
+          assumeDistinct = true)
         .select(graphNodeLabel(col("node")).as("node"), col("rank_fp"))
         .orderBy("node")
     },

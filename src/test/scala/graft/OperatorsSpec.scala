@@ -450,6 +450,30 @@ class OperatorsSpec extends SparkSpec {
       "c" -> 191666666666L))
   }
 
+  test("pageRank/personalizedPageRank: assumeDistinct lands bit-identically on distinct input, both paths") {
+    import spark.implicits._
+    // distinct-by-construction symmetric edge list (the coPurchaseEdges
+    // shape the r17 callers prove); assumeDistinct must be a pure plan
+    // change — identical ranks through the gated AND distributed paths
+    val edges = (for (i <- 0 until 40; j <- Seq((i + 1) % 40, (i + 7) % 40))
+      yield Seq((i.toLong, j.toLong), (j.toLong, i.toLong))).flatten
+      .distinct.toDF("src", "dst")
+    val seeds = Seq(3L, 11L).toDF("node")
+    for (cap <- Seq(graft.operators.DriverGates.RankGraphEdgeCap, 0L)) {
+      val base = graft.operators.Graph.pageRank(edges, smallGraphCap = cap)
+        .collect().map(_.toString).toSeq
+      val fast = graft.operators.Graph.pageRank(edges, smallGraphCap = cap,
+        assumeDistinct = true).collect().map(_.toString).toSeq
+      assert(base == fast, s"pageRank diverged at cap $cap")
+      val pbase = graft.operators.Graph.personalizedPageRank(edges, seeds,
+        smallGraphCap = cap).collect().map(_.toString).toSeq
+      val pfast = graft.operators.Graph.personalizedPageRank(edges, seeds,
+        smallGraphCap = cap, assumeDistinct = true)
+        .collect().map(_.toString).toSeq
+      assert(pbase == pfast, s"personalizedPageRank diverged at cap $cap")
+    }
+  }
+
   test("weightedPageRank: hand-computed round on an asymmetric-weight path") {
     import spark.implicits._
     // a-b-c with b→c weight 3 (else 1): W(b)=4, so b sends c a 3/4 share.
